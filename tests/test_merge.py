@@ -1,0 +1,63 @@
+"""J1 parity tests: indicator reconstruction, empty-string key quirk,
+many-to-many cross product (SURVEY.md §7 hard items b, c)."""
+
+from __future__ import annotations
+
+from workshoop2_etl_spark.operators.merge import (
+    full_outer_with_indicator,
+    merge_provenance_counts,
+)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_indicator_values(spark):
+    left = _mk(spark, [("k1", 10), ("k2", 20)], "key string, lv int")
+    right = _mk(spark, [("k2", 200), ("k3", 300)], "key string, rv int")
+    out = {r["key"]: r["_merge"] for r in full_outer_with_indicator(left, right, ["key"]).collect()}
+    assert out == {"k1": "left_only", "k2": "both", "k3": "right_only"}
+
+
+def test_null_keys_match_as_empty_string(spark):
+    # The reference fillna("")s join keys BEFORE merging, so null keys
+    # match each other (reference dags/merge_to_dw.py:63). Spark nulls
+    # never equi-join, so normalization is part of the operator.
+    left = _mk(spark, [(None, 1)], "key string, lv int")
+    right = _mk(spark, [("  ", 2)], "key string, rv int")  # trims to ""
+    rows = full_outer_with_indicator(left, right, ["key"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["_merge"] == "both" and rows[0]["key"] == ""
+
+
+def test_keys_normalized_trim_lower(spark):
+    left = _mk(spark, [("  Rock ", 1)], "key string, lv int")
+    right = _mk(spark, [("rock", 2)], "key string, rv int")
+    rows = full_outer_with_indicator(left, right, ["key"]).collect()
+    assert len(rows) == 1 and rows[0]["_merge"] == "both"
+
+
+def test_many_to_many_cross_product(spark):
+    # pandas outer merge with duplicate keys on both sides emits the
+    # per-key cross product; Spark matches.
+    left = _mk(spark, [("k", 1), ("k", 2)], "key string, lv int")
+    right = _mk(spark, [("k", 10), ("k", 20), ("k", 30)], "key string, rv int")
+    out = full_outer_with_indicator(left, right, ["key"])
+    assert out.count() == 6
+    assert all(r["_merge"] == "both" for r in out.collect())
+
+
+def test_provenance_counts(spark):
+    left = _mk(spark, [("a", 1), ("b", 1)], "key string, lv int")
+    right = _mk(spark, [("b", 2), ("c", 2), ("d", 2)], "key string, rv int")
+    merged = full_outer_with_indicator(left, right, ["key"])
+    counts = {r["_merge"]: r["n"] for r in merge_provenance_counts(merged).collect()}
+    assert counts == {"both": 1, "left_only": 1, "right_only": 2}
+
+
+def test_composite_key_and_column_order(spark):
+    left = _mk(spark, [("a", "x", 1)], "k1 string, k2 string, lv int")
+    right = _mk(spark, [("a", "x", 9)], "k1 string, k2 string, rv int")
+    out = full_outer_with_indicator(left, right, ["k1", "k2"])
+    assert out.columns == ["k1", "k2", "lv", "rv", "_merge"]

@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: run every registered
+Spark query and its DuckDB oracle side-by-side on the same parquet and
+compare row count + column names + values exactly (order-insensitive,
+columns sorted by name — the driver's comparison shape)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out.columns = [c.lower() for c in out.columns]
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s) or s.dtype == object and s.map(
+            lambda v: isinstance(v, int) or v is None
+        ).all():
+            out[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    if name not in oracles:
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver
+        return
+    duck_pdf = duck.execute(oracles[name]).fetchdf()
+
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = np.allclose(
+                av.fillna(np.nan), bv.fillna(np.nan), rtol=0, atol=0, equal_nan=True
+            )
+        else:
+            ok = av.equals(bv)
+        assert ok, f"{name}: values differ in column {c}\n{av.head()}\n{bv.head()}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"_merge", "n_keys", "n_orders", "total_price"}

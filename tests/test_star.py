@@ -1,0 +1,62 @@
+"""Star-schema builder tests: surrogate-key determinism, upsert
+stability, FK resolution with null routing (SURVEY.md §7 item d)."""
+
+from __future__ import annotations
+
+from workshoop2_etl_spark.operators.star import build_dim, resolve_fk, upsert_dim
+from workshoop2_etl_spark.plans.pipelines import DimSpec, star_pipeline
+
+
+def test_build_dim_deterministic_keys(spark):
+    src = spark.createDataFrame(
+        [("beta",), ("alpha",), ("beta",), (None,)], "name string"
+    )
+    dim = build_dim(src, ["name"], "id").collect()
+    got = {r["name"]: r["id"] for r in dim}
+    assert got == {"alpha": 1, "beta": 2}  # ordered by natural key; nulls dropped
+
+
+def test_build_dim_repartition_invariant(spark):
+    src = spark.createDataFrame([(f"n{i:03d}",) for i in range(50)], "name string")
+    a = {(r["name"], r["id"]) for r in build_dim(src, ["name"], "id").collect()}
+    b = {
+        (r["name"], r["id"])
+        for r in build_dim(src.repartition(7), ["name"], "id").collect()
+    }
+    assert a == b  # stable across partitionings, unlike monotonically_increasing_id
+
+
+def test_upsert_dim_preserves_existing_ids(spark):
+    existing = spark.createDataFrame([(1, "alpha"), (2, "zeta")], "id int, name string")
+    src = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "name string")
+    out = {r["name"]: r["id"] for r in upsert_dim(existing, src, ["name"], "id").collect()}
+    assert out["alpha"] == 1 and out["zeta"] == 2  # untouched
+    assert out["beta"] == 3 and out["gamma"] == 4  # continue after max, nk order
+
+
+def test_resolve_fk_required_drops_unresolved(spark):
+    dim = spark.createDataFrame([(1, "a")], "id int, name string")
+    facts = spark.createDataFrame([("a", 10), ("zz", 20)], "name string, v int")
+    out = resolve_fk(facts, dim, ["name"], "id", required=True)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+
+
+def test_star_pipeline_end_to_end(spark):
+    src = spark.createDataFrame(
+        [("song1", "art1", 2020), ("song2", "art1", 2021), ("song1", "art2", None)],
+        "song string, artist string, year int",
+    )
+    dims, fact = star_pipeline(
+        src,
+        [
+            DimSpec("dim_song", ["song"], "song_id"),
+            DimSpec("dim_artist", ["artist"], "artist_id"),
+        ],
+        fact_cols=["year"],
+    )
+    assert dims["dim_song"].count() == 2
+    assert dims["dim_artist"].count() == 2
+    rows = fact.collect()
+    assert len(rows) == 3
+    assert set(fact.columns) == {"song_id", "artist_id", "year"}

@@ -1,0 +1,146 @@
+"""Analytics / EDA / dashboard operators.
+
+Parity targets (reference SURVEY.md §2.5/§2.6): the EDA notebook's
+profiling ops and the 10 Metabase dashboard queries —
+value_counts (A3), group means (A4), scalar min/max (A5),
+count-distinct KPIs (A6/A11), null profile (A7), summary stats (A8),
+histogram (A10), grouped rankings (A12/A13), year×category series
+(A14), sorts/top-k (T1-T4).
+
+All are single hash-aggregate plans (partial + final phases, so
+map-side combine happens automatically); top-k compiles to
+``TakeOrderedAndProject`` — no full sort at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def value_counts(df: DataFrame, col: str, *, count_col: str = "n") -> DataFrame:
+    """Frequency table, most frequent first, value asc on ties —
+    deterministic total order (A3, reference dags/merge_to_dw.py:82,
+    eda notebook cells 6-7)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.desc(count_col), F.asc(col))
+    )
+
+
+def group_mean(
+    df: DataFrame, keys: Sequence[str], value: Column | str, *, alias: str = "mean"
+) -> DataFrame:
+    """Per-group average (A4); pass ``bool_rate(col)`` style columns
+    for boolean-rate semantics (reference eda cells 6-7)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(F.avg(v).alias(alias))
+
+
+def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column null counts in one pass (A7, reference eda cell 2
+    ``df.isna().sum()``). One row out; columns keep their names."""
+    cols = list(cols) if cols else df.columns
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    )
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """count / mean / std / min / max per numeric column (A8 —
+    reference eda cell 2 ``describe()``). Exact aggregates only
+    (quantiles live in :func:`histogram` territory; Spark's
+    ``summary()`` uses approximate percentiles which can't be
+    oracle-checked). Output: one row per column, stat columns."""
+    rows = []
+    for c in cols:
+        rows.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("count"),
+                F.avg(F.col(c)).alias("mean"),
+                F.stddev_samp(F.col(c)).alias("std"),
+                F.min(F.col(c)).alias("min"),
+                F.max(F.col(c)).alias("max"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 30,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width binning + counts (A10, reference eda cell 5
+    ``histplot(bins=30)``). With explicit ``lo``/``hi`` the plan is a
+    single aggregate; without, min/max are computed first (two
+    passes, matching matplotlib/seaborn semantics: the max lands in
+    the last bin)."""
+    if lo is None or hi is None:
+        lo_v, hi_v = df.agg(F.min(col), F.max(col)).first()
+        lo = float(lo_v) if lo is None else lo
+        hi = float(hi_v) if hi is None else hi
+    width = (hi - lo) / bins
+    bin_expr = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6))
+        .select("bin", "bin_lo", "n")
+        .orderBy("bin")
+    )
+
+
+def top_k(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Sort + limit (T1/T3) — Spark plans TakeOrderedAndProject: each
+    partition keeps a k-heap, the driver merges; no global sort."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    return df.orderBy(*cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    *,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k within each group via ``row_number`` window — the scale
+    path for 'ranking per category' dashboards."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def crosstab_counts(df: DataFrame, row_key: str, col_key: str) -> DataFrame:
+    """Two-dimensional count series (A14, the dashboard's
+    "Nominations By Genre Over The Years") in long form — the
+    scale-safe shape; pivot to wide only at presentation time."""
+    return (
+        df.groupBy(row_key, col_key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(row_key, col_key)
+    )

@@ -1,0 +1,153 @@
+"""Scans / sources (reference SURVEY.md §2.1, S1-S4).
+
+All readers take an optional explicit ``StructType`` — the engine
+policy is *declared* schemas, not inference (the reference relies on
+pandas ``read_csv`` inference, which is nondeterministic across data
+slices and forces a full pre-scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The driver-generated testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (reference dags/merge_to_dw.py:140-143, S3).
+
+    Columnar with predicate pushdown and column pruning — Catalyst
+    prunes to ``ReadSchema`` and pushes filters to ``PushedFilters``
+    automatically because plans stay declarative.
+
+    Parquet TIMESTAMP(NANOS) columns (which Spark's vectorized reader
+    rejects; e.g. pandas-written ``datetime64[ns]``) arrive as long
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and are
+    rebuilt into micro-precision timestamps here — the same
+    truncation DuckDB applies, keeping oracle comparisons aligned.
+    """
+    df = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_columns(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in ``path`` (checked
+    once on the driver from footer metadata — no data read)."""
+    import pyarrow.dataset as ds
+    import pyarrow as pa
+
+    try:
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (reference dags/limpiezaSpotify.py:75, S1).
+
+    With an explicit schema when supplied (deterministic, single
+    pass); falls back to inference only for ad-hoc exploration.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: Mapping[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC/RDBMS table scan (reference dags/merge_to_dw.py:37-44, S2).
+
+    The reference reads SQLite through an Airflow hook single-threaded;
+    at scale a JDBC read must be *partitioned* (parallel range scans on
+    a numeric column) or it serializes through one connection.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def from_records(
+    spark: SparkSession,
+    records: Iterable[Mapping],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """DataFrame from a records batch (reference dags/merge_to_dw.py:116-117, S4).
+
+    The reference ships whole datasets between Airflow tasks as
+    ``list[dict]`` via XCom; in the engine this exists only for tiny
+    literal inputs (lookup tables, tests) — real data stays in lazy
+    scans and never round-trips through the driver.
+    """
+    return spark.createDataFrame(list(records), schema=schema)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = TESTDATA_TABLES,
+    *,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the testdata star schema; optionally register temp views
+    so the SQL surface (``spark.sql``) sees the same names as the
+    DuckDB oracle."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,70 @@
+"""Sinks (reference SURVEY.md §2.1, S5-S8).
+
+The reference hand-rolls batched, transactional MySQL inserts
+(reference dags/merge_to_dw.py:172-191, BATCH_SIZE=1000 at :25) and
+CSV/parquet file drops. Spark's datasources subsume all of that:
+JDBC batching/transactions per partition, atomic directory commit for
+files, and parallel writers per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (reference dags/merge_to_dw.py:87-92, S6).
+
+    ``partition_by`` enables partition pruning for downstream readers
+    — the 100 TB version of the reference's timestamped handoff file.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", single_file: bool = False) -> None:
+    """CSV sink (reference dags/limpiezaSpotify.py:103-104, S5).
+
+    ``single_file=True`` reproduces the reference's one-file output
+    via ``coalesce(1)`` — fine for small exports, never for big data
+    (it serializes the final stage through one task).
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batch_size: int = 1000,
+    properties: Mapping[str, str] | None = None,
+) -> None:
+    """JDBC batch sink (reference dags/merge_to_dw.py:172-191, S7/S8).
+
+    Spark executes one transaction per partition with ``batchsize``-d
+    executemany — exactly the reference's hand-rolled loop, but
+    parallel across partitions.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
