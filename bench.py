@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Per-query wall-time bench over the engine's query registry.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the ``noop`` sink (full execution of
+every output column, no driver-side collect, no disk write) so the
+timing covers scan → shuffle → aggregate and nothing else. A query
+that raises is recorded as ``null`` and does NOT abort the loop.
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _materialize(df) -> int:
+    """Execute the full plan via the noop sink; return row count lazily
+    only when the sink is unavailable (very old Spark)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from workshoop2_etl_spark.session import get_session
+
+    spark = get_session(app_name="bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # JVM/codegen warmup so the first measured query isn't charged
+    # for executor start and whole-stage compilation.
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+    except Exception as exc:  # pragma: no cover
+        print(f"warmup failed: {exc}", file=sys.stderr)
+
+    times: dict[str, float | None] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            _materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = dt
+            total += dt
+            print(f"{name}: {dt}s", file=sys.stderr)
+        except Exception as exc:
+            times[name] = None
+            print(f"{name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     rebuilt into micro-precision timestamps here — the same
     truncation DuckDB applies, keeping oracle comparisons aligned.
     """
-    df = spark.read.parquet(path)
     nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        # Runtime SQL conf — must hold on *whatever* session the caller
+        # supplies (the driver passes its own), not just the engine's
+        # session factory, so it is (re)set here at read time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
