@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's full-row ``drop_duplicates``
+(reference dags/limpiezaSpotify.py:101 — see
+:mod:`workshoop2_etl_spark.operators.cleaning`), a 100 TB corpus
+needs *content* dedup:
+
+- :func:`exact_dedup` — hash-grouped exact content duplicates;
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` /
+  :func:`verify_jaccard` / :func:`near_dedup_minhash` — MinHash +
+  banded LSH near-duplicate detection (never all-pairs);
+- :func:`simhash` — 63-bit SimHash fingerprints + hamming buckets;
+- :func:`embedding_neardup` lives in
+  :mod:`workshoop2_etl_spark.operators.similarity` (cosine path).
+
+Scale design. Exact dedup shuffles a 64-bit hash, never the document
+bytes. MinHash is one explode + one hash-aggregate (k mins computed
+map-side); LSH banding turns the quadratic pair search into an
+equi-join on (band, band-hash) buckets, and ``max_bucket_size``
+guards against degenerate buckets going quadratic (skew guard — at
+100 TB a boilerplate page can put millions of docs in one bucket).
+Everything is JVM-side built-ins: no Python runs per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per distinct ``content_col`` value.
+
+    Groups on ``xxhash64(content)`` — a 64-bit shuffle key instead of
+    the full document bytes (at 100 TB the shuffle moves 8 bytes per
+    doc, not kilobytes). The representative row is the ``min`` (or
+    ``max``) ``id_col`` within the group — deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary row.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = (
+        df.groupBy(F.xxhash64(content_col).alias("__h"))
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Per-content-group stats: representative id + group size.
+
+    Output: ``keep_id`` (min id), ``n_dups`` (group size). Grouping is
+    by content hash; collision probability for xxhash64 is ~n²/2⁶⁵
+    (negligible below ~10⁹ distinct docs; at that point switch the
+    hash to 128-bit ``md5``/``sha2``).
+    """
+    return (
+        df.groupBy(F.xxhash64(content_col).alias("__h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def tokens_expr(text_col: str) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    """Word ``n``-shingles as space-joined strings. Documents shorter
+    than ``n`` tokens yield one shingle of all their tokens."""
+    # Built as a SQL expr: transform over an index sequence + slice —
+    # array ops stay inside codegen, no UDF.
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``num_hashes`` columns
+    ``h0..h{k-1}``, each the min of a seeded ``xxhash64`` over the
+    document's distinct shingles.
+
+    One explode + one hash aggregate; the k mins are computed
+    map-side (partial aggregation), so the shuffle carries k longs
+    per doc regardless of document size.
+    """
+    exploded = (
+        df.select(id_col, F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("__sh"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures.
+
+    The signature is cut into ``bands`` bands of ``num_hashes/bands``
+    rows; two docs are candidates iff at least one band hashes equal.
+    Implemented as explode-to-(band, band_hash) + self-equi-join —
+    the join key is the bucket, so the cost is Σ bucket² not n².
+    ``max_bucket_size`` drops degenerate buckets (boilerplate that
+    would go quadratic); dropped buckets mean those docs were already
+    near-identical to *many* others and should be routed to exact
+    dedup instead.
+
+    Output: ``{id_col}_a < {id_col}_b`` distinct candidate pairs.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> struct(b as band, xxhash64(slice({_array_sql(num_hashes)}, b * {r} + 1, {r}), b) as bh))"
+            )
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+            F.col("__n") <= max_bucket_size
+        ).drop("__n")
+    a = banded.select(F.col(id_col).alias("__ida"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("__idb"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias(f"{id_col}_a"),
+            F.col("__idb").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _array_sql(num_hashes: int) -> str:
+    return "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs — the
+    verification step after LSH (candidates only, never all-pairs).
+
+    Output: pair ids + ``jaccard`` in [0,1].
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    )
+    a = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("__set").alias("__sa"))
+    b = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("__set").alias("__sb"))
+    return (
+        pairs.join(a, f"{id_col}_a")
+        .join(b, f"{id_col}_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dedup: signatures → banded
+    candidates → exact-Jaccard verify → pairs above ``threshold``."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    verified = verify_jaccard(cands, df, id_col, text_col, shingle_n=shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 63,
+) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint per document.
+
+    Classic Charikar construction: each distinct token votes its
+    occurrence count on every bit of its 64-bit hash (+cnt if set,
+    −cnt if clear); the fingerprint takes the sign of each bit-sum.
+    ``bits`` ≤ 63 keeps the fingerprint in a signed long.
+
+    Near-duplicate docs differ in a few bits — pair search is a
+    self-join on rotated prefix buckets (not implemented here; the
+    MinHash path is the engine's primary near-dedup).
+
+    Plan shape: explode tokens → count per (doc, token) → one hash
+    aggregate with ``bits`` conditional sums — two shuffles on the
+    doc key, no Python.
+    """
+    tok_counts = (
+        df.select(id_col, F.explode(tokens_expr(text_col)).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__h", F.xxhash64("__t"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.col("__cnt"))
+            .otherwise(-F.col("__cnt"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = tok_counts.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,189 @@
+"""Text analysis for training-data pipelines over a documents table.
+
+- :func:`token_stats` — whitespace + BPE-ish regex token counts;
+- :func:`word_frequencies` — corpus term frequencies (the classic
+  word-count, one explode + one hash aggregate);
+- :func:`language_id` — n-gram/stopword-hit heuristic language
+  classifier (deterministic, SQL-expressible for oracle parity);
+- :func:`quality_score` — length/punctuation/stopword-ratio quality
+  heuristics in one projection;
+- :func:`fingerprint` — bottom-k document fingerprint over hashed
+  character shingles (a MinHash-style sketch usable for containment
+  and near-dup grouping).
+
+All pure column expressions (one narrow projection per operator, no
+shuffle except the word-count aggregate) — at 100 TB these run at
+scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenization: letter runs | single digits | single
+#: non-alnum marks — a crude approximation of byte-pair pretoken
+#: splitting (GPT-2-style splits digits and punctuation apart).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword inventories for the heuristic
+#: classifier. Word-boundary regexes; extend per deployment.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def token_stats(
+    df: DataFrame, text_col: str, *, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document token statistics: char count, whitespace tokens,
+    BPE-ish tokens, distinct whitespace tokens."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    keep = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        F.length(text_col).alias("n_chars_actual"),
+        whitespace_token_count(text_col).alias("n_tokens_ws"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_tokens_distinct"),
+    )
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str, *, min_count: int = 1
+) -> DataFrame:
+    """Corpus term frequencies: lower-cased whitespace tokens →
+    (token, n), most frequent first (token asc on ties — total
+    order). The shuffle carries (token, partial-count) pairs thanks
+    to map-side partial aggregation."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "lang_pred",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """Heuristic language ID by stopword-hit counting.
+
+    Each language in :data:`LANG_STOPWORDS` gets a hit count; the
+    prediction is the highest-count language with deterministic
+    priority-order tie-break (dict order), or ``'und'`` when no
+    stopword matched. Exactly replicable in ANSI SQL (chained CASE
+    over the same counts) for the oracle.
+    """
+    text = F.col(text_col)
+    langs = list(LANG_STOPWORDS)
+    scores = {lg: _stopword_hits(text, LANG_STOPWORDS[lg]) for lg in langs}
+    out = df
+    for lg in langs:
+        out = out.withColumn(f"__s_{lg}", scores[lg])
+    pred = F.lit("und")
+    # Build CASE from last priority to first: earlier langs win ties.
+    for lg in reversed(langs):
+        cond = (F.col(f"__s_{lg}") > 0)
+        for other in langs:
+            if langs.index(other) < langs.index(lg):
+                cond = cond & (F.col(f"__s_{lg}") > F.col(f"__s_{other}"))
+            elif langs.index(other) > langs.index(lg):
+                cond = cond & (F.col(f"__s_{lg}") >= F.col(f"__s_{other}"))
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+    out = out.withColumn(out_col, pred)
+    if keep_scores:
+        return out.withColumnsRenamed({f"__s_{lg}": f"score_{lg}" for lg in langs})
+    return out.drop(*[f"__s_{lg}" for lg in langs])
+
+
+def quality_score(
+    df: DataFrame, text_col: str, *, out_col: str = "quality"
+) -> DataFrame:
+    """Document quality heuristics, one projection:
+
+    - ``n_tokens`` — whitespace token count;
+    - ``mean_token_len`` — characters per token;
+    - ``punct_ratio`` — non-alnum-non-space chars / chars;
+    - ``stopword_ratio`` — English stopword hits / tokens;
+    - ``quality`` — [0,1] composite: length in a sane band, low
+      punctuation noise, natural-language stopword density.
+
+    The composite mirrors the C4/Gopher-style rule-of-thumb filters
+    (length bounds, symbol ratio, stopword presence) in a single
+    codegen'd expression.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = whitespace_token_count(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stop_hits = _stopword_hits(text, LANG_STOPWORDS["en"])
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    tok_len_ok = (mean_tok >= 2.0) & (mean_tok <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + tok_len_ok.cast("double") * 0.2
+        + (punct_ratio <= 0.2).cast("double") * 0.2
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias(out_col),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ngram: int = 8,
+    k: int = 8,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Bottom-k sketch over hashed character ``ngram``-shingles.
+
+    Every position yields an ``md5(substr(text, i, ngram))``; the
+    fingerprint is the k lexicographically-smallest hashes joined
+    with ','. Documents sharing most of their content share most of
+    their bottom-k set (the sketch estimates Jaccard/containment).
+    md5 is used (not xxhash64) so the sketch is reproducible in any
+    engine — it's a per-document narrow op, never a join key at
+    volume, so the wider hash costs nothing at scale.
+    """
+    expr = (
+        f"array_join(slice(array_sort(array_distinct("
+        f"transform(sequence(1, greatest(length({text_col}) - {ngram} + 1, 1)),"
+        f" i -> md5(substring({text_col}, i, {ngram}))))), 1, {k}), ',')"
+    )
+    return df.withColumn(out_col, F.expr(expr))

@@ -1,0 +1,322 @@
+"""LLM-training-data-pipeline query registry.
+
+The operators a 100 TB pretraining corpus pipeline needs — dedup
+(exact, MinHash-LSH, SimHash), similarity search (brute-force +
+hyperplane-LSH ANN), and text analysis (token stats, word counts,
+language ID, quality scoring, fingerprinting) — each registered over
+the driver's ``documents`` / ``embeddings`` testdata tables with a
+DuckDB oracle twin where the semantics are ANSI-SQL-expressible.
+
+Hash-dependent sketches (MinHash/SimHash use ``xxhash64``, which
+DuckDB lacks) are registered rows-only; the deterministic md5-based
+:func:`~workshoop2_etl_spark.operators.textstats.fingerprint` and the
+double-precision cosine path are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    near_dedup_minhash,
+    simhash,
+)
+from workshoop2_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup,
+    lsh_topk,
+)
+from workshoop2_etl_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    word_frequencies,
+)
+from workshoop2_etl_spark.plans.reference_queries import _register, _t
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@_register(
+    "exact_dedup_documents",
+    """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one surviving row per distinct ``text``,
+    representative = min ``doc_id``. Shuffles a 64-bit content hash,
+    never the document bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@_register(
+    "duplicate_groups_documents",
+    """
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""",
+)
+def duplicate_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-content-group dedup stats (keep id + multiplicity)."""
+    return duplicate_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register("neardup_minhash_documents")  # rows-only: xxhash64 sketch
+def neardup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH near-duplicate pairs (word 3-shingles,
+    64 hashes / 16 bands, exact-Jaccard verified ≥ 0.3). Rows-only:
+    the sketch hash (xxhash64) has no DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dedup_minhash(
+        docs, "doc_id", "text", threshold=0.3, num_hashes=64, bands=16
+    )
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@_register("simhash_documents")  # rows-only: xxhash64 sketch
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprint per document (rows-only: xxhash64)."""
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim_raw,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("brute_force_topk_embeddings", _TOPK_SQL)
+def brute_force_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for query vectors (vec_id < 5).
+    The query set broadcasts; the corpus scans once; per-query top-k
+    via a window — the ANN baseline and the oracle-checked path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_register("lsh_topk_embeddings")  # rows-only: seeded-hyperplane ANN
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH, exact cosine
+    re-rank over candidates. Rows-only: recall < 1 by design, so no
+    exact SQL twin. (8×4 tables/planes: the testdata embeddings are
+    near-uniform — max pairwise cosine ≈0.51 — so buckets must be
+    coarse; clustered production embeddings take 8-16 planes.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=64, k=10, num_tables=8, num_planes=4)
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_register("embedding_neardup_pairs")  # rows-only: LSH-bucketed
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs via LSH buckets — quadratic only
+    within buckets, never all-pairs. Threshold 0.35 ≈ the top 0.1%%
+    of pairs on the near-uniform testdata (production near-dup
+    embeddings sit at ≥0.9 and use finer buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup(emb, dim=64, threshold=0.35, num_tables=8, num_planes=4)
+    return out.select(
+        "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@_register(
+    "token_stats_documents",
+    r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+            AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_tokens_bpe,
+       CAST(len(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t != '')))
+            AS BIGINT) AS n_tokens_distinct
+FROM documents
+""",
+)
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: chars, whitespace tokens,
+    BPE-ish regex tokens, distinct tokens — one narrow projection."""
+    docs = _t(spark, sf_dir, "documents")
+    out = token_stats(docs, "text", id_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        F.col("n_tokens_distinct").cast("long").alias("n_tokens_distinct"),
+    )
+
+
+@_register(
+    "word_frequencies_documents",
+    r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t != '')) AS token
+  FROM documents
+)
+GROUP BY token HAVING count(*) >= 2
+""",
+)
+def word_frequencies_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count (explode → hash aggregate, map-side partial
+    agg so the shuffle carries (token, count) pairs)."""
+    return word_frequencies(
+        _t(spark, sf_dir, "documents"), "text", min_count=2
+    ).select("token", "n")
+
+
+def _langid_oracle() -> str:
+    score = {
+        lg: (
+            r"len(regexp_extract_all(lower(text), '\b("
+            + "|".join(words)
+            + r")\b'))"
+        )
+        for lg, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"s_{lg} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lg} >= s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    scores_sql = ", ".join(f"{expr} AS s_{lg}" for lg, expr in score.items())
+    return f"""
+WITH scored AS (SELECT lang, {scores_sql} FROM documents)
+SELECT lang, {case_sql} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+@_register("language_id_documents", _langid_oracle())
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword language ID, cross-tabulated against the
+    table's labelled ``lang`` (a confusion-matrix-style summary)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs, "text")
+    return out.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "quality_score_documents",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+           AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|in|that|it)\b')) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens
+              ELSE 0.0 END AS mean_tok,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens
+              ELSE 0.0 END AS stop_ratio
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_tok, 4) AS mean_token_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(
+         CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.2 ELSE 0.0 END
+         + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+         + least(stop_ratio * 4.0, 1.0) * 0.2, 4) AS quality
+FROM r
+""",
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality heuristics in one codegen projection."""
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+@_register(
+    "fingerprint_documents",
+    """
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list_distinct(
+         list_transform(range(1, greatest(length(text) - 8 + 1, 1) + 1),
+                        i -> md5(text[i:i+7])))), 1, 8), ',') AS fingerprint
+FROM documents
+""",
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-8 md5 sketch over char 8-shingles — md5 (not xxhash64)
+    precisely so the sketch is reproducible in any engine, DuckDB
+    included; hence fully oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fingerprint")
