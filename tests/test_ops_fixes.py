@@ -1,0 +1,70 @@
+"""Tests for round-2 hardening: single-pass summary_stats, histogram
+degenerate ranges, empty recode map, and the P8 conditional column
+default (``ensure_columns``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.analytics import histogram, summary_stats
+from workshoop2_etl_spark.operators.cleaning import (
+    ensure_columns,
+    recode_with_default,
+)
+
+
+def test_summary_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, None)], "a double, b double"
+    )
+    rows = {r.column: r for r in summary_stats(df, ["a", "b"]).collect()}
+    assert rows["a"]["count"] == 3 and rows["b"]["count"] == 2
+    assert rows["a"].mean == pytest.approx(2.0)
+    assert rows["b"].min == 10.0 and rows["b"].max == 20.0
+    assert rows["a"].std == pytest.approx(1.0)
+
+
+def test_summary_stats_single_scan(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    plan = summary_stats(df, ["a", "b"])._jdf.queryExecution().optimizedPlan().toString()
+    # One aggregate over one relation — no union of per-column scans.
+    assert plan.lower().count("union") == 0
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    rows = histogram(df, "v", bins=10).collect()
+    assert len(rows) == 1
+    assert rows[0].bin == 0 and rows[0].n == 3 and rows[0].bin_lo == 5.0
+
+
+def test_histogram_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    assert histogram(df, "v", bins=10).collect() == []
+
+
+def test_recode_empty_mapping_takes_defaults(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "genre string")
+    out = recode_with_default(
+        df, "genre", {}, ["genero", "subgenero"], [F.lit("Otro"), F.col("genre")]
+    )
+    got = {r.genre: (r.genero, r.subgenero) for r in out.collect()}
+    assert got == {"x": ("Otro", "x"), "y": ("Otro", "y")}
+
+
+def test_recode_arity_mismatch_raises(spark):
+    df = spark.createDataFrame([("x",)], "genre string")
+    with pytest.raises(ValueError, match="arity"):
+        recode_with_default(df, "genre", {"x": ("a", "b")}, ["one"], [None])
+
+
+def test_ensure_columns_adds_only_missing(spark):
+    df = spark.createDataFrame([("t1", None)], "track_name string, artists string")
+    out = ensure_columns(
+        df, {"artists": F.lit(""), "album": F.lit(""), "year": F.lit(0)}
+    )
+    assert set(out.columns) == {"track_name", "artists", "album", "year"}
+    r = out.collect()[0]
+    assert r.artists is None  # existing column untouched
+    assert r.album == "" and r.year == 0

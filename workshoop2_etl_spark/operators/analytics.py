@@ -55,22 +55,29 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     (quantiles live in :func:`histogram` territory; Spark's
     ``summary()`` uses approximate percentiles which can't be
     oracle-checked). Output: one row per column, stat columns."""
-    rows = []
+    aggs = []
     for c in cols:
-        rows.append(
-            df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("count"),
-                F.avg(F.col(c)).alias("mean"),
-                F.stddev_samp(F.col(c)).alias("std"),
-                F.min(F.col(c)).alias("min"),
-                F.max(F.col(c)).alias("max"),
-            )
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"__count_{c}"),
+                F.avg(F.col(c)).alias(f"__mean_{c}"),
+                F.stddev_samp(F.col(c)).alias(f"__std_{c}"),
+                F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"__max_{c}"),
+            ]
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    one_row = df.agg(*aggs)
+    # Unpivot via stack(): ONE scan and one 1-row exchange regardless
+    # of column count (the previous per-column agg + union shape was
+    # N full scans — a non-starter at 100 TB).
+    stack_args = ", ".join(
+        f"'{c}', `__count_{c}`, `__mean_{c}`, `__std_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return one_row.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (column, count, mean, std, min, max)"
+    )
 
 
 def histogram(
@@ -88,9 +95,14 @@ def histogram(
     the last bin)."""
     if lo is None or hi is None:
         lo_v, hi_v = df.agg(F.min(col), F.max(col)).first()
-        lo = float(lo_v) if lo is None else lo
-        hi = float(hi_v) if hi is None else hi
-    width = (hi - lo) / bins
+        if lo_v is None and lo is None:  # all-null column → no bins
+            lo, hi = 0.0, 0.0
+        else:
+            lo = float(lo_v) if lo is None else lo
+            hi = float(hi_v) if hi is None else hi
+    # Degenerate range (constant column): one bin holding everything,
+    # mirroring matplotlib's expand-around-the-point behavior.
+    width = (hi - lo) / bins if hi > lo else 1.0
     bin_expr = F.least(
         F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
         F.lit(bins - 1),

@@ -43,7 +43,17 @@ def recode_with_default(
     (A ``create_map`` literal would also work but bloats the plan for
     large maps; a broadcast join keeps the plan O(1) in map size.)
     """
-    if len(out_cols) != len(mapping[next(iter(mapping))]) or len(out_cols) != len(defaults):
+    if len(out_cols) != len(defaults):
+        raise ValueError("out_cols/defaults arity must match")
+    if not mapping:
+        # Empty map: every row takes the defaults (degenerate but
+        # legal — e.g. a config-driven recode with no rules yet).
+        defaults_cols = {
+            c: (d if d is not None else F.lit(None))
+            for c, d in zip(out_cols, defaults)
+        }
+        return df.withColumns(defaults_cols)
+    if any(len(v) != len(out_cols) for v in mapping.values()):
         raise ValueError("out_cols/defaults arity must match mapping values")
     spark = df.sparkSession
     lookup_rows = [(k, *v) for k, v in mapping.items()]
@@ -56,6 +66,20 @@ def recode_with_default(
         default_col = default if default is not None else F.lit(None)
         assignments[out_col] = F.coalesce(F.col(f"__recode_{out_col}"), default_col)
     return joined.withColumns(assignments).drop(*lookup_cols)
+
+
+def ensure_columns(
+    df: DataFrame, defaults: Mapping[str, Column]
+) -> DataFrame:
+    """Conditional column default (P8, reference
+    dags/merge_to_dw.py:60-65): each column in ``defaults`` that the
+    frame *lacks* is added with its default expression (the reference
+    adds missing join keys as ``""``); existing columns are untouched.
+
+    Pure metadata + projection — no shuffle, no scan cost.
+    """
+    missing = {c: v for c, v in defaults.items() if c not in df.columns}
+    return df.withColumns(missing) if missing else df
 
 
 def coerce_numeric(df: DataFrame, cols: Sequence[str], to: str = "double") -> DataFrame:
