@@ -61,3 +61,46 @@ def test_composite_key_and_column_order(spark):
     right = _mk(spark, [("a", "x", 9)], "k1 string, k2 string, rv int")
     out = full_outer_with_indicator(left, right, ["k1", "k2"])
     assert out.columns == ["k1", "k2", "lv", "rv", "_merge"]
+
+
+def test_hot_keys_branch_value_identical(spark):
+    # The salted hot branch must produce exactly the rows the plain
+    # full outer does — including the ""-key cross product and the
+    # one-sided rows.
+    left = _mk(
+        spark,
+        [(None, 1), (None, 2), ("k1", 3), ("k2", 4)],
+        "key string, lv int",
+    )
+    right = _mk(
+        spark,
+        [(None, 10), (None, 20), (None, 30), ("k2", 40), ("k3", 50)],
+        "key string, rv int",
+    )
+    plain = full_outer_with_indicator(left, right, ["key"])
+    hot = full_outer_with_indicator(left, right, ["key"], hot_keys=[("",)], hot_salt=4)
+    key = lambda r: (r["key"], r["lv"], r["rv"], r["_merge"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, hot.collect()))
+
+
+def test_hot_keys_one_sided_group(spark):
+    # Hot key present only on the left → left_only rows, no cross rows.
+    left = _mk(spark, [("", 1), ("", 2), ("a", 3)], "key string, lv int")
+    right = _mk(spark, [("a", 9)], "key string, rv int")
+    out = full_outer_with_indicator(left, right, ["key"], hot_keys=[("",)])
+    got = {(r["key"], r["lv"], r["rv"], r["_merge"]) for r in out.collect()}
+    assert got == {
+        ("", 1, None, "left_only"),
+        ("", 2, None, "left_only"),
+        ("a", 3, 9, "both"),
+    }
+
+
+def test_hot_keys_composite(spark):
+    left = _mk(spark, [("", "", 1), ("a", "b", 2)], "k1 string, k2 string, lv int")
+    right = _mk(spark, [("", "", 10), ("a", "b", 20)], "k1 string, k2 string, rv int")
+    out = full_outer_with_indicator(
+        left, right, ["k1", "k2"], hot_keys=[("", "")]
+    )
+    assert {r["_merge"] for r in out.collect()} == {"both"}
+    assert out.count() == 2

@@ -15,16 +15,17 @@ indicator=True)`` (reference dags/merge_to_dw.py:47-84, join at
 
 Scale notes: a full outer join cannot broadcast — both sides
 hash-partition on the join key. That is the right plan at 100 TB;
-AQE splits skewed key groups (e.g. the empty-string key, which this
-operator *creates* by design — at scale, consider filtering the ""
-group into a separate union branch if it grows hot).
+AQE splits skewed key groups, and for keys this operator *creates* by
+design (null keys normalize to ``""``, manufacturing one hot key) the
+``hot_keys`` argument routes those groups through a dedicated
+salted-inner ∪ anti-join branch so the cold join stays skew-free.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.functions.text import normalize_join_keys
@@ -41,32 +42,96 @@ def full_outer_with_indicator(
     *,
     indicator_col: str = "_merge",
     normalize_keys: bool = True,
+    hot_keys: Sequence[Sequence] | None = None,
+    hot_salt: int = 16,
 ) -> DataFrame:
     """Full outer join with a pandas-style ``indicator`` column.
 
     Output columns: join keys once, then left non-key columns, right
     non-key columns, then ``indicator_col`` — pandas' column order.
+
+    ``hot_keys`` is the skew mitigation: a list of key tuples (one
+    value per ``on`` column) whose groups are pulled out of the main
+    join and computed in a separate branch as
+
+        salted inner join ∪ left-anti ∪ right-anti
+
+    which is exactly a full outer join, decomposed. The inner part
+    salts the left side into ``hot_salt`` splits and replicates the
+    right side per split, spreading a hot group's m×n matched rows
+    across ``hot_salt`` tasks instead of one straggler. Result rows
+    are identical with or without ``hot_keys`` (the CORRECTNESS gate
+    runs the flagship query through this branch to prove it).
     """
     on = list(on)
     if normalize_keys:
         left = normalize_join_keys(left, on)
         right = normalize_join_keys(right, on)
 
-    l_probe, r_probe = "__l_probe", "__r_probe"
-    lj = left.withColumn(l_probe, F.lit(1))
-    rj = right.withColumn(r_probe, F.lit(1))
-    joined = lj.join(rj, on, "full_outer")
-
-    indicator = (
-        F.when(F.col(r_probe).isNull(), F.lit("left_only"))
-        .when(F.col(l_probe).isNull(), F.lit("right_only"))
-        .otherwise(F.lit("both"))
-    )
     left_cols = [c for c in left.columns if c not in on]
     right_cols = [c for c in right.columns if c not in on]
-    return joined.select(
-        *on, *left_cols, *right_cols, indicator.alias(indicator_col)
+    out_cols = [*on, *left_cols, *right_cols]
+
+    def plain_outer(l: DataFrame, r: DataFrame) -> DataFrame:
+        l_probe, r_probe = "__l_probe", "__r_probe"
+        joined = l.withColumn(l_probe, F.lit(1)).join(
+            r.withColumn(r_probe, F.lit(1)), on, "full_outer"
+        )
+        indicator = (
+            F.when(F.col(r_probe).isNull(), F.lit("left_only"))
+            .when(F.col(l_probe).isNull(), F.lit("right_only"))
+            .otherwise(F.lit("both"))
+        )
+        return joined.select(*out_cols, indicator.alias(indicator_col))
+
+    if not hot_keys:
+        return plain_outer(left, right)
+
+    hot_pred = _hot_predicate(on, hot_keys)
+    l_hot, l_cold = left.filter(hot_pred), left.filter(~hot_pred)
+    r_hot, r_cold = right.filter(hot_pred), right.filter(~hot_pred)
+
+    cold = plain_outer(l_cold, r_cold)
+
+    # Hot branch: full outer ≡ inner ∪ left-anti ∪ right-anti.
+    # The salt spreads each hot group's cross product over hot_salt
+    # tasks; monotonically_increasing_id only steers row placement
+    # (never appears in the output), so results stay deterministic.
+    l_salted = l_hot.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(hot_salt)).cast("int")
     )
+    r_replicated = r_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(hot_salt - 1)))
+    )
+    matched = (
+        l_salted.join(r_replicated, [*on, "__salt"], "inner")
+        .select(*out_cols, F.lit("both").alias(indicator_col))
+    )
+    l_only = (
+        l_hot.join(r_hot.select(*on), on, "left_anti")
+        .withColumns({c: F.lit(None) for c in right_cols})
+        .select(*out_cols, F.lit("left_only").alias(indicator_col))
+    )
+    r_only = (
+        r_hot.join(l_hot.select(*on), on, "left_anti")
+        .withColumns({c: F.lit(None) for c in left_cols})
+        .select(*out_cols, F.lit("right_only").alias(indicator_col))
+    )
+    return cold.unionByName(matched).unionByName(l_only).unionByName(r_only)
+
+
+def _hot_predicate(on: Sequence[str], hot_keys: Sequence[Sequence]) -> Column:
+    preds = []
+    for key_tuple in hot_keys:
+        conj = None
+        for col, val in zip(on, key_tuple):
+            term = F.col(col).eqNullSafe(F.lit(val))
+            conj = term if conj is None else (conj & term)
+        preds.append(conj)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
 
 
 def merge_provenance_counts(merged: DataFrame, indicator_col: str = "_merge") -> DataFrame:

@@ -42,14 +42,26 @@ def build_dim(
     surrogate_col: str,
     *,
     extra_cols: Sequence[str] = (),
+    key_strategy: str = "row_number",
 ) -> DataFrame:
-    """Fresh dimension from a source: distinct non-null natural keys,
-    deterministic surrogate ids 1..N ordered by the natural key.
+    """Fresh dimension from a source: distinct non-null natural keys
+    plus a surrogate id.
 
     Mirrors what the reference's per-row ``insert_dim`` loop converges
     to (dags/merge_to_dw.py:198-251), minus arrival-order key values.
     ``extra_cols`` are carried attributes, deduplicated by first value
     under natural-key ordering.
+
+    ``key_strategy`` picks the surrogate assignment:
+
+    - ``"row_number"`` (default): dense ids 1..N ordered by natural
+      key — reference-faithful, but the global window funnels the
+      *distinct keys* through one partition. Right for true
+      dimensions (≤ millions of keys).
+    - ``"hash"``: ``xxhash64(natural_keys)`` — fully parallel, no
+      global window, stable across reruns and cluster sizes. The
+      100 TB path for high-cardinality dimensions (user ids, URLs);
+      ids are sparse 64-bit, collision odds ~n²/2⁶⁵.
     """
     nk = list(natural_keys)
     cols = nk + list(extra_cols)
@@ -65,6 +77,12 @@ def build_dim(
         )
     else:
         distinct = distinct.distinct()
+    if key_strategy == "hash":
+        return distinct.withColumn(surrogate_col, F.xxhash64(*nk)).select(
+            surrogate_col, *cols
+        )
+    if key_strategy != "row_number":
+        raise ValueError(f"unknown key_strategy: {key_strategy!r}")
     w_key = Window.orderBy(*[F.col(k) for k in nk])
     return distinct.withColumn(surrogate_col, F.row_number().over(w_key)).select(
         surrogate_col, *cols
@@ -76,12 +94,19 @@ def upsert_dim(
     src: DataFrame,
     natural_keys: Sequence[str],
     surrogate_col: str,
+    *,
+    key_strategy: str = "row_number",
 ) -> DataFrame:
     """Insert-or-lookup, set-wise (reference S9): keys already in
-    ``existing`` keep their surrogate id; new keys get ids continuing
-    after the current max, ordered by natural key. Equivalent to the
-    reference's try-INSERT-except-SELECT per row
-    (dags/merge_to_dw.py:153-170), executed as one anti-join."""
+    ``existing`` keep their surrogate id; new keys get fresh ids.
+    Equivalent to the reference's try-INSERT-except-SELECT per row
+    (dags/merge_to_dw.py:153-170), executed as one anti-join.
+
+    ``key_strategy="row_number"`` continues dense ids after the
+    current max, ordered by natural key (global window over *new*
+    keys only); ``"hash"`` assigns ``xxhash64(natural_keys)`` with no
+    window at all — use when the dim itself is huge, paired with a
+    hash-built ``existing``."""
     nk = list(natural_keys)
     new_keys = (
         src.select(*nk)
@@ -89,6 +114,13 @@ def upsert_dim(
         .distinct()
         .join(existing.select(*nk), nk, "left_anti")
     )
+    if key_strategy == "hash":
+        assigned = new_keys.withColumn(surrogate_col, F.xxhash64(*nk)).select(
+            surrogate_col, *nk
+        )
+        return existing.select(surrogate_col, *nk).unionByName(assigned)
+    if key_strategy != "row_number":
+        raise ValueError(f"unknown key_strategy: {key_strategy!r}")
     offset = existing.agg(F.coalesce(F.max(surrogate_col), F.lit(0)).alias("m"))
     w_key = Window.orderBy(*[F.col(k) for k in nk])
     assigned = (

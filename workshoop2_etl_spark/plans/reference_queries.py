@@ -111,7 +111,11 @@ def flagship_merge_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     left = side("O", "n_open", "open_total")
     right = side("F", "n_finished", "finished_total")
-    merged = full_outer_with_indicator(left, right, ["key"])
+    # hot_keys: the key-normalization convention maps null custkeys to
+    # "", manufacturing one potentially huge key group; routing it
+    # through the salted hot branch keeps the cold join skew-free, and
+    # this gate run proves the branch is value-identical.
+    merged = full_outer_with_indicator(left, right, ["key"], hot_keys=[("",)])
     return merged.groupBy("_merge").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(
