@@ -1,0 +1,241 @@
+"""Coverage queries for operators implemented in round 1 but not yet
+oracle-checked (VERDICT r1 "What's missing" #4): CSV round-trip
+(S1/S5), records-batch source (S4), coerce_numeric (P6),
+dedup_rows (A2), flatten_string_list (F3), upsert_dim incremental
+(S9 true semantics), resolve_fk required=True (P11), and the P8
+conditional column default. Each gets a DuckDB oracle twin so the
+driver's CORRECTNESS gate covers the whole SURVEY §2 inventory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from workshoop2_etl_spark.functions.text import flatten_string_list
+from workshoop2_etl_spark.operators.cleaning import (
+    coerce_numeric,
+    dedup_rows,
+    ensure_columns,
+)
+from workshoop2_etl_spark.operators.star import build_dim, resolve_fk, upsert_dim
+from workshoop2_etl_spark.plans.reference_queries import _register, _t
+from workshoop2_etl_spark.sources.readers import from_records, read_csv
+from workshoop2_etl_spark.sources.writers import write_csv
+
+
+@_register(
+    "csv_roundtrip_region",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S1: parquet → CSV sink → CSV scan with declared schema.
+    The round-trip must preserve values and types exactly (the
+    reference's limpiezaSpotify CSV handoff, dags/limpiezaSpotify.py:
+    75,103-104)."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "workshoop2_csv_roundtrip_region"
+    )
+    write_csv(_t(spark, sf_dir, "region"), out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return read_csv(spark, out_dir, schema)
+
+
+@_register(
+    "from_records_lookup_join",
+    """
+SELECT r_name, hemisphere FROM region
+JOIN (VALUES (0, 'east'), (1, 'west'), (2, 'east'), (3, 'east'), (4, 'east'))
+  AS lk(r_regionkey, hemisphere)
+USING (r_regionkey)
+""",
+)
+def from_records_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: a literal records batch (the reference ships list[dict]
+    through XCom) becomes a broadcast lookup — the only sanctioned use
+    of driver-side data at scale."""
+    lookup = from_records(
+        spark,
+        [
+            {"r_regionkey": 0, "hemisphere": "east"},
+            {"r_regionkey": 1, "hemisphere": "west"},
+            {"r_regionkey": 2, "hemisphere": "east"},
+            {"r_regionkey": 3, "hemisphere": "east"},
+            {"r_regionkey": 4, "hemisphere": "east"},
+        ],
+        "r_regionkey long, hemisphere string",
+    )
+    region = _t(spark, sf_dir, "region")
+    return region.join(F.broadcast(lookup), "r_regionkey").select(
+        "r_name", "hemisphere"
+    )
+
+
+@_register(
+    "coerce_numeric_events_props",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(TRY_CAST(props AS DOUBLE)) AS BIGINT) AS n_props_numeric,
+       CAST(count(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE)) AS BIGINT)
+         AS n_k_numeric,
+       round(sum(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE)), 2) AS k_sum
+FROM events
+""",
+)
+def coerce_numeric_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 ``pd.to_numeric(errors='coerce')`` parity: the JSON props
+    string never coerces (→ all null), its digit substring always
+    does — both through the same try_cast operator."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k_str", F.regexp_extract("props", r"[0-9]+", 0)
+    )
+    coerced = coerce_numeric(ev, ["props", "k_str"])
+    return coerced.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").alias("n_props_numeric"),
+        F.count("k_str").alias("n_k_numeric"),
+        F.round(F.sum("k_str"), 2).alias("k_sum"),
+    )
+
+
+@_register(
+    "dedup_rows_order_flags",
+    """
+SELECT o_orderstatus, o_orderpriority FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def dedup_rows_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 full-row distinct on a projection (one hash aggregate)."""
+    return dedup_rows(
+        _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    )
+
+
+@_register(
+    "flatten_first_tokens",
+    """
+SELECT doc_id,
+       array_to_string(list_slice(string_split(text, ' '), 1, 5), ', ')
+         AS first_tokens
+FROM documents
+""",
+)
+def flatten_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F6: array-of-string → joined string (the reference's
+    artists-list flatten, dags/merge_to_dw.py:55-58) — built-in
+    ``array_join``, no row lambda."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.slice(F.split(F.col("text"), " ", -1), 1, 5)
+    return docs.select(
+        "doc_id", flatten_string_list(arr).alias("first_tokens")
+    )
+
+
+@_register(
+    "upsert_dim_incremental",
+    """
+WITH existing AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS priority_id,
+         o_orderpriority
+  FROM (SELECT DISTINCT o_orderpriority FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+), novel AS (
+  SELECT o_orderpriority
+  FROM (SELECT DISTINCT o_orderpriority FROM orders
+        WHERE o_orderpriority IS NOT NULL)
+  WHERE o_orderpriority NOT IN (SELECT o_orderpriority FROM existing)
+), mx AS (SELECT coalesce(max(priority_id), 0) AS m FROM existing)
+SELECT priority_id, o_orderpriority FROM existing
+UNION ALL
+SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) + m AS BIGINT),
+       o_orderpriority
+FROM novel, mx
+""",
+)
+def upsert_dim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 true semantics (reference dags/merge_to_dw.py:153-170):
+    existing dim keys keep their ids; novel keys continue after the
+    current max. Existing = {1-URGENT, 3-MEDIUM} → ids 1,2; the other
+    three priorities append as 3,4,5."""
+    orders = _t(spark, sf_dir, "orders")
+    existing = build_dim(
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")),
+        ["o_orderpriority"],
+        "priority_id",
+    )
+    out = upsert_dim(existing, orders, ["o_orderpriority"], "priority_id")
+    return out.select(
+        F.col("priority_id").cast("long").alias("priority_id"), "o_orderpriority"
+    )
+
+
+@_register(
+    "resolve_fk_required_routing",
+    """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS cust_id,
+         c_custkey
+  FROM (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey < 500)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_resolved,
+       CAST(count(DISTINCT cust_id) AS BIGINT) AS n_dims,
+       round(sum(o_totalprice), 2) AS total
+FROM orders JOIN dim ON o_custkey = c_custkey
+""",
+)
+def resolve_fk_required_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 per-row null routing (reference dags/merge_to_dw.py:254,288
+    skips fact rows with unresolvable FKs): the dim covers custkeys
+    < 500 only, required=True drops the rest of the fact."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    dim = build_dim(customer, ["c_custkey"], "cust_id")
+    fact = resolve_fk(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        dim,
+        ["c_custkey"],
+        "cust_id",
+        required=True,
+    )
+    return fact.agg(
+        F.count(F.lit(1)).alias("n_resolved"),
+        F.countDistinct("cust_id").alias("n_dims"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "ensure_columns_conform",
+    """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       source_file, CAST(batch_no AS BIGINT) AS batch_no
+FROM (SELECT o_orderstatus, '' AS source_file, 0 AS batch_no FROM orders)
+GROUP BY o_orderstatus, source_file, batch_no
+""",
+)
+def ensure_columns_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 conditional column default (reference dags/merge_to_dw.py:
+    60-65 adds missing join keys as ""): schema-conform a frame by
+    adding absent columns with defaults; present columns untouched."""
+    orders = _t(spark, sf_dir, "orders")
+    conformed = ensure_columns(
+        orders,
+        {
+            "source_file": F.lit(""),
+            "batch_no": F.lit(0).cast("long"),
+            "o_orderstatus": F.lit("SHOULD_NOT_APPEAR"),  # exists → untouched
+        },
+    )
+    return conformed.groupBy("o_orderstatus", "source_file", "batch_no").agg(
+        F.count(F.lit(1)).alias("n")
+    )
