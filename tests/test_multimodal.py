@@ -1,0 +1,97 @@
+"""Multimodal plumbing tests: struct schema, metadata pruning path,
+mapInPandas batch shapes, stub determinism, frame explode."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media,
+    decode_image_metadata,
+    extract_embedding,
+    media_metadata,
+    resize_images,
+    sample_frames,
+)
+
+
+def _media(spark):
+    df = spark.createDataFrame(
+        [(1, b"a" * 100), (2, b"b" * 5000), (3, b"")],
+        "id long, payload binary",
+    )
+    return attach_media(df, "payload", media_type="image", fmt="png").drop(
+        "payload"
+    )
+
+
+def test_attach_media_schema_and_metadata(spark):
+    m = _media(spark)
+    got = m.schema["media"].dataType
+    # literals come back non-nullable — compare names + types only
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in MEDIA_SCHEMA.fields
+    ]
+    rows = {r.id: r.media for r in m.collect()}
+    assert rows[1]["n_bytes"] == 100
+    assert rows[1]["content_md5"] == hashlib.md5(b"a" * 100).hexdigest()
+    assert rows[3]["n_bytes"] == 0
+    assert rows[1]["media_type"] == "image" and rows[1]["format"] == "png"
+
+
+def test_media_metadata_prunes_payload(spark):
+    out = media_metadata(_media(spark), "media")
+    assert "payload" not in out.columns
+    assert set(out.columns) == {"id", "media_type", "format", "n_bytes", "content_md5"}
+
+
+def test_decode_image_stub_deterministic(spark):
+    m = _media(spark)
+    a = {r.id: (r.width, r.height, r.mode) for r in decode_image_metadata(m, "media").collect()}
+    b = {r.id: (r.width, r.height, r.mode) for r in decode_image_metadata(m, "media").collect()}
+    assert a == b
+    assert all(16 <= w <= 256 and 16 <= h <= 256 for w, h, _ in a.values())
+    assert a[1][2] == "STUB"  # clearly marked fake in this container
+
+
+def test_resize_restamps_metadata(spark):
+    out = resize_images(_media(spark), (8, 8), "media")
+    for r in out.collect():
+        m = r.media
+        assert m["n_bytes"] == 64
+        assert len(m["payload"]) == 64
+        assert m["content_md5"] == hashlib.md5(m["payload"]).hexdigest()
+
+
+def test_extract_embedding_unit_norm_and_stable(spark):
+    m = _media(spark)
+    out = {r.id: r.embedding for r in extract_embedding(m, "media", dim=8).collect()}
+    for v in out.values():
+        assert len(v) == 8
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    again = {r.id: r.embedding for r in extract_embedding(m, "media", dim=8).collect()}
+    assert out == again
+
+
+def test_sample_frames_counts_and_hashes(spark):
+    out = sample_frames(_media(spark), "media", every_n_bytes=1024, max_frames=8)
+    rows = sorted(out.collect(), key=lambda r: (r.id, r.frame_no))
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 1   # 100 bytes → 1 frame
+    assert len(by_id[2]) == 4   # 5000 // 1024 = 4 frames
+    assert len(by_id[3]) == 1   # empty payload → 1 empty frame
+    assert by_id[2][0].frame_md5 == hashlib.md5(b"b" * 1024).hexdigest()
+
+
+def test_partitioning_invariance(spark):
+    # Same results whether the frame arrives in 1 or 8 partitions —
+    # the batch iterator must not depend on row placement.
+    m = _media(spark)
+    one = {r.id: r.frame_md5 for r in sample_frames(m.coalesce(1), "media").collect() if r.frame_no == 0}
+    many = {r.id: r.frame_md5 for r in sample_frames(m.repartition(8), "media").collect() if r.frame_no == 0}
+    assert one == many

@@ -1,0 +1,262 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+Design (the 100 TB pattern):
+
+- A media column is a **struct**: ``payload binary`` + typed metadata
+  (``media_type``, ``format``, byte length, content hash). Payloads
+  stay opaque to Catalyst — filters/joins run on the cheap metadata
+  columns, and column pruning means a query that never touches
+  ``payload`` never reads those bytes from parquet.
+- Decode / resize / feature-extract / frame-sample run as
+  ``mapInPandas`` Pandas UDFs — Arrow ships columnar batches to
+  Python, the UDF vectorizes over the batch, and the operation
+  parallelizes per partition with no driver involvement.
+- **Codec stubs**: the real decoders (PIL / librosa / av) are not in
+  this container. Each operator tries the real import and otherwise
+  uses a clearly-marked deterministic fake derived from the payload
+  hash — the Spark-side plumbing (schemas, batch iteration,
+  partitioning) is identical either way, so swapping the fake for the
+  real codec touches one function.
+- Payload-dependent outputs (hash, byte length, fake dims) are
+  deterministic, so the metadata path is DuckDB-oracle-checkable.
+
+The reference has no media processing; this extends the engine the
+way its README's "cloud storage drive" exports hint the corpus would
+grow (binary artifacts beside tabular data).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Media payload struct: opaque bytes + queryable metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),      # png|wav|mp4|...
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    media_type: str,
+    fmt: str,
+    out_col: str = "media",
+) -> DataFrame:
+    """Wrap a raw ``binary`` column into the typed media struct.
+
+    Metadata (length, md5) is computed JVM-side — no Python touches
+    the bytes. Filters on ``media.n_bytes`` / ``media.content_md5``
+    stay in codegen and benefit from parquet column pruning.
+    """
+    p = F.col(payload_col)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            p.alias("payload"),
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("content_md5"),
+        ),
+    )
+
+
+def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Project the metadata (payload pruned — a parquet reader serving
+    this query never reads the bytes)."""
+    m = F.col(media_col)
+    return df.select(
+        *[c for c in df.columns if c != media_col],
+        m["media_type"].alias("media_type"),
+        m["format"].alias("format"),
+        m["n_bytes"].alias("n_bytes"),
+        m["content_md5"].alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / transform stubs (deterministic fakes; real codecs absent)
+# ---------------------------------------------------------------------------
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image header parsing: dimensions
+    derived from the content hash (stable across runs/engines)."""
+    h = hashlib.md5(payload or b"").digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def decode_image_metadata(
+    df: DataFrame, media_col: str = "media", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Decode image headers → (width, height, mode) per row.
+
+    Real path: ``PIL.Image.open`` per payload inside the Arrow batch.
+    STUB path (this container): deterministic fake dims from the
+    content hash. Batch shape, schema, and partitioning are the real
+    plumbing either way.
+    """
+    ids = id_cols or [c for c in df.columns if c != media_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mode", T.StringType()),
+        ]
+    )
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in it:
+            payloads = pdf[media_col].map(lambda m: m["payload"])
+            if have_pil:  # pragma: no cover
+                from PIL import Image
+
+                dims = payloads.map(lambda b: Image.open(io.BytesIO(b)).size)
+                modes = payloads.map(lambda b: Image.open(io.BytesIO(b)).mode)
+            else:
+                dims = payloads.map(_fake_dims)
+                modes = "STUB"
+            out = pdf[ids].copy()
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["mode"] = modes
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int],
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize every image payload to ``target`` (real: PIL thumbnail;
+    stub: truncate/pad the byte stream to a deterministic size so the
+    output schema and batch flow are exercised end-to-end). Output
+    replaces the payload inside the struct and restamps metadata."""
+    w, h = target
+    fake_len = w * h  # stand-in for an encoded thumbnail's size
+    out_schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _resize(m):
+                b = (m["payload"] or b"")[:fake_len].ljust(fake_len, b"\0")
+                return {
+                    "payload": b,
+                    "media_type": m["media_type"],
+                    "format": m["format"],
+                    "n_bytes": len(b),
+                    "content_md5": hashlib.md5(b).hexdigest(),
+                }
+
+            pdf = pdf.copy()
+            pdf[media_col] = pdf[media_col].map(_resize)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def extract_embedding(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    dim: int = 16,
+    out_col: str = "embedding",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Feature-extract each payload into a ``dim``-float embedding.
+
+    Real path: a vision/audio encoder over the Arrow batch (the batch
+    interface is exactly what torch/onnx batch inference wants). STUB:
+    hash-seeded pseudo-random unit vector — deterministic per content,
+    so downstream ANN tests are reproducible.
+    """
+    ids = id_cols or [c for c in df.columns if c != media_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _embed(m):
+                seed = hashlib.md5(m["payload"] or b"").digest()
+                # xorshift over the hash bytes — cheap, deterministic
+                vals = []
+                state = int.from_bytes(seed[:8], "big") or 1
+                for _ in range(dim):
+                    state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+                    state ^= state >> 7
+                    state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+                    vals.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+                norm = sum(v * v for v in vals) ** 0.5 or 1.0
+                return [float(v / norm) for v in vals]
+
+            out = pdf[ids].copy()
+            out[out_col] = pdf[media_col].map(_embed)
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Frame-sample video payloads: one output row per sampled frame
+    (real: demux + keyframe decode via ``av``; stub: slice the byte
+    stream every ``every_n_bytes``). Explodes rows — the output is a
+    frame table keyed by (id, frame_no), the shape a caption/label
+    pipeline consumes."""
+    ids = id_cols or [c for c in df.columns if c != media_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_md5", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[media_col]["payload"] or b""
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        {**{c: r[c] for c in ids},
+                         "frame_no": i,
+                         "frame_md5": hashlib.md5(chunk).hexdigest()}
+                    )
+            yield pd.DataFrame(rows, columns=[*ids, "frame_no", "frame_md5"])
+
+    return df.mapInPandas(batches, schema)

@@ -304,6 +304,95 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with their text re-cast as an opaque binary payload —
+    the container has no real image fixtures, so the bytes stand in
+    for encoded media; every downstream op treats them as opaque."""
+    from workshoop2_etl_spark.operators.multimodal import attach_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        media_type="image",
+        fmt="png",
+    ).drop("payload")
+
+
+@_register(
+    "media_metadata_documents",
+    """
+SELECT doc_id, 'image' AS media_type, 'png' AS format,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def media_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media metadata, computed JVM-side at attach time; the
+    projection prunes the payload so a parquet-backed scan would never
+    read the bytes. (Oracle twin works because the synthetic payloads
+    are ASCII text: DuckDB md5(VARCHAR) == Spark md5(binary).)"""
+    from workshoop2_etl_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media_docs(spark, sf_dir), "media")
+
+
+@_register(
+    "frame_sample_documents",
+    """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+       md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM documents,
+     unnest(range(0, greatest(least(8, length(text) // 64), 1))) AS t(i)
+""",
+)
+def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the mapInPandas stub: one row per
+    64-byte "frame" (≤8 per doc), keyed (doc_id, frame_no) — the
+    Arrow-batched explode shape a caption pipeline consumes. Fully
+    oracle-checked since the stub slicing is deterministic."""
+    from workshoop2_etl_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        _media_docs(spark, sf_dir), "media", every_n_bytes=64, max_frames=8
+    )
+
+
+@_register("image_decode_documents")  # rows-only: stub dims from hash bytes
+def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image header decode via mapInPandas (PIL when present; marked
+    deterministic stub here)."""
+    from workshoop2_etl_spark.operators.multimodal import decode_image_metadata
+
+    return decode_image_metadata(_media_docs(spark, sf_dir), "media")
+
+
+@_register("media_embedding_topk")  # rows-only: stub encoder + ANN compose
+def media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → ANN composition: stub-encode payloads to unit
+    vectors (mapInPandas batch inference shape), then exact cosine
+    top-5 for the first three docs — the retrieval layout of an
+    image-dedup / caption-matching pipeline."""
+    from workshoop2_etl_spark.operators.multimodal import extract_embedding
+
+    emb = extract_embedding(_media_docs(spark, sf_dir), "media", dim=16)
+    queries = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(
+        emb, queries, id_col="doc_id", vec_col="embedding", k=5
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @_register(
     "fingerprint_documents",
     """
