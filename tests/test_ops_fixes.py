@@ -68,3 +68,25 @@ def test_ensure_columns_adds_only_missing(spark):
     r = out.collect()[0]
     assert r.artists is None  # existing column untouched
     assert r.album == "" and r.year == 0
+
+
+def test_rename_columns(spark):
+    from workshoop2_etl_spark.operators.cleaning import rename_columns
+
+    df = spark.createDataFrame([(1, "x")], "nominee string, artist string")
+    out = rename_columns(df, {"nominee": "track_name", "artist": "artists"})
+    assert out.columns == ["track_name", "artists"]
+    with pytest.raises(ValueError, match="absent"):
+        rename_columns(df, {"nope": "x"})
+
+
+def test_seed_table_roundtrip(spark, tmp_path):
+    from workshoop2_etl_spark.sources.writers import seed_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    seed_table(df, "seeded_test_table")
+    try:
+        back = spark.table("seeded_test_table")
+        assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seeded_test_table")

@@ -68,6 +68,17 @@ def recode_with_default(
     return joined.withColumns(assignments).drop(*lookup_cols)
 
 
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Column rename (P1, reference dags/merge_to_dw.py:52
+    ``nominee→track_name``, ``artist→artists``). Unknown source names
+    raise (pandas silently ignores them — an error-masking behavior
+    the engine does not inherit)."""
+    missing = [c for c in mapping if c not in df.columns]
+    if missing:
+        raise ValueError(f"rename of absent columns: {missing}")
+    return df.withColumnsRenamed(dict(mapping))
+
+
 def ensure_columns(
     df: DataFrame, defaults: Mapping[str, Column]
 ) -> DataFrame:

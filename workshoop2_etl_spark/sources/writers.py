@@ -43,6 +43,23 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", single_file:
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def seed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Catalog-managed table seed (S8): the reference's
+    ``CREATE TABLE IF NOT EXISTS`` + per-row INSERT loop
+    (reference bd.py:11-42) as one ``saveAsTable`` — metastore entry,
+    schema, and data land atomically, partitioned if asked."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
