@@ -1,0 +1,94 @@
+"""Streaming surface tests: incremental scan parity with the batch
+reader, watermarked window counts vs the batch equivalent, stateful
+sessionization, bounded AvailableNow activation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.sources.readers import read_parquet
+from workshoop2_etl_spark.streaming import (
+    run_available_now,
+    sessionize,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+def test_streaming_window_counts_match_batch(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    stream = stream_events(spark, path)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    got = run_available_now(counts, "t_win_counts", output_mode="complete")
+
+    batch = (
+        read_parquet(spark, path)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    key = lambda r: (r.window_start, r.event_type, r.n)
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_stream_events_ts_matches_batch_reader(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    stream = stream_events(spark, path).select("event_id", "ts")
+    got = run_available_now(stream, "t_ts_parity")
+    batch = read_parquet(spark, path).select("event_id", "ts")
+    a = sorted((r.event_id, r.ts) for r in got.collect())
+    b = sorted((r.event_id, r.ts) for r in batch.collect())
+    assert a == b
+
+
+@pytest.fixture()
+def session_fixture(tmp_path):
+    # user 1: two sessions (40-minute gap); user 2: one session.
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (1, 1, base),
+        (2, 1, base + pd.Timedelta(minutes=10)),
+        (3, 1, base + pd.Timedelta(minutes=50)),  # > 30 min gap → new session
+        (4, 1, base + pd.Timedelta(minutes=55)),
+        (5, 2, base),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    p = tmp_path / "events"
+    p.mkdir()
+    # pandas datetime64[ns] → parquet TIMESTAMP(NANOS), the events
+    # feed's on-disk shape.
+    pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]].to_parquet(
+        p / "part-0.parquet", index=False
+    )
+    return str(p)
+
+
+def test_sessionize_gap_split(spark, session_fixture):
+    stream = stream_events(spark, session_fixture)
+    sessions = sessionize(stream, gap_minutes=30)
+    got = run_available_now(sessions, "t_sessions")
+    rows = sorted(
+        ((r.user_id, r.session_no, r.n_events) for r in got.collect())
+    )
+    assert rows == [(1, 0, 2), (1, 1, 2), (2, 0, 1)]
+    spans = {
+        (r.user_id, r.session_no): (r.session_start, r.session_end)
+        for r in got.collect()
+    }
+    s0 = spans[(1, 0)]
+    assert (s0[1] - s0[0]) == pd.Timedelta(minutes=10)
+
+
+def test_run_available_now_repeatable(spark, sf_dir):
+    # Re-running with the same query name must not error (memory sink
+    # re-registers the view on restart).
+    path = f"{sf_dir}/events.parquet"
+    for _ in range(2):
+        s = stream_events(spark, path).select("event_id")
+        out = run_available_now(s, "t_repeat")
+        assert out.count() > 0

