@@ -54,6 +54,28 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         print(f"warmup failed: {exc}", file=sys.stderr)
 
+    def revive_if_dead(s):
+        """A query OOM-killing the local JVM must not void the rest of
+        the run: detect a dead gateway and relaunch a fresh session."""
+        try:
+            s.sql("SELECT 1").collect()
+            return s
+        except Exception:
+            print("session dead — relaunching JVM", file=sys.stderr)
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession
+
+            try:
+                s.stop()
+            except Exception:
+                pass
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            return get_session(app_name="bench", master=f"local[{cpus}]")
+
     times: dict[str, float | None] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -68,6 +90,7 @@ def main() -> None:
         except Exception as exc:
             times[name] = None
             print(f"{name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+            spark = revive_if_dead(spark)
 
     print(
         json.dumps(

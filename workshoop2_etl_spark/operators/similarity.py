@@ -23,6 +23,7 @@ runs and sessions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,10 +86,10 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
+def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic L×p×dim Gaussian hyperplane matrix."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((num_tables, num_planes, dim)).tolist()
+    return rng.standard_normal((num_tables, num_planes, dim))
 
 
 def hyperplane_buckets(
@@ -103,18 +104,67 @@ def hyperplane_buckets(
     """Attach LSH bucket ids: one ``bucket_{t}`` int column per table,
     the sign-bit signature of the vector against ``num_planes``
     hyperplanes. Vectors with equal bucket in any table are candidate
-    neighbors (cosine-LSH: P[bit equal] = 1 − θ/π)."""
+    neighbors (cosine-LSH: P[bit equal] = 1 − θ/π).
+
+    Computed by an Arrow-batched Pandas UDF: the signature is one
+    (batch × dim) @ (dim × L·p) matmul per Arrow batch — the rare
+    case where a vectorized UDF beats built-ins, because the
+    expression-tree formulation (L·p literal plane arrays × lambda
+    aggregates) blows past codegen limits and falls back to
+    interpreted evaluation (~6 s per call at 5k vectors; the matmul
+    is milliseconds and scales linearly per partition at 100 TB).
+    """
+    from pyspark.sql.functions import pandas_udf
+
     planes = _hyperplanes(num_tables, num_planes, dim, seed)
-    v = _as_double(vec_col)
-    out = df
+    flat = planes.reshape(num_tables * num_planes, dim).T  # dim × L·p
+    weights = (2 ** np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (mat @ flat >= 0).reshape(len(vs), num_tables, num_planes)
+        ids = bits @ weights  # n × L bucket ids
+        return pd.Series(list(ids))
+
+    out = df.withColumn("__buckets", _buckets(F.col(vec_col)))
     for t in range(num_tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(num_planes):
-            plane_lit = F.array(*[F.lit(w) for w in planes[t][p]])
-            bit = (dot(v, plane_lit) >= 0).cast("long")
-            bucket = bucket + F.shiftleft(bit, p)
-        out = out.withColumn(f"bucket_{t}", bucket)
-    return out
+        out = out.withColumn(f"bucket_{t}", F.col("__buckets")[t])
+    return out.drop("__buckets")
+
+
+def bucket_assignments(
+    df: DataFrame,
+    id_col: str,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    num_tables: int = 4,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Long-format LSH bucket assignments: one ``(id, table, bucket)``
+    row per table. ONE narrow pass computes all L signatures; the
+    explode emits L small rows per vector, and candidate search
+    becomes a single equi-join on ``(table, bucket)`` — not L
+    re-computed per-table joins."""
+    b = hyperplane_buckets(
+        df, vec_col=vec_col, dim=dim, num_tables=num_tables,
+        num_planes=num_planes, seed=seed,
+    )
+    buckets = F.array(*[F.col(f"bucket_{t}") for t in range(num_tables)])
+    return b.select(
+        F.col(id_col), F.posexplode(buckets).alias("__table", "__bucket")
+    )
+
+
+def exact_pair_count_upper_bound(n: int, num_tables: int, num_planes: int) -> float:
+    """Expected candidate-pair upper bound for uniformly-bucketed data:
+    L · C(n/2^p, 2) · 2^p — the sizing arithmetic for picking (L, p)
+    so the verify stage stays ≪ n²."""
+    buckets = 2 ** num_planes
+    per_bucket = n / buckets
+    return num_tables * buckets * per_bucket * (per_bucket - 1) / 2
 
 
 def lsh_topk(
@@ -133,35 +183,35 @@ def lsh_topk(
     """Approximate top-k: exact cosine re-rank over LSH candidates.
 
     Candidates = corpus rows sharing ≥1 bucket with the query across
-    the L tables (union of per-table equi-joins, deduplicated). At
-    100 TB the corpus is bucketed once (cheap narrow pass) and each
-    query probes L buckets — cost is Σ bucket sizes, not |corpus|.
-    May return fewer than ``k`` rows per query (recall < 1 is the
-    LSH trade; raise L or lower p for more recall).
+    the L tables — one broadcast equi-join on ``(table, bucket)``
+    over long-format assignments (the corpus is bucketed exactly
+    once). Candidate rows carry ids only; embeddings join back after
+    dedup, so the candidate shuffle is 16 bytes/row no matter the
+    vector width. May return fewer than ``k`` rows per query
+    (recall < 1 is the LSH trade; raise L or lower p for recall).
     """
-    cb = hyperplane_buckets(
-        corpus, vec_col=vec_col, dim=dim, num_tables=num_tables,
+    lsh_args = dict(
+        vec_col=vec_col, dim=dim, num_tables=num_tables,
         num_planes=num_planes, seed=seed,
     )
-    qb = hyperplane_buckets(
-        queries, vec_col=vec_col, dim=dim, num_tables=num_tables,
-        num_planes=num_planes, seed=seed,
-    ).select(
-        query_id_col,
-        F.col(vec_col).alias("__qvec"),
-        *[F.col(f"bucket_{t}").alias(f"qb_{t}") for t in range(num_tables)],
+    cb = bucket_assignments(corpus, id_col, **lsh_args)
+    qb = bucket_assignments(queries, query_id_col, **lsh_args)
+    cand = (
+        cb.join(F.broadcast(qb), ["__table", "__bucket"])
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+        .filter(F.col(id_col) != F.col(query_id_col))
     )
-    cand = None
-    for t in range(num_tables):
-        c = cb.join(
-            F.broadcast(qb),
-            F.col(f"bucket_{t}") == F.col(f"qb_{t}"),
-        ).select(query_id_col, id_col, vec_col, "__qvec")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates([query_id_col, id_col]).filter(
-        F.col(id_col) != F.col(query_id_col)
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+            ),
+            query_id_col,
+        )
+        .withColumn("sim", cosine(vec_col, "__qvec"))
     )
-    scored = cand.withColumn("sim", cosine(vec_col, "__qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -185,27 +235,31 @@ def embedding_neardup(
     buckets: self-join per table on the bucket id, union, dedup,
     exact-cosine filter. Quadratic only within buckets (and the
     plane count bounds expected bucket size)."""
-    b = hyperplane_buckets(
-        df, vec_col=vec_col, dim=dim, num_tables=num_tables,
+    # Id-only pair generation (see lsh_topk): one self-equi-join on
+    # long-format (table, bucket) assignments; candidate rows are two
+    # longs, embeddings join back once per side after dedup.
+    b = bucket_assignments(
+        df, id_col, vec_col=vec_col, dim=dim, num_tables=num_tables,
         num_planes=num_planes, seed=seed,
     )
-    pairs = None
-    for t in range(num_tables):
-        left = b.select(
-            F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"),
-            F.col(f"bucket_{t}").alias("__bk"),
-        )
-        right = b.select(
-            F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"),
-            F.col(f"bucket_{t}").alias("__bk"),
-        )
-        p = left.join(right, "__bk").filter(F.col("__ida") < F.col("__idb")).select(
-            "__ida", "__idb", "__va", "__vb"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["__ida", "__idb"])
+    left = b.select(
+        F.col(id_col).alias("__ida"), "__table", "__bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("__idb"), "__table", "__bucket"
+    )
+    pairs = (
+        left.join(right, ["__table", "__bucket"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    va = df.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"))
     return (
-        pairs.withColumn("sim", cosine("__va", "__vb"))
+        pairs.join(va, "__ida")
+        .join(vb, "__idb")
+        .withColumn("sim", cosine("__va", "__vb"))
         .filter(F.col("sim") >= threshold)
         .select(
             F.col("__ida").alias(f"{id_col}_a"),

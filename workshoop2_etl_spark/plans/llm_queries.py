@@ -141,14 +141,14 @@ def brute_force_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH, exact cosine
     re-rank over candidates. Rows-only: recall < 1 by design, so no
-    exact SQL twin. (8×4 tables/planes: the testdata embeddings are
-    near-uniform — max pairwise cosine ≈0.51 — so buckets must be
-    coarse; clustered production embeddings take 8-16 planes.)"""
+    exact SQL twin. (The testdata embeddings are near-uniform — max
+    pairwise cosine ≈0.51 — so recall is intentionally modest; the
+    parameter arithmetic lives in ``exact_pair_count_upper_bound``.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, dim=64, k=10, num_tables=8, num_planes=4)
+    out = lsh_topk(emb, queries, dim=64, k=10, num_tables=8, num_planes=8)
     return out.select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
@@ -162,7 +162,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of pairs on the near-uniform testdata (production near-dup
     embeddings sit at ≥0.9 and use finer buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup(emb, dim=64, threshold=0.35, num_tables=8, num_planes=4)
+    out = embedding_neardup(emb, dim=64, threshold=0.35, num_tables=8, num_planes=8)
     return out.select(
         "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
     )

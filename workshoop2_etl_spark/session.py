@@ -39,6 +39,14 @@ def get_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode runs executors inside the driver JVM; Spark's 1g
+        # default heap is far too small for 32 concurrent tasks.
+        # Applied only at JVM launch — a no-op on an existing session
+        # or a real cluster submit, where the submitter sizes heaps.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing, skew-join splitting, and
         # sort-merge->broadcast conversion. Essential at 100 TB where
