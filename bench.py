@@ -48,9 +48,12 @@ def main() -> None:
     qs = entry_mod.queries()
 
     # JVM/codegen warmup so the first measured query isn't charged
-    # for executor start and whole-stage compilation.
+    # for executor start, whole-stage compilation, or the parquet
+    # datasource's first-use class loading (region is 5 rows — this
+    # warms code paths, not data).
     try:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
     except Exception as exc:  # pragma: no cover
         print(f"warmup failed: {exc}", file=sys.stderr)
 

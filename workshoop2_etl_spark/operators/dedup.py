@@ -89,14 +89,39 @@ def tokens_expr(text_col: str) -> Column:
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
     """Word ``n``-shingles as space-joined strings. Documents shorter
-    than ``n`` tokens yield one shingle of all their tokens."""
-    # Built as a SQL expr: transform over an index sequence + slice —
-    # array ops stay inside codegen, no UDF.
+    than ``n`` tokens yield one shingle of all their tokens.
+
+    NOTE: inlines the tokenization inside the transform lambda, so the
+    regex split re-evaluates per shingle index — O(tokens²) per doc.
+    Fine for ad-hoc use on short strings; the operators below use
+    :func:`with_distinct_shingles` (two-step projection, split runs
+    once per row)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     return F.expr(
         f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
         f" i -> array_join(slice({toks}, i, {n}), ' '))"
     )
+
+
+def with_distinct_shingles(
+    df: DataFrame, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """Attach the distinct word-``n``-shingle set of ``text_col`` as
+    ``out_col``. Two projection steps so the regex tokenization runs
+    ONCE per row; the shingle transform then references the token
+    array column (the single-expression form re-splits the text for
+    every shingle index — measured 2× slower at sf0.1, and the gap
+    grows quadratically with document length)."""
+    tok_col = f"__{out_col}_toks"
+    toks = df.withColumn(
+        tok_col,
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""),
+    )
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size({tok_col}) - {n} + 1, 1)),"
+        f" i -> array_join(slice({tok_col}, i, {n}), ' '))"
+    )
+    return toks.withColumn(out_col, F.array_distinct(shingles)).drop(tok_col)
 
 
 def minhash_signatures(
@@ -108,18 +133,27 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature: ``num_hashes`` columns
-    ``h0..h{k-1}``, each the min of a seeded ``xxhash64`` over the
-    document's distinct shingles.
+    ``h0..h{k-1}``, each the min over the document's distinct
+    shingles of a distinct 64-bit hash function.
+
+    The shingle string is hashed ONCE (``xxhash64``); the k functions
+    re-hash that 8-byte value with a distinct salt — variable-length
+    string hashing happens once per shingle instead of k times.
+    (The classic affine ``a_i·h + b_i mod 2⁶⁴`` derivation is cheaper
+    still but needs wrapping multiplication, which ANSI mode — Spark
+    4's default — rejects at runtime.)
 
     One explode + one hash aggregate; the k mins are computed
     map-side (partial aggregation), so the shuffle carries k longs
     per doc regardless of document size.
     """
     exploded = (
-        df.select(id_col, F.explode(F.array_distinct(shingles_expr(text_col, shingle_n))).alias("__sh"))
+        with_distinct_shingles(df, text_col, shingle_n, "__shs")
+        .select(id_col, F.explode("__shs").alias("__sh"))
+        .select(id_col, F.xxhash64("__sh").alias("__h"))
     )
     mins = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*mins)
@@ -193,11 +227,29 @@ def verify_jaccard(
     """Exact n-gram Jaccard similarity for candidate pairs — the
     verification step after LSH (candidates only, never all-pairs).
 
+    Shingle sets are computed only for documents that appear in a
+    candidate pair (semi-join BEFORE the shingle projection): at
+    100 TB the candidate set is a sliver of the corpus, and
+    re-shingling everything to verify 0.1% of it would dominate the
+    whole pipeline.
+
     Output: pair ids + ``jaccard`` in [0,1].
     """
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, shingle_n)).alias("__set"),
+    # The pair set feeds two consumers (the id semi-join filter and
+    # the final join); without persist Spark re-executes the whole
+    # candidate-generation subtree — signatures included — once per
+    # reference. Candidates are small by construction (that is the
+    # point of LSH), so caching them is cheap and saves a full
+    # upstream recompute.
+    pairs = pairs.persist()
+    ids = (
+        pairs.select(
+            F.explode(F.array(f"{id_col}_a", f"{id_col}_b")).alias(id_col)
+        ).distinct()
+    )
+    needed = df.join(ids, id_col, "left_semi")
+    sets = with_distinct_shingles(needed, text_col, shingle_n, "__set").select(
+        F.col(id_col), "__set"
     )
     a = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("__set").alias("__sa"))
     b = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("__set").alias("__sb"))
