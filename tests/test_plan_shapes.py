@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown, pruning, broadcast, top-k, exchange reuse) asserted
+against `.explain`-level plan text, so a refactor that silently
+degrades the plan fails CI rather than the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def q(name):
+    return entry_mod.queries()[name]
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    df = q("pricing_summary")(spark, SF)
+    plan = _physical(df)
+    # The shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must read only the 5 referenced columns of 16.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_top_customers_broadcasts_dim_and_uses_topk(spark):
+    plan = _physical(q("top_customers_by_revenue")(spark, SF))
+    assert "BroadcastHashJoin" in plan  # dim side broadcast, no fact shuffle
+    assert "TakeOrderedAndProject" in plan  # per-partition k-heap, no global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_resolution_broadcasts_all_dims(spark):
+    plan = _physical(q("star_fact_resolution")(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_mode_or_first_reuses_partitioning(spark):
+    # Both window branches hash-partition on the same key and the
+    # join-back is co-partitioned: bounded exchange count, partitioned
+    # windows only (no global Window.orderBy single-partition funnel).
+    plan = _physical(q("mode_or_first_lineitem")(spark, SF))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 4
+    assert "partitionBy" not in plan or "SinglePartition" not in plan
+
+
+def test_summary_stats_single_aggregate(spark):
+    plan = _optimized(q("summary_stats_lineitem")(spark, SF))
+    assert plan.count("Union") == 0
+    assert plan.count("Aggregate") == 1  # one agg, stack is a projection
+
+
+def test_exact_dedup_shuffles_hash_not_content(spark):
+    # The dedup aggregate groups on xxhash64(text); the shuffled
+    # aggregate keys are the 8-byte hash, and the text column itself
+    # is not in the aggregate output.
+    plan = _optimized(q("exact_dedup_documents")(spark, SF))
+    assert "xxhash64(text" in plan
+    seg = plan.split("Aggregate")[1]
+    assert "text#" not in seg.split("\n")[0]
+
+
+def test_recode_broadcasts_lookup(spark):
+    plan = _physical(q("recode_event_types")(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_cold_join_has_no_skewed_single_branch(spark):
+    # The hot-key mitigation splits the plan: a full outer for cold
+    # keys plus the salted-inner/anti decomposition for the "" group.
+    plan = _physical(q("flagship_merge_indicator")(spark, SF))
+    assert "FullOuter" in plan.replace(" ", "")
+    assert plan.count("Union") >= 1
+
+
+def test_lineitem_scan_prunes_for_two_column_projection(spark):
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    df = read_parquet(spark, f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _physical(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
