@@ -96,3 +96,23 @@ def test_lineitem_scan_prunes_for_two_column_projection(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # S6 partition_by: a filtered read of a partitioned dataset must
+    # scan only matching partitions (PartitionFilters, not a full scan).
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.sources.writers import write_parquet
+
+    orders = read_parquet(spark, f"{SF}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+
+    filtered = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _physical(filtered)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].splitlines()[0]
+    got = filtered.count()
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want

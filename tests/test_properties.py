@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): engine operators vs the pandas
+semantics the reference relies on, over randomized small frames —
+the reference's own test strategy is manual spot-checks (SURVEY §5);
+these generalize it."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from workshoop2_etl_spark.operators.cleaning import mode_or_first_dedup
+from workshoop2_etl_spark.operators.dedup import exact_dedup
+from workshoop2_etl_spark.operators.merge import full_outer_with_indicator
+
+KEYS = st.sampled_from(["a", "b", "c", None])
+VALS = st.integers(min_value=0, max_value=5)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs — keep it tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=8),
+    right=st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=8),
+)
+def test_full_outer_indicator_matches_pandas_merge(spark, left, right):
+    """Row multiset + indicator parity with pd.merge(indicator=True)
+    after the reference's fillna("") key normalization."""
+    if not left or not right:
+        return  # Spark createDataFrame needs rows; pandas edge is trivial
+    ldf = spark.createDataFrame(left, "key string, lv int")
+    rdf = spark.createDataFrame(right, "key string, rv int")
+    got = full_outer_with_indicator(ldf, rdf, ["key"]).collect()
+    got_rows = sorted((r.key, r.lv, r.rv, r["_merge"]) for r in got)
+
+    lp = pd.DataFrame(left, columns=["key", "lv"])
+    rp = pd.DataFrame(right, columns=["key", "rv"])
+    for p in (lp, rp):
+        p["key"] = p["key"].fillna("").astype(str).str.strip().str.lower()
+    m = pd.merge(lp, rp, on="key", how="outer", indicator=True)
+    want_rows = sorted(
+        (
+            r["key"],
+            None if pd.isna(r["lv"]) else int(r["lv"]),
+            None if pd.isna(r["rv"]) else int(r["rv"]),
+            str(r["_merge"]),
+        )
+        for r in m.to_dict("records")
+    )
+    assert got_rows == want_rows
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(KEYS, VALS, VALS), min_size=1, max_size=12))
+def test_mode_or_first_matches_pandas(spark, rows):
+    """qty column: pandas mode().iloc[0] (smallest most-frequent,
+    nulls dropped); other columns: first under explicit order."""
+    rows = [(k if k is not None else "k", o, v) for k, (o, v) in
+            ((k, (i, v)) for i, (k, _, v) in enumerate(rows))]
+    df = spark.createDataFrame(rows, "key string, ord int, val int")
+    got = {
+        r.key: (r.ord, r.val)
+        for r in mode_or_first_dedup(df, "key", "val", ["ord"]).collect()
+    }
+
+    p = pd.DataFrame(rows, columns=["key", "ord", "val"])
+
+    def mode_or_first(s: pd.Series):
+        m = s.mode(dropna=True)
+        if len(m):
+            return m.iloc[0]
+        nn = s.dropna()
+        return nn.iloc[0] if nn.size else None
+
+    want = {}
+    for k, g in p.sort_values("ord").groupby("key"):
+        want[k] = (int(g["ord"].iloc[0]), int(mode_or_first(g["val"])))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 100), st.text(max_size=6)), min_size=1, max_size=15))
+def test_exact_dedup_properties(spark, rows):
+    """Idempotent; output ids are the min id per distinct content;
+    every distinct content survives exactly once."""
+    rows = [(i, t) for i, (_, t) in enumerate(rows)]  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = exact_dedup(df, "text", "doc_id")
+    got = sorted((r.doc_id, r.text) for r in once.collect())
+    p = pd.DataFrame(rows, columns=["doc_id", "text"])
+    want = sorted(
+        (int(g["doc_id"].min()), t) for t, g in p.groupby("text", dropna=False)
+    )
+    assert got == want
+    twice = exact_dedup(once, "text", "doc_id")
+    assert sorted((r.doc_id, r.text) for r in twice.collect()) == got
