@@ -80,6 +80,34 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def quantiles(
+    df: DataFrame, col: str, probs: Sequence[float]
+) -> DataFrame:
+    """Exact linear-interpolation quantiles (completes A8's describe
+    beyond min/max): one row per probability, columns (p, q). Exact
+    ``percentile`` so the result is oracle-comparable
+    (``quantile_cont`` semantics); at 100 TB swap in
+    ``approx_percentile`` — same shape, t-digest state, no sort."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    one = df.agg(
+        F.expr(f"percentile({col}, array({plist}))").alias("__qs")
+    )
+    return one.select(
+        F.posexplode("__qs").alias("__i", "q")
+    ).select(
+        F.expr(f"array({plist})")[F.col("__i")].cast("double").alias("p"), "q"
+    )
+
+
+def approx_count_distinct(
+    df: DataFrame, col: str, *, rsd: float = 0.05, alias: str = "n_approx"
+) -> DataFrame:
+    """HyperLogLog count-distinct — the 100 TB variant of A6/A11:
+    fixed-size sketch state, no shuffle of distinct values. rsd is
+    the target relative standard error."""
+    return df.agg(F.approx_count_distinct(col, rsd=rsd).alias(alias))
+
+
 def histogram(
     df: DataFrame,
     col: str,

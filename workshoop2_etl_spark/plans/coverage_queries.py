@@ -215,6 +215,59 @@ def resolve_fk_required_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantiles_totalprice",
+    """
+SELECT CAST(p AS DOUBLE) AS p, round(CAST(q AS DOUBLE), 4) AS q FROM (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+         unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95])) AS q
+  FROM orders
+)
+""",
+)
+def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (A8 beyond min/max): Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear-interpolation semantics."""
+    from workshoop2_etl_spark.operators.analytics import quantiles
+
+    out = quantiles(_t(spark, sf_dir, "orders"), "o_totalprice", [0.25, 0.5, 0.75, 0.95])
+    return out.select("p", F.round("q", 4).alias("q"))
+
+
+@_register("approx_count_distinct_customers")  # rows-only: HLL estimate
+def approx_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the count-distinct KPIs (A6/A11): HLL
+    sketch, no distinct-value shuffle. Rows-only — the estimate is
+    engine-specific by nature; the exact twin is
+    ``count_distinct_customers``."""
+    from workshoop2_etl_spark.operators.analytics import approx_count_distinct
+
+    return approx_count_distinct(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+@_register(
+    "json_props_extract",
+    """
+SELECT event_type,
+       CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+         AS n_with_k,
+       round(avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+         AS mean_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: pull ``$.k`` out of the JSON
+    props string (``get_json_object`` — codegen'd JSON path, no UDF)
+    and aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k), 4).alias("mean_k"),
+    )
+
+
+@_register(
     "ensure_columns_conform",
     """
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
