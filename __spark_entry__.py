@@ -17,6 +17,7 @@ import workshoop2_etl_spark.plans.coverage_queries  # noqa: F401 — registers q
 import workshoop2_etl_spark.plans.llm_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.sql_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.streaming_queries  # noqa: F401 — registers queries
+import workshoop2_etl_spark.plans.window_queries  # noqa: F401 — registers queries
 from workshoop2_etl_spark.plans.reference_queries import (
     ORACLE_SQL,
     SPARK_QUERIES,

@@ -104,3 +104,17 @@ def test_hot_keys_composite(spark):
     )
     assert {r["_merge"] for r in out.collect()} == {"both"}
     assert out.count() == 2
+
+
+def test_merge_pipeline_checkpoint_roundtrip(spark, tmp_path):
+    from workshoop2_etl_spark.plans.pipelines import merge_pipeline
+
+    left = _mk(spark, [("a", 1), ("b", 2)], "key string, lv int")
+    right = _mk(spark, [("b", 20), ("c", 30)], "key string, rv int")
+    ckpt = str(tmp_path / "merged_ckpt")
+    out = merge_pipeline(left, right, ["key"], checkpoint_path=ckpt)
+    # The returned frame reads FROM the checkpoint (scan, not join).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    got = {(r["key"], r["_merge"]) for r in out.collect()}
+    assert got == {("a", "left_only"), ("b", "both"), ("c", "right_only")}

@@ -116,3 +116,45 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = filtered.count()
     want = orders.filter(F.col("o_orderstatus") == "F").count()
     assert got == want
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    # Co-located join via bucketBy: two tables bucketed on the join
+    # key join with ZERO exchanges — the 100 TB pattern for repeated
+    # fact-to-fact joins on a stable key.
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_orders_{suffix}", f"bkt_customer_{suffix}"
+    warehouse_tables = []
+    try:
+        orders = read_parquet(spark, f"{SF}/orders.parquet")
+        customer = read_parquet(spark, f"{SF}/customer.parquet")
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable(ta)
+        customer.withColumnRenamed("c_custkey", "o_custkey").write.bucketBy(
+            8, "o_custkey"
+        ).sortBy("o_custkey").mode("overwrite").saveAsTable(tb)
+        warehouse_tables = [ta, tb]
+
+        joined = spark.table(ta).join(spark.table(tb), "o_custkey").groupBy(
+            "c_mktsegment"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        # Force the sort-merge path (no broadcast) to prove bucketing
+        # removes the shuffle that join would otherwise need.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _physical(joined)
+        join_seg = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning(o_custkey" not in join_seg
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for t in warehouse_tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
