@@ -189,3 +189,37 @@ def test_fingerprint_stability_and_discrimination(docs):
     # bottom-k overlap between near-dups exceeds unrelated docs
     s1, s3, s4 = (set(fp[i].split(",")) for i in (1, 3, 4))
     assert len(s1 & s3) > len(s1 & s4)
+
+
+def test_ivf_topk_exact_on_separated_clusters(spark):
+    # Two well-separated clusters: IVF with enough probes must return
+    # exactly what brute force returns.
+    import random
+
+    from workshoop2_etl_spark.operators.similarity import ivf_topk
+
+    random.seed(7)
+    rows = []
+    for i in range(30):
+        base = [5.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 5.0, 0.0]
+        rows.append((i, [v + random.uniform(-0.3, 0.3) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_clusters=2, n_probe=2)
+    key = lambda r: (r.query_id, r.rank, r.vec_id)
+    assert sorted(map(key, exact.collect())) == sorted(map(key, approx.collect()))
+
+
+def test_ivf_topk_deterministic(spark):
+    from workshoop2_etl_spark.operators.similarity import ivf_topk
+
+    df = spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(df, queries, k=3, n_clusters=2, n_probe=2).collect())
+    b = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(df, queries, k=3, n_clusters=2, n_probe=2).collect())
+    assert a == b

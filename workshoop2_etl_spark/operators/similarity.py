@@ -220,6 +220,108 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector its ``n_probe`` nearest centroids (cosine),
+    as an int array column. One matmul per Arrow batch — same
+    vectorized-UDF rationale as :func:`hyperplane_buckets`."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer (seeded k-means over the corpus;
+    ``pyspark.ml.clustering.KMeans``, distributed Lloyd iterations).
+    Returns the centroid matrix — small (k × dim), lives on the
+    driver and broadcasts into the assignment UDF. At 100 TB the
+    quantizer trains on a sample; assignment stays a full narrow
+    pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(_as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
+    return np.array(model.clusterCenters())
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_clusters``
+    inverted lists by nearest centroid; each query probes its
+    ``n_probe`` closest lists and re-ranks exactly (cosine).
+
+    Cost per query is the probed lists' sizes (~n_probe/n_clusters of
+    the corpus), not |corpus|; recall comes from probing multiple
+    lists. The standard trade vs LSH: IVF adapts to the data's
+    cluster structure (k-means), LSH is data-independent.
+    """
+    centroids = ivf_build(
+        corpus, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    cb = ivf_assign(
+        corpus, centroids, vec_col=vec_col, out_col="__cl", n_probe=1
+    ).select(id_col, vec_col, F.col("__cl")[0].alias("__cluster"))
+    qb = (
+        ivf_assign(
+            queries, centroids, vec_col=vec_col, out_col="__probes",
+            n_probe=n_probe,
+        )
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("__qvec"),
+            F.explode("__probes").alias("__cluster"),
+        )
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "__cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", cosine(vec_col, "__qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     *,

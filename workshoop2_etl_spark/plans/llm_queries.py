@@ -27,6 +27,7 @@ from workshoop2_etl_spark.operators.dedup import (
 from workshoop2_etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup,
+    ivf_topk,
     lsh_topk,
 )
 from workshoop2_etl_spark.operators.textstats import (
@@ -149,6 +150,21 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = lsh_topk(emb, queries, dim=64, k=10, num_tables=8, num_planes=8)
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_register("ivf_topk_embeddings")  # rows-only: approximate by design
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means inverted lists, 4-probe exact re-rank
+    — the data-adaptive scale path beside the LSH variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
     return out.select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
