@@ -90,3 +90,20 @@ def test_seed_table_roundtrip(spark, tmp_path):
         assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
     finally:
         spark.sql("DROP TABLE IF EXISTS seeded_test_table")
+
+
+def test_read_csv_malformed_rows_null_not_crash(spark, tmp_path):
+    # Declared-schema CSV reads are PERMISSIVE by default: a row whose
+    # column can't cast lands as null, never an executor crash —
+    # to_numeric(errors="coerce") file-level semantics.
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,score\n1,10\n2,notanumber\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("score", T.LongType())]
+    )
+    rows = {r.id: r.score for r in read_csv(spark, str(p), schema).collect()}
+    assert rows == {1: 10, 2: None, 3: 30}

@@ -80,6 +80,50 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix in long form (the EDA
+    notebook's ``df.corr()`` heatmap): one aggregate computes all
+    C(n,2) co-moments in a single scan — never one pass per pair.
+    Output: (col_a, col_b, corr), upper triangle incl. diagonal."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i:]
+    ]
+    one = df.agg(
+        *[
+            F.corr(a, b).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `__c_{i}`" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    probs: Sequence[float],
+) -> DataFrame:
+    """Per-group exact quantiles (boxplot stats per category): one
+    hash aggregate, probabilities exploded to long form. Output:
+    keys + (p, q)."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    agg = df.groupBy(*keys).agg(
+        F.expr(f"percentile({col}, array({plist}))").alias("__qs")
+    )
+    return agg.select(
+        *keys, F.posexplode("__qs").alias("__i", "q")
+    ).select(
+        *keys,
+        F.expr(f"array({plist})")[F.col("__i")].cast("double").alias("p"),
+        "q",
+    )
+
+
 def quantiles(
     df: DataFrame, col: str, probs: Sequence[float]
 ) -> DataFrame:

@@ -233,6 +233,63 @@ def quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p", F.round("q", 4).alias("q"))
 
 
+@_register(
+    "corr_matrix_lineitem",
+    """
+WITH c AS (
+  SELECT corr(l_quantity, l_quantity) AS c0,
+         corr(l_quantity, l_extendedprice) AS c1,
+         corr(l_quantity, l_discount) AS c2,
+         corr(l_extendedprice, l_extendedprice) AS c3,
+         corr(l_extendedprice, l_discount) AS c4,
+         corr(l_discount, l_discount) AS c5
+  FROM lineitem
+)
+SELECT col_a, col_b, round(corr, 6) AS corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, c0 AS corr FROM c
+  UNION ALL SELECT 'l_quantity', 'l_extendedprice', c1 FROM c
+  UNION ALL SELECT 'l_quantity', 'l_discount', c2 FROM c
+  UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', c3 FROM c
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', c4 FROM c
+  UNION ALL SELECT 'l_discount', 'l_discount', c5 FROM c
+)
+""",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA correlation heatmap (the reference dashboard's
+    popularity/danceability/energy panel): all pairs in ONE scan."""
+    from workshoop2_etl_spark.operators.analytics import corr_matrix
+
+    out = corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+@_register(
+    "grouped_quantiles_by_status",
+    """
+SELECT o_orderstatus, CAST(p AS DOUBLE) AS p, round(CAST(q AS DOUBLE), 4) AS q
+FROM (
+  SELECT o_orderstatus,
+         unnest([0.25, 0.5, 0.75]) AS p,
+         unnest(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])) AS q
+  FROM orders GROUP BY o_orderstatus
+)
+""",
+)
+def grouped_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category boxplot stats: exact quartiles per order status."""
+    from workshoop2_etl_spark.operators.analytics import grouped_quantiles
+
+    out = grouped_quantiles(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+        [0.25, 0.5, 0.75],
+    )
+    return out.select("o_orderstatus", "p", F.round("q", 4).alias("q"))
+
+
 @_register("approx_count_distinct_customers")  # rows-only: HLL estimate
 def approx_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for the count-distinct KPIs (A6/A11): HLL
