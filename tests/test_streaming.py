@@ -92,3 +92,29 @@ def test_run_available_now_repeatable(spark, sf_dir):
         s = stream_events(spark, path).select("event_id")
         out = run_available_now(s, "t_repeat")
         assert out.count() > 0
+
+
+def test_parquet_sink_checkpoint_no_reprocess(spark, session_fixture, tmp_path):
+    # Durable sink + checkpoint: a second AvailableNow activation with
+    # no new input files emits nothing (offsets recorded), which is
+    # the incremental cron-replacement contract.
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def activate():
+        s = stream_events(spark, session_fixture).select("event_id", "user_id")
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    activate()
+    first = spark.read.parquet(out).count()
+    assert first == 5
+    activate()  # no new files arrived
+    assert spark.read.parquet(out).count() == first

@@ -44,6 +44,56 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "session_window_events",
+    """
+WITH m AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``session_window``
+    (the preferred idiom; :func:`sessionize` demonstrates the custom
+    applyInPandasWithState class for semantics the built-in can't
+    express). Oracle: the classic lag → gap-start → cumulative-sum
+    sessionization in ANSI SQL — full hash parity, which also proves
+    the two formulations agree."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 @_register("streaming_user_sessions")  # rows-only: stateful, not SQL-shaped
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user via
