@@ -223,3 +223,25 @@ def test_ivf_topk_deterministic(spark):
     a = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(df, queries, k=3, n_clusters=2, n_probe=2).collect())
     b = sorted((r.query_id, r.vec_id, r.rank) for r in ivf_topk(df, queries, k=3, n_clusters=2, n_probe=2).collect())
     assert a == b
+
+
+def test_duplicate_clusters_chain_and_triangle(spark):
+    from workshoop2_etl_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (tests multi-hop propagation) + triangle 10-11-12
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_near_dedup_keep_filters_corpus(spark, docs):
+    from workshoop2_etl_spark.operators.dedup import near_dedup_keep
+
+    kept = near_dedup_keep(docs, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # docs 1,2 exact dups and 3 a near-dup of 1 -> one representative (1);
+    # 4 and 5 unrelated survive.
+    assert ids == [1, 4, 5]

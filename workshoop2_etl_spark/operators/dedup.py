@@ -285,6 +285,92 @@ def near_dedup_minhash(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    duplicate cluster gets the cluster's min id as ``cluster_id``.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm): each round every node adopts the smallest label in
+    its neighborhood; rounds double the propagation radius, so
+    convergence takes O(log(diameter)) iterations — near-dup clusters
+    are shallow (a hub duplicate links its copies), so 2-3 rounds is
+    typical. Each round is two hash joins + an aggregate; the driver
+    reads ONE scalar (the changed-label count) per round for the
+    fixpoint test — no data is collected.
+
+    Output: one row per doc id appearing in ``pairs``:
+    (``{id_col}``, ``cluster_id``). Docs in no pair are absent (their
+    cluster is themselves).
+    """
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    # Undirected edge list, both directions.
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        old = labels
+        labels = new_labels.select("id", "label").persist()
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup corpus filter: MinHash-LSH pairs →
+    connected components → keep each cluster's min-id representative.
+    Returns the surviving rows of ``df`` (all columns)."""
+    pairs = near_dedup_minhash(
+        df, id_col, text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    clusters = duplicate_clusters(pairs, id_col)
+    drop_ids = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop_ids, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

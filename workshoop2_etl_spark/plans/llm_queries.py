@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from workshoop2_etl_spark.operators.dedup import (
     duplicate_groups,
     exact_dedup,
+    near_dedup_keep,
     near_dedup_minhash,
     simhash,
 )
@@ -87,6 +88,17 @@ def neardup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+@_register("near_dedup_corpus_filter")  # rows-only: iterative CC algorithm
+def near_dedup_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup product: LSH pairs → connected-component
+    clusters → corpus minus non-representative duplicates. Rows-only:
+    label propagation is iterative, outside SQL's reach (the driver's
+    weaker check still pins row count + schema)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = near_dedup_keep(docs, "doc_id", "text", threshold=0.3)
+    return kept.select("doc_id", "lang", "source")
 
 
 @_register("simhash_documents")  # rows-only: xxhash64 sketch
