@@ -290,25 +290,67 @@ def duplicate_clusters(
     id_col: str,
     *,
     max_iterations: int = 20,
+    collect_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc in a
     duplicate cluster gets the cluster's min id as ``cluster_id``.
 
-    Iterative min-label propagation (the standard large-graph CC
-    algorithm): each round every node adopts the smallest label in
-    its neighborhood; rounds double the propagation radius, so
-    convergence takes O(log(diameter)) iterations — near-dup clusters
-    are shallow (a hub duplicate links its copies), so 2-3 rounds is
-    typical. Each round is two hash joins + an aggregate; the driver
-    reads ONE scalar (the changed-label count) per round for the
-    fixpoint test — no data is collected.
+    Two code paths, picked by edge count (the broadcast-threshold
+    pattern):
+
+    - **≤ collect_threshold edges**: collect the (8-byte, 8-byte) pair
+      list and run driver-side union-find. LSH pair sets are sparse by
+      construction, so this is the overwhelmingly common case, and it
+      avoids the per-round job-scheduling + codegen overhead that
+      dominates an iterative DataFrame loop on small graphs.
+    - **larger**: distributed min-label propagation — each round every
+      node adopts the smallest label in its neighborhood (two hash
+      joins + an aggregate per round, one scalar to the driver for
+      the fixpoint test). Rounds ≈ graph diameter; at the scale where
+      this path activates, per-round overhead is noise against data
+      movement.
 
     Output: one row per doc id appearing in ``pairs``:
     (``{id_col}``, ``cluster_id``). Docs in no pair are absent (their
     cluster is themselves).
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
-    # Undirected edge list, both directions.
+    # Persist AND materialize the input first: both downstream paths
+    # reference `pairs` more than once, and concurrent branch
+    # execution inside one job would miss a lazy cache and re-run the
+    # whole pair-generation pipeline per reference.
+    pairs = pairs.persist()
+    n_edges = pairs.count()
+
+    if n_edges <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # One collect — bounded at collect_threshold × 16 bytes.
+        # (toLocalIterator would schedule one job per partition.)
+        for row in pairs.select(a, b).collect():
+            x, y = row[0], row[1]
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by min id so the representative is min(cluster)
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        out_rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(F.col(a).alias(id_col)).schema
+        id_type = schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            out_rows, f"{id_col} {id_type}, cluster_id {id_type}"
+        )
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -321,6 +363,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    labels.count()  # materialize edges+labels once, before the loop
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
