@@ -245,3 +245,21 @@ def test_near_dedup_keep_filters_corpus(spark, docs):
     # docs 1,2 exact dups and 3 a near-dup of 1 -> one representative (1);
     # 4 and 5 unrelated survive.
     assert ids == [1, 4, 5]
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from workshoop2_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert duplicate_clusters(pairs, "doc_id").count() == 0
+
+
+def test_lsh_topk_empty_partitions(spark):
+    # Repartitioned input with empty partitions must not crash the
+    # vectorized bucketing UDF (empty Arrow batches).
+    df = spark.createDataFrame(VECS, "vec_id long, embedding array<double>").repartition(16)
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(df, queries, dim=4, k=2, num_tables=4, num_planes=2)
+    assert out.count() >= 0

@@ -122,6 +122,8 @@ def hyperplane_buckets(
 
     @pandas_udf("array<long>")
     def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # Arrow can deliver empty batches
+            return pd.Series([], dtype=object)
         mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
         bits = (mat @ flat >= 0).reshape(len(vs), num_tables, num_planes)
         ids = bits @ weights  # n × L bucket ids
@@ -238,6 +240,8 @@ def ivf_assign(
 
     @pandas_udf("array<int>")
     def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # Arrow can deliver empty batches
+            return pd.Series([], dtype=object)
         mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cn.T
