@@ -5,9 +5,11 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.multimodal import (
+    extract_audio_features,
     MEDIA_SCHEMA,
     attach_media,
     decode_image_metadata,
@@ -95,3 +97,22 @@ def test_partitioning_invariance(spark):
     one = {r.id: r.frame_md5 for r in sample_frames(m.coalesce(1), "media").collect() if r.frame_no == 0}
     many = {r.id: r.frame_md5 for r in sample_frames(m.repartition(8), "media").collect() if r.frame_no == 0}
     assert one == many
+
+
+def test_extract_audio_features_stub(spark):
+    out = extract_audio_features(_media(spark), "media")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].duration_sec == pytest.approx(100 / 32000.0)
+    assert rows[2].rms_profile and len(rows[2].rms_profile) <= 16
+    assert rows[3].duration_sec == 0.0 and rows[3].rms_profile == []
+    # deterministic
+    again = {r.id: r.rms_profile for r in extract_audio_features(_media(spark), "media").collect()}
+    assert {k: v.rms_profile for k, v in rows.items()} == again
+
+
+def test_timestamped_path():
+    from workshoop2_etl_spark.sources.writers import timestamped_path
+
+    assert timestamped_path("/data/merged", "20240101T020000") == \
+        "/data/merged/run_20240101T020000.parquet"
+    assert timestamped_path("s3://b/x/", "t1", ext="csv") == "s3://b/x/run_t1.csv"

@@ -222,6 +222,61 @@ def extract_embedding(
     return df.mapInPandas(batches, schema)
 
 
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    chunk_bytes: int = 4096,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Audio feature extraction: per-payload duration estimate and
+    per-chunk RMS energy profile.
+
+    Real path: ``librosa``/``soundfile`` decode inside the Arrow
+    batch. STUB path (this container): byte-level proxies —
+    deterministic per content, same schema and batch flow. Output:
+    id cols + ``duration_sec`` (float) + ``rms_profile``
+    (array<float>, one value per chunk, ≤16 chunks).
+    """
+    ids = id_cols or [c for c in df.columns if c != media_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("duration_sec", T.FloatType()),
+            T.StructField("rms_profile", T.ArrayType(T.FloatType())),
+        ]
+    )
+    try:  # pragma: no cover - librosa absent in this container
+        import librosa  # noqa: F401
+
+        have_codec = True
+    except ImportError:
+        have_codec = False
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            durs, profiles = [], []
+            for m in pdf[media_col]:
+                b = m["payload"] or b""
+                if have_codec:  # pragma: no cover
+                    raise NotImplementedError("wire librosa.load here")
+                # STUB: 16-bit mono 16 kHz proxy duration; RMS per chunk
+                durs.append(len(b) / (2.0 * 16000.0))
+                prof = []
+                for i in range(0, min(len(b), chunk_bytes * 16), chunk_bytes):
+                    chunk = b[i : i + chunk_bytes]
+                    prof.append(
+                        (sum(x * x for x in chunk) / max(len(chunk), 1)) ** 0.5
+                    )
+                profiles.append([float(p) for p in prof])
+            out = pdf[ids].copy()
+            out["duration_sec"] = [float(d) for d in durs]
+            out["rms_profile"] = profiles
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",

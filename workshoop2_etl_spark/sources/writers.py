@@ -43,6 +43,15 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", single_file:
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def timestamped_path(base: str, run_ts: str, *, ext: str = "parquet") -> str:
+    """Run-timestamped artifact path (reference
+    dags/merge_to_dw.py:113-114 ``merged_{ts}.parquet``,
+    merge_to_drive.py:60-61). ``run_ts`` is a job PARAMETER — the
+    engine never reads the wall clock, so reruns are reproducible."""
+    sep = "" if base.endswith("/") else "/"
+    return f"{base}{sep}run_{run_ts}.{ext}"
+
+
 def seed_table(
     df: DataFrame,
     table: str,
