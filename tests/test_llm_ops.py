@@ -263,3 +263,15 @@ def test_lsh_topk_empty_partitions(spark):
     )
     out = lsh_topk(df, queries, dim=4, k=2, num_tables=4, num_planes=2)
     assert out.count() >= 0
+
+
+def test_lsh_topk_null_embedding_row(spark):
+    # A null embedding must not crash the batch kernel; it buckets to
+    # a constant and simply scores nothing meaningful.
+    rows = VECS + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(df, queries, dim=4, k=3, num_tables=4, num_planes=2)
+    assert out.count() >= 0

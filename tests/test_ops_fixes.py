@@ -107,3 +107,17 @@ def test_read_csv_malformed_rows_null_not_crash(spark, tmp_path):
     )
     rows = {r.id: r.score for r in read_csv(spark, str(p), schema).collect()}
     assert rows == {1: 10, 2: None, 3: 30}
+
+
+def test_histogram_one_bound_all_null(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    # explicit lo, all-null column: must not crash, yields no bins
+    assert histogram(df, "v", bins=5, lo=0.0).collect() == []
+
+
+def test_exact_dedup_rejects_unknown_keep(spark):
+    from workshoop2_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep"):
+        exact_dedup(df, "text", "doc_id", keep="first")

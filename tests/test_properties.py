@@ -85,7 +85,21 @@ def test_mode_or_first_matches_pandas(spark, rows):
 
 
 @settings(**_SETTINGS)
-@given(rows=st.lists(st.tuples(st.integers(0, 100), st.text(max_size=6)), min_size=1, max_size=15))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            # NUL excluded: the pandas ORACLE (numpy fixed-width
+            # strings) wrongly equates '' and '\x00'; Spark is right.
+            st.text(
+                alphabet=st.characters(blacklist_characters="\x00"),
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
 def test_exact_dedup_properties(spark, rows):
     """Idempotent; output ids are the min id per distinct content;
     every distinct content survives exactly once."""

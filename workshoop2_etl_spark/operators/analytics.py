@@ -167,11 +167,10 @@ def histogram(
     the last bin)."""
     if lo is None or hi is None:
         lo_v, hi_v = df.agg(F.min(col), F.max(col)).first()
-        if lo_v is None and lo is None:  # all-null column → no bins
-            lo, hi = 0.0, 0.0
-        else:
-            lo = float(lo_v) if lo is None else lo
-            hi = float(hi_v) if hi is None else hi
+        if lo is None:
+            lo = float(lo_v) if lo_v is not None else 0.0
+        if hi is None:
+            hi = float(hi_v) if hi_v is not None else lo
     # Degenerate range (constant column): one bin holding everything,
     # mirroring matplotlib's expand-around-the-point behavior.
     width = (hi - lo) / bins if hi > lo else 1.0

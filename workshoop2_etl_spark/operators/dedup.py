@@ -49,6 +49,8 @@ def exact_dedup(
     ``max``) ``id_col`` within the group — deterministic, unlike
     ``dropDuplicates`` which keeps an arbitrary row.
     """
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     keep_ids = (
         df.groupBy(F.xxhash64(content_col).alias("__h"))
@@ -183,7 +185,6 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -348,6 +349,7 @@ def duplicate_clusters(
         spark = pairs.sparkSession
         schema = pairs.select(F.col(a).alias(id_col)).schema
         id_type = schema[id_col].dataType.simpleString()
+        pairs.unpersist()  # result is local — the cache is done
         return spark.createDataFrame(
             out_rows, f"{id_col} {id_type}, cluster_id {id_type}"
         )
@@ -386,7 +388,16 @@ def duplicate_clusters(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would split one duplicate cluster
+        # into several "representatives" — fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds max_iterations); raise "
+            "max_iterations or lower collect_threshold"
+        )
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

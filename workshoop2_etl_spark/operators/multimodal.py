@@ -246,21 +246,17 @@ def extract_audio_features(
             T.StructField("rms_profile", T.ArrayType(T.FloatType())),
         ]
     )
-    try:  # pragma: no cover - librosa absent in this container
-        import librosa  # noqa: F401
-
-        have_codec = True
-    except ImportError:
-        have_codec = False
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             durs, profiles = [], []
             for m in pdf[media_col]:
                 b = m["payload"] or b""
-                if have_codec:  # pragma: no cover
-                    raise NotImplementedError("wire librosa.load here")
-                # STUB: 16-bit mono 16 kHz proxy duration; RMS per chunk
+                # STUB path only for now: byte-level proxies. When a
+                # real codec lands (librosa/soundfile), decode here —
+                # the schema and batch flow stay identical. (The stub
+                # must remain the fallback, never a crash, when the
+                # library is merely importable.)
+                # 16-bit mono 16 kHz proxy duration; RMS per chunk:
                 durs.append(len(b) / (2.0 * 16000.0))
                 prof = []
                 for i in range(0, min(len(b), chunk_bytes * 16), chunk_bytes):

@@ -86,6 +86,19 @@ def brute_force_topk(
     )
 
 
+def _coerce_vec(v, dim: int) -> np.ndarray:
+    """Null-safe vector coercion for batch kernels: None or
+    wrong-length embeddings become the zero vector (bucketing to a
+    harmless constant bucket) rather than crashing np.stack with an
+    opaque executor error."""
+    if v is None:
+        return np.zeros(dim)
+    arr = np.asarray(v, dtype=np.float64)
+    if arr.shape != (dim,):
+        return np.zeros(dim)
+    return arr
+
+
 def _hyperplanes(num_tables: int, num_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic L×p×dim Gaussian hyperplane matrix."""
     rng = np.random.default_rng(seed)
@@ -124,7 +137,7 @@ def hyperplane_buckets(
     def _buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:  # Arrow can deliver empty batches
             return pd.Series([], dtype=object)
-        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mat = np.stack(vs.map(lambda v: _coerce_vec(v, dim)))
         bits = (mat @ flat >= 0).reshape(len(vs), num_tables, num_planes)
         ids = bits @ weights  # n × L bucket ids
         return pd.Series(list(ids))
@@ -242,7 +255,8 @@ def ivf_assign(
     def _assign(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:  # Arrow can deliver empty batches
             return pd.Series([], dtype=object)
-        mat = np.stack(vs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dim = c.shape[1]
+        mat = np.stack(vs.map(lambda v: _coerce_vec(v, dim)))
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cn.T
         top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)

@@ -126,12 +126,14 @@ def sessionize(
     """Gap-based sessions per user via ``applyInPandasWithState``.
 
     A session closes when ``gap_minutes`` pass between consecutive
-    events of one user. Each activation emits every session *closed
-    within the batch* plus the trailing open session (flushed so a
-    bounded ``availableNow`` run reports complete results; in a
-    long-running query the open session would instead wait for the
-    timeout). State per user is four scalars — O(users), not
-    O(events).
+    events of one user. Each invocation emits every session *closed
+    within the batch* plus the current open session. **Open-session
+    rows carry upsert semantics**: a later batch that extends the same
+    (user_id, session_no) re-emits it with higher ``n_events``, and
+    the latest row supersedes earlier ones — consumers keep
+    ``max_by(row, n_events)`` per (user_id, session_no) (a bounded
+    single-batch ``availableNow`` run never produces duplicates).
+    State per user is four scalars — O(users), not O(events).
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -145,9 +147,18 @@ def sessionize(
             last_ts, session_no, n_events, start_us = None, 0, 0, None
 
         out: list[dict] = []
-        for pdf in pdfs:
+        # Concatenate ALL chunks before sorting: one group can span
+        # several Arrow chunks, and sorting per chunk would let
+        # last_ts regress between chunks (miscounted sessions).
+        chunks = [pdf["ts"] for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.Series([], dtype="datetime64[us]")
+        )
+        if len(all_ts):
             ts_us = (
-                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+                all_ts.astype("datetime64[us]").astype("int64").sort_values()
             )
             for t in ts_us:
                 if last_ts is not None and t - last_ts > gap_us:
@@ -168,7 +179,7 @@ def sessionize(
                 n_events += 1
                 last_ts = int(t)
 
-        if n_events:  # flush the open session (bounded-run semantics)
+        if n_events:  # emit the open session (upsert semantics, see doc)
             out.append(
                 {
                     "user_id": user_id,
@@ -216,5 +227,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # Returning a partially-written table would silently corrupt
+        # downstream comparisons — fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            f"streaming activation {name!r} exceeded {timeout_sec}s"
+        )
     return stream_df.sparkSession.table(name)
