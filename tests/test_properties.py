@@ -114,3 +114,78 @@ def test_exact_dedup_properties(spark, rows):
     assert got == want
     twice = exact_dedup(once, "text", "doc_id")
     assert sorted((r.doc_id, r.text) for r in twice.collect()) == got
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    ),
+    bins=st.integers(min_value=1, max_value=10),
+)
+def test_histogram_matches_numpy(spark, vals, bins):
+    """Bin counts parity with numpy.histogram over the same range
+    (the reference's seaborn histplot computes exactly this)."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bin: r.n for r in histogram(df, "v", bins=bins).collect()}
+
+    arr = np.array([v for v in vals if v is not None], dtype=float)
+    if arr.size == 0:
+        assert got == {}
+        return
+    if arr.min() == arr.max():
+        assert got == {0: arr.size}
+        return
+    counts, _ = np.histogram(arr, bins=bins, range=(arr.min(), arr.max()))
+    want = {i: int(c) for i, c in enumerate(counts) if c > 0}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.sampled_from(["rock", "punk", "salsa", "  Rock "])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_recode_matches_pandas_map(spark, vals):
+    """recode + defaults parity with the reference's
+    map(genero).fillna('Otro') / map(sub).fillna(original)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.cleaning import recode_with_default
+
+    mapping = {"rock": ("Rock", "classic"), "punk": ("Rock", "punk")}
+    df = spark.createDataFrame([(v,) for v in vals], "genre string")
+    out = recode_with_default(
+        df, "genre", mapping, ["genero", "subgenero"],
+        [F.lit("Otro"), F.col("genre")],
+    )
+    nkey = lambda t: tuple("" if x is None else str(x) for x in t)
+    got = sorted(
+        ((r.genre, r.genero, r.subgenero) for r in out.collect()), key=nkey
+    )
+
+    s = pd.Series(vals, dtype=object)
+    genero = s.map({k: v[0] for k, v in mapping.items()})
+    sub = s.map({k: v[1] for k, v in mapping.items()})
+    want = sorted(
+        (
+            (
+                v,
+                g if pd.notna(g) else "Otro",
+                sb if pd.notna(sb) else v,
+            )
+            for v, g, sb in zip(vals, genero, sub)
+        ),
+        key=nkey,
+    )
+    assert got == want
