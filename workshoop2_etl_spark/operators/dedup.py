@@ -241,7 +241,9 @@ def verify_jaccard(
     # candidate-generation subtree — signatures included — once per
     # reference. Candidates are small by construction (that is the
     # point of LSH), so caching them is cheap and saves a full
-    # upstream recompute.
+    # upstream recompute. The cache stays alive as long as the
+    # returned (lazy) DataFrame does — long-lived sessions running
+    # many dedup jobs should spark.catalog.clearCache() between jobs.
     pairs = pairs.persist()
     ids = (
         pairs.select(
