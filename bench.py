@@ -95,14 +95,33 @@ def main() -> None:
             print(f"{name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
             spark = revive_if_dead(spark)
 
+    # Full per-query detail first; then a SHORT headline as the very
+    # last line. The driver keeps only the tail of stdout (~2 KB), so
+    # the parseable summary must be the final line and must stay small
+    # — the 59-query detail object alone overflows the buffer.
+    n_failed = sum(1 for v in times.values() if v is None)
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_sec",
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    ok = {k: v for k, v in times.items() if v is not None}
+    slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "n_failed": n_failed,
+                "slowest": slowest,
             }
         )
     )
