@@ -121,3 +121,62 @@ def test_exact_dedup_rejects_unknown_keep(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="keep"):
         exact_dedup(df, "text", "doc_id", keep="first")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 hardening: cosine zero-norm guard, near-dedup cache hygiene
+# ---------------------------------------------------------------------------
+
+def test_cosine_zero_and_corrupt_vectors_never_rank(spark):
+    """A zero-norm or NaN vector must yield NULL sim (not NaN) and
+    never surface as a neighbor or near-dup pair."""
+    from workshoop2_etl_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),          # zero norm
+            (3, [float("nan"), 1.0, 0.0]),  # corrupt
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sims = df.select(
+        "vec_id", cosine(F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)), "embedding").alias("s")
+    ).collect()
+    by_id = {r.vec_id: r.s for r in sims}
+    assert by_id[2] is None and by_id[3] is None
+    assert by_id[0] == pytest.approx(1.0)
+
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(df, queries, k=4).collect()
+    got_ids = {r.vec_id for r in top}
+    assert got_ids == {1}  # zero/NaN vectors dropped, not ranked first
+
+
+def test_near_dedup_keep_releases_caches(spark):
+    """near_dedup_keep must leave no cached lineages behind and return
+    the same corpus filter as before the cache-hygiene change."""
+    from workshoop2_etl_spark.operators.dedup import near_dedup_keep
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            # one trailing token changed → shingle Jaccard 7/9 ≈ 0.78,
+            # high enough that ≥1 of the 16 bands collides
+            (3, "the quick brown fox jumps over the lazy dog forever"),
+            (4, "completely unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    kept = near_dedup_keep(docs, "doc_id", "text", threshold=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0

@@ -224,6 +224,7 @@ def verify_jaccard(
     text_col: str,
     *,
     shingle_n: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs — the
     verification step after LSH (candidates only, never all-pairs).
@@ -242,9 +243,15 @@ def verify_jaccard(
     # reference. Candidates are small by construction (that is the
     # point of LSH), so caching them is cheap and saves a full
     # upstream recompute. The cache stays alive as long as the
-    # returned (lazy) DataFrame does — long-lived sessions running
-    # many dedup jobs should spark.catalog.clearCache() between jobs.
+    # returned (lazy) DataFrame does. Callers that materialize the
+    # result and want the cache released pass ``cache_registry`` (a
+    # list the cached frame is appended to; unpersist each entry once
+    # downstream results are materialized — ``near_dedup_keep`` does
+    # exactly that). Without it, long-lived sessions running many
+    # dedup jobs should spark.catalog.clearCache() between jobs.
     pairs = pairs.persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
     ids = (
         pairs.select(
             F.explode(F.array(f"{id_col}_a", f"{id_col}_b")).alias(id_col)
@@ -277,14 +284,20 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: signatures → banded
-    candidates → exact-Jaccard verify → pairs above ``threshold``."""
+    candidates → exact-Jaccard verify → pairs above ``threshold``.
+    ``cache_registry`` forwards to :func:`verify_jaccard` so callers
+    can release the candidate cache after materializing."""
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    verified = verify_jaccard(cands, df, id_col, text_col, shingle_n=shingle_n)
+    verified = verify_jaccard(
+        cands, df, id_col, text_col, shingle_n=shingle_n,
+        cache_registry=cache_registry,
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -293,7 +306,7 @@ def duplicate_clusters(
     id_col: str,
     *,
     max_iterations: int = 20,
-    collect_threshold: int = 5_000_000,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc in a
     duplicate cluster gets the cluster's min id as ``cluster_id``.
@@ -336,10 +349,16 @@ def duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        # One collect — bounded at collect_threshold × 16 bytes.
-        # (toLocalIterator would schedule one job per partition.)
-        for row in pairs.select(a, b).collect():
-            x, y = row[0], row[1]
+        # One driver fetch via toPandas — two int64 columns land as
+        # numpy arrays (~16 bytes/edge; Arrow-batched when
+        # spark.sql.execution.arrow.pyspark.enabled). The union-find
+        # dict on top holds up to 2×threshold boxed-int entries
+        # (~100 bytes each) — the real memory bound, and the reason
+        # the default threshold is 1M edges (~a few hundred MB), not
+        # more. (collect() of Row objects would pay that boxing cost
+        # on the edge list itself as well.)
+        edge_pdf = pairs.select(a, b).toPandas()
+        for x, y in zip(edge_pdf[a].to_list(), edge_pdf[b].to_list()):
             parent.setdefault(x, x)
             parent.setdefault(y, y)
             rx, ry = find(x), find(y)
@@ -417,12 +436,23 @@ def near_dedup_keep(
 ) -> DataFrame:
     """End-to-end near-dedup corpus filter: MinHash-LSH pairs →
     connected components → keep each cluster's min-id representative.
-    Returns the surviving rows of ``df`` (all columns)."""
+    Returns the surviving rows of ``df`` (all columns).
+
+    Cache hygiene: :func:`verify_jaccard`'s candidate cache is
+    unpersisted here once :func:`duplicate_clusters` has materialized
+    the cluster labels (driver path returns a local frame; the
+    distributed path returns an already-persisted, already-counted
+    label frame) — repeated dedup jobs in one session accrete no
+    cached lineages from this entry point."""
+    caches: list = []
     pairs = near_dedup_minhash(
         df, id_col, text_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        cache_registry=caches,
     )
     clusters = duplicate_clusters(pairs, id_col)
+    for cached in caches:
+        cached.unpersist()
     drop_ids = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(drop_ids, id_col, "left_anti")
 

@@ -46,9 +46,17 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array columns (double precision —
-    matches DuckDB ``list_cosine_similarity`` on ``DOUBLE[]``)."""
+    matches DuckDB ``list_cosine_similarity`` on ``DOUBLE[]``).
+
+    NULL (never NaN) when either vector is null, zero-norm, or
+    contains NaN: Spark orders NaN *above* every double, so an
+    unguarded 0/0 would make one corrupt vector the #1 neighbor of
+    every query and a false pair under any ``sim >= t`` filter.
+    NULLs instead sort last under ``desc`` and fail threshold
+    predicates — corrupt vectors drop out."""
     ad, bd = _as_double(a), _as_double(b)
-    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    denom = l2_norm(ad) * l2_norm(bd)
+    return F.when((denom > 0) & ~F.isnan(denom), dot(ad, bd) / denom)
 
 
 def brute_force_topk(
@@ -77,7 +85,9 @@ def brute_force_topk(
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
-    scored = joined.withColumn("sim", cosine(vec_col, "__qvec"))
+    scored = joined.withColumn("sim", cosine(vec_col, "__qvec")).filter(
+        F.col("sim").isNotNull()  # zero-norm/corrupt vectors: never neighbors
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -226,6 +236,7 @@ def lsh_topk(
             query_id_col,
         )
         .withColumn("sim", cosine(vec_col, "__qvec"))
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -331,6 +342,7 @@ def ivf_topk(
         cb.join(F.broadcast(qb), "__cluster")
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("sim", cosine(vec_col, "__qvec"))
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (

@@ -46,9 +46,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if nanos_cols:
         # Runtime SQL conf — must hold on *whatever* session the caller
         # supplies (the driver passes its own), not just the engine's
-        # session factory, so it is (re)set here at read time.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        # session factory, so it is set here at read time and RESTORED
+        # right after: the schema conversion happens at analysis time
+        # (verified: the returned lazy frame executes correctly after
+        # the restore), so leaving it set would only silently change
+        # how unrelated later reads on this session interpret
+        # TIMESTAMP(NANOS) columns. Concurrent reads from other
+        # threads during this narrow window would see the conf set —
+        # acceptable for a driver-side builder API.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+    else:
+        df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -57,17 +57,27 @@ def stream_events(
     rebuilt into the same micro-precision timestamp the batch reader
     produces, so batch and streaming results are comparable."""
     import os
+    import re
 
+    # Session-level conf, deliberately NOT restored here: streaming
+    # micro-batches plan and read files lazily after this returns, so
+    # a save/restore around the builder (the batch reader's approach)
+    # would break every subsequent trigger. Callers sharing the
+    # session with ad-hoc nanos-parquet reads should go through
+    # sources.readers.read_parquet, which rebuilds timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if os.path.isfile(path):
         # The file source derives basePath from the input path and
-        # requires a directory. A glob in the final segment makes the
-        # parent the basePath, so wrap the last char into a one-char
-        # character class when the feed is a single file (the
-        # testdata layout).
+        # requires a directory: stream the parent and select the one
+        # file via pathGlobFilter, with glob metacharacters
+        # backslash-escaped so filenames containing *?[]{} match
+        # literally rather than as patterns.
         head, name = os.path.split(path)
-        path = os.path.join(head, f"{name[:-1]}[{name[-1]}]")
+        reader = reader.option(
+            "pathGlobFilter", re.sub(r"([*?\[\]{}\\])", r"\\\1", name)
+        )
+        path = head
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
