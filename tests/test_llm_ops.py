@@ -275,3 +275,79 @@ def test_lsh_topk_null_embedding_row(spark):
     )
     out = lsh_topk(df, queries, dim=4, k=3, num_tables=4, num_planes=2)
     assert out.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Round 3: SimHash pair search + TF-IDF
+# ---------------------------------------------------------------------------
+
+def test_simhash_neardup_pairs_planted_flips(spark):
+    """Fingerprints differing by 1-3 bits pair up; >3 bits do not —
+    even when the far pair shares a block (popcount verify rejects)."""
+    from workshoop2_etl_spark.operators.dedup import simhash_neardup_pairs
+
+    base = 0x0123456789ABCDEF & ((1 << 63) - 1)
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                     # hamming 1
+        (3, base ^ (1 << 20) ^ (1 << 40)),   # hamming 2 from base
+        # 4 flipped bits packed into one 16-bit block: still shares
+        # the other 3 blocks with base → candidate, must be rejected
+        (4, base ^ 0b1111),
+        (5, (~base) & ((1 << 63) - 1)),      # hamming 63 — no pair
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in simhash_neardup_pairs(fps, "doc_id", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(2, 3)] == 3
+    assert (1, 4) not in got  # hamming 4: candidate via shared blocks,
+    assert got[(2, 4)] == 3   # ...rejected; but 2^4 = 0b1110 is a real pair
+    assert all(5 not in pair for pair in got)
+
+
+def test_simhash_neardup_pairs_on_documents(spark, sf_dir):
+    """Planted exact duplicates in the documents table must surface
+    as hamming-0 pairs."""
+    from workshoop2_etl_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    fps = simhash(docs, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fps, "doc_id", max_hamming=3)
+    zero = pairs.filter(F.col("hamming") == 0).count()
+    assert zero > 0
+
+
+def test_tf_idf_small_corpus(spark):
+    """Hand-checked TF-IDF on a 3-doc corpus (smooth idf)."""
+    import math
+
+    from workshoop2_etl_spark.operators.textstats import tf_idf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+        for r in tf_idf(docs, "doc_id", "text").collect()
+    }
+    def w(tf, df, n=3):
+        return tf * (math.log((n + 1) / (df + 1)) + 1)
+
+    assert got[(1, "apple")][0] == 2 and got[(1, "apple")][1] == 1
+    assert got[(1, "apple")][2] == pytest.approx(w(2, 1))
+    assert got[(2, "banana")][2] == pytest.approx(w(1, 2))
+    assert got[(3, "cherry")][2] == pytest.approx(w(3, 2))
+    assert len(got) == 5

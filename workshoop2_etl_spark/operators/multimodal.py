@@ -131,10 +131,16 @@ def decode_image_metadata(
         for pdf in it:
             payloads = pdf[media_col].map(lambda m: m["payload"])
             if have_pil:  # pragma: no cover
-                from PIL import Image
 
-                dims = payloads.map(lambda b: Image.open(io.BytesIO(b)).size)
-                modes = payloads.map(lambda b: Image.open(io.BytesIO(b)).mode)
+                def _open(b):
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(b))  # one open per payload
+                    return img.size[0], img.size[1], img.mode
+
+                decoded = payloads.map(_open)
+                dims = decoded.map(lambda t: (t[0], t[1]))
+                modes = decoded.map(lambda t: t[2])
             else:
                 dims = payloads.map(_fake_dims)
                 modes = "STUB"
@@ -247,6 +253,8 @@ def extract_audio_features(
         ]
     )
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             durs, profiles = [], []
             for m in pdf[media_col]:
@@ -256,15 +264,20 @@ def extract_audio_features(
                 # the schema and batch flow stay identical. (The stub
                 # must remain the fallback, never a crash, when the
                 # library is merely importable.)
-                # 16-bit mono 16 kHz proxy duration; RMS per chunk:
+                # 16-bit mono 16 kHz proxy duration; RMS per chunk,
+                # vectorized: one frombuffer + one reduceat per doc
+                # instead of a per-byte Python loop.
                 durs.append(len(b) / (2.0 * 16000.0))
-                prof = []
-                for i in range(0, min(len(b), chunk_bytes * 16), chunk_bytes):
-                    chunk = b[i : i + chunk_bytes]
-                    prof.append(
-                        (sum(x * x for x in chunk) / max(len(chunk), 1)) ** 0.5
-                    )
-                profiles.append([float(p) for p in prof])
+                head = b[: chunk_bytes * 16]
+                if head:
+                    sq = np.frombuffer(head, dtype=np.uint8).astype(np.float64)
+                    sq *= sq
+                    starts = np.arange(0, len(sq), chunk_bytes)
+                    lens = np.diff(np.append(starts, len(sq)))
+                    rms = np.sqrt(np.add.reduceat(sq, starts) / lens)
+                    profiles.append([float(p) for p in rms])
+                else:
+                    profiles.append([])
             out = pdf[ids].copy()
             out["duration_sec"] = [float(d) for d in durs]
             out["rms_profile"] = profiles
@@ -296,18 +309,32 @@ def sample_frames(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[media_col]["payload"] or b""
-                n = min(max_frames, max(1, len(payload) // every_n_bytes))
-                for i in range(n):
-                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    rows.append(
-                        {**{c: r[c] for c in ids},
-                         "frame_no": i,
-                         "frame_md5": hashlib.md5(chunk).hexdigest()}
-                    )
-            yield pd.DataFrame(rows, columns=[*ids, "frame_no", "frame_md5"])
+            # Column-wise explode: compute per-row frame counts, then
+            # replicate the id columns with one positional take —
+            # the only per-frame Python is the md5 itself (which the
+            # real ``av`` keyframe decode would be per-frame anyway).
+            payloads = [m["payload"] or b"" for m in pdf[media_col]]
+            counts = np.clip(
+                np.array([len(p) for p in payloads], dtype=np.int64)
+                // every_n_bytes,
+                1,
+                max_frames,
+            )
+            row_idx = np.repeat(np.arange(len(payloads)), counts)
+            frame_nos = np.concatenate(
+                [np.arange(n) for n in counts]
+            ) if len(counts) else np.array([], dtype=int)
+            out = pdf[ids].iloc[row_idx].reset_index(drop=True)
+            out["frame_no"] = frame_nos.astype("int32")
+            out["frame_md5"] = [
+                hashlib.md5(
+                    payloads[r][i * every_n_bytes : (i + 1) * every_n_bytes]
+                ).hexdigest()
+                for r, i in zip(row_idx, frame_nos)
+            ]
+            yield out
 
     return df.mapInPandas(batches, schema)

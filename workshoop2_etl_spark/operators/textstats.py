@@ -187,3 +187,50 @@ def fingerprint(
         f" i -> md5(substring({text_col}, i, {ngram}))))), 1, {k}), ',')"
     )
     return df.withColumn(out_col, F.expr(expr))
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF weights over lower-cased whitespace
+    terms, with the smooth-idf formula ``tf · (ln((N+1)/(df+1)) + 1)``
+    (sklearn's ``TfidfTransformer(smooth_idf=True)`` convention —
+    strictly positive, division-safe).
+
+    Plan shape: one explode → (doc, term) count aggregate; document
+    frequency as a second aggregate on term joined back; corpus size
+    as a broadcast one-row aggregate cross-join, so the whole thing
+    stays ONE lazy plan (no driver-side count action). The df join
+    shuffles on ``term`` — hot stopword terms are exactly the AQE
+    skew-join case, and a window-over-term formulation was rejected
+    deliberately: it would put every row of a billion-doc term in one
+    partition, while the groupBy side partial-aggregates map-side.
+
+    Output: ``{id_col}``, ``term``, ``tf``, ``df``, ``tfidf``.
+    """
+    terms = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(terms).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )

@@ -437,3 +437,92 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     included; hence fully oracle-checked."""
     docs = _t(spark, sf_dir, "documents")
     return fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: TF-IDF, SimHash pair search, resize/audio stub plumbing
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfreq.df AS BIGINT) AS df,
+       round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+         AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+@_register("tfidf_documents", _TFIDF_SQL)
+def tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF with smooth idf — explode → two
+    aggregates → term join (AQE-skew-safe), corpus size as a broadcast
+    one-row cross join; fully oracle-checked against the same formula
+    in DuckDB."""
+    from workshoop2_etl_spark.operators.textstats import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tfidf", 4).alias("tfidf"),
+    )
+
+
+@_register("simhash_neardup_pairs_documents")  # rows-only: xxhash64 sketch
+def simhash_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair search: blocked-prefix bucket self-join +
+    exact popcount verify (hamming ≤ 3). The planted exact duplicates
+    in ``documents`` surface as hamming-0 pairs. Rows-only: the
+    fingerprint hash (xxhash64) has no DuckDB twin."""
+    from workshoop2_etl_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash(docs, "doc_id", "text")
+    out = simhash_neardup_pairs(fps, "doc_id", max_hamming=3)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@_register("resize_images_documents")  # rows-only: stub codec (PIL absent)
+def resize_images_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the mapInPandas stub (deterministic
+    truncate/pad to the 16×16 thumbnail byte budget) with metadata
+    restamped; projected through ``media_metadata`` so the payload is
+    pruned from the result."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        media_metadata,
+        resize_images,
+    )
+
+    resized = resize_images(_media_docs(spark, sf_dir), (16, 16), "media")
+    return media_metadata(resized, "media")
+
+
+@_register("audio_features_documents")  # rows-only: stub codec (librosa absent)
+def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the mapInPandas stub
+    (numpy-vectorized per-chunk RMS + duration proxy over the payload
+    bytes) — the Arrow batch flow a real librosa decode drops into."""
+    from workshoop2_etl_spark.operators.multimodal import extract_audio_features
+
+    out = extract_audio_features(_media_docs(spark, sf_dir), "media")
+    return out.select(
+        "doc_id",
+        F.round("duration_sec", 4).alias("duration_sec"),
+        F.transform("rms_profile", lambda x: F.round(x, 4)).alias("rms_profile"),
+    )
