@@ -78,3 +78,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"_merge", "n_keys", "n_orders", "total_price"}
+
+
+def test_correctness_window_holds_every_oracle():
+    """The driver records rows for only the first 50 registry entries;
+    every oracle-backed query must sit inside that window unless
+    explicitly demoted (and then it stays covered by this module's
+    full mirror)."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    window = names[: e._CORRECTNESS_WINDOW]
+    stragglers = [
+        n
+        for n in names[e._CORRECTNESS_WINDOW :]
+        if n in oracles and n not in e._DEMOTED_ORACLES
+    ]
+    assert stragglers == []
+    # and the window is not wasted on rows-only entries while oracles wait
+    rows_only_in_window = [n for n in window if n not in oracles]
+    oracles_outside = [n for n in names[e._CORRECTNESS_WINDOW :] if n in oracles]
+    assert not (rows_only_in_window and oracles_outside != [
+        n for n in oracles_outside if n in e._DEMOTED_ORACLES
+    ])

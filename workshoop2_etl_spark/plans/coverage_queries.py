@@ -349,3 +349,65 @@ def ensure_columns_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformed.groupBy("o_orderstatus", "source_file", "batch_no").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@_register(
+    "sink_roundtrip_orders",
+    """
+SELECT d.status_desc, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders o
+JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+  AS d(status, status_desc)
+  ON o.o_orderstatus = d.status
+GROUP BY d.status_desc
+""",
+)
+def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + S8 + P1 + P2 in one oracle-checked pass: orders subset →
+    parquet sink → parquet scan (byte-exact round trip), a records
+    dim seeded through ``saveAsTable`` (catalog + data atomically,
+    reference bd.py:11-42's CREATE TABLE + INSERT loop) and read back
+    via ``spark.table``, with a validated column rename (P1) and a
+    column drop (P2) applied to the re-read frame before the
+    broadcast dim join and final aggregate. The aggregate equals the
+    same computed directly on ``orders`` — proving the sinks are
+    lossless and rename/drop touch exactly the intended columns."""
+    from workshoop2_etl_spark.operators.cleaning import rename_columns
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.sources.writers import seed_table, write_parquet
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "workshoop2_parquet_roundtrip_orders"
+    )
+    subset = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    write_parquet(subset, out_dir)
+    back = read_parquet(spark, out_dir)
+
+    renamed = rename_columns(
+        back, {"o_totalprice": "price", "o_orderstatus": "status"}
+    )
+    trimmed = renamed.drop("o_custkey")
+
+    dim = from_records(
+        spark,
+        [
+            {"status": "O", "status_desc": "open"},
+            {"status": "F", "status_desc": "finished"},
+            {"status": "P", "status_desc": "pending"},
+        ],
+        "status string, status_desc string",
+    )
+    seed_table(dim, "workshoop2_status_dim")
+    dim_back = spark.table("workshoop2_status_dim")
+
+    return (
+        trimmed.join(F.broadcast(dim_back), "status")
+        .groupBy("status_desc")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+    )
