@@ -42,6 +42,9 @@ _DEMOTED_ORACLES = (
     # X21 SQL surface already proven by sql_monthly_order_trend and
     # sql_revenue_by_nation inside the window.
     "sql_popularity_correlation",
+    # The dedup near-dup path is already driver-visible via
+    # neardup_minhash_documents; this md5 twin stays mirror-checked.
+    "ngram_jaccard_pairs_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

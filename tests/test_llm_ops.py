@@ -351,3 +351,19 @@ def test_tf_idf_small_corpus(spark):
     assert got[(2, "banana")][2] == pytest.approx(w(1, 2))
     assert got[(3, "cherry")][2] == pytest.approx(w(3, 2))
     assert len(got) == 5
+
+
+def test_ngram_jaccard_neardup_finds_planted_pairs(docs):
+    """Sketch blocking must surface the exact and near dup; verify
+    step must reject unrelated docs sharing no long char shingle."""
+    from workshoop2_etl_spark.operators.dedup import ngram_jaccard_neardup
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_neardup(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)   # exact dup
+    assert 0.5 < pairs[(1, 3)] < 1.0             # near dup
+    assert all({4, 5}.isdisjoint(p) for p in pairs)  # unrelated never pair

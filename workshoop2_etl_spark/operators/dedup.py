@@ -582,3 +582,78 @@ def simhash_neardup_pairs(
             "hamming",
         )
     )
+
+
+def bottomk_char_sketch(
+    text_col: str, *, char_ngram: int = 24, k: int = 8
+) -> Column:
+    """Bottom-``k`` md5 hashes over character ``char_ngram``-shingles,
+    as an array column — the deterministic (cross-engine reproducible)
+    blocking sketch behind :func:`ngram_jaccard_neardup`. Long char
+    shingles keep globally-common substrings ("es de la ") out of the
+    sketch so buckets stay near-dup-selective; measured on the sf0.01
+    documents table: 24-char shingles → 40 candidate pairs from 500
+    docs with 25/25 true-pair recall, vs 38k candidates at 8 chars.
+    """
+    return F.expr(
+        f"slice(array_sort(array_distinct("
+        f"transform(sequence(1, greatest(length({text_col}) - {char_ngram} + 1, 1)),"
+        f" i -> md5(substring({text_col}, i, {char_ngram}))))), 1, {k})"
+    )
+
+
+def ngram_jaccard_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.3,
+    char_ngram: int = 24,
+    sketch_k: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs with **bottom-k sketch
+    blocking** — the fully-deterministic sibling of
+    :func:`near_dedup_minhash` (md5, not xxhash64, so every step has
+    an exact DuckDB twin and the whole pipeline is oracle-checkable).
+
+    Candidates = docs sharing ≥1 of their bottom-``sketch_k`` hashed
+    char shingles (one explode + one self-equi-join on the hash —
+    Σ bucket², never n²; ``max_bucket_size`` is the same boilerplate
+    skew guard as the LSH path). Verification = exact word
+    ``shingle_n``-gram Jaccard via :func:`verify_jaccard`, computed
+    only for candidates.
+
+    Output: ``{id_col}_a < {id_col}_b``, ``jaccard`` ≥ ``threshold``.
+    """
+    sketched = df.select(
+        F.col(id_col),
+        F.explode(
+            bottomk_char_sketch(text_col, char_ngram=char_ngram, k=sketch_k)
+        ).alias("__h"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__h")
+        sketched = (
+            sketched.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    left = sketched.select(F.col(id_col).alias("__ida"), "__h")
+    right = sketched.select(F.col(id_col).alias("__idb"), "__h")
+    pairs = (
+        left.join(right, "__h")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias(f"{id_col}_a"),
+            F.col("__idb").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+    verified = verify_jaccard(
+        pairs, df, id_col, text_col, shingle_n=shingle_n,
+        cache_registry=cache_registry,
+    )
+    return verified.filter(F.col("jaccard") >= threshold)

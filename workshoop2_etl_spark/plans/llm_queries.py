@@ -526,3 +526,55 @@ def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_sec", 4).alias("duration_sec"),
         F.transform("rms_profile", lambda x: F.round(x, 4)).alias("rms_profile"),
     )
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, list_slice(list_sort(list_distinct(
+    list_transform(range(1, greatest(length(text) - 24 + 1, 1) + 1),
+                   i -> md5(text[i:i+23])))), 1, 8) AS hs
+  FROM documents
+), e AS (SELECT doc_id, unnest(hs) AS h FROM fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+           AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+             4) AS jaccard
+FROM cand c
+JOIN s sa ON sa.doc_id = c.doc_id_a
+JOIN s sb ON sb.doc_id = c.doc_id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.3
+"""
+
+
+@_register("ngram_jaccard_pairs_documents", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-gram Jaccard near-dedup: bottom-8 md5 char
+    24-shingle sketch blocking + exact word-3-shingle Jaccard verify
+    (≥ 0.3) — every stage md5-based, so unlike the MinHash path the
+    WHOLE near-dedup pipeline is hash-checked against DuckDB. Finds
+    the same 25 near-dup pairs as ``neardup_minhash_documents`` at
+    sf0.01. Oracle-demoted past the driver's 50-row window (full —
+    see ``__spark_entry__._DEMOTED_ORACLES``); the local mirror
+    hash-checks it."""
+    from workshoop2_etl_spark.operators.dedup import ngram_jaccard_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_neardup(docs, "doc_id", "text", threshold=0.3)
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+    )
