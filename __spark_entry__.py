@@ -45,6 +45,8 @@ _DEMOTED_ORACLES = (
     # The dedup near-dup path is already driver-visible via
     # neardup_minhash_documents; this md5 twin stays mirror-checked.
     "ngram_jaccard_pairs_documents",
+    # As-of join: mirror-checked against DuckDB's native ASOF JOIN.
+    "asof_join_events_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -118,3 +118,31 @@ def test_merge_pipeline_checkpoint_roundtrip(spark, tmp_path):
     assert "Join" not in plan
     got = {(r["key"], r["_merge"]) for r in out.collect()}
     assert got == {("a", "left_only"), ("b", "both"), ("c", "right_only")}
+
+
+def test_asof_join_backward_semantics(spark):
+    """Exact-timestamp match counts; no prior right row → NULLs;
+    latest prior right row wins."""
+    from workshoop2_etl_spark.operators.merge import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", 5),
+            (2, "k", 10),   # exact match with right ts=10
+            (3, "k", 11),
+            (4, "k", 3),    # before any right row
+            (5, "z", 100),  # key with no right rows at all
+        ],
+        "event_id long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 4, "a"), ("k", 10, "b"), ("k", 20, "c")],
+        "key string, ts long, val string",
+    )
+    out = {
+        r.event_id: r.val
+        for r in asof_join(
+            left, right, ["key"], "ts", value_cols=["val"]
+        ).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: "b", 4: None, 5: None}

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.functions.text import normalize_join_keys
@@ -142,3 +142,73 @@ def merge_provenance_counts(merged: DataFrame, indicator_col: str = "_merge") ->
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc(indicator_col))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    *,
+    value_cols: Sequence[str],
+    matched_prefix: str = "",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    greatest ``ts_col`` ≤ its own, within equal ``key_cols`` (the
+    time-series "most recent quote for this trade" operator; DuckDB's
+    ``ASOF JOIN``, pandas ``merge_asof``). Exact-timestamp matches
+    count.
+
+    Spark has no as-of join; the scalable composition is
+    union-and-carry: tag right rows 0 and left rows 1, union, and
+    per-key ``last(value, ignorenulls=True)`` over a window ordered
+    by (ts, tag) with an unbounded-preceding row frame — right values
+    carry forward to every later left row, right-before-left on ties.
+    ONE shuffle on the key (the same partitioning both inputs would
+    need anyway), no range-explosion, no per-row Python; a
+    broadcast-range-join formulation explodes on wide time ranges and
+    a UDF formulation leaves codegen.
+
+    ``right`` must be unique per (key, ts) — pre-aggregate ties
+    upstream or the carried value is nondeterministic (this operator
+    asserts nothing about it, matching DuckDB, which picks an
+    arbitrary row among equal timestamps).
+
+    Left rows with no prior right row keep NULL values (left join
+    semantics). Output: all left columns + ``value_cols`` (optionally
+    ``matched_prefix``-ed).
+    """
+    keys = list(key_cols)
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    r = right.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    # unionByName with missing columns filled null keeps left's extra
+    # columns without projecting them onto right rows by hand.
+    unioned = r.unionByName(l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *left_cols,
+        *[
+            F.col(f"__match.{c}").alias(f"{matched_prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return out

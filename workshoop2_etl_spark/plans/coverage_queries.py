@@ -411,3 +411,58 @@ def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("total"),
         )
     )
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         max(o_orderkey) AS orderkey,
+         max_by(o_totalprice, o_orderkey) AS price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(r.orderkey AS BIGINT) AS matched_orderkey,
+       round(r.price, 2) AS matched_price
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+@_register("asof_join_events_orders", _ASOF_SQL)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (a time-series operator Spark lacks): each
+    event picks the user's most recent order at or before the event
+    timestamp, via the one-shuffle union-and-carry composition in
+    ``operators.merge.asof_join``. The right side is pre-deduped per
+    (user, day) — max orderkey wins — so the match is deterministic;
+    the oracle is DuckDB's native ``ASOF LEFT JOIN``. Oracle-demoted
+    past the driver's full 50-row window; hash-checked by the local
+    mirror."""
+    from workshoop2_etl_spark.operators.merge import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    right = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("__m"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("__m.o_orderkey").alias("orderkey"),
+            F.col("__m.o_totalprice").alias("price"),
+        )
+    )
+    left = events.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, right, ["user_id"], "ts",
+        value_cols=["orderkey", "price"], matched_prefix="matched_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("matched_orderkey").cast("long").alias("matched_orderkey"),
+        F.round("matched_price", 2).alias("matched_price"),
+    )
