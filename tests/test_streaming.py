@@ -118,3 +118,47 @@ def test_parquet_sink_checkpoint_no_reprocess(spark, session_fixture, tmp_path):
     assert first == 5
     activate()  # no new files arrived
     assert spark.read.parquet(out).count() == first
+
+
+def test_available_now_checkpoint_resume(spark, tmp_path):
+    """Two activations over a growing directory: the second must
+    process ONLY the file that arrived after the first checkpoint
+    (incremental cron semantics, no recompute, no duplicates)."""
+    import pandas as pd
+
+    from workshoop2_etl_spark.streaming.events import (
+        run_available_now_to_parquet,
+        stream_events,
+    )
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def write_batch(name: str, ids: list[int]) -> None:
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime([1_700_000_000_000_000_000 + i for i in ids]),
+                "user_id": [i % 3 for i in ids],
+                "event_type": ["click"] * len(ids),
+                "value": [float(i) for i in ids],
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(in_dir / name)
+
+    write_batch("b1.parquet", [1, 2, 3])
+    run_available_now_to_parquet(
+        stream_events(spark, str(in_dir)), out_dir, ckpt, timeout_sec=120
+    )
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 3
+
+    write_batch("b2.parquet", [10, 11])
+    run_available_now_to_parquet(
+        stream_events(spark, str(in_dir)), out_dir, ckpt, timeout_sec=120
+    )
+    both = spark.read.parquet(out_dir)
+    assert both.count() == 5  # 3 + 2, batch 1 NOT reprocessed
+    assert sorted(r.event_id for r in both.collect()) == [1, 2, 3, 10, 11]

@@ -195,6 +195,7 @@ def tf_idf(
     text_col: str,
     *,
     min_df: int = 1,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-(document, term) TF-IDF weights over lower-cased whitespace
     terms, with the smooth-idf formula ``tf · (ln((N+1)/(df+1)) + 1)``
@@ -210,6 +211,14 @@ def tf_idf(
     deliberately: it would put every row of a billion-doc term in one
     partition, while the groupBy side partial-aggregates map-side.
 
+    The ``tf`` frame feeds two consumers (the join's left side and the
+    document-frequency aggregate); Catalyst does not reuse the
+    subtree, so by default the corpus is tokenized twice — an
+    embarrassingly-parallel recompute with no extra shuffle, usually
+    the right trade. Pass ``cache_registry`` (a list; the persisted
+    frame is appended for the caller to unpersist after materializing)
+    to tokenize once at the cost of caching |doc×term| rows.
+
     Output: ``{id_col}``, ``term``, ``tf``, ``df``, ``tfidf``.
     """
     terms = F.filter(
@@ -220,6 +229,9 @@ def tf_idf(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if cache_registry is not None:
+        tf = tf.persist()
+        cache_registry.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)

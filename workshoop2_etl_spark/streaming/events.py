@@ -246,3 +246,39 @@ def run_available_now(
             f"streaming activation {name!r} exceeded {timeout_sec}s"
         )
     return stream_df.sparkSession.table(name)
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    timeout_sec: int = 300,
+) -> None:
+    """Durable bounded activation: process all currently-available
+    input, append results to a parquet directory, record offsets in
+    ``checkpoint_dir``, stop.
+
+    This is the production twin of :func:`run_available_now` (which
+    lands in a test-only memory sink): re-invoking with the same
+    checkpoint resumes from the recorded offsets and processes ONLY
+    files that arrived since the last activation — the reference's
+    weekly-cron full recompute (reference dags/merge_to_dw.py's
+    schedule) becomes incremental with exactly-once file-sink
+    semantics (the sink's transaction log makes half-written
+    activations invisible to readers).
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming activation to {out_dir!r} exceeded {timeout_sec}s"
+        )
