@@ -146,3 +146,58 @@ def test_asof_join_backward_semantics(spark):
         ).collect()
     }
     assert out == {1: "a", 2: "b", 3: "b", 4: None, 5: None}
+
+
+def test_range_join_bins_exact(spark):
+    """Bin bucketing must reproduce the exact BETWEEN semantics and
+    emit each matching pair exactly once, including intervals that
+    span multiple bins."""
+    from workshoop2_etl_spark.operators.merge import range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 5), (2, "k", 10), (3, "k", 25), (4, "z", 5)],
+        "pid long, key string, p long",
+    )
+    right = spark.createDataFrame(
+        # interval 0..22 spans bins 0,1,2 at bin_size=10
+        [(100, "k", 0, 22), (200, "k", 9, 11), (300, "z", 6, 7)],
+        "rid long, key string, lo long, hi long",
+    )
+    out = range_join(left, right, ["key"], "p", "lo", "hi", bin_size=10)
+    got = {(r.pid, r.rid) for r in out.collect()}
+    assert got == {(1, 100), (2, 100), (2, 200)}  # 3,4 match nothing
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: asof_join == pandas.merge_asof on random inputs
+    (unique right timestamps per key, allow_exact_matches=True)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    keys = ["a", "b", "c"]
+    left_rows = [
+        (i, rng.choice(keys), rng.randrange(0, 200)) for i in range(120)
+    ]
+    right_ts = {(k, t) for k in keys for t in rng.sample(range(0, 200), 25)}
+    right_rows = [
+        (k, t, f"{k}{t}") for (k, t) in sorted(right_ts) if rng.random() < 0.8
+    ]
+    from workshoop2_etl_spark.operators.merge import asof_join
+
+    left = spark.createDataFrame(left_rows, "event_id long, key string, ts long")
+    right = spark.createDataFrame(right_rows, "key string, ts long, val string")
+    got = {
+        r.event_id: r.val
+        for r in asof_join(left, right, ["key"], "ts", value_cols=["val"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["key", "ts", "val"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="key", direction="backward")
+    expected = {
+        int(r.event_id): (None if pd.isna(r.val) else r.val)
+        for r in exp.itertuples()
+    }
+    assert got == expected

@@ -212,3 +212,54 @@ def asof_join(
         ],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bin_size: int,
+) -> DataFrame:
+    """Range (interval) join: left rows whose numeric ``point_col``
+    falls inside a right row's ``[lo_col, hi_col]``, within equal
+    ``key_cols`` — the "events inside this order's window" shape.
+
+    Spark plans a naive inequality join as a broadcast-nested-loop
+    (quadratic, executor-OOM at scale); the scale path is **bin
+    bucketing**: right intervals explode to every ``bin_size``-wide
+    bin they cover, left points compute their single bin, and the
+    join becomes an equi-join on (keys, bin) with the exact
+    ``BETWEEN`` re-applied as a post-filter. Each matching pair
+    surfaces exactly once (the left row's bin is unique), so no
+    dedup pass. Pick ``bin_size`` ≈ the typical interval width: the
+    explode factor is ~(width/bin_size + 1) while bucket sizes stay
+    ~point-density × bin_size.
+
+    ``point_col``/``lo_col``/``hi_col`` must be numeric (cast
+    timestamps with ``unix_micros`` — integer comparisons are also
+    what keeps cross-engine oracle comparisons exact under nanosecond
+    truncation). Non-key output column names must not collide.
+    """
+    keys = list(key_cols)
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_size),
+                F.floor(F.col(hi_col) / bin_size),
+            )
+        ),
+    )
+    l = left.withColumn("__bin", F.floor(F.col(point_col) / bin_size))
+    return (
+        l.join(r, [*keys, "__bin"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bin")
+    )

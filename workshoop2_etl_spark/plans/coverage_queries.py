@@ -480,3 +480,74 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_orderkey").cast("long").alias("matched_orderkey"),
         F.round("matched_price", 2).alias("matched_price"),
     )
+
+
+_RANGE_JOIN_SQL = """
+SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_id <> e2.event_id
+ AND epoch_us(e1.ts) >= epoch_us(e2.ts)
+ AND epoch_us(e1.ts) <= epoch_us(e2.ts) + 3600000000
+GROUP BY e1.user_id
+"""
+
+
+@_register("range_join_events_within_hour", _RANGE_JOIN_SQL)
+def range_join_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bin bucketing (``operators.merge.range_join``):
+    per user, count ordered event pairs whose timestamps fall within
+    one hour — an equi-join on (user, hour-bin) plus an exact BETWEEN
+    filter, never a broadcast-nested-loop. Micros-integer comparisons
+    both engines. Oracle-demoted past the driver's full 50-row window;
+    hash-checked by the local mirror."""
+    from workshoop2_etl_spark.operators.merge import range_join
+
+    events = _t(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    left = events.select(
+        "user_id",
+        F.col("event_id").alias("e1"),
+        F.unix_micros("ts").alias("p"),
+    )
+    right = events.select(
+        "user_id",
+        F.col("event_id").alias("e2"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + hour_us).alias("hi"),
+    )
+    out = range_join(
+        left, right, ["user_id"], "p", "lo", "hi", bin_size=hour_us
+    ).filter(F.col("e1") != F.col("e2"))
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_ROLLUP_SQL = """
+SELECT year(o_orderdate) AS o_year, o_orderpriority,
+       CAST(grouping_id(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+"""
+
+
+@_register("rollup_revenue_year_priority", _ROLLUP_SQL)
+def rollup_revenue_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: ``rollup(year, priority)``
+    with ``grouping_id`` disambiguating subtotal rows from genuine
+    NULL groups — the dashboard's year/priority drill-down without a
+    union of three aggregates. Oracle-demoted past the driver's full
+    window; hash-checked by the local mirror."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    return (
+        orders.rollup("o_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_year", "o_orderpriority", "gid", "n", "total")
+    )
