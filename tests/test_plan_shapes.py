@@ -6,6 +6,7 @@ degrades the plan fails CI rather than the 100 TB run."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -158,3 +159,46 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         for t in warehouse_tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange operators — the whole
+    point of paying the bucketing cost at write time."""
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.sources.writers import (
+        drop_table,
+        seed_bucketed_table,
+    )
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    drop_table(spark, "bkt_orders")
+    drop_table(spark, "bkt_customer")
+    seed_bucketed_table(
+        orders, "bkt_orders", buckets=8,
+        bucket_cols=["o_custkey"], sort_cols=["o_custkey"],
+    )
+    seed_bucketed_table(
+        customer, "bkt_customer", buckets=8,
+        bucket_cols=["c_custkey"], sort_cols=["c_custkey"],
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        drop_table(spark, "bkt_orders")
+        drop_table(spark, "bkt_customer")

@@ -400,20 +400,12 @@ def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "status string, status_desc string",
     )
-    # A fresh session's catalog does not own a leftover warehouse
-    # directory from an earlier run, and overwrite-mode saveAsTable
-    # then fails with LOCATION_ALREADY_EXISTS — drop the table and
-    # clear any orphaned location before seeding.
-    import shutil
-    from urllib.parse import urlparse
+    # drop_table clears both the catalog entry and any orphaned
+    # warehouse directory a previous session left behind (overwrite
+    # saveAsTable dies with LOCATION_ALREADY_EXISTS otherwise).
+    from workshoop2_etl_spark.sources.writers import drop_table
 
-    spark.sql("DROP TABLE IF EXISTS workshoop2_status_dim")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = os.path.join(
-        urlparse(warehouse).path or warehouse, "workshoop2_status_dim"
-    )
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
+    drop_table(spark, "workshoop2_status_dim")
     seed_table(dim, "workshoop2_status_dim")
     dim_back = spark.table("workshoop2_status_dim")
 

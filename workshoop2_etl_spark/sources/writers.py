@@ -94,3 +94,48 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def drop_table(spark, table: str) -> None:
+    """Drop a catalog table AND clear its orphaned warehouse location.
+
+    A fresh session's in-memory catalog does not own directories left
+    by earlier sessions, and overwrite-mode ``saveAsTable`` then dies
+    with LOCATION_ALREADY_EXISTS — this makes reseeding idempotent
+    across sessions (the reference's ``CREATE TABLE IF NOT EXISTS``
+    dance, reference bd.py:11-42, done safely)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(urlparse(warehouse).path or warehouse, table.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+
+
+def seed_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    primitive: two tables bucketed by the same key into the same
+    bucket count join with ZERO shuffle (each task reads matching
+    bucket files from both sides), and ``sort_cols`` additionally
+    skips the sort of a sort-merge join. At 100 TB this converts the
+    nightly fact×dim reconciliation from a full two-sided shuffle
+    into a scan — the write pays the partitioning cost ONCE instead
+    of every downstream join paying it.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
