@@ -367,3 +367,21 @@ def test_ngram_jaccard_neardup_finds_planted_pairs(docs):
     assert pairs[(1, 2)] == pytest.approx(1.0)   # exact dup
     assert 0.5 < pairs[(1, 3)] < 1.0             # near dup
     assert all({4, 5}.isdisjoint(p) for p in pairs)  # unrelated never pair
+
+
+def test_corpus_pipeline_composition(spark):
+    """Quality gate drops junk, language filter keeps 'en', exact dup
+    collapses, near-dup collapses — one lazy composition."""
+    from workshoop2_etl_spark.plans.pipelines import corpus_pipeline
+
+    rows = list(DOCS) + [
+        (6, "@@ ## $$ %% ^^ && ** (( )) !!"),  # punctuation junk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = corpus_pipeline(
+        docs, min_quality=0.5, langs=["en"], neardup_threshold=0.5
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 2 = exact dup of 1; 3 = near dup of 1; 4 = below the 10-token
+    # length gate (quality 0.49); 5 = spanish; 6 = junk ('und')
+    assert ids == [1]

@@ -578,3 +578,28 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+@_register("corpus_prep_documents")  # rows-only: near-dedup stage inside
+def corpus_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep composition (quality gate → language
+    filter → exact dedup → LSH near-dedup) summarized per predicted
+    language: docs kept, total whitespace tokens, mean quality.
+    Rows-only: the near-dedup stage is xxhash-sketch-based."""
+    from workshoop2_etl_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+    from workshoop2_etl_spark.plans.pipelines import corpus_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = corpus_pipeline(
+        docs, min_quality=0.5, neardup_threshold=0.3
+    )
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count("text")).alias("n_tokens"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+        )
+    )

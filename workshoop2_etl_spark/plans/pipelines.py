@@ -15,6 +15,7 @@ from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.cleaning import (
     dedup_rows,
@@ -107,3 +108,49 @@ def star_pipeline(
         )
     surrogates = [d.surrogate_col for d in dims]
     return dim_tables, fact.select(*surrogates, *fact_cols)
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: Sequence[str] | None = None,
+    neardup_threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end pretraining-corpus preparation — the composition a
+    100 TB data pipeline actually runs, in dependency order chosen so
+    each stage shrinks the input of the next:
+
+    1. quality gate (cheap narrow projection, drops the worst rows
+       before anything shuffles);
+    2. optional language filter (heuristic language ID);
+    3. exact content dedup (8-byte hash shuffle);
+    4. MinHash-LSH near-dedup corpus filter (bucketed, never
+       all-pairs) — runs LAST because it is the expensive stage and
+       benefits from every earlier drop.
+
+    Returns surviving rows of ``docs`` with ``lang_pred`` and
+    ``quality`` attached. Lazy end to end; the near-dedup stage's
+    internal caches are released before return (see
+    ``near_dedup_keep``).
+    """
+    from workshoop2_etl_spark.operators.dedup import (
+        exact_dedup,
+        near_dedup_keep,
+    )
+    from workshoop2_etl_spark.operators.textstats import (
+        language_id,
+        quality_score,
+    )
+
+    scored = quality_score(docs, text_col)
+    gated = scored.filter(F.col("quality") >= min_quality)
+    tagged = language_id(gated, text_col)
+    if langs is not None:
+        tagged = tagged.filter(F.col("lang_pred").isin(list(langs)))
+    exact = exact_dedup(tagged, text_col, id_col)
+    return near_dedup_keep(
+        exact, id_col, text_col, threshold=neardup_threshold
+    )
