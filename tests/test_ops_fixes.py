@@ -180,3 +180,34 @@ def test_near_dedup_keep_releases_caches(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """approx_percentile must land within the sketch's rank-error
+    bound of the exact percentile on real data."""
+    from workshoop2_etl_spark.operators.analytics import (
+        approx_quantiles,
+        quantiles,
+    )
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    probs = [0.25, 0.5, 0.75, 0.95]
+    exact = {r.p: r.q for r in quantiles(orders, "o_totalprice", probs).collect()}
+    approx = {
+        r.p: r.q
+        for r in approx_quantiles(
+            orders, "o_totalprice", probs, accuracy=10000
+        ).collect()
+    }
+    n = orders.count()
+    values = sorted(
+        r.o_totalprice for r in orders.select("o_totalprice").collect()
+    )
+    for p in probs:
+        # rank of the approximate answer must be within n/accuracy of
+        # the target rank (the sketch's contract)
+        import bisect
+
+        rank = bisect.bisect_left(values, approx[p])
+        assert abs(rank - p * n) <= n / 10000 + 2, (p, exact[p], approx[p])

@@ -143,6 +143,26 @@ def quantiles(
     )
 
 
+def approx_quantiles(
+    df: DataFrame, col: str, probs: Sequence[float], *, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB path for :func:`quantiles`: ``approx_percentile``
+    (KLL/GK-style sketch — bounded state per partition, merged on the
+    driver-side final aggregate; no global sort, no full-column
+    materialization). Rank error ≤ 1/``accuracy``. Same output shape
+    (p, q) so callers can swap exact ↔ approximate per data volume."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    one = df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({plist}), {accuracy})"
+        ).alias("__qs")
+    )
+    return one.select(F.posexplode("__qs").alias("__i", "q")).select(
+        F.expr(f"array({plist})")[F.col("__i")].cast("double").alias("p"),
+        F.col("q").cast("double").alias("q"),
+    )
+
+
 def approx_count_distinct(
     df: DataFrame, col: str, *, rsd: float = 0.05, alias: str = "n_approx"
 ) -> DataFrame:
