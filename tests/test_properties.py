@@ -127,7 +127,17 @@ def test_exact_dedup_properties(spark, rows):
 )
 def test_histogram_matches_numpy(spark, vals, bins):
     """Bin counts parity with numpy.histogram over the same range
-    (the reference's seaborn histplot computes exactly this)."""
+    (the reference's seaborn histplot computes exactly this).
+
+    Two-level check. (1) Bit-exact parity, always: the engine bins by
+    ``min(floor((v - lo)/width), bins-1)`` in IEEE double — the same
+    expression computed in numpy float64 must match exactly. (2)
+    ``np.histogram`` parity, guarded: numpy places values by
+    comparing against precomputed edge values, which legitimately
+    disagrees with the floor formula for values within ~1 ULP of an
+    interior edge (hypothesis found it with a subnormal whose
+    subtraction absorbs into the edge) — for those inputs only the
+    floor-formula check applies."""
     import numpy as np
 
     from workshoop2_etl_spark.operators.analytics import histogram
@@ -142,9 +152,25 @@ def test_histogram_matches_numpy(spark, vals, bins):
     if arr.min() == arr.max():
         assert got == {0: arr.size}
         return
-    counts, _ = np.histogram(arr, bins=bins, range=(arr.min(), arr.max()))
-    want = {i: int(c) for i, c in enumerate(counts) if c > 0}
-    assert got == want
+
+    lo, hi = arr.min(), arr.max()
+    width = (hi - lo) / bins
+    formula_bins = np.minimum(
+        np.floor((arr - lo) / width).astype(int), bins - 1
+    )
+    want_formula = {
+        int(b): int(n) for b, n in zip(*np.unique(formula_bins, return_counts=True))
+    }
+    assert got == want_formula
+
+    edges = lo + width * np.arange(1, bins)
+    edge_ambiguous = edges.size and bool(
+        (np.abs(arr[:, None] - edges[None, :]) <= width * 1e-9).any()
+    )
+    if not edge_ambiguous:
+        counts, _ = np.histogram(arr, bins=bins, range=(lo, hi))
+        want = {i: int(c) for i, c in enumerate(counts) if c > 0}
+        assert got == want
 
 
 @settings(**_SETTINGS)
