@@ -120,85 +120,75 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
 
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
-    # Co-located join via bucketBy: two tables bucketed on the join
-    # key join with ZERO exchanges — the 100 TB pattern for repeated
-    # fact-to-fact joins on a stable key.
-    import uuid
-
+    # Co-located join via bucketed tables: two tables bucketed on the
+    # join key with equal bucket counts sort-merge join with ZERO
+    # Exchange operators — the 100 TB pattern for repeated fact joins
+    # on a stable key (write pays the partitioning cost once).
     from pyspark.sql import functions as F
 
-    from workshoop2_etl_spark.sources.readers import read_parquet
-
-    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    suffix = uuid.uuid4().hex[:8]
-    ta, tb = f"bkt_orders_{suffix}", f"bkt_customer_{suffix}"
-    warehouse_tables = []
-    try:
-        orders = read_parquet(spark, f"{SF}/orders.parquet")
-        customer = read_parquet(spark, f"{SF}/customer.parquet")
-        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
-            "overwrite"
-        ).saveAsTable(ta)
-        customer.withColumnRenamed("c_custkey", "o_custkey").write.bucketBy(
-            8, "o_custkey"
-        ).sortBy("o_custkey").mode("overwrite").saveAsTable(tb)
-        warehouse_tables = [ta, tb]
-
-        joined = spark.table(ta).join(spark.table(tb), "o_custkey").groupBy(
-            "c_mktsegment"
-        ).agg(F.count(F.lit(1)).alias("n"))
-        # Force the sort-merge path (no broadcast) to prove bucketing
-        # removes the shuffle that join would otherwise need.
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _physical(joined)
-        join_seg = plan.split("SortMergeJoin")[0]
-        assert "Exchange hashpartitioning(o_custkey" not in join_seg
-        n = joined.count()
-        assert n > 0
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        for t in warehouse_tables:
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-
-
-def test_bucketed_join_has_no_shuffle(spark, sf_dir):
-    """Two tables bucketed on the join key with equal bucket counts
-    must sort-merge join with ZERO Exchange operators — the whole
-    point of paying the bucketing cost at write time."""
     from workshoop2_etl_spark.sources.readers import read_parquet
     from workshoop2_etl_spark.sources.writers import (
         drop_table,
         seed_bucketed_table,
     )
 
-    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = read_parquet(spark, f"{SF}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    customer = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+    customer = read_parquet(spark, f"{SF}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     drop_table(spark, "bkt_orders")
     drop_table(spark, "bkt_customer")
-    seed_bucketed_table(
-        orders, "bkt_orders", buckets=8,
-        bucket_cols=["o_custkey"], sort_cols=["o_custkey"],
-    )
-    seed_bucketed_table(
-        customer, "bkt_customer", buckets=8,
-        bucket_cols=["c_custkey"], sort_cols=["c_custkey"],
-    )
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        seed_bucketed_table(
+            orders, "bkt_orders", buckets=8,
+            bucket_cols=["o_custkey"], sort_cols=["o_custkey"],
+        )
+        seed_bucketed_table(
+            customer, "bkt_customer", buckets=8,
+            bucket_cols=["c_custkey"], sort_cols=["c_custkey"],
+        )
+        # Force the sort-merge path (no broadcast) to prove bucketing
+        # removes the shuffle the join would otherwise need.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("bkt_orders").join(
             spark.table("bkt_customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = _physical(joined)
         assert "Exchange" not in plan, plan
-        n = joined.count()
-        assert n > 0
+        assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         drop_table(spark, "bkt_orders")
         drop_table(spark, "bkt_customer")
+
+
+def test_media_metadata_never_reads_payload_from_parquet(spark, tmp_path):
+    # The multimodal design claim: a metadata-only query over a
+    # parquet-backed media table must never read the payload bytes —
+    # nested schema pruning drops the struct field at the scan.
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        media_metadata,
+    )
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.sources.writers import write_parquet
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = attach_media(
+        docs, "payload", media_type="image", fmt="png"
+    ).drop("payload")
+    out = str(tmp_path / "media_table")
+    write_parquet(media, out)
+
+    meta = media_metadata(spark.read.parquet(out), "media")
+    plan = _physical(meta)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "content_md5" in read_schema
+    assert "payload" not in read_schema, read_schema

@@ -162,3 +162,32 @@ def test_available_now_checkpoint_resume(spark, tmp_path):
     both = spark.read.parquet(out_dir)
     assert both.count() == 5  # 3 + 2, batch 1 NOT reprocessed
     assert sorted(r.event_id for r in both.collect()) == [1, 2, 3, 10, 11]
+
+
+def test_sliding_window_counts_match_batch(spark, sf_dir):
+    """Sliding windows (1h window, 30m slide): every event lands in
+    exactly two windows; streaming result equals the batch twin."""
+    path = f"{sf_dir}/events.parquet"
+    stream = stream_events(spark, path)
+    counts = windowed_event_counts(
+        stream, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    got = run_available_now(counts, "t_slide_counts", output_mode="complete")
+
+    batch = (
+        read_parquet(spark, path)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    key = lambda r: (r.window_start, r.event_type, r.n)
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    # sliding doubles the (window, type) key count vs tumbling
+    tumbling = (
+        read_parquet(spark, path)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() > tumbling.count()

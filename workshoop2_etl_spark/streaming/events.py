@@ -88,17 +88,27 @@ def windowed_event_counts(
     events: DataFrame,
     *,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Tumbling-window counts per event type with late-data handling.
+    """Tumbling (or, with ``slide``, sliding) window counts per event
+    type with late-data handling.
 
     The watermark bounds state: windows older than (max event time −
     watermark) finalize and evict; later-than-watermark events drop —
     the deliberate completeness/liveness trade of stream processing.
+    A sliding window (``slide`` < ``window``) assigns each event to
+    ``window/slide`` overlapping windows; state grows by the same
+    factor, still bounded by the watermark horizon.
     """
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").alias("window_start"),
