@@ -385,3 +385,31 @@ def test_corpus_pipeline_composition(spark):
     # 2 = exact dup of 1; 3 = near dup of 1; 4 = below the 10-token
     # length gate (quality 0.49); 5 = spanish; 6 = junk ('und')
     assert ids == [1]
+
+
+def test_ivf_prebuilt_quantizer_identical_and_sampled_build(spark):
+    """Passing a prebuilt quantizer must give byte-identical results
+    to per-call training (same seed); sampled training still returns
+    a usable (k × dim) centroid matrix."""
+    import random
+
+    from workshoop2_etl_spark.operators.similarity import ivf_build, ivf_topk
+
+    random.seed(3)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fresh = ivf_topk(corpus, queries, k=5, n_clusters=4, n_probe=2)
+    cents = ivf_build(corpus, n_clusters=4)
+    reused = ivf_topk(
+        corpus, queries, k=5, n_clusters=4, n_probe=2, centroids=cents
+    )
+    key = lambda r: (r.query_id, r.rank, r.vec_id, round(r.sim, 10))
+    assert sorted(map(key, fresh.collect())) == sorted(map(key, reused.collect()))
+
+    sampled = ivf_build(corpus, n_clusters=4, sample_fraction=0.5)
+    assert sampled.shape == (4, 8)

@@ -283,16 +283,20 @@ def ivf_build(
     n_clusters: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer (seeded k-means over the corpus;
     ``pyspark.ml.clustering.KMeans``, distributed Lloyd iterations).
     Returns the centroid matrix — small (k × dim), lives on the
-    driver and broadcasts into the assignment UDF. At 100 TB the
-    quantizer trains on a sample; assignment stays a full narrow
-    pass."""
+    driver and broadcasts into the assignment UDF. At 100 TB pass
+    ``sample_fraction`` so the quantizer trains on a seeded sample
+    (k-means centroids stabilize long before the full corpus is
+    seen); assignment stays a full narrow pass either way."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is not None:
+        corpus = corpus.sample(fraction=sample_fraction, seed=seed)
     feat = corpus.select(
         array_to_vector(_as_double(vec_col)).alias("features")
     )
@@ -311,6 +315,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into ``n_clusters``
     inverted lists by nearest centroid; each query probes its
@@ -320,10 +325,15 @@ def ivf_topk(
     the corpus), not |corpus|; recall comes from probing multiple
     lists. The standard trade vs LSH: IVF adapts to the data's
     cluster structure (k-means), LSH is data-independent.
+
+    Pass ``centroids`` (from :func:`ivf_build`, built once) when
+    serving repeated query batches — retraining the quantizer per
+    call is the dominant cost for hot paths.
     """
-    centroids = ivf_build(
-        corpus, vec_col=vec_col, n_clusters=n_clusters, seed=seed
-    )
+    if centroids is None:
+        centroids = ivf_build(
+            corpus, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
     cb = ivf_assign(
         corpus, centroids, vec_col=vec_col, out_col="__cl", n_probe=1
     ).select(id_col, vec_col, F.col("__cl")[0].alias("__cluster"))
