@@ -151,6 +151,17 @@ def corpus_pipeline(
     if langs is not None:
         tagged = tagged.filter(F.col("lang_pred").isin(list(langs)))
     exact = exact_dedup(tagged, text_col, id_col)
-    return near_dedup_keep(
+    # The near-dedup stage drives several passes over `exact`
+    # (signatures, candidate-id semi-join, both shingle-set sides),
+    # each re-executing the regex-heavy quality + language stack.
+    # near_dedup_keep materializes its pair count eagerly, which
+    # fills this cache; releasing it right after leaves one recompute
+    # (the caller's final anti-join materialization). Measured ~8% at
+    # sf0.1 (the LSH passes dominate there); the win scales with the
+    # cost of the upstream stack relative to corpus size.
+    exact = exact.persist()
+    kept = near_dedup_keep(
         exact, id_col, text_col, threshold=neardup_threshold
     )
+    exact.unpersist()
+    return kept
