@@ -215,3 +215,47 @@ def test_recode_matches_pandas_map(spark, vals):
         key=nkey,
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    points=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),
+            st.integers(0, 40),  # width — lo+width keeps lo <= hi
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_size=st.integers(min_value=1, max_value=17),
+)
+def test_range_join_matches_bruteforce(spark, points, intervals, bin_size):
+    """Bin bucketing (any bin size, negative values, edge-straddling
+    intervals) must reproduce the plain BETWEEN cross-join exactly,
+    with each pair emitted once."""
+    from workshoop2_etl_spark.operators.merge import range_join
+
+    lrows = [(i, k, p) for i, (k, p) in enumerate(points)]
+    rrows = [(j, k, lo, lo + w) for j, (k, lo, w) in enumerate(intervals)]
+    left = spark.createDataFrame(lrows, "pid long, key string, p long")
+    right = spark.createDataFrame(rrows, "rid long, key string, lo long, hi long")
+
+    got = sorted(
+        (r.pid, r.rid)
+        for r in range_join(
+            left, right, ["key"], "p", "lo", "hi", bin_size=bin_size
+        ).collect()
+    )
+    want = sorted(
+        (pid, rid)
+        for pid, pk, p in lrows
+        for rid, rk, lo, hi in rrows
+        if pk == rk and lo <= p <= hi
+    )
+    assert got == want
