@@ -47,9 +47,10 @@ _DEMOTED_ORACLES = (
     "ngram_jaccard_pairs_documents",
     # As-of join: mirror-checked against DuckDB's native ASOF JOIN.
     "asof_join_events_orders",
-    # Bin-bucketed interval join and one-pass rollup: mirror-checked.
+    # Bin-bucketed interval join and one-pass rollup/cube: mirror-checked.
     "range_join_events_within_hour",
     "rollup_revenue_year_priority",
+    "cube_status_priority",
 )
 
 _CORRECTNESS_WINDOW = 50

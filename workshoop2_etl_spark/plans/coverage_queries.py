@@ -543,3 +543,26 @@ def rollup_revenue_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_year", "o_orderpriority", "gid", "n", "total")
     )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@_register("cube_status_priority", _CUBE_SQL)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2² grouping-set combinations in one pass (``cube``): the
+    status×priority matrix plus both marginals plus the grand total,
+    ``grouping_id`` marking which dimensions each row aggregates
+    away. Oracle-demoted past the driver's full window; hash-checked
+    by the local mirror."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n")
