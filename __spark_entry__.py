@@ -51,6 +51,9 @@ _DEMOTED_ORACLES = (
     "range_join_events_within_hour",
     "rollup_revenue_year_priority",
     "cube_status_priority",
+    # Chunking + packing: mirror-checked window/explode compositions.
+    "chunk_documents_128",
+    "pack_chunks_by_lang",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -413,3 +413,46 @@ def test_ivf_prebuilt_quantizer_identical_and_sampled_build(spark):
 
     sampled = ivf_build(corpus, n_clusters=4, sample_fraction=0.5)
     assert sampled.shape == (4, 8)
+
+
+def test_chunk_documents_splits_and_preserves_tokens(spark):
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "just five little tokens here"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_no, r.n_tokens)
+        for r in chunk_documents(docs, "doc_id", "text", max_tokens=128).collect()
+    )
+    assert rows == [(1, 0, 128), (1, 1, 128), (1, 2, 44), (2, 0, 5)]
+    # concatenating chunks reproduces the token stream
+    texts = {
+        (r.doc_id, r.chunk_no): r.chunk_text
+        for r in chunk_documents(docs, "doc_id", "text", max_tokens=128).collect()
+    }
+    rebuilt = " ".join(texts[(1, i)] for i in range(3))
+    assert rebuilt == long_text
+
+
+def test_pack_chunks_first_fit_bins(spark):
+    from workshoop2_etl_spark.operators.chunking import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            # (doc, chunk, tokens): running exclusive cumsum → bin
+            (1, 0, 300),  # excl 0    → bin 0
+            (1, 1, 300),  # excl 300  → bin 0
+            (2, 0, 300),  # excl 600  → bin 1
+            (3, 0, 500),  # excl 900  → bin 1
+            (4, 0, 100),  # excl 1400 → bin 2
+        ],
+        "doc_id long, chunk_no int, n_tokens int",
+    )
+    got = {
+        (r.doc_id, r.chunk_no): r.bin_id
+        for r in pack_chunks(chunks, "doc_id", budget=512).collect()
+    }
+    assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 1, (3, 0): 1, (4, 0): 2}

@@ -603,3 +603,81 @@ def corpus_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("mean_quality"),
         )
     )
+
+
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+), t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_no,
+       array_to_string(tk[i * 128 + 1 : i * 128 + 128], ' ') AS chunk_text,
+       CAST(len(tk[i * 128 + 1 : i * 128 + 128]) AS INTEGER) AS n_tokens
+FROM t, unnest(range(0, CAST(ceil(len(tk) / 128.0) AS BIGINT))) AS u(i)
+"""
+
+
+@_register("chunk_documents_128", _CHUNK_SQL)
+def chunk_documents_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into consecutive
+    128-token chunks (one token-array projection + explode, no
+    Python). Oracle-demoted past the driver's full 50-row window;
+    hash-checked by the local mirror."""
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", max_tokens=128)
+
+
+_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+), t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+         CAST(len(tk[i * 128 + 1 : i * 128 + 128]) AS INTEGER) AS n_tokens,
+         lang
+  FROM (SELECT t.doc_id, t.tk, d.lang FROM t JOIN documents d USING (doc_id)) t,
+       unnest(range(0, CAST(ceil(len(tk) / 128.0) AS BIGINT))) AS u(i)
+), packed AS (
+  SELECT lang, doc_id, chunk_no, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id, chunk_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 512.0) AS BIGINT) AS bin_id
+  FROM chunks
+)
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY lang, bin_id
+"""
+
+
+@_register("pack_chunks_by_lang", _PACK_SQL)
+def pack_chunks_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 128-token chunks packed into 512-token bins
+    per language (running-total window, one shuffle on the group
+    key), summarized as chunks and tokens per bin. Oracle-demoted
+    past the driver's full window; hash-checked by the local
+    mirror."""
+    from workshoop2_etl_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=128).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    packed = pack_chunks(
+        chunks, "doc_id", budget=512, group_cols=["lang"]
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
