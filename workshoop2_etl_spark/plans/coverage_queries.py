@@ -386,6 +386,15 @@ def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(subset, out_dir)
     back = read_parquet(spark, out_dir)
 
+    # P12: the schema contract gates the re-read frame — the same
+    # required-columns assertion the reference runs before its clean
+    # step (raise path covered in pytest; the pass-through here puts
+    # the operator inside an oracle-checked plan).
+    from workshoop2_etl_spark.sources.contracts import require_columns
+
+    back = require_columns(
+        back, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
     renamed = rename_columns(
         back, {"o_totalprice": "price", "o_orderstatus": "status"}
     )
