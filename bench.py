@@ -8,12 +8,35 @@ ONE JSON line::
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
+Methodology (fixed in round 4 after two phantom regressions):
+
+* **Fixed order** — queries run in registry order every round, so
+  neighbour effects are at least reproducible round-over-round.
+* **Per-query repeats** — each query is planned and executed
+  ``$SPARK_GRAFT_BENCH_REPS`` times (default 2); the recorded time is
+  the MIN across reps. The first execution of a plan pays whole-stage
+  codegen compilation (~3 s for wide aggregates) and, for
+  ``mapInPandas`` queries, Python-worker spin-up — one-time costs
+  that amortize to zero at 100 TB and previously masqueraded as 2–4×
+  "regressions" when the registry order shifted (r2→r3:
+  ``simhash_documents`` 2.76→7.53 s with an unchanged plan; warm runs
+  are 2.1 s both rounds). MIN measures steady-state throughput, which
+  is the number that scales. The full per-rep spread is recorded so
+  order/warm-up effects stay visible instead of silently shifting the
+  headline.
+* **Committed detail artifact** — the full per-query detail is
+  written to ``BENCH_DETAIL.json`` next to this file (the driver
+  keeps only ~2 KB of stdout tail, which truncated 23/72 per-query
+  times in round 3). The previous round's file is compared on the
+  way out: any query ≥1.5× slower (and ≥0.3 s absolute) is flagged
+  in the artifact and on stderr.
+
 Each query is materialized with the ``noop`` sink (full execution of
 every output column, no driver-side collect, no disk write) so the
 timing covers scan → shuffle → aggregate and nothing else. A query
 that raises is recorded as ``null`` and does NOT abort the loop.
 
-All diagnostics go to stderr; stdout carries only the JSON line.
+All diagnostics go to stderr; stdout carries only the JSON lines.
 """
 
 from __future__ import annotations
@@ -24,21 +47,33 @@ import re
 import sys
 import time
 
+REGRESSION_RATIO = 1.5
+REGRESSION_ABS_FLOOR_SEC = 0.3
 
-def _materialize(df) -> int:
-    """Execute the full plan via the noop sink; return row count lazily
-    only when the sink is unavailable (very old Spark)."""
+
+def _materialize(df) -> None:
+    """Execute the full plan via the noop sink."""
     df.write.mode("overwrite").format("noop").save()
-    return 0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    previous: dict = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                previous = json.load(f)
+        except Exception as exc:  # pragma: no cover
+            print(f"previous detail unreadable: {exc}", file=sys.stderr)
+
+    sys.path.insert(0, repo_dir)
     from workshoop2_etl_spark.session import get_session
 
     spark = get_session(app_name="bench", master=f"local[{cpus}]")
@@ -80,26 +115,87 @@ def main() -> None:
             return get_session(app_name="bench", master=f"local[{cpus}]")
 
     times: dict[str, float | None] = {}
+    rep_times: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            _materialize(df)
-            dt = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                _materialize(df)
+            except Exception as exc:
+                print(
+                    f"{name}: FAILED {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                spark = revive_if_dead(spark)
+                break
+            samples.append(round(time.perf_counter() - t0, 3))
+        rep_times[name] = samples
+        if len(samples) == reps:
+            dt = min(samples)
             times[name] = dt
             total += dt
-            print(f"{name}: {dt}s", file=sys.stderr)
-        except Exception as exc:
+            print(f"{name}: {dt}s  reps={samples}", file=sys.stderr)
+        else:
             times[name] = None
-            print(f"{name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
-            spark = revive_if_dead(spark)
+
+    # Regression check against the previous committed detail file.
+    # Only comparable at the same scale factor — a detail file from an
+    # sf0.01 smoke run must not flag the sf0.1 round as regressed.
+    comparable = isinstance(previous, dict) and previous.get("sf") == sf
+    prev_q = previous.get("queries", {}) if comparable else {}
+    regressions: dict[str, dict] = {}
+    for name, cur in times.items():
+        prev = prev_q.get(name, {})
+        prev_sec = prev.get("sec") if isinstance(prev, dict) else None
+        if cur is None or prev_sec is None or prev_sec <= 0:
+            continue
+        if (
+            cur >= prev_sec * REGRESSION_RATIO
+            and cur - prev_sec >= REGRESSION_ABS_FLOOR_SEC
+        ):
+            regressions[name] = {
+                "prev_sec": prev_sec,
+                "sec": cur,
+                "ratio": round(cur / prev_sec, 2),
+            }
+    for name, r in regressions.items():
+        print(
+            f"REGRESSION {name}: {r['prev_sec']}s -> {r['sec']}s"
+            f" ({r['ratio']}x)",
+            file=sys.stderr,
+        )
+
+    n_failed = sum(1 for v in times.values() if v is None)
+    detail = {
+        "metric": "per_query_sec",
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "reps": reps,
+        "total_sec": round(total, 3),
+        "n_queries": len(times),
+        "n_failed": n_failed,
+        "queries": {
+            name: {"sec": times[name], "reps": rep_times[name]}
+            for name in times
+        },
+        "regressions": regressions,
+    }
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(f"detail written to {detail_path}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"detail write failed: {exc}", file=sys.stderr)
 
     # Full per-query detail first; then a SHORT headline as the very
     # last line. The driver keeps only the tail of stdout (~2 KB), so
     # the parseable summary must be the final line and must stay small
-    # — the 59-query detail object alone overflows the buffer.
-    n_failed = sum(1 for v in times.values() if v is None)
+    # — the 72-query detail object alone overflows the buffer.
     print(
         json.dumps(
             {
@@ -121,6 +217,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "n_failed": n_failed,
+                "n_regressed": len(regressions),
                 "slowest": slowest,
             }
         )
