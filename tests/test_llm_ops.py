@@ -453,6 +453,6 @@ def test_pack_chunks_first_fit_bins(spark):
     )
     got = {
         (r.doc_id, r.chunk_no): r.bin_id
-        for r in pack_chunks(chunks, "doc_id", budget=512).collect()
+        for r in pack_chunks(chunks, "doc_id", budget=512, allow_global=True).collect()
     }
     assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 1, (3, 0): 1, (4, 0): 2}

@@ -236,3 +236,77 @@ def test_upsert_parquet_replaces_by_key_and_keeps_rest(spark, tmp_path):
     bad = spark.createDataFrame([(5, "e")], "id long, v string")
     with _pytest.raises(ValueError, match="lack columns"):
         upsert_parquet(spark, bad, path, ["id"])
+
+
+def test_upsert_parquet_recovers_stranded_backup(spark, tmp_path):
+    """A crash between the two swap renames strands the base dataset
+    at {path}__old with nothing at {path}; the next call must recover
+    the backup before merging instead of writing only the updates."""
+    import os
+
+    from workshoop2_etl_spark.sources.writers import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    upsert_parquet(spark, seed, path, ["id"])
+    # simulate the crash window: base renamed away, swap never landed
+    os.rename(path, f"{path}__old")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    upsert_parquet(spark, updates, path, ["id"])
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+    assert not os.path.exists(f"{path}__old")
+
+
+def test_drop_table_clears_qualified_orphan(spark):
+    """drop_table on a db-qualified name must clear the orphaned
+    warehouse directory at <warehouse>/db.db/tbl, not <warehouse>/
+    db.tbl, so a reseed after a dead session succeeds."""
+    import os
+    from urllib.parse import urlparse
+
+    from workshoop2_etl_spark.sources.writers import drop_table, seed_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wsdb_test")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = urlparse(warehouse).path or warehouse
+    orphan = os.path.join(wh, "wsdb_test.db", "t_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    drop_table(spark, "wsdb_test.t_orphan")
+    assert not os.path.isdir(orphan)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    seed_table(df, "wsdb_test.t_orphan")  # would die LOCATION_ALREADY_EXISTS
+    assert spark.table("wsdb_test.t_orphan").count() == 1
+    drop_table(spark, "wsdb_test.t_orphan")
+    spark.sql("DROP DATABASE IF EXISTS wsdb_test")
+
+
+def test_asof_join_rejects_colliding_value_cols(spark):
+    import pytest as _pytest
+
+    from workshoop2_etl_spark.operators.merge import asof_join
+
+    left = spark.createDataFrame([(1, "k", 5)], "event_id long, key string, ts long")
+    right = spark.createDataFrame([("k", 4, 7)], "key string, ts long, event_id long")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["key"], "ts", value_cols=["event_id"])
+    # prefixed, the same call is legal
+    out = asof_join(
+        left, right, ["key"], "ts",
+        value_cols=["event_id"], matched_prefix="r_",
+    )
+    assert out.columns == ["event_id", "key", "ts", "r_event_id"]
+
+
+def test_pack_chunks_requires_grouping(spark):
+    import pytest as _pytest
+
+    from workshoop2_etl_spark.operators.chunking import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 300)], "doc_id long, chunk_no int, n_tokens int"
+    )
+    with _pytest.raises(ValueError, match="group_cols"):
+        pack_chunks(chunks, "doc_id", budget=512)

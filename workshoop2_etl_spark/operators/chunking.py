@@ -73,6 +73,7 @@ def pack_chunks(
     order_cols: list[str] | None = None,
     budget: int = 512,
     group_cols: list[str] | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Assign chunks to fixed-token-budget bins (sequence packing).
 
@@ -87,12 +88,19 @@ def pack_chunks(
     languages) and is the ONLY shuffle key: one window per group, no
     driver involvement, no iteration. WITHOUT ``group_cols`` the
     window is a single global sort partition — fine for tests and
-    small exports, wrong at corpus scale; always pass a grouping
-    (language, shard, date) there. Output: input columns + ``bin_id``
-    (long, 0-based per group).
+    small exports, wrong at corpus scale, so an empty grouping raises
+    unless ``allow_global=True`` explicitly acknowledges the
+    single-partition sort. Output: input columns + ``bin_id`` (long,
+    0-based per group).
     """
     order = order_cols if order_cols is not None else [id_col, "chunk_no"]
     parts = group_cols or []
+    if not parts and not allow_global:
+        raise ValueError(
+            "pack_chunks without group_cols sorts the whole corpus in a "
+            "single window partition; pass group_cols (language, shard, "
+            "date, ...) or allow_global=True for a small export"
+        )
     w = (
         Window.partitionBy(*parts).orderBy(*order)
         if parts

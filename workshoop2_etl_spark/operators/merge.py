@@ -176,9 +176,19 @@ def asof_join(
 
     Left rows with no prior right row keep NULL values (left join
     semantics). Output: all left columns + ``value_cols`` (optionally
-    ``matched_prefix``-ed).
+    ``matched_prefix``-ed); a value column whose (prefixed) name
+    already exists on ``left`` raises rather than emitting an
+    ambiguous duplicate.
     """
     keys = list(key_cols)
+    collisions = sorted(
+        {f"{matched_prefix}{c}" for c in value_cols} & set(left.columns)
+    )
+    if collisions:
+        raise ValueError(
+            f"asof_join output columns {collisions} collide with left "
+            "columns; pass matched_prefix to disambiguate"
+        )
     payload = F.struct(*[F.col(c) for c in value_cols])
     r = right.select(
         *keys,

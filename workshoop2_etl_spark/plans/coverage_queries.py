@@ -28,6 +28,17 @@ from workshoop2_etl_spark.sources.readers import from_records, read_csv
 from workshoop2_etl_spark.sources.writers import write_csv
 
 
+def _run_token(sf_dir: str) -> str:
+    """Per-scale-factor isolation token for sink paths and table
+    names: concurrent sessions at different sf (the real collision —
+    bench at sf0.1 while pytest runs sf0.01) get disjoint sinks,
+    while repeated runs at one sf reuse (and overwrite) theirs
+    instead of accreting directories."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")))
+
+
 @_register(
     "csv_roundtrip_region",
     "SELECT r_regionkey, r_name FROM region",
@@ -38,7 +49,8 @@ def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's limpiezaSpotify CSV handoff, dags/limpiezaSpotify.py:
     75,103-104)."""
     out_dir = os.path.join(
-        tempfile.gettempdir(), "workshoop2_csv_roundtrip_region"
+        tempfile.gettempdir(),
+        f"workshoop2_csv_roundtrip_region_{_run_token(sf_dir)}",
     )
     write_csv(_t(spark, sf_dir, "region"), out_dir)
     schema = T.StructType(
@@ -378,7 +390,8 @@ def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshoop2_etl_spark.sources.writers import seed_table, write_parquet
 
     out_dir = os.path.join(
-        tempfile.gettempdir(), "workshoop2_parquet_roundtrip_orders"
+        tempfile.gettempdir(),
+        f"workshoop2_parquet_roundtrip_orders_{_run_token(sf_dir)}",
     )
     subset = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
@@ -414,9 +427,10 @@ def sink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saveAsTable dies with LOCATION_ALREADY_EXISTS otherwise).
     from workshoop2_etl_spark.sources.writers import drop_table
 
-    drop_table(spark, "workshoop2_status_dim")
-    seed_table(dim, "workshoop2_status_dim")
-    dim_back = spark.table("workshoop2_status_dim")
+    dim_table = f"workshoop2_status_dim_{_run_token(sf_dir)}"
+    drop_table(spark, dim_table)
+    seed_table(dim, dim_table)
+    dim_back = spark.table(dim_table)
 
     return (
         trimmed.join(F.broadcast(dim_back), "status")

@@ -108,11 +108,33 @@ def drop_table(spark, table: str) -> None:
     import shutil
     from urllib.parse import urlparse
 
+    # Resolve the managed location from the catalog while the table
+    # still exists; for the orphan case (directory left by an earlier
+    # session the current catalog doesn't own) fall back to the
+    # warehouse layout: <warehouse>/tbl for the default database,
+    # <warehouse>/db.db/tbl for a qualified name.
+    location = None
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for r in rows:
+            if r.col_name == "Location":
+                location = urlparse(r.data_type).path or r.data_type
+                break
+    except Exception:
+        pass
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = os.path.join(urlparse(warehouse).path or warehouse, table.lower())
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
+    wh = urlparse(warehouse).path or warehouse
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        fallback = os.path.join(wh, parts[0])
+    elif len(parts) == 2:
+        fallback = os.path.join(wh, f"{parts[0]}.db", parts[1])
+    else:  # catalog-qualified (spark_catalog.db.tbl)
+        fallback = os.path.join(wh, f"{parts[-2]}.db", parts[-1])
+    for leftover in {location, fallback} - {None}:
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
 
 
 def seed_bucketed_table(
@@ -151,9 +173,15 @@ def upsert_parquet(
     replace existing rows with the same key; everything else is
     retained. The merge is one anti-join (existing minus updated
     keys) unioned with the updates, written to a staging directory
-    and atomically swapped in via rename — readers see the old or the
-    new dataset, never a mix, and a crash mid-write leaves the
-    original intact.
+    and swapped in via two renames. A crash during the merge or the
+    staging write leaves the original intact; a crash BETWEEN the two
+    renames leaves the base stranded at ``{path}__old`` — the next
+    call (or any call finding that state) renames it back before
+    proceeding, so the base survives any single crash. The swap is
+    two renames, not one atomic operation: a concurrent reader can
+    hit a brief ENOENT between them and should retry; single-writer
+    is assumed. True atomic cutover needs a versioned directory +
+    symlink or a table format (below).
 
     This is the file-format ceiling: real table formats (Delta/
     Iceberg/Hudi — public formats Spark writes natively when their
@@ -166,6 +194,13 @@ def upsert_parquet(
     import os
     import shutil
 
+    backup = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(backup):
+        # A previous run crashed between its two renames: the base
+        # dataset is stranded at the backup path. Recover it first —
+        # otherwise this call would see "no existing dataset" and
+        # write ONLY the updates, silently dropping the base.
+        os.rename(backup, path)
     if not os.path.exists(path):
         updates.write.parquet(path)
         return
@@ -179,7 +214,6 @@ def upsert_parquet(
     merged = kept.unionByName(updates.select(*existing.columns))
     staging = f"{path}__staging"
     merged.write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old"
     if os.path.exists(backup):
         shutil.rmtree(backup)
     os.rename(path, backup)
