@@ -192,3 +192,55 @@ def test_media_metadata_never_reads_payload_from_parquet(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "content_md5" in read_schema
     assert "payload" not in read_schema, read_schema
+
+
+def test_range_join_never_nested_loop(spark):
+    """Bin bucketing exists precisely so Spark does not plan the
+    interval predicate as a BroadcastNestedLoopJoin / cartesian —
+    assert the join is the equi-join on (keys, bin)."""
+    from workshoop2_etl_spark.operators.merge import range_join
+
+    left = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "user_id", "cast(event_id as long) as p"
+    )
+    right = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_custkey as user_id",
+        "cast(o_orderkey as long) as lo",
+        "cast(o_orderkey + 100 as long) as hi",
+    )
+    plan = _physical(
+        range_join(left, right, ["user_id"], "p", "lo", "hi", bin_size=100)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_exchange_on_key(spark):
+    """The union-and-carry formulation shuffles ONCE on the key (the
+    window partition) — no range explosion, no second exchange."""
+    from workshoop2_etl_spark.operators.merge import asof_join
+
+    left = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_id", "user_id", "cast(event_id as long) as ts"
+    )
+    right = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_custkey as user_id",
+        "cast(o_orderkey as long) as ts",
+        "o_totalprice as price",
+    )
+    plan = _physical(
+        asof_join(left, right, ["user_id"], "ts", value_cols=["price"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """Chunking is a pure per-row projection + explode — any Exchange
+    in the plan means a refactor introduced a shuffle."""
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(chunk_documents(docs, "doc_id", "text", max_tokens=128))
+    assert "Exchange" not in plan
