@@ -111,6 +111,41 @@ def read_csv(
     return reader.csv(path)
 
 
+def jdbc_read_options(
+    url: str,
+    table: str,
+    *,
+    properties: Mapping[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Build the JDBC datasource option map for :func:`read_jdbc`.
+
+    Pure and unit-testable without a driver jar (the sandbox has
+    none): the partitioned-range contract — partitionColumn requires
+    BOTH bounds, numPartitions defaults to 8 — is pinned here. Bounds
+    without a partition column are rejected too (Spark would silently
+    ignore them, serializing the scan through one connection)."""
+    opts: dict[str, str] = {"url": url, "dbtable": table}
+    opts.update({k: str(v) for k, v in (properties or {}).items()})
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions or 8),
+        )
+    elif lower_bound is not None or upper_bound is not None:
+        raise ValueError("bounds are meaningless without partition_column")
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -128,17 +163,16 @@ def read_jdbc(
     at scale a JDBC read must be *partitioned* (parallel range scans on
     a numeric column) or it serializes through one connection.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
-        )
-    return reader.load()
+    opts = jdbc_read_options(
+        url,
+        table,
+        properties=properties,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def from_records(

@@ -69,6 +69,28 @@ def seed_table(
     writer.saveAsTable(table)
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    *,
+    batch_size: int = 1000,
+    properties: Mapping[str, str] | None = None,
+) -> dict[str, str]:
+    """Build the JDBC sink option map for :func:`write_jdbc` — pure
+    and unit-testable without a driver jar. ``batch_size`` defaults to
+    the reference's BATCH_SIZE=1000 (dags/merge_to_dw.py:25) and must
+    be positive; Spark treats it as rows per executemany round-trip."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+    }
+    opts.update({k: str(v) for k, v in (properties or {}).items()})
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -84,16 +106,10 @@ def write_jdbc(
     executemany — exactly the reference's hand-rolled loop, but
     parallel across partitions.
     """
-    writer = (
-        df.write.mode(mode)
-        .format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batch_size))
+    opts = jdbc_write_options(
+        url, table, batch_size=batch_size, properties=properties
     )
-    for k, v in (properties or {}).items():
-        writer = writer.option(k, v)
-    writer.save()
+    df.write.mode(mode).format("jdbc").options(**opts).save()
 
 
 def drop_table(spark, table: str) -> None:
