@@ -54,6 +54,9 @@ _DEMOTED_ORACLES = (
     # Chunking + packing: mirror-checked window/explode compositions.
     "chunk_documents_128",
     "pack_chunks_by_lang",
+    # Sliding windows: the tumbling twin (streaming_hourly_event_counts)
+    # is already driver-visible; this stays mirror-checked.
+    "streaming_sliding_event_counts",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -103,3 +103,31 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     sessions = sessionize(stream, gap_minutes=30)
     return run_available_now(sessions, "q_stream_sessions")
+
+
+@_register(
+    "streaming_sliding_event_counts",
+    """
+SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+         - k * INTERVAL 30 MINUTE AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events CROSS JOIN unnest([0, 1]) AS t(k)
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1-hour window, 30-minute slide) through
+    the streaming engine: every event lands in window/slide = 2
+    overlapping windows. Oracle: each event joined to k ∈ {0, 1}
+    earlier slide buckets — a window [s, s+1h) contains t iff
+    s = time_bucket(30m, t) − k·30m, so the unnest cross join
+    reproduces Spark's window assignment exactly. Oracle-demoted past
+    the driver's full window; hash-checked by the local mirror."""
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    counts = windowed_event_counts(
+        stream, window="1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    return run_available_now(
+        counts, "q_stream_sliding_counts", output_mode="complete"
+    )
