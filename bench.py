@@ -132,6 +132,15 @@ def main() -> None:
                 spark = revive_if_dead(spark)
                 break
             samples.append(round(time.perf_counter() - t0, 3))
+            # Internal persists (LSH candidate caches etc.) register
+            # with Spark's CacheManager keyed by logical plan, so a
+            # repeat of the same query — or a later query sharing a
+            # subtree — would silently read the first rep's cache and
+            # under-report. Every rep runs warm-codegen, cold-cache.
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # pragma: no cover
+                pass
         rep_times[name] = samples
         if len(samples) == reps:
             dt = min(samples)

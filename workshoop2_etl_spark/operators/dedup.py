@@ -126,6 +126,42 @@ def with_distinct_shingles(
     return toks.withColumn(out_col, F.array_distinct(shingles)).drop(tok_col)
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct word-``shingle_n``-gram set per document as
+    ``(id_col, __set)`` — the shared input of signature generation
+    AND candidate verification. Shingle construction is the measured
+    bottleneck of the near-dedup path (6.2 s of 9.9 s at sf0.1), so
+    the pipeline computes this frame ONCE and, when the caller
+    manages a ``cache_registry``, persists it across both consumers.
+    """
+    return with_distinct_shingles(df, text_col, shingle_n, "__set").select(
+        F.col(id_col), "__set"
+    )
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame,
+    id_col: str,
+    *,
+    set_col: str = "__set",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures from a precomputed shingle-set frame (see
+    :func:`shingle_sets`); one explode + one hash aggregate with the
+    k mins computed map-side, so the shuffle carries k longs per doc
+    regardless of document size."""
+    exploded = sets.select(
+        id_col, F.explode(set_col).alias("__sh")
+    ).select(id_col, F.xxhash64("__sh").alias("__h"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -144,21 +180,12 @@ def minhash_signatures(
     (The classic affine ``a_i·h + b_i mod 2⁶⁴`` derivation is cheaper
     still but needs wrapping multiplication, which ANSI mode — Spark
     4's default — rejects at runtime.)
-
-    One explode + one hash aggregate; the k mins are computed
-    map-side (partial aggregation), so the shuffle carries k longs
-    per doc regardless of document size.
     """
-    exploded = (
-        with_distinct_shingles(df, text_col, shingle_n, "__shs")
-        .select(id_col, F.explode("__shs").alias("__sh"))
-        .select(id_col, F.xxhash64("__sh").alias("__h"))
+    return minhash_signatures_from_sets(
+        shingle_sets(df, id_col, text_col, shingle_n=shingle_n),
+        id_col,
+        num_hashes=num_hashes,
     )
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -249,20 +276,35 @@ def verify_jaccard(
     # downstream results are materialized — ``near_dedup_keep`` does
     # exactly that). Without it, long-lived sessions running many
     # dedup jobs should spark.catalog.clearCache() between jobs.
+    ids_needed = lambda p: p.select(  # noqa: E731
+        F.explode(F.array(f"{id_col}_a", f"{id_col}_b")).alias(id_col)
+    ).distinct()
     pairs = pairs.persist()
     if cache_registry is not None:
         cache_registry.append(pairs)
-    ids = (
-        pairs.select(
-            F.explode(F.array(f"{id_col}_a", f"{id_col}_b")).alias(id_col)
-        ).distinct()
+    needed = df.join(ids_needed(pairs), id_col, "left_semi")
+    sets = shingle_sets(needed, id_col, text_col, shingle_n=shingle_n)
+    return verify_jaccard_from_sets(pairs, sets, id_col)
+
+
+def verify_jaccard_from_sets(
+    pairs: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    *,
+    set_col: str = "__set",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs against a precomputed
+    shingle-set frame (:func:`shingle_sets`). ``pairs`` must already
+    be persisted by the caller (both output sides consume it);
+    ``sets`` covers at least every id in ``pairs`` — extra rows cost
+    nothing, the pair join selects what it needs."""
+    a = sets.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col(set_col).alias("__sa")
     )
-    needed = df.join(ids, id_col, "left_semi")
-    sets = with_distinct_shingles(needed, text_col, shingle_n, "__set").select(
-        F.col(id_col), "__set"
+    b = sets.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col(set_col).alias("__sb")
     )
-    a = sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("__set").alias("__sa"))
-    b = sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("__set").alias("__sb"))
     return (
         pairs.join(a, f"{id_col}_a")
         .join(b, f"{id_col}_b")
@@ -288,16 +330,41 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: signatures → banded
     candidates → exact-Jaccard verify → pairs above ``threshold``.
-    ``cache_registry`` forwards to :func:`verify_jaccard` so callers
-    can release the candidate cache after materializing."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
-    verified = verify_jaccard(
-        cands, df, id_col, text_col, shingle_n=shingle_n,
-        cache_registry=cache_registry,
-    )
+
+    Shingle construction dominates this pipeline (6.2 s of 9.9 s at
+    sf0.1), and both the signature and the verify stage need the
+    shingle sets. With a ``cache_registry`` the set frame is computed
+    ONCE, persisted (memory-and-disk; at 100 TB it spills — still
+    cheaper than re-running the regex tokenize + shingle transform
+    per consumer), shared by both stages, and released by the caller
+    after materialization (``near_dedup_keep`` does exactly that).
+    Without a registry nothing new is persisted: verification
+    re-shingles only the candidate docs (semi-join first), the
+    pre-round-4 behavior, so unmanaged callers accrete no caches."""
+    if cache_registry is not None:
+        shingled = shingle_sets(
+            df, id_col, text_col, shingle_n=shingle_n
+        ).persist()
+        cache_registry.append(shingled)
+        sigs = minhash_signatures_from_sets(
+            shingled, id_col, num_hashes=num_hashes
+        )
+        cands = lsh_candidate_pairs(
+            sigs, id_col, num_hashes=num_hashes, bands=bands
+        )
+        cands = cands.persist()
+        cache_registry.append(cands)
+        verified = verify_jaccard_from_sets(cands, shingled, id_col)
+    else:
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
+        cands = lsh_candidate_pairs(
+            sigs, id_col, num_hashes=num_hashes, bands=bands
+        )
+        verified = verify_jaccard(
+            cands, df, id_col, text_col, shingle_n=shingle_n
+        )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
