@@ -57,6 +57,10 @@ _DEMOTED_ORACLES = (
     # Sliding windows: the tumbling twin (streaming_hourly_event_counts)
     # is already driver-visible; this stays mirror-checked.
     "streaming_sliding_event_counts",
+    # Round-5 corpus-pipeline additions: quality filters already
+    # driver-visible via quality_score_documents; these stay
+    # mirror-checked.
+    "repetition_stats_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -456,3 +456,34 @@ def test_pack_chunks_first_fit_bins(spark):
         for r in pack_chunks(chunks, "doc_id", budget=512, allow_global=True).collect()
     }
     assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 1, (3, 0): 1, (4, 0): 2}
+
+
+def test_repetition_stats_measures(spark):
+    from workshoop2_etl_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),            # top bigram 'a b' 3/5, dup tokens 4/6
+        (2, "x\ny\nx\n\nz"),           # duplicate line 'x' -> 1/4
+        (3, ""),                        # empty doc: all zeros
+        (4, "one two"),                 # single bigram
+        (5, "solo"),                    # shorter than the ngram: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(df, "text", id_cols=["doc_id"]).collect()
+    }
+    assert out[1].n_tokens == 6
+    assert out[1].dup_token_frac == round(1 - 2 / 6, 4)
+    assert out[1].top_ngram_share == round(3 / 5, 4)
+    assert out[1].dup_line_frac == 0.0
+    assert out[2].dup_line_frac == 0.25
+    assert out[2].dup_token_frac == 0.25
+    assert out[3].n_tokens == 0
+    assert (out[3].dup_token_frac, out[3].top_ngram_share, out[3].dup_line_frac) == (
+        0.0,
+        0.0,
+        0.0,
+    )
+    assert out[4].top_ngram_share == 1.0
+    assert out[5].top_ngram_share == 0.0

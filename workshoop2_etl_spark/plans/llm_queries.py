@@ -681,3 +681,57 @@ def pack_chunks_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality filters beyond length/punctuation: Gopher-style
+# repetition measures (most-frequent-n-gram share, duplicate token /
+# line fractions).
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS ts,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l != '') AS ls
+  FROM documents
+), g AS (
+  SELECT doc_id, ts, ls,
+         list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                        i -> ts[i] || ' ' || ts[i + 1]) AS gs
+  FROM t
+), topg AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(gs) AS gram FROM g)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(ts) > 0
+                  THEN 1.0 - len(list_distinct(ts)) * 1.0 / len(ts)
+                  ELSE 0.0 END, 4) AS dup_token_frac,
+       round(CASE WHEN len(gs) > 0
+                  THEN coalesce(topc, 0) * 1.0 / len(gs)
+                  ELSE 0.0 END, 4) AS top_ngram_share,
+       round(CASE WHEN len(ls) > 0
+                  THEN 1.0 - len(list_distinct(ls)) * 1.0 / len(ls)
+                  ELSE 0.0 END, 4) AS dup_line_frac
+FROM g LEFT JOIN topg ON g.doc_id = topg.doc_id
+"""
+
+
+@_register("repetition_stats_documents", _REPETITION_SQL)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-bigram share, duplicate
+    token/line fractions) as one narrow per-document projection — no
+    explode, no shuffle; the most-frequent-bigram count is a
+    sort+longest-run fold per document. Oracle-demoted past the
+    driver's full window; hash-checked by the local mirror."""
+    from workshoop2_etl_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", id_cols=["doc_id"])
