@@ -61,6 +61,12 @@ _DEMOTED_ORACLES = (
     # driver-visible via quality_score_documents; these stay
     # mirror-checked.
     "repetition_stats_documents",
+    # Deterministic md5-keyed sampling/splitting: the selection logic
+    # is mirror-checked; the window already proves the md5 primitive
+    # via fingerprint_documents.
+    "hash_split_documents",
+    "stratified_sample_documents",
+    "token_budget_sample_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

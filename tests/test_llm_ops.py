@@ -487,3 +487,72 @@ def test_repetition_stats_measures(spark):
     )
     assert out[4].top_ngram_share == 1.0
     assert out[5].top_ngram_share == 0.0
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from workshoop2_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 80/10/10 within binomial noise on 2000 draws
+    assert 1480 <= counts["train"] <= 1700
+    assert 100 <= counts["val"] <= 300
+    assert 100 <= counts["test"] <= 300
+    # id-stable: the assignment of ids 0..999 is unchanged when the
+    # corpus doubles (eval-set stability across corpus versions)
+    small = {r.doc_id: r.split for r in hash_split(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id").collect()}
+    big = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 1000).collect()}
+    assert small == big
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_exact_fraction(spark):
+    from workshoop2_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "doc_id long, lang string"
+    )
+    out = stratified_sample(df, ["lang"], fraction=0.1, id_col="doc_id")
+    got = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    import math
+    expect = {"en": math.ceil(0.1 * 200), "de": math.ceil(0.1 * 100)}
+    assert {r.lang: r.n for r in got} == expect
+    # deterministic: same kept set on rerun
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(
+        df, ["lang"], fraction=0.1, id_col="doc_id").collect())
+    assert ids1 == ids2
+    # salting redraws a different set
+    ids3 = sorted(r.doc_id for r in stratified_sample(
+        df, ["lang"], fraction=0.1, id_col="doc_id", salt="v2").collect())
+    assert ids1 != ids3
+    with pytest.raises(ValueError, match="strata_cols"):
+        stratified_sample(df, [], fraction=0.1, id_col="doc_id")
+    # approximate path: no shuffle, fraction within noise
+    approx = stratified_sample(df, [], fraction=0.5, id_col="doc_id", exact=False)
+    assert "Exchange" not in approx._jdf.queryExecution().executedPlan().toString()
+    assert 100 <= approx.count() <= 200
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from workshoop2_etl_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(100)], "doc_id long, lang string, w long"
+    )
+    out = token_budget_sample(df, "doc_id", weight_col="w", budget=250, group_cols=["lang"])
+    # exactly 25 rows of weight 10 fit in a 250 budget
+    assert out.count() == 25
+    # kept set is the hash-order prefix: rerun identical
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id
+        for r in token_budget_sample(
+            df, "doc_id", weight_col="w", budget=250, group_cols=["lang"]
+        ).collect()
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        token_budget_sample(df, "doc_id", weight_col="w", budget=250)

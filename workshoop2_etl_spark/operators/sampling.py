@@ -1,0 +1,181 @@
+"""Deterministic corpus sampling and splitting.
+
+A training-data pipeline needs reproducible, id-stable selection — the
+same document must land in the same split/sample on every run, on any
+cluster layout, regardless of row order. Everything here keys off
+``md5`` of the id (NOT ``rand()``, NOT ``xxhash64``): md5 is
+order-independent, engine-portable (DuckDB computes the identical
+digest, so every operator has an exact SQL oracle), and salting gives
+independent re-draws.
+
+Operators:
+
+- :func:`hash_bucket` — stable int bucket from any id column;
+- :func:`hash_split` — train/val/test assignment by bucket threshold
+  (pure projection: scan-speed, no shuffle, resolution 1/buckets);
+- :func:`stratified_sample` — exact per-stratum fraction via
+  hash-ranked ``row_number`` (one shuffle on the strata key), or the
+  shuffle-free approximate hash-threshold path for 100 TB runs;
+- :func:`token_budget_sample` — greedy budget fill per group in hash
+  order (running-sum window), e.g. "2 B tokens per language".
+
+Scale notes: ``hash_split`` and the approximate sampler are narrow
+projections that run at scan speed at any size. The exact sampler and
+the budget sampler shuffle once on the group key and sort within
+groups — the per-group sort is distributed (range-partitioned window),
+but a single giant stratum degenerates to one partition's sort, the
+same caveat as any per-key window; salt-free md5 ordering keeps the
+sort keys uniformly distributed within each group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(
+    id_col: Column | str, *, buckets: int = 10_000, salt: str = ""
+) -> Column:
+    """Uniform, deterministic bucket in ``[0, buckets)`` from the md5
+    of the (salted) id rendered as a string.
+
+    The first 8 hex digits give 32 uniform bits — enough resolution
+    for split thresholds; DuckDB reproduces it exactly as
+    ``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT) % buckets``.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias(
+        "bucket"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    buckets: int = 10_000,
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket threshold.
+
+    ``weights`` maps split name → fraction (must sum to ≈1); the
+    default is the conventional 80/10/10 train/val/test. Assignment is
+    a pure projection — no shuffle, no state, resolution
+    ``1/buckets`` — and is stable under reruns, repartitioning, and
+    corpus growth (a document's split never changes when other
+    documents are added, the property that keeps eval sets
+    uncontaminated across corpus versions).
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, buckets=buckets, salt=salt)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    names = list(weights)
+    # Build thresholds first-to-last; the final split takes the
+    # remainder so rounding never drops a bucket.
+    conds = []
+    for name in names[:-1]:
+        acc += weights[name]
+        conds.append((name, int(round(acc * buckets))))
+    expr = F.lit(names[-1])
+    for name, threshold in reversed(conds):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    fraction: float,
+    id_col: str,
+    salt: str = "",
+    exact: bool = True,
+) -> DataFrame:
+    """Sample ``fraction`` of each stratum, deterministically.
+
+    ``exact=True`` ranks rows within each stratum by (md5(id), id)
+    and keeps ``row_number <= ceil(fraction * stratum_size)`` — the
+    sample size per stratum is exact, at the cost of one shuffle on
+    ``strata_cols`` and a per-stratum sort.
+
+    ``exact=False`` keeps rows whose hash bucket clears the fraction
+    threshold — zero shuffle, scan-speed, sample size binomial around
+    the target (the right trade at 100 TB where ±0.1% is noise).
+    Both paths are id-stable: a kept document stays kept on reruns.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if exact and not strata_cols:
+        raise ValueError(
+            "exact stratified_sample without strata_cols sorts the "
+            "entire dataset in ONE partition; pass strata_cols or use "
+            "exact=False (hash-threshold, shuffle-free)"
+        )
+    if not exact:
+        buckets = 1_000_000
+        bucket = hash_bucket(id_col, buckets=buckets, salt=salt)
+        return df.filter(bucket < int(round(fraction * buckets)))
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols)
+    order = w.orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weight_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    allow_global: bool = False,
+) -> DataFrame:
+    """Budget-capped sample: keep, per group, the maximal hash-order
+    PREFIX whose running ``weight_col`` total stays within ``budget``.
+
+    The canonical "sample N tokens per language" primitive for corpus
+    mixing (weights are usually token counts, any additive weight
+    works). One shuffle on ``group_cols``; the running total is a
+    cumulative-sum window in (md5(id), id) order, so the kept set is a
+    deterministic function of ids and weights — independent of
+    partitioning and insert order. Semantics are prefix-truncation,
+    not greedy bin-fill: the first row whose cumulative weight crosses
+    the budget is dropped along with everything after it in hash
+    order, so underfill is bounded by that row's weight. (True
+    greedy-fill — skip the oversize row, keep later rows that still
+    fit — depends on which rows were kept so far and is not a window
+    expression; it would need a per-group ``applyInPandas`` fold.)
+    """
+    if not group_cols and not allow_global:
+        # Same footgun as pack_chunks: an unpartitioned window is a
+        # single-partition global sort of the whole corpus.
+        raise ValueError(
+            "token_budget_sample without group_cols sorts the entire "
+            "dataset in ONE partition; pass group_cols or "
+            "allow_global=True if that is intended"
+        )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    return df.withColumn("__cum", cum).filter(F.col("__cum") <= budget).drop(
+        "__cum"
+    )

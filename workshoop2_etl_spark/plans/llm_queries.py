@@ -735,3 +735,94 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs, "text", id_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting: md5-keyed so DuckDB reproduces
+# the exact kept set (id-stable across runs and engines).
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+@_register("hash_split_documents", _HASH_SPLIT_SQL)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5 bucket threshold —
+    a pure projection (scan speed, no shuffle), id-stable so a
+    document's split never changes as the corpus grows. Summarized
+    as counts per (lang, split). Mirror-checked oracle."""
+    from workshoop2_etl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_STRATIFIED_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * n)
+"""
+
+
+@_register("stratified_sample_documents", _STRATIFIED_SQL)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% per-language sample via hash-ranked row_number (one
+    shuffle on the stratum key); the kept doc_id set is a pure
+    function of ids, matched row-for-row by the oracle."""
+    from workshoop2_etl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, ["lang"], fraction=0.2, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM c WHERE cum <= 20000
+"""
+
+
+@_register("token_budget_sample_documents", _TOKEN_BUDGET_SQL)
+def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus mix: per language, keep the maximal
+    hash-order prefix whose cumulative n_chars stays within 20k (the
+    "N tokens per language" mixing primitive; running-sum window,
+    one shuffle on the group key)."""
+    from workshoop2_etl_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "doc_id", weight_col="n_chars", budget=20_000, group_cols=["lang"]
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
