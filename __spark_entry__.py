@@ -67,6 +67,9 @@ _DEMOTED_ORACLES = (
     "hash_split_documents",
     "stratified_sample_documents",
     "token_budget_sample_documents",
+    # Regex cleaning passes (Java∩RE2 pattern subset): mirror-checked.
+    "pii_redact_documents",
+    "normalize_text_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -556,3 +556,41 @@ def test_token_budget_sample_prefix_semantics(spark):
     )
     with pytest.raises(ValueError, match="group_cols"):
         token_budget_sample(df, "doc_id", weight_col="w", budget=250)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from workshoop2_etl_spark.operators.redaction import redact_pii
+
+    rows = [
+        (1, "mail jane.doe+x@corp.example.org or bob@x.io now"),
+        (2, "call 555-123-4567 or 800.555.1234 today"),
+        (3, "host 192.168.1.254 and 10.0.0.1 up"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in redact_pii(df, "text", count_cols=True).collect()
+    }
+    assert out[1].text == "mail <EMAIL> or <EMAIL> now"
+    assert out[1].n_email == 2
+    assert out[2].text == "call <PHONE> or <PHONE> today"
+    assert out[2].n_phone == 2
+    assert out[3].text == "host <IP> and <IP> up"
+    assert out[3].n_ipv4 == 2
+    assert out[4].text == rows[3][1]
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+
+
+def test_normalize_text_idempotent(spark):
+    from workshoop2_etl_spark.operators.redaction import normalize_text
+
+    rows = [(1, "\t  a\x00b\tc\r\nd   e \x7f ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_text(df, "text", out_col="n1")
+    twice = normalize_text(once, "n1", out_col="n2")
+    r = twice.collect()[0]
+    assert r.n1 == "ab c d e"
+    assert r.n2 == r.n1  # idempotent
+    low = normalize_text(df, "text", lowercase=True).collect()[0]
+    assert low.text == "ab c d e"

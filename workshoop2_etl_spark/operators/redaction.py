@@ -1,0 +1,97 @@
+"""PII redaction and text normalization for corpus cleaning.
+
+Both are pure per-document projections (chained ``regexp_replace``,
+JVM-side, whole-stage-codegen) — they run at scan speed on any corpus
+size; there is no shuffle and nothing to tune.
+
+The built-in patterns deliberately use only the regex subset shared by
+Java's engine (Spark) and RE2 (DuckDB, Go, Rust's regex): character
+classes, bounded repetition, non-capturing groups, ``\\b`` — no
+backreferences, no lookaround. That keeps every pattern portable and
+lets the DuckDB oracle replay the exact transformation. Production
+deployments layering stricter PII models (NER-based) would do so as a
+mapInPandas stage downstream; the regex pass stays the cheap first
+filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: name -> (pattern, replacement). Order matters: email before phone
+#: so digits inside addresses are consumed first.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+#: ASCII control characters (minus \t \n \r, which normalize() folds
+#: into spaces anyway) — the usual mojibake survivors.
+_CONTROL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out_col: str | None = None,
+    count_cols: bool = False,
+) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens.
+
+    ``patterns`` defaults to :data:`PII_PATTERNS`; replacements are
+    applied in dict order over the previous result. With
+    ``count_cols`` each pattern also emits ``n_<name>`` — the number
+    of spans redacted (counted on the ORIGINAL text, so later
+    patterns don't see earlier placeholders) — useful for routing
+    documents with heavy PII density to quarantine instead of
+    publishing them redacted.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = out_col or text_col
+    text = F.col(text_col)
+    red: Column = text
+    for pattern, repl in pats.values():
+        red = F.regexp_replace(red, pattern, repl)
+    result = df
+    if count_cols:
+        # Counts must be added BEFORE the redacted column: when
+        # out_col is None the redaction overwrites text_col, and a
+        # count added afterwards would resolve against the
+        # placeholder-substituted text (always zero).
+        for name, (pattern, _) in pats.items():
+            result = result.withColumn(
+                f"n_{name}",
+                F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))),
+            )
+    return result.withColumn(out, red)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize whitespace and strip control characters:
+
+    1. drop ASCII control chars (keeping tab/newline/CR for step 2);
+    2. collapse every whitespace run (including tab/newline/CR) to a
+       single space;
+    3. trim; optionally lowercase.
+
+    The idempotent pre-tokenization cleanup — running it twice is a
+    no-op, so pipeline stages can apply it defensively.
+    """
+    out = out_col or text_col
+    c = F.col(text_col)
+    c = F.regexp_replace(c, _CONTROL_CLASS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out, c)

@@ -826,3 +826,106 @@ def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return token_budget_sample(
         docs, "doc_id", weight_col="n_chars", budget=20_000, group_cols=["lang"]
     ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning: PII redaction + whitespace/control normalization.
+# The testdata corpus is synthetic word-soup with no PII or mojibake,
+# so each query INJECTS a deterministic span per document first —
+# otherwise the oracle would only prove the identity transform.
+# ---------------------------------------------------------------------------
+
+_PII_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-123-4567 from 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.' AS pii_text
+  FROM documents
+), red AS (
+  SELECT doc_id, pii_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+  FROM synth
+)
+SELECT doc_id, md5(redacted) AS redacted_md5,
+       CAST(len(regexp_extract_all(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(pii_text,
+            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(pii_text,
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+FROM red
+"""
+
+
+@_register("pii_redact_documents", _PII_SQL)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII pass (emails, phones, IPv4 → typed placeholders) over
+    documents with injected deterministic PII spans; emits the md5 of
+    the redacted text plus per-type span counts. Patterns restricted
+    to the Java∩RE2 regex subset so the oracle replays them exactly."""
+    from workshoop2_etl_spark.operators.redaction import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+        ).alias("pii_text"),
+    )
+    red = redact_pii(docs, "pii_text", out_col="redacted", count_cols=True)
+    return red.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+_NORMALIZE_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         chr(9) || ' ' || text || ' ' || chr(7) || chr(13) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(raw, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g'))) AS norm_md5,
+       CAST(length(trim(regexp_replace(
+             regexp_replace(raw, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM synth
+"""
+
+
+@_register("normalize_text_documents", _NORMALIZE_SQL)
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char canonicalization over documents with
+    injected tab/CR/BEL noise; emits md5 + length of the normalized
+    text (for this corpus, equal to the original text's md5 — the
+    transform must strip exactly the injected noise)."""
+    from workshoop2_etl_spark.operators.redaction import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("\t "), F.col("text"), F.lit(" \x07\r")
+        ).alias("raw"),
+    )
+    out = normalize_text(docs, "raw", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+    )
