@@ -70,6 +70,8 @@ _DEMOTED_ORACLES = (
     # Regex cleaning passes (Java∩RE2 pattern subset): mirror-checked.
     "pii_redact_documents",
     "normalize_text_documents",
+    # 13-gram benchmark-overlap decontamination: mirror-checked.
+    "decontaminate_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -594,3 +594,54 @@ def test_normalize_text_idempotent(spark):
     assert r.n2 == r.n1  # idempotent
     low = normalize_text(df, "text", lowercase=True).collect()[0]
     assert low.text == "ab c d e"
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from workshoop2_etl_spark.operators.decontam import (
+        benchmark_shingles,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france answer paris")],
+        "qid long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 8-gram -> contaminated
+            (1, "trivia dump what is the capital of france answer paris end"),
+            # partial overlap only (7 of 8 words) -> clean
+            (2, "what is the capital of france answer berlin"),
+            (3, "entirely unrelated text about spark shuffles and joins"),
+            # shorter than the ngram -> clean by definition
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", ngram=8, mode="flag"
+        ).collect()
+    }
+    assert flagged == {1: True, 2: False, 3: False, 4: False}
+    kept = decontaminate(corpus, bench, "doc_id", "text", ngram=8, mode="filter")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+    # pre-shingled benchmark reuse path
+    sh = benchmark_shingles(bench, "text", ngram=8)
+    kept2 = decontaminate(corpus, sh, "doc_id", "text", ngram=8, mode="filter")
+    assert sorted(r.doc_id for r in kept2.collect()) == [2, 3, 4]
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(corpus, bench, "doc_id", "text", mode="nope")
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    from workshoop2_etl_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h i j k l m")], "qid long, text string")
+    corpus = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = (
+        decontaminate(corpus, bench, "doc_id", "text", mode="flag")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -929,3 +929,50 @@ def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm").alias("norm_md5"),
         F.length("norm").cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (13-gram overlap, GPT-3 appendix C
+# convention). The held-out "benchmark" is the deterministic
+# doc_id % 97 == 0 slice of the corpus itself, so its members —
+# and only its members, in this collision-free synthetic corpus —
+# must come back flagged.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ts) - 12, 0)),
+                        i -> md5(array_to_string(ts[i:i+12], ' '))) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS b FROM sh WHERE doc_id % 97 = 0
+), dirty AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sh) s
+  JOIN bench ON s.g = bench.b
+)
+SELECT d.doc_id, (dirty.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+"""
+
+
+@_register("decontaminate_documents", _DECONTAM_SQL)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents sharing any 13-gram with the benchmark
+    slice (doc_id % 97 == 0). The benchmark shingle set broadcasts as
+    fixed-width md5 digests; the corpus side explodes map-side and
+    semi-joins without shuffling — the shape that survives 100 TB."""
+    from workshoop2_etl_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontaminate(
+        docs, bench, "doc_id", "text", ngram=13, mode="flag"
+    )
+    return out.select("doc_id", "contaminated")
