@@ -645,3 +645,35 @@ def test_decontaminate_benchmark_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base_a = rng.standard_normal(16)
+    base_b = rng.standard_normal(16)
+    rows = []
+    # two tight duplicate groups around distant anchors + singletons
+    for i, anchor in [(0, base_a), (1, base_a), (2, base_a), (10, base_b), (11, base_b)]:
+        v = anchor + rng.standard_normal(16) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20, 24):  # unrelated singletons
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(df, threshold=0.95, n_clusters=3, seed=1)
+    kept_ids = sorted(r.vec_id for r in kept.collect())
+    # one survivor per duplicate group, all singletons intact
+    assert len([i for i in kept_ids if i < 3]) == 1
+    assert len([i for i in kept_ids if i in (10, 11)]) == 1
+    assert all(i in kept_ids for i in range(20, 24))
+    # deterministic across reruns
+    kept2 = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95, n_clusters=3, seed=1).collect()
+    )
+    assert kept_ids == kept2
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(df, keep="nope")

@@ -362,6 +362,92 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    keep: str = "typical",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF
+    coarse quantizer, then within each cluster drop every vector that
+    is within ``threshold`` cosine of a higher-ranked one.
+
+    Rank is (similarity-to-centroid, id) — ``keep='typical'`` ranks
+    the most central vector first (survivors are cluster prototypes);
+    ``keep='atypical'`` ranks ascending, matching the paper's
+    keep-low-centroid-similarity variant (survivors are the diverse
+    outliers). Either way the greedy scan is expressed as ONE
+    within-cluster self-join — pair (a, b) drops the lower-ranked b
+    when ``cos(a, b) ≥ threshold`` — not an iterative loop: greedy-
+    by-rank needs no transitive closure because every drop is
+    justified by one surviving witness... with the standard SemDeDup
+    caveat that a dropped a would still drop b (witnesses may
+    themselves be dropped), which matches the paper's "remove all but
+    one per ε-ball, scanning in rank order" semantics.
+
+    Cost is Σ cluster_size² pairs, NEVER all-pairs: size ``n_clusters``
+    so clusters average ≲ a few thousand vectors (n_clusters ≈ n/1000;
+    the paper uses 50k clusters for 5B embeddings). The quantizer
+    trains on a seeded sample via :func:`ivf_build`; pass prebuilt
+    ``centroids`` to reuse one quantizer across corpus shards.
+
+    Returns the deduplicated corpus (original columns).
+    """
+    if keep not in ("typical", "atypical"):
+        raise ValueError(f"keep must be 'typical' or 'atypical', got {keep!r}")
+    if centroids is None:
+        centroids = ivf_build(
+            df, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
+    c = np.asarray(centroids, dtype=np.float64)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c[i]]) for i in range(len(c))],
+        "__cluster int, __cvec array<double>",
+    )
+    ranked = (
+        ivf_assign(df, c, vec_col=vec_col, out_col="__cl", n_probe=1)
+        .select(id_col, vec_col, F.col("__cl")[0].alias("__cluster"))
+        .join(F.broadcast(cent), "__cluster")
+        .withColumn("__csim", cosine(vec_col, "__cvec"))
+    )
+    order = (
+        [F.desc("__csim"), F.asc(id_col)]
+        if keep == "typical"
+        else [F.asc("__csim"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("__cluster").orderBy(*order)
+    ranked = ranked.withColumn("__rn", F.row_number().over(w)).select(
+        id_col, vec_col, "__cluster", "__rn"
+    )
+    hi = ranked.select(
+        F.col("__cluster"),
+        F.col("__rn").alias("__rn_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    lo = ranked.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__rn").alias("__rn_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dropped = (
+        hi.join(lo, "__cluster")
+        .filter(F.col("__rn_a") < F.col("__rn_b"))
+        .withColumn("__sim", cosine("__va", "__vb"))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 def embedding_neardup(
     df: DataFrame,
     *,

