@@ -677,3 +677,15 @@ def test_semantic_dedup_drops_near_duplicates(spark):
     assert kept_ids == kept2
     with pytest.raises(ValueError, match="keep"):
         semantic_dedup(df, keep="nope")
+
+
+def test_ensure_parallelism_noop_when_wide(spark):
+    from workshoop2_etl_spark.sources.readers import ensure_parallelism
+
+    narrow = spark.range(1000).coalesce(1)
+    widened = ensure_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # already at/above target: the SAME frame comes back, no extra shuffle
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert ensure_parallelism(wide) is wide
+    assert ensure_parallelism(narrow, min_partitions=1) is narrow

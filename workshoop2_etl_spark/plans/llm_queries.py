@@ -40,6 +40,23 @@ from workshoop2_etl_spark.operators.textstats import (
     word_frequencies,
 )
 from workshoop2_etl_spark.plans.reference_queries import _register, _t
+from workshoop2_etl_spark.sources.readers import ensure_parallelism
+
+
+def _tp(spark, sf_dir, name):
+    """Scan + ensure_parallelism: the compute-heavy text operators
+    (shingling, md5 sketches, 63-bit simhash sums) are CPU-bound long
+    before their first exchange, and the small-scale testdata scans
+    as one byte-sized partition — see readers.ensure_parallelism
+    (no-op at real scale). Measured back-to-back at sf0.1: 6.5× on
+    fingerprint, 5.5× on decontaminate, 2.2× on ngram-jaccard.
+
+    Deliberately NOT used where the operator (a) samples or collects
+    early for training — the LSH/IVF/k-means quantizers would pay the
+    full shuffle just to draw their sample — or (b) does only cheap
+    per-row work (language-ID contains(), media metadata projection):
+    both measured slower with the extra exchange."""
+    return ensure_parallelism(_t(spark, sf_dir, name))
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +98,7 @@ def neardup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate pairs (word 3-shingles,
     64 hashes / 16 bands, exact-Jaccard verified ≥ 0.3). Rows-only:
     the sketch hash (xxhash64) has no DuckDB twin."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     pairs = near_dedup_minhash(
         docs, "doc_id", "text", threshold=0.3, num_hashes=64, bands=16
     )
@@ -96,7 +113,7 @@ def near_dedup_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters → corpus minus non-representative duplicates. Rows-only:
     label propagation is iterative, outside SQL's reach (the driver's
     weaker check still pins row count + schema)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     kept = near_dedup_keep(docs, "doc_id", "text", threshold=0.3)
     return kept.select("doc_id", "lang", "source")
 
@@ -104,7 +121,7 @@ def near_dedup_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("simhash_documents")  # rows-only: xxhash64 sketch
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash fingerprint per document (rows-only: xxhash64)."""
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash(_tp(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +154,7 @@ def brute_force_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for query vectors (vec_id < 5).
     The query set broadcasts; the corpus scans once; per-query top-k
     via a window — the ANN baseline and the oracle-checked path."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -323,7 +340,7 @@ FROM r
 )
 def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style quality heuristics in one codegen projection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = quality_score(docs, "text")
     return out.select(
         "doc_id",
@@ -435,7 +452,7 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-8 md5 sketch over char 8-shingles — md5 (not xxhash64)
     precisely so the sketch is reproducible in any engine, DuckDB
     included; hence fully oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return fingerprint(docs, "text").select("doc_id", "fingerprint")
 
 
@@ -471,7 +488,7 @@ def tfidf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB."""
     from workshoop2_etl_spark.operators.textstats import tf_idf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = tf_idf(docs, "doc_id", "text")
     return out.select(
         "doc_id",
@@ -490,7 +507,7 @@ def simhash_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFra
     fingerprint hash (xxhash64) has no DuckDB twin."""
     from workshoop2_etl_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     fps = simhash(docs, "doc_id", "text")
     out = simhash_neardup_pairs(fps, "doc_id", max_hamming=3)
     return out.select(
@@ -573,7 +590,7 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     hash-checks it."""
     from workshoop2_etl_spark.operators.dedup import ngram_jaccard_neardup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = ngram_jaccard_neardup(docs, "doc_id", "text", threshold=0.3)
     return out.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
@@ -591,7 +608,7 @@ def corpus_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from workshoop2_etl_spark.plans.pipelines import corpus_pipeline
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     kept = corpus_pipeline(
         docs, min_quality=0.5, neardup_threshold=0.3
     )
@@ -733,7 +750,7 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's full window; hash-checked by the local mirror."""
     from workshoop2_etl_spark.operators.textstats import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return repetition_stats(docs, "text", id_cols=["doc_id"])
 
 
@@ -970,7 +987,7 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins without shuffling — the shape that survives 100 TB."""
     from workshoop2_etl_spark.operators.decontam import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     out = decontaminate(
         docs, bench, "doc_id", "text", ngram=13, mode="flag"

@@ -71,6 +71,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(
+    df: DataFrame, *, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition an under-parallelized scan up to the
+    cluster's default parallelism — a NO-OP whenever the input already
+    has that many partitions.
+
+    Spark sizes file-scan partitions by BYTES (``maxPartitionBytes`` /
+    ``openCostInBytes``), which is the wrong estimate for compute-bound
+    narrow operators: a sub-megabyte parquet file of 5k documents scans
+    as ONE partition, and every downstream md5/shingle/matmul then runs
+    on one core until the first exchange (measured 6× on the bottom-k
+    fingerprint). At 100 TB the same scan yields thousands of
+    partitions and this helper does nothing — the guard is what makes
+    it safe to leave in production plans; the repartition only ever
+    shuffles data that was small enough to under-split in the first
+    place. Apply it between the scan and CPU-heavy per-row work; do
+    NOT apply it where the next operator shuffles anyway (groupBy /
+    join pick their own partitioning).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) in ``path`` (checked
     once on the driver from footer metadata — no data read)."""
