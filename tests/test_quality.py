@@ -1,0 +1,67 @@
+"""Data-quality expectation suite: null fractions, uniqueness,
+referential integrity — each check's pass AND fail paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from workshoop2_etl_spark.operators.quality import (
+    expect_null_fractions,
+    expect_referential,
+    expect_unique,
+    expectation_report,
+)
+
+
+def test_null_fractions_thresholds(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id int, v string"
+    )
+    rows = {
+        r["target"]: r
+        for r in expect_null_fractions(df, {"id": 0.0, "v": 0.4}).collect()
+    }
+    assert rows["id"]["ok"] is True and rows["id"]["n_bad"] == 0
+    assert rows["v"]["n_bad"] == 2 and rows["v"]["metric"] == 0.5
+    assert rows["v"]["ok"] is False  # 0.5 > 0.4
+
+
+def test_unique_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id int, grp string"
+    )
+    ok = expect_unique(df, ["id"]).collect()[0]
+    assert ok["ok"] is True and ok["n_bad"] == 0
+    dup = expect_unique(df, ["grp"]).collect()[0]
+    assert dup["ok"] is False and dup["n_bad"] == 1  # 3 rows, 2 distinct
+
+
+def test_referential_counts_dangling_only(spark):
+    dim = spark.createDataFrame([(1,), (2,)], "pk int")
+    fact = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk int"
+    )
+    row = expect_referential(fact, dim, ["fk"], ["pk"], dim_name="d").collect()[0]
+    # the None FK belongs to the null check, not here
+    assert row["n_bad"] == 1 and row["ok"] is False
+    assert row["target"] == "fk->d"
+
+
+def test_expectation_report_unions_and_orders(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    rep = expectation_report(
+        [expect_unique(df, ["id"]), expect_null_fractions(df, {"id": 0.0})]
+    ).collect()
+    assert [r["check"] for r in rep] == ["null_frac", "unique"]
+    with pytest.raises(ValueError, match="no checks"):
+        expectation_report([])
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        expect_null_fractions(df, {})
+    with pytest.raises(ValueError):
+        expect_unique(df, [])
+    with pytest.raises(ValueError):
+        expect_referential(df, df, ["id"], [], dim_name="d")

@@ -96,3 +96,69 @@ def test_key_strategy_rejects_unknown(spark):
     src = spark.createDataFrame([("a",)], "nk string")
     with pytest.raises(ValueError, match="key_strategy"):
         build_dim(src, ["nk"], "id", key_strategy="bogus")
+
+
+def test_scd2_history_collapses_runs(spark):
+    from datetime import date
+
+    from workshoop2_etl_spark.operators.star import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            # key 1: A,A,B,B,A — three runs
+            (1, "A", date(2024, 1, 1)),
+            (1, "A", date(2024, 1, 2)),
+            (1, "B", date(2024, 1, 3)),
+            (1, "B", date(2024, 1, 4)),
+            (1, "A", date(2024, 1, 5)),
+            # key 2: single run incl. a null attr snapshot opening it
+            (2, None, date(2024, 2, 1)),
+            (2, None, date(2024, 2, 2)),
+            (2, "C", date(2024, 2, 3)),
+        ],
+        "k int, status string, ts date",
+    )
+    out = scd2_history(snaps, ["k"], ["status"], "ts")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["k"], r["effective_from"])
+    )
+    k1 = [(r["status"], r["effective_from"], r["effective_to"], r["is_current"])
+          for r in rows if r["k"] == 1]
+    assert k1 == [
+        ("A", date(2024, 1, 1), date(2024, 1, 3), False),
+        ("B", date(2024, 1, 3), date(2024, 1, 5), False),
+        ("A", date(2024, 1, 5), None, True),
+    ]
+    k2 = [(r["status"], r["is_current"]) for r in rows if r["k"] == 2]
+    assert k2 == [(None, False), ("C", True)]  # null runs are first-class
+
+
+def test_scd2_history_same_day_double_change_deterministic(spark):
+    from datetime import date
+
+    from workshoop2_etl_spark.operators.star import scd2_history
+
+    # Two different statuses inside one ts granule: both runs share
+    # effective_from; lead() must follow version order, not ts order.
+    snaps = spark.createDataFrame(
+        [(1, "A", date(2024, 1, 1)), (1, "B", date(2024, 1, 1))],
+        "k int, status string, ts date",
+    )
+    out = scd2_history(snaps, ["k"], ["status"], "ts").collect()
+    by_status = {r["status"]: r for r in out}
+    assert len(out) == 2
+    # Tie-break orders attributes ascending: A before B.
+    assert by_status["A"]["effective_to"] == date(2024, 1, 1)
+    assert by_status["A"]["is_current"] is False
+    assert by_status["B"]["effective_to"] is None
+    assert by_status["B"]["is_current"] is True
+
+
+def test_scd2_history_validates_args(spark):
+    import pytest
+
+    from workshoop2_etl_spark.operators.star import scd2_history
+
+    df = spark.createDataFrame([(1, "A", 1)], "k int, s string, ts int")
+    with pytest.raises(ValueError, match="natural_keys"):
+        scd2_history(df, [], ["s"], "ts")

@@ -1,0 +1,133 @@
+"""Declarative data-quality expectations — the load-gate the
+reference runs implicitly.
+
+The reference's warehouse loader enforces quality row-by-row while
+merging (dags/merge_to_dw.py: required-key routing drops rows with
+missing FKs; the per-row try/except around dimension inserts is its
+uniqueness check). This module lifts those checks into an explicit,
+set-based expectation suite a pipeline can run BEFORE loading — the
+Great-Expectations-shaped primitive every production ETL grows:
+
+- **null fraction** per column vs a threshold (one aggregate pass
+  over the table — map-side partial aggregation, no data shuffle);
+- **key uniqueness** (``count(*) - count(distinct key)`` — one exact
+  distinct; swap for ``approx_count_distinct`` at 100 TB when ±2%
+  suffices);
+- **referential integrity** fact→dim (broadcast anti-join on the
+  dimension's keys; null FKs are excluded here — they belong to the
+  null-fraction check — so each violation is a *dangling* reference).
+
+Every check yields one row ``(check, target, n_bad, metric,
+threshold, ok)``; the suite unions them into a single lazy report
+DataFrame — no driver-side collects, one job when materialized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("check", "target", "n_bad", "metric", "threshold", "ok")
+
+
+def _finish(df: DataFrame, check: str, target: str, threshold: float) -> DataFrame:
+    """Attach the report columns to a 1-row (n_bad, metric) frame."""
+    return df.select(
+        F.lit(check).alias("check"),
+        F.lit(target).alias("target"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(F.col("metric"), 6).cast("double").alias("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+        (F.round(F.col("metric"), 6) <= threshold).alias("ok"),
+    )
+
+
+def expect_null_fractions(
+    df: DataFrame, max_null_frac: dict[str, float]
+) -> DataFrame:
+    """One row per column: fraction of NULLs vs its threshold.
+
+    All columns share a single aggregate pass (partial aggregation —
+    the scan streams once however many columns are checked).
+    """
+    if not max_null_frac:
+        raise ValueError("max_null_frac must name at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in max_null_frac:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+    agg = df.agg(*aggs)
+    out = None
+    for c, thr in max_null_frac.items():
+        row = agg.select(
+            F.col(f"__null_{c}").alias("n_bad"),
+            (F.col(f"__null_{c}") / F.col("__n")).alias("metric"),
+        )
+        piece = _finish(row, "null_frac", c, thr)
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+def expect_unique(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Surplus rows beyond one per distinct key (0 ⇢ key is unique).
+
+    ``metric`` is the surplus fraction of all rows; threshold 0 means
+    strictly unique. Exact distinct costs one shuffle of the key
+    column only; at 100 TB swap in ``approx_count_distinct`` if ±2%
+    is acceptable.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must not be empty")
+    key = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
+    row = df.agg(
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_bad"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(key)) / F.count(F.lit(1))
+        ).alias("metric"),
+    )
+    return _finish(row, "unique", ",".join(keys), 0.0)
+
+
+def expect_referential(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str],
+    *,
+    dim_name: str = "dim",
+) -> DataFrame:
+    """Dangling-FK count: fact rows whose (non-null) FK misses the
+    dimension. Broadcast anti-join — the 100 TB fact side never
+    shuffles; dimensions are small by construction (star.py)."""
+    fks, pks = list(fk_cols), list(pk_cols)
+    if len(fks) != len(pks) or not fks:
+        raise ValueError("fk_cols and pk_cols must align and be non-empty")
+    non_null = fact.select(*fks).where(
+        F.expr(" AND ".join(f"{c} IS NOT NULL" for c in fks))
+    )
+    cond = [non_null[f] == dim[p] for f, p in zip(fks, pks)]
+    dangling = non_null.join(
+        F.broadcast(dim.select(*pks).distinct()), cond, "left_anti"
+    )
+    total = fact.agg(F.count(F.lit(1)).alias("__n"))
+    row = (
+        dangling.agg(F.count(F.lit(1)).alias("n_bad"))
+        .crossJoin(F.broadcast(total))
+        .select("n_bad", (F.col("n_bad") / F.col("__n")).alias("metric"))
+    )
+    target = ",".join(fks) + "->" + dim_name
+    return _finish(row, "ref_integrity", target, 0.0)
+
+
+def expectation_report(checks: Sequence[DataFrame]) -> DataFrame:
+    """Union the per-check report frames into one ordered report."""
+    if not checks:
+        raise ValueError("no checks given")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check", "target")

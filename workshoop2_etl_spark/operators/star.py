@@ -132,6 +132,75 @@ def upsert_dim(
     return existing.select(surrogate_col, *nk).unionByName(assigned)
 
 
+def scd2_history(
+    snapshots: DataFrame,
+    natural_keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Collapse periodic snapshots into a type-2 slowly-changing
+    dimension history: one row per (key, unbroken run of identical
+    attributes), with effective-from/to bounds and a current flag.
+
+    The reference's warehouse loader overwrites dimension attributes
+    in place (type 1: dags/merge_to_dw.py upsert loop keeps only the
+    latest value); this is the type-2 twin every audit/backfill
+    pipeline eventually needs — "what did this customer's segment say
+    on March 3rd" — expressed as the standard gaps-and-islands idiom:
+
+        lag over (key ORDER BY ts) → null-safe change flag →
+        running sum of flags = version id →
+        groupBy (key, version) min(ts) = effective_from →
+        lead(effective_from) = effective_to (NULL while current).
+
+    Ties on ``ts_col`` within a key are broken by the attribute
+    values themselves so reruns are deterministic regardless of
+    partitioning. Scale: one shuffle on ``natural_keys``; windows and
+    the aggregate share that partitioning, and per-key snapshot
+    counts are small by construction (dimension churn, not fact
+    volume), so no skew path is needed.
+    """
+    nk = list(natural_keys)
+    attrs = list(attr_cols)
+    if not nk or not attrs:
+        raise ValueError("scd2_history requires natural_keys and attr_cols")
+    order = [F.col(ts_col).asc(), *[F.col(a).asc_nulls_first() for a in attrs]]
+    w = Window.partitionBy(*nk).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    # The first row of each key has lag NULL on every attribute →
+    # eqNullSafe false → flagged changed, which is exactly right: it
+    # opens version 1.
+    # Explicit ROWS frame: Spark's default for an ordered window is
+    # RANGE, which sums ties as a block — equivalent here (only a tie
+    # group's first row can flag a change) but needlessly different
+    # from the SQL oracle's ROWS frame.
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = snapshots.select(*nk, *attrs, ts_col).withColumn(
+        "__ver", F.sum(F.when(changed, 1).otherwise(0)).over(w_cum)
+    )
+    runs = versioned.groupBy(*nk, "__ver", *attrs).agg(
+        F.min(ts_col).alias(from_col)
+    )
+    # lead() is ordered by the version counter, not effective_from:
+    # two runs of one key share effective_from when the attribute
+    # changes twice inside one ts granule, and a ts-ordered lead would
+    # then be tie-ambiguous (engine-dependent). __ver is strictly
+    # monotone in snapshot order by construction.
+    w_key = Window.partitionBy(*nk).orderBy(F.col("__ver").asc())
+    return (
+        runs.withColumn(to_col, F.lead(from_col).over(w_key))
+        .withColumn(current_col, F.col(to_col).isNull())
+        .drop("__ver")
+        .select(*nk, *attrs, from_col, to_col, current_col)
+    )
+
+
 def resolve_fk(
     fact_src: DataFrame,
     dim: DataFrame,

@@ -589,3 +589,137 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n")
+
+
+# ---------------------------------------------------------------------------
+# Warehouse history + load-gate quality checks.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         CASE WHEN o_orderstatus IS NOT DISTINCT FROM
+                   lag(o_orderstatus) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderstatus ASC NULLS FIRST)
+              THEN 0 ELSE 1 END AS chg
+  FROM orders
+), v AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(chg) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderstatus ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM s
+), runs AS (
+  SELECT o_custkey, ver, o_orderstatus, min(o_orderdate) AS effective_from
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT o_custkey, o_orderstatus, effective_from,
+       lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY ver)
+         AS effective_to,
+       lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY ver) IS NULL
+         AS is_current
+FROM runs
+"""
+
+
+@_register("scd2_customer_status", _SCD2_SQL)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history of each customer's order status:
+    consecutive same-status orders collapse into one validity interval
+    (gaps-and-islands; one shuffle on the customer key). The type-2
+    twin of the reference's overwrite-in-place dimension upsert.
+    Oracle-demoted past the driver's full window; hash-checked by the
+    local mirror."""
+    from workshoop2_etl_spark.operators.star import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_history(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate"),
+        ["o_custkey"],
+        ["o_orderstatus"],
+        "o_orderdate",
+    )
+
+
+_DQ_SQL = """
+SELECT * FROM (
+  SELECT 'null_frac' AS "check", 'o_custkey' AS target,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad,
+         round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS metric,
+         0.0 AS threshold,
+         round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) <= 0.0 AS ok
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         round((count(*) - count(DISTINCT o_orderkey))::DOUBLE / count(*), 6),
+         0.0,
+         round((count(*) - count(DISTINCT o_orderkey))::DOUBLE
+               / count(*), 6) <= 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_custkey',
+         CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT),
+         round((count(*) - count(DISTINCT o_custkey))::DOUBLE / count(*), 6),
+         0.0,
+         round((count(*) - count(DISTINCT o_custkey))::DOUBLE
+               / count(*), 6) <= 0.0
+  FROM orders
+  UNION ALL
+  SELECT 'ref_integrity', 'o_custkey->customer', nb,
+         round(nb::DOUBLE / nt, 6), 0.0, round(nb::DOUBLE / nt, 6) <= 0.0
+  FROM (SELECT (SELECT count(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS nb,
+               (SELECT count(*) FROM orders) AS nt)
+  UNION ALL
+  SELECT 'ref_integrity', 'l_orderkey->orders', nb,
+         round(nb::DOUBLE / nt, 6), 0.0, round(nb::DOUBLE / nt, 6) <= 0.0
+  FROM (SELECT (SELECT count(*) FROM lineitem l
+                WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS nb,
+               (SELECT count(*) FROM lineitem) AS nt)
+) ORDER BY "check", target
+"""
+
+
+@_register("dq_report_orders", _DQ_SQL)
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-gate data-quality report over the fact tables: null
+    fractions, key uniqueness (o_custkey deliberately NON-unique so a
+    failing row proves the detector), and fact→dim referential
+    integrity via broadcast anti-joins — the set-based lift of the
+    reference's per-row required-key routing. Oracle-demoted past the
+    driver's full window; hash-checked by the local mirror."""
+    from workshoop2_etl_spark.operators.quality import (
+        expect_null_fractions,
+        expect_referential,
+        expect_unique,
+        expectation_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return expectation_report(
+        [
+            expect_null_fractions(orders, {"o_custkey": 0.0}),
+            expect_unique(orders, ["o_orderkey"]),
+            expect_unique(orders, ["o_custkey"]),
+            expect_referential(
+                orders, customer, ["o_custkey"], ["c_custkey"],
+                dim_name="customer",
+            ),
+            expect_referential(
+                lineitem, orders, ["l_orderkey"], ["o_orderkey"],
+                dim_name="orders",
+            ),
+        ]
+    )
