@@ -72,6 +72,13 @@ _DEMOTED_ORACLES = (
     "normalize_text_documents",
     # 13-gram benchmark-overlap decontamination: mirror-checked.
     "decontaminate_documents",
+    # Round-5 additions past the full window: corpus line-dedup,
+    # source-mixture resampling, SCD2 history, and the DQ load gate —
+    # all mirror-checked.
+    "line_dedup_documents",
+    "mixture_sample_documents",
+    "scd2_customer_status",
+    "dq_report_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

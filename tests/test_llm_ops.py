@@ -689,3 +689,88 @@ def test_ensure_parallelism_noop_when_wide(spark):
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert ensure_parallelism(wide) is wide
     assert ensure_parallelism(narrow, min_partitions=1) is narrow
+
+
+def test_line_dedup_keeps_first_occurrence_corpus_wide(spark):
+    from workshoop2_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "copyright acme\nreal content one\n\nreal content two"),
+            (2, "copyright acme\nother stuff"),
+            (3, "copyright acme"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    # doc 1 keeps everything (first occurrence of every line; the
+    # blank line is dropped as an empty unit, not deduplicated)
+    assert out[1]["text_dedup"] == "copyright acme\nreal content one\nreal content two"
+    assert out[1]["n_units"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses the boilerplate header, keeps its own content
+    assert out[2]["text_dedup"] == "other stuff"
+    assert out[2]["n_units"] == 2 and out[2]["n_kept"] == 1
+    # doc 3 was ONLY boilerplate: survives as a row with empty text
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+
+
+def test_line_dedup_normalize_matches_key_keeps_verbatim(spark):
+    from workshoop2_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Header Line"), (2, "  header line  ")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           line_dedup(df, "doc_id", "text", normalize=True).collect()}
+    assert out[1]["text_dedup"] == "Header Line"  # verbatim, not lowercased
+    assert out[2]["n_kept"] == 0  # matched via normalized key
+    raw = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert raw[2]["n_kept"] == 1  # without normalize they differ
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from workshoop2_etl_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web") for i in range(40)] + \
+           [(i + 100, "code") for i in range(10)] + \
+           [(i + 200, "junk") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(
+        df, "source", {"web": 0.8, "code": 0.2}, id_col="doc_id"
+    )
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # binding group: code (10/0.2 = 50 total) -> 40 web + 10 code
+    assert by_src == {"web": 40, "code": 10}
+    # unnamed groups are dropped
+    assert out.filter("source = 'junk'").count() == 0
+    # id-stable: same kept set on a different partitioning
+    a = {r[0] for r in out.select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in mixture_sample(
+            df.repartition(7), "source", {"web": 0.8, "code": 0.2},
+            id_col="doc_id",
+        ).select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_explicit_total_and_validation(spark):
+    import pytest
+
+    from workshoop2_etl_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(i + 50, "b") for i in range(10)],
+        "doc_id int, source string",
+    )
+    out = mixture_sample(
+        df, "source", {"a": 0.5, "b": 0.5}, id_col="doc_id", total=8
+    )
+    by = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by == {"a": 4, "b": 4}
+    with pytest.raises(ValueError, match="weights"):
+        mixture_sample(df, "source", {}, id_col="doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", {"a": -1.0}, id_col="doc_id")

@@ -78,6 +78,81 @@ def duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    normalize: bool = False,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (CCNet-style): split each
+    document into units on ``sep``, keep exactly the FIRST occurrence
+    of every distinct unit across the whole corpus (ordered by
+    ``(id, position)``), and reassemble each document from its
+    surviving units in original order.
+
+    This is the pass that strips boilerplate — headers, footers,
+    cookie banners, navigation chrome — that exact *document* dedup
+    (:func:`exact_dedup`) cannot see because the surrounding text
+    differs. Production corpora split on newlines; ``sep`` is a
+    parameter because unit granularity is a policy choice (lines,
+    sentences, or — as in the registered demo over the single-line
+    testdata — words).
+
+    ``normalize=True`` lowercases+trims the *match key* only; kept
+    text stays verbatim. Empty units never match each other (blank
+    lines survive everywhere — dropping every blank line after the
+    first would glue unrelated paragraphs).
+
+    Output: the input row plus ``out_col`` (deduplicated text, ''
+    when nothing survived), ``n_units`` and ``n_kept`` counts.
+
+    Scale: two shuffles, both on narrow rows — (1) the first-occurrence
+    window partitions by the unit's 64-bit hash (8-byte key, not the
+    unit text); (2) reassembly groups by ``id_col``. Per-unit windows
+    are tiny except for pathological mega-duplicated units, where a
+    count-based variant (keep-if-rank-1) still only sorts that unit's
+    (id, pos) pairs — the same caveat as any per-key window, and the
+    reason the window orders by the 8-byte ids rather than text.
+    """
+    import re as _re
+
+    unit = F.posexplode(
+        F.filter(F.split(F.col(text_col), _re.escape(sep)), lambda u: u != "")
+    )
+    exploded = df.select(F.col(id_col), unit.alias("__pos", "__unit"))
+    key = F.lower(F.trim(F.col("__unit"))) if normalize else F.col("__unit")
+    w = Window.partitionBy(F.xxhash64(key)).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__unit")))
+                ),
+                lambda s: s["__unit"],
+            ),
+            sep,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_units = F.size(
+        F.filter(F.split(F.col(text_col), _re.escape(sep)), lambda u: u != "")
+    )
+    return (
+        df.withColumn("n_units", n_units.cast("bigint"))
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash
 # ---------------------------------------------------------------------------

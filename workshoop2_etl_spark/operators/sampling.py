@@ -135,6 +135,75 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    *,
+    id_col: str,
+    total: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Resample the corpus to a target *mixture* over ``group_col``
+    (the domain/source-weighting step of LLM data curation: "the blend
+    is 60% web, 30% code, 10% academic").
+
+    Each group gets a quota ``floor(weight_g × total)`` rows and keeps
+    the first quota rows in ``(md5(salt‖id), id)`` order — id-stable
+    like every sampler here: a kept document stays kept across reruns
+    and cluster layouts. Groups not named in ``weights`` are dropped.
+
+    ``total=None`` auto-sizes to the LARGEST corpus achievable at
+    exactly this mixture: ``min_g floor(n_g / w_g)`` — the binding
+    group is fully consumed, everything else downsamples to match
+    (the standard "mix without upsampling" policy; repetition-based
+    upweighting belongs to the epoch scheduler, not the sampler).
+    With an explicit ``total``, a group short of quota underfills —
+    check group sizes upstream if the blend must be exact.
+
+    Scale: one tiny groupBy-count on ``group_col`` (broadcast back),
+    then one shuffle of the kept groups on ``group_col`` for the
+    per-group hash-order ``row_number``. Quota ranking concentrates
+    each group in one partition's sort — fine for real source counts
+    (dozens), same caveat as :func:`stratified_sample` ``exact=True``.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    wsum = sum(weights.values())
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    norm = {g: w / wsum for g, w in weights.items()}
+    spark = df.sparkSession
+    in_mix = df.filter(F.col(group_col).isin(list(norm)))
+    counts = {
+        r[0]: r[1]
+        for r in in_mix.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if total is None:
+        feasible = [
+            int(counts.get(g, 0) / w) for g, w in norm.items() if w > 0
+        ]
+        total = min(feasible) if feasible else 0
+    # floor, not round: round() ties break differently across engines
+    # (Python bankers vs SQL half-away) — floor of the identical IEEE
+    # product is unambiguous, so the SQL oracle reproduces quotas bit
+    # for bit.
+    quotas = [(g, int(w * total)) for g, w in norm.items()]
+    quota_df = F.broadcast(
+        spark.createDataFrame(quotas, [group_col, "__quota"])
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w_grp = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        in_mix.join(quota_df, group_col)
+        .withColumn("__rn", F.row_number().over(w_grp))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,

@@ -1009,3 +1009,115 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.5, n_clusters=8, seed=42, keep="typical"
     )
     return out.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup + source-mixture resampling.
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ts) AS word, generate_subscripts(ts, 1) AS wpos
+  FROM toks
+), lines AS (
+  SELECT doc_id, CAST((wpos - 1) // 10 AS BIGINT) AS pos,
+         string_agg(word, ' ' ORDER BY wpos) AS line
+  FROM w GROUP BY 1, 2
+), k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines
+), r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), n AS (
+  SELECT doc_id, count(*) AS n_units FROM lines GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.n_units, 0) AS BIGINT) AS n_units,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.text_dedup, '')) AS dedup_sig
+FROM documents d
+LEFT JOIN n USING (doc_id)
+LEFT JOIN r USING (doc_id)
+"""
+
+
+@_register("line_dedup_documents", _LINE_DEDUP_SQL)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup: keep the FIRST occurrence
+    of every distinct line across the corpus, reassemble documents
+    from the survivors. The word-soup testdata has no newlines, so
+    the query first folds each document into 10-word lines (the same
+    token-slice idiom as chunk_documents); the planted near-duplicate
+    documents then share real repeated lines for the pass to strip.
+    Output is per-document survival counts plus an md5 signature of
+    the rebuilt text (newline-free for the driver's CSV hash).
+    Oracle-demoted past the driver's full window; hash-checked by the
+    local mirror."""
+    from workshoop2_etl_spark.operators.dedup import line_dedup, tokens_expr
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    as_lines = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(toks) / F.lit(10)).cast("int")
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - F.lit(1)) * F.lit(10) + F.lit(1), 10),
+                    " ",
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_dedup(as_lines, "doc_id", "text", sep="\n")
+    return out.select(
+        "doc_id",
+        "n_units",
+        "n_kept",
+        F.md5(F.col("text_dedup")).alias("dedup_sig"),
+    )
+
+
+_MIXTURE_SQL = """
+WITH m(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT CAST(min(floor(c.n / m.w)) AS BIGINT) AS total
+      FROM c JOIN m USING (source)),
+q AS (SELECT m.source, CAST(floor(m.w * t.total) AS BIGINT) AS quota
+      FROM m, t),
+r AS (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents WHERE source IN (SELECT source FROM m))
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+"""
+
+
+@_register("mixture_sample_documents", _MIXTURE_SQL)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: blend sources src0/src1/src2 at
+    50/30/20, auto-sized to the largest corpus achievable without
+    upsampling (the binding source is fully consumed). md5-keyed so
+    the kept set is id-stable and the oracle reproduces it exactly.
+    Oracle-demoted past the driver's full window; hash-checked by the
+    local mirror."""
+    from workshoop2_etl_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source")
