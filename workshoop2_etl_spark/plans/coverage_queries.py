@@ -723,3 +723,56 @@ def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+_JDBC_RT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@_register("jdbc_roundtrip_orders", _JDBC_RT_SQL)
+def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S7 executed: push a deterministic orders slice through a
+    real JDBC engine (Derby embedded on the Spark classpath,
+    in-memory — no server) with the reference's batchsize-1000 write,
+    then read it back as a partitioned range scan on o_orderkey. The
+    oracle reads the same slice straight from parquet, so a hash
+    match proves the sink+scan mutated nothing. In-memory DB name
+    carries the sf token: concurrent bench/pytest JVMs stay isolated
+    (same-JVM reruns overwrite). Oracle-demoted past the driver's
+    full window; hash-checked by the local mirror."""
+    from workshoop2_etl_spark.sources.readers import read_jdbc
+    from workshoop2_etl_spark.sources.writers import write_jdbc
+
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", "/tmp/derby.log"
+    )
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:memory:rt_{_run_token(sf_dir)};create=true"
+    orders = _t(spark, sf_dir, "orders")
+    slice_df = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    write_jdbc(slice_df, url, "orders_rt", mode="overwrite", properties=props)
+    hi = slice_df.agg(F.max("o_orderkey")).collect()[0][0]
+    back = read_jdbc(
+        spark, url, "orders_rt", properties=props,
+        partition_column="o_orderkey", lower_bound=0,
+        upper_bound=int(hi or 1), num_partitions=8,
+    )
+    # Derby's dialect surfaces DATE back as TIMESTAMP; render to a
+    # yyyy-MM-dd string so the value comparison is representation-free
+    # on both engines.
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "o_orderdate"
+        ),
+    )
