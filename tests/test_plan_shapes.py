@@ -244,3 +244,39 @@ def test_chunk_documents_zero_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _physical(chunk_documents(docs, "doc_id", "text", max_tokens=128))
     assert "Exchange" not in plan
+
+
+def test_scd2_single_exchange_on_key(spark):
+    # Both windows and the run aggregate share one hash partitioning
+    # on the natural key — the plan must not re-shuffle between them.
+    plan = _physical(q("scd2_customer_status")(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_line_dedup_shuffles_narrow_keys_only(spark):
+    # Two hash exchanges (unit-hash window, per-doc reassembly) plus
+    # the ensure_parallelism round-robin; never a global sort funnel.
+    plan = _physical(q("line_dedup_documents")(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SinglePartition" not in plan
+    # the first-occurrence window keys on the 64-bit unit hash, not
+    # the unit text
+    assert "xxhash64" in plan
+
+
+def test_dq_report_broadcasts_ref_checks(spark):
+    # Referential checks must anti-join via broadcast: the fact side
+    # never shuffles for integrity checking.
+    plan = _physical(q("dq_report_orders")(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_quotas(spark):
+    # Quotas join in as a broadcast; the only data shuffle is the
+    # per-source window partitioning.
+    plan = _physical(q("mixture_sample_documents")(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
