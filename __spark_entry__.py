@@ -81,6 +81,11 @@ _DEMOTED_ORACLES = (
     "dq_report_orders",
     # S2/S7 executed through embedded Derby: mirror-checked.
     "jdbc_roundtrip_orders",
+    # JSONL + ORC format round-trips: the sink/scan family is already
+    # driver-visible via csv_roundtrip_region and sink_roundtrip_orders;
+    # these stay mirror-checked.
+    "jsonl_roundtrip_documents",
+    "orc_roundtrip_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -776,3 +776,57 @@ def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate"
         ),
     )
+
+
+@_register(
+    "jsonl_roundtrip_documents",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S1 JSONL twin: parquet → JSON-lines sink → JSONL scan with
+    the ORIGINAL schema declared. JSONL is the interchange format of
+    web-crawl corpora; the round trip must survive every escape the
+    document text can throw (newlines, quotes, unicode) — a hash
+    match against the straight parquet oracle proves it byte-exact.
+    """
+    from workshoop2_etl_spark.sources.readers import read_jsonl
+    from workshoop2_etl_spark.sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_jsonl_roundtrip_documents_{_run_token(sf_dir)}",
+    )
+    write_jsonl(docs, out_dir)
+    return read_jsonl(spark, out_dir, docs.schema)
+
+
+@_register(
+    "orc_roundtrip_orders",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+""",
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S3 ORC twin: parquet → ORC sink → ORC scan. ORC carries the
+    full type lattice natively (dates, doubles, longs) so the read
+    needs no declared schema — the footer is authoritative, and the
+    hash match against the parquet oracle proves the columnar convert
+    is lossless."""
+    from workshoop2_etl_spark.sources.readers import read_orc
+    from workshoop2_etl_spark.sources.writers import write_orc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_orc_roundtrip_orders_{_run_token(sf_dir)}",
+    )
+    write_orc(orders, out_dir)
+    return read_orc(spark, out_dir)

@@ -138,6 +138,38 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan (S1 sibling; the dominant interchange format of
+    web-crawl corpora — one JSON object per line, splittable, so a
+    100 TB dump parallelizes like any text source).
+
+    Declared schema preferred (same engine policy as CSV): inference
+    costs an extra full pass over the data and types drift between
+    slices. ``multiLine`` stays off — JSONL, not a JSON array — and
+    malformed rows surface in ``_corrupt_record`` only when the caller
+    opts into PERMISSIVE mode; the default here is FAILFAST so a bad
+    dump fails loudly instead of silently nulling columns.
+    """
+    reader = spark.read.option("mode", options.pop("mode", "FAILFAST"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (S3 sibling): the other columnar format with the same
+    pushdown/pruning story as parquet — supported so users with
+    Hive-era ORC warehouses can read them without a convert step."""
+    return spark.read.orc(path)
+
+
 def jdbc_read_options(
     url: str,
     table: str,

@@ -43,6 +43,37 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", single_file:
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_jsonl(
+    df: DataFrame, path: str, *, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """JSON-lines sink (S5 sibling): one JSON object per line, the
+    interchange format LLM-corpus tools expect. Spark writes one file
+    per partition in parallel; ``compression`` ("gzip"/"zstd"/...)
+    trades CPU for the 5-10× text shrink that matters when the sink
+    feeds a network hop. Timestamps serialize as ISO-8601 strings and
+    parse back losslessly under a declared schema."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (S6 sibling) — same atomic directory commit and
+    partition layout as the parquet sink; exists so the engine can
+    feed Hive-era ORC consumers without an external convert step."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def timestamped_path(base: str, run_ts: str, *, ext: str = "parquet") -> str:
     """Run-timestamped artifact path (reference
     dags/merge_to_dw.py:113-114 ``merged_{ts}.parquet``,
