@@ -52,6 +52,27 @@ def days_between(later: Column | str, earlier: Column | str) -> Column:
     return F.datediff(lt, et)
 
 
+def epoch_micros(df: DataFrame, col_name: str) -> Column:
+    """Microseconds since the epoch for a timestamp column of EITHER
+    flavor — ``timestamp`` (LTZ) via ``unix_micros``, or
+    ``timestamp_ntz`` via ``timestampdiff`` from the naive epoch.
+
+    Spark 4's ``unix_micros`` rejects TIMESTAMP_NTZ outright, and
+    casting NTZ→LTZ first would interpret the naive value in the
+    session timezone — a silent, DST-dependent shift that breaks
+    parity with engines (DuckDB) that treat naive timestamps as UTC.
+    The parquet writer decides which flavor a scan produces, so
+    time-arithmetic operators must accept both.
+    """
+    dtype = dict(df.dtypes).get(col_name)
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    return F.unix_micros(F.col(col_name))
+
+
 def bool_rate(col: Column | str) -> Column:
     """Mean of a boolean → rate in [0,1] (reference eda_grammy cells
     6-7, ``winner.mean()``). Nulls are excluded, matching pandas."""

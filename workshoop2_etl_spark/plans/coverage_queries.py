@@ -516,20 +516,22 @@ def range_join_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame
     filter, never a broadcast-nested-loop. Micros-integer comparisons
     both engines. Oracle-demoted past the driver's full 50-row window;
     hash-checked by the local mirror."""
+    from workshoop2_etl_spark.functions.text import epoch_micros
     from workshoop2_etl_spark.operators.merge import range_join
 
     events = _t(spark, sf_dir, "events")
     hour_us = 3_600_000_000
+    ts_us = epoch_micros(events, "ts")
     left = events.select(
         "user_id",
         F.col("event_id").alias("e1"),
-        F.unix_micros("ts").alias("p"),
+        ts_us.alias("p"),
     )
     right = events.select(
         "user_id",
         F.col("event_id").alias("e2"),
-        F.unix_micros("ts").alias("lo"),
-        (F.unix_micros("ts") + hour_us).alias("hi"),
+        ts_us.alias("lo"),
+        (ts_us + hour_us).alias("hi"),
     )
     out = range_join(
         left, right, ["user_id"], "p", "lo", "hi", bin_size=hour_us

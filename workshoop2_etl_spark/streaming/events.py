@@ -30,18 +30,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Events feed schema, as stored (ts = TIMESTAMP(NANOS) read as long
-#: under nanosAsLong; see sources/readers.py:39-53 for the batch twin).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(path: str) -> tuple[T.StructType, bool]:
+    """Declared schema for the events feed, derived from the parquet
+    footer (driver-side metadata read, no data scanned) — the file
+    stream source requires a user schema, and the physical ``ts``
+    type varies with the writer:
+
+    - TIMESTAMP(NANOS) (pandas ``datetime64[ns]``): Spark's reader
+      rejects it, so declare ``long`` under ``nanosAsLong`` and
+      rebuild micros (the batch reader's workaround,
+      sources/readers.py:45-70). Returns ``needs_rebuild=True``.
+    - TIMESTAMP(MICROS/MILLIS) without timezone: ``timestamp_ntz``.
+    - With timezone (isAdjustedToUTC): ``timestamp``.
+
+    Hardcoding any one variant silently corrupts the others — a
+    micros column declared ``long`` reads raw micros, and the
+    nanos→micros rebuild then shrinks every timestamp 1000×.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    ts_type: T.DataType = T.TimestampNTZType()
+    needs_rebuild = False
+    try:
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+    except Exception:
+        field = None
+    if field is not None and pa.types.is_timestamp(field.type):
+        if field.type.unit == "ns" and field.type.tz is None:
+            ts_type, needs_rebuild = T.LongType(), True
+        elif field.type.tz is not None:
+            ts_type = T.TimestampType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, needs_rebuild
 
 
 def stream_events(
@@ -59,14 +89,17 @@ def stream_events(
     import os
     import re
 
-    # Session-level conf, deliberately NOT restored here: streaming
-    # micro-batches plan and read files lazily after this returns, so
-    # a save/restore around the builder (the batch reader's approach)
-    # would break every subsequent trigger. Callers sharing the
-    # session with ad-hoc nanos-parquet reads should go through
-    # sources.readers.read_parquet, which rebuilds timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema, needs_rebuild = _events_schema(path)
+    if needs_rebuild:
+        # Session-level conf, deliberately NOT restored here: streaming
+        # micro-batches plan and read files lazily after this returns,
+        # so a save/restore around the builder (the batch reader's
+        # approach) would break every subsequent trigger. Callers
+        # sharing the session with ad-hoc nanos-parquet reads should go
+        # through sources.readers.read_parquet, which rebuilds
+        # timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # The file source derives basePath from the input path and
         # requires a directory: stream the parent and select the one
@@ -81,7 +114,23 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if needs_rebuild:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (LTZ). Rebuild the naive value
+        # as epoch-true LTZ (naive == UTC, matching DuckDB and the
+        # nanos branch) rather than CAST, which would interpret it in
+        # the session timezone — a silent DST-dependent shift.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return df
 
 
 def windowed_event_counts(
