@@ -1,0 +1,69 @@
+"""Optional-path unit tests for the JSONL/ORC sinks (ADVICE r4):
+microsecond timestamp round-trips, compressed output layout, and
+partitioned ORC directory layout — the branches the oracle-parity
+queries never exercise because they run with defaults.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from workshoop2_etl_spark.sources.readers import read_jsonl, read_orc
+from workshoop2_etl_spark.sources.writers import write_jsonl, write_orc
+
+
+def test_jsonl_timestamp_roundtrip_is_microsecond_lossless(spark, tmp_path):
+    """Spark's default JSON timestampFormat truncates to milliseconds;
+    the sink's explicit microsecond patterns must round-trip 123456µs
+    exactly, for both timestamp flavors."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts_ntz", T.TimestampNTZType()),
+        ]
+    )
+    micro = dt.datetime(2024, 3, 1, 12, 34, 56, 123456)
+    df = spark.createDataFrame([(1, micro, micro)], schema)
+    out = str(tmp_path / "jsonl_ts")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema=schema)
+    row = back.collect()[0]
+    assert row.ts.microsecond == 123456
+    assert row.ts_ntz.microsecond == 123456
+
+
+def test_jsonl_compression_writes_gz_files_and_reads_back(spark, tmp_path):
+    df = spark.range(100).withColumn("s", F.concat(F.lit("doc-"), F.col("id")))
+    out = str(tmp_path / "jsonl_gz")
+    write_jsonl(df, out, compression="gzip")
+    data_files = [
+        f
+        for f in glob.glob(os.path.join(out, "part-*"))
+        if not f.endswith(".crc")
+    ]
+    assert data_files and all(f.endswith(".json.gz") for f in data_files)
+    back = read_jsonl(spark, out, schema=df.schema)
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).collect()[0][0] == 4950
+
+
+def test_orc_partition_by_layout_and_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumn(
+        "bucket", (F.col("id") % 4).cast("string")
+    )
+    out = str(tmp_path / "orc_part")
+    write_orc(df, out, partition_by=["bucket"])
+    part_dirs = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "bucket=*"))
+    )
+    assert part_dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    assert back.filter(F.col("bucket") == "2").count() == 25

@@ -155,7 +155,21 @@ def read_jsonl(
     opts into PERMISSIVE mode; the default here is FAILFAST so a bad
     dump fails loudly instead of silently nulling columns.
     """
-    reader = spark.read.option("mode", options.pop("mode", "FAILFAST"))
+    from workshoop2_etl_spark.sources.writers import (
+        JSONL_TS_FORMAT,
+        JSONL_TS_NTZ_FORMAT,
+    )
+
+    reader = (
+        spark.read.option("mode", options.pop("mode", "FAILFAST"))
+        # Mirror write_jsonl's microsecond patterns — the default
+        # parser truncates fractional seconds to milliseconds.
+        .option("timestampFormat", options.pop("timestampFormat", JSONL_TS_FORMAT))
+        .option(
+            "timestampNTZFormat",
+            options.pop("timestampNTZFormat", JSONL_TS_NTZ_FORMAT),
+        )
+    )
     if schema is not None:
         reader = reader.schema(schema)
     for k, v in options.items():

@@ -43,6 +43,16 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", single_file:
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+#: Microsecond-precision ISO-8601 patterns for JSONL timestamps.
+#: Spark's DEFAULT JSON timestampFormat truncates to milliseconds
+#: (123456µs round-trips to 123000µs — verified empirically), which
+#: silently breaks hash parity for any timestamp column; these
+#: patterns are applied symmetrically by write_jsonl/read_jsonl so
+#: the round trip is lossless at parquet's native precision.
+JSONL_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+JSONL_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
 def write_jsonl(
     df: DataFrame, path: str, *, mode: str = "overwrite", compression: str | None = None
 ) -> None:
@@ -50,9 +60,14 @@ def write_jsonl(
     interchange format LLM-corpus tools expect. Spark writes one file
     per partition in parallel; ``compression`` ("gzip"/"zstd"/...)
     trades CPU for the 5-10× text shrink that matters when the sink
-    feeds a network hop. Timestamps serialize as ISO-8601 strings and
-    parse back losslessly under a declared schema."""
-    writer = df.write.mode(mode)
+    feeds a network hop. Timestamps (both flavors) serialize as
+    microsecond-precision ISO-8601 and parse back losslessly under a
+    declared schema via :func:`read_jsonl`'s matching formats."""
+    writer = (
+        df.write.mode(mode)
+        .option("timestampFormat", JSONL_TS_FORMAT)
+        .option("timestampNTZFormat", JSONL_TS_NTZ_FORMAT)
+    )
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
