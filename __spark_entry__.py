@@ -17,6 +17,7 @@ import workshoop2_etl_spark.plans.coverage_queries  # noqa: F401 — registers q
 import workshoop2_etl_spark.plans.llm_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.sql_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.streaming_queries  # noqa: F401 — registers queries
+import workshoop2_etl_spark.plans.timeseries_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.window_queries  # noqa: F401 — registers queries
 from workshoop2_etl_spark.plans.reference_queries import (
     ORACLE_SQL,
@@ -86,6 +87,16 @@ _DEMOTED_ORACLES = (
     # these stay mirror-checked.
     "jsonl_roundtrip_documents",
     "orc_roundtrip_orders",
+    # Round-6 additions: time-axis analytics, global ids, BM25 ranked
+    # retrieval, compaction round-trip, streaming exact dedup — all
+    # mirror-checked.
+    "resample_fill_events",
+    "funnel_conversion_events",
+    "retention_cohorts_events",
+    "global_ids_documents",
+    "bm25_search_documents",
+    "compact_roundtrip_orders",
+    "streaming_dedup_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -33,10 +33,23 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     out.columns = [c.lower() for c in out.columns]
     out = out[sorted(out.columns)]
+    import datetime as _dt
+
     for c in out.columns:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
+        elif (
+            s.dtype == object
+            and s.notna().any()
+            and s.map(
+                lambda v: v is None or isinstance(v, (_dt.date, _dt.datetime))
+            ).all()
+        ):
+            # Spark's non-Arrow toPandas fallback yields dates as
+            # object-dtype datetime.date; DuckDB yields datetime64[us].
+            # Same values — align the representation before comparing.
+            out[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(s) or s.dtype == object and s.map(
             lambda v: isinstance(v, int) or v is None
         ).all():

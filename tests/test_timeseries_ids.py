@@ -1,0 +1,102 @@
+"""Unit + plan-shape tests for the round-5 operators: time-axis
+analytics guards, global-id scalability (the no-single-partition
+claim), and compaction file counts. Value-level correctness is proven
+by the DuckDB oracle mirror (tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.ids import assign_global_ids
+from workshoop2_etl_spark.operators.timeseries import (
+    funnel,
+    resample_fill,
+    retention_cohorts,
+)
+from workshoop2_etl_spark.sources.readers import read_parquet
+from workshoop2_etl_spark.sources.writers import compact_parquet
+
+
+def test_resample_fill_oversized_grid_raises(spark, sf_dir):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="max_buckets"):
+        resample_fill(
+            ev,
+            group_cols=["user_id"],
+            ts_col="ts",
+            value_col="value",
+            step_seconds=1,
+            max_buckets=100,
+        ).count()
+
+
+def test_resample_fill_bad_agg_raises(spark, sf_dir):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="unsupported agg"):
+        resample_fill(
+            ev, group_cols=["user_id"], ts_col="ts",
+            value_col="value", agg="median",
+        )
+
+
+def test_funnel_counts_are_monotonic(spark, sf_dir):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    rows = (
+        funnel(
+            ev,
+            actor_col="user_id",
+            ts_col="ts",
+            stage_col="event_type",
+            stages=["signup", "view", "click", "purchase"],
+        )
+        .orderBy("stage_idx")
+        .collect()
+    )
+    counts = [r.n_actors for r in rows]
+    assert len(counts) == 4 and counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_funnel_requires_two_stages(spark, sf_dir):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="at least two"):
+        funnel(
+            ev, actor_col="user_id", ts_col="ts",
+            stage_col="event_type", stages=["signup"],
+        )
+
+
+def test_retention_rejects_unknown_period(spark, sf_dir):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(
+            ev, actor_col="user_id", ts_col="ts", period="month"
+        )
+
+
+def test_global_ids_dense_and_never_single_partition(spark, sf_dir):
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = assign_global_ids(docs, "doc_id", num_partitions=8)
+    # The whole point of the operator: no stage may funnel the data
+    # through one partition the way OVER (ORDER BY …) would.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    rows = out.select("doc_id", "gid").orderBy("doc_id").collect()
+    n = len(rows)
+    assert [r.gid for r in rows] == list(range(n))  # dense, rank-ordered
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(20000).withColumn("x", F.rand(7)).repartition(64).write.parquet(src)
+    n_before = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_before == 64
+    compact_parquet(spark, src, dst, target_file_bytes=64 * 1024)
+    n_after = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert 1 <= n_after < n_before
+    assert spark.read.parquet(dst).count() == 20000

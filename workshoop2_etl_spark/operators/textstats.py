@@ -343,3 +343,72 @@ def tf_idf(
         )
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed bag of query terms
+    (Robertson & Zaragoza 2009) — the ranked-search sibling of
+    :func:`tf_idf`, making the corpus *queryable*, not just scorable.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Plan shape: the query terms prune the exploded (doc, term) stream
+    BEFORE any shuffle (an ``isin`` filter on a handful of literals —
+    at 100 TB this is the difference between shuffling every posting
+    and shuffling only the query terms' postings); per-term document
+    frequencies and corpus stats (N, avgdl) are one-row/`|q|`-row
+    broadcast aggregates; the final top-k is a global
+    ``TakeOrderedAndProject``, never a full sort. Ties break on
+    ascending ``{id_col}``; the score is rounded to 6 dp first so
+    float-associativity noise cannot reorder equal-scoring documents.
+
+    Output: (``{id_col}``, ``score`` double) — top ``k`` by
+    (score desc, id asc).
+    """
+    terms = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    q = [t.lower() for t in query_terms]
+    posting = (
+        df.select(
+            F.col(id_col),
+            F.size(terms).alias("__dl"),
+            F.explode(terms).alias("term"),
+        )
+        .filter(F.col("term").isin(q))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(terms)).alias("__avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    return (
+        posting.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

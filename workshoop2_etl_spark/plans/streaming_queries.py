@@ -106,6 +106,27 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` on the
+    (user_id, event_type) key emits each key's FIRST arrival and
+    suppresses the rest — incremental dedup state, the streaming twin
+    of the batch distinct. Keys are projected before the dedup so
+    state holds only the key columns. Bounded-input parity: the
+    emitted key set equals batch SELECT DISTINCT (which row of each
+    group arrived first is racy; the key set is not). Unbounded
+    streams cap state with dropDuplicatesWithinWatermark instead —
+    exactness inside the horizon, eviction beyond it."""
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_available_now(deduped, "q_stream_dedup")
+
+
+@_register(
     "streaming_sliding_event_counts",
     """
 SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))

@@ -1,0 +1,220 @@
+"""Registry entries for the round-5 additions: time-axis analytics
+(gap-filled resampling, funnels, retention cohorts), scalable global
+id assignment, BM25 ranked retrieval, and small-file compaction.
+
+Every entry here is oracle-backed (DuckDB twin) and demoted past the
+driver's 50-row window — hash-checked by the local mirror
+(tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.ids import assign_global_ids
+from workshoop2_etl_spark.operators.textstats import bm25_search
+from workshoop2_etl_spark.operators.timeseries import (
+    funnel,
+    resample_fill,
+    retention_cohorts,
+)
+from workshoop2_etl_spark.plans.coverage_queries import _run_token
+from workshoop2_etl_spark.plans.reference_queries import _register, _t
+
+_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000) AS BIGINT)
+           AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s
+)
+SELECT g.user_id,
+       make_timestamp(g.bucket * 21600000000) AS bucket_ts,
+       round(last_value(b.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS UNBOUNDED PRECEDING), 4) AS v
+FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+"""
+
+
+@_register("resample_fill_events", _RESAMPLE_SQL)
+def resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resample of event values (bucket mean) with
+    forward fill over each user's span — the time-axis densification
+    every monitoring/feature pipeline needs. Oracle: DuckDB
+    range-unnest grid + IGNORE NULLS last_value window."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample_fill(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        agg="avg",
+    )
+    return out.select("user_id", "bucket_ts", F.round("v", 4).alias("v"))
+
+
+_FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS m0,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS m1,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS m2,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS m3
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT
+    CAST(sum(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN m0 < m1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN m0 < m1 AND m1 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN m0 < m1 AND m1 < m2 AND m2 < m3 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n3
+  FROM m
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage, n0 AS n_actors FROM c
+UNION ALL SELECT 1, 'view', n1 FROM c
+UNION ALL SELECT 2, 'click', n2 FROM c
+UNION ALL SELECT 3, 'purchase', n3 FROM c
+"""
+
+
+@_register("funnel_conversion_events", _FUNNEL_SQL)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → click → purchase ordered funnel: an actor
+    reaches stage k iff their first touches of stages 1..k are
+    strictly time-ordered. One aggregation pass (per-stage min
+    timestamps), no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        actor_col="user_id",
+        ts_col="ts",
+        stage_col="event_type",
+        stages=["signup", "view", "click", "purchase"],
+    )
+
+
+_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+           AS cohort
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS active
+  FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.active) / 7 AS BIGINT) AS offset,
+       CAST(count(*) AS BIGINT) AS n_actors
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@_register("retention_cohorts_events", _RETENTION_SQL)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-activity
+    week, counted in each week they return (offset 0 = cohort week).
+    Both engines week-truncate to Monday, so day-difference / 7 is
+    exact."""
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(
+        ev, actor_col="user_id", ts_col="ts", period="week"
+    )
+
+
+@_register(
+    "global_ids_documents",
+    """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
+FROM documents
+""",
+)
+def global_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global ids by doc_id rank via the two-phase
+    range-partition scheme — numbering identical to a global
+    row_number, computed without ever funneling the data through one
+    partition (the oracle's OVER (ORDER BY …) does exactly that, which
+    is why the operator exists)."""
+    docs = _t(spark, sf_dir, "documents")
+    return assign_global_ids(docs, "doc_id").select("doc_id", "gid")
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(ts) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN ('spark', 'join', 'window')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM posting GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks
+)
+SELECT p.doc_id,
+       round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * p.tf * 2.2
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))), 6)
+         AS score
+FROM posting p JOIN dfreq d ON p.term = d.term CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT 20
+"""
+
+
+@_register("bm25_search_documents", _BM25_SQL)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, join, window}: ranked
+    retrieval over the corpus, postings pruned to the query terms
+    before any shuffle. Scores rounded to 6 dp in BOTH engines before
+    the (score desc, doc_id asc) top-k, so float-associativity noise
+    cannot reorder ties."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", ["spark", "join", "window"], k=20
+    )
+
+
+@_register(
+    "compact_roundtrip_orders",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+""",
+)
+def compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction proof: rewrite the orders dataset into
+    ~512 KB files and hash the re-read against the original — row
+    content survives the round-robin repartition byte-exactly even
+    though row order does not (the driver compare sorts)."""
+    from workshoop2_etl_spark.sources.writers import compact_parquet
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_compact_orders_{_run_token(sf_dir)}",
+    )
+    compact_parquet(spark, src, dst, target_file_bytes=512 * 1024)
+    return spark.read.parquet(dst).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )

@@ -281,3 +281,44 @@ def upsert_parquet(
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files of roughly even
+    size. Returns the output file count.
+
+    The small-files problem is the classic long-lived-table disease —
+    streaming sinks and per-batch appends leave thousands of KB-sized
+    files whose open/footer cost dominates scans and whose count
+    explodes driver memory for file listings. Compaction is a single
+    narrow-ish job: one scan, one round-robin ``repartition`` exchange
+    (even output sizes; ``coalesce`` would skew by input file layout
+    and can silently reduce scan parallelism), one write. Source bytes
+    are summed from the directory listing on the driver — metadata
+    only, no data read.
+
+    Row-level content is preserved exactly; row ORDER is not (it never
+    is under parallel writes). Write to a NEW directory and swap —
+    compacting in place would race readers.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, name))
+    if os.path.isfile(src_dir):
+        total = os.path.getsize(src_dir)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
