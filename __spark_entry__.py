@@ -97,6 +97,13 @@ _DEMOTED_ORACLES = (
     "bm25_search_documents",
     "compact_roundtrip_orders",
     "streaming_dedup_events",
+    "streaming_interval_join_events",
+    "transitions_events",
+    "fuzzy_join_nation_names",
+    "cdc_apply_orders",
+    "ntile_quartiles_orders",
+    "unpivot_lineitem_metrics",
+    "semi_anti_customers",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -273,3 +273,39 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_distance: int = 1,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Approximate string join: pairs whose edit distance is within
+    ``max_distance`` — entity resolution for misspelled dimension
+    keys (the reference's recode map assumes exact matches; real
+    feeds have 'BRAZIL'/'BRASIL').
+
+    Levenshtein is evaluated JVM-side (`F.levenshtein` since 1.5,
+    with the threshold short-circuit arg since 3.5 — it abandons a
+    pair as soon as the running distance exceeds the bound).
+
+    The pair space is |L|×|R|: keep the right side a broadcastable
+    dimension (the default asserts the intent with an explicit
+    ``broadcast()`` hint). For corpus-scale BOTH-sides-big fuzzy
+    joins, block first (length bucket or first-char or an n-gram
+    sketch, cf. the SimHash/MinHash operators) — an unblocked
+    big-big fuzzy join is a deliberate non-feature here, not an
+    oversight.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    dist = F.levenshtein(
+        F.col(left_col), F.col(right_col), max_distance
+    )
+    # levenshtein(.., threshold) returns -1 when distance > threshold
+    return left.join(
+        r, (dist >= 0) & (dist <= max_distance), "inner"
+    )

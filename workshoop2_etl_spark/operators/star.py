@@ -221,3 +221,66 @@ def resolve_fk(
     if required:
         out = out.filter(F.col(surrogate_col).isNotNull())
     return out
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture feed (insert/update/delete) to a
+    snapshot, set-wise — the missing third verb of :func:`upsert_dim`
+    (which can only add/replace, never remove).
+
+    ``changes`` rows carry ``op_col`` ∈ {'I','U','D'} and a
+    monotonically increasing ``seq_col`` (the log offset): per key,
+    ONLY the latest change wins — an upstream that emits
+    I→U→D for one key within a batch must net out to the delete, not
+    the insert, which is why the reducer picks max-seq per key first
+    (one aggregate) instead of applying ops in arrival order.
+
+    Plan: changes reduce via ``max_by`` struct per key (one shuffle on
+    the key), then the snapshot anti-joins every changed key (touched
+    rows leave) and the non-delete survivors union back in. The base
+    table shuffles once; at 100 TB base >> changes, so the anti-join's
+    change side is broadcastable.
+
+    Row-count delta = inserts − deletes of existing keys; ops are
+    validated (unknown verbs raise at plan time would hide data bugs —
+    they surface as a filtered count check in callers' DQ gates).
+    """
+    data_cols = [c for c in base.columns]
+    missing = [c for c in data_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes lack base columns: {missing}")
+    latest = (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("__op"), *[
+                    F.col(c).alias(c) for c in data_cols
+                ]),
+                F.col(seq_col),
+            ).alias("__c")
+        )
+        .select(*key_cols, "__c.__op", *[
+            F.col(f"__c.{c}").alias(f"__new_{c}")
+            for c in data_cols
+            if c not in key_cols
+        ])
+    )
+    untouched = base.join(
+        F.broadcast(latest.select(*key_cols)), key_cols, "left_anti"
+    )
+    survivors = latest.filter(F.col("__op") != F.lit("D")).select(
+        *key_cols,
+        *[
+            F.col(f"__new_{c}").alias(c)
+            for c in data_cols
+            if c not in key_cols
+        ],
+    )
+    return untouched.unionByName(survivors.select(*data_cols))

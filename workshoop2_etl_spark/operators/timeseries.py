@@ -207,3 +207,33 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_actors"))
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    *,
+    actor_col: str,
+    ts_col: str,
+    state_col: str,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order state-transition (Markov bigram) counts: for each
+    actor's time-ordered event sequence, count each consecutive
+    (from_state → to_state) pair across the corpus.
+
+    One window pass (``lag`` over the actor partition) + one count
+    aggregate — the sequence-mining primitive behind next-action
+    models and funnel diagnostics. Pass ``order_tiebreak`` columns
+    (e.g. an event id) when timestamps can collide: a total order per
+    actor makes the result deterministic.
+
+    Returns (``from_state``, ``to_state``, ``n`` long).
+    """
+    w = Window.partitionBy(actor_col).orderBy(ts_col, *order_tiebreak)
+    pairs = df.select(
+        F.lag(F.col(state_col)).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    return pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -832,3 +832,196 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_orc(orders, out_dir)
     return read_orc(spark, out_dir)
+
+
+_FUZZY_SQL = """
+WITH probes AS (
+  SELECT n_nationkey AS probe_key,
+         substr(n_name, 1, len(n_name) - 1) AS probe
+  FROM nation
+)
+SELECT p.probe_key, p.probe, n.n_name AS matched
+FROM probes p JOIN nation n
+  ON levenshtein(p.probe, n.n_name) <= 1
+"""
+
+
+@_register("fuzzy_join_nation_names", _FUZZY_SQL)
+def fuzzy_join_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (entity resolution): nation names with
+    their last character chopped off re-matched against the clean
+    dimension within edit distance 1 — the misspelled-feed repair the
+    reference's exact recode map cannot do. JVM-side bounded
+    levenshtein against a broadcast dimension; the oracle is DuckDB's
+    levenshtein, same classic edit-distance definition."""
+    from workshoop2_etl_spark.operators.merge import fuzzy_join
+
+    nation = _t(spark, sf_dir, "nation")
+    probes = nation.select(
+        F.col("n_nationkey").alias("probe_key"),
+        F.expr("substring(n_name, 1, length(n_name) - 1)").alias("probe"),
+    )
+    dim = nation.select("n_name")
+    return fuzzy_join(probes, dim, "probe", "n_name", max_distance=1).select(
+        "probe_key", "probe", F.col("n_name").alias("matched")
+    )
+
+
+_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), u AS (
+  SELECT o_orderkey, 'U' AS op, 2 AS seq, 'X' AS o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 97 = 0
+), d AS (
+  SELECT o_orderkey, 'D', 3, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 89 = 0
+), i AS (
+  SELECT o_orderkey + 10000000, 'I', 1, 'N', o_totalprice
+  FROM base WHERE o_orderkey % 101 = 0
+), ch AS (
+  SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i
+), latest AS (
+  SELECT o_orderkey,
+         arg_max(op, seq) AS op,
+         arg_max(o_orderstatus, seq) AS st,
+         arg_max(o_totalprice, seq) AS tp
+  FROM ch GROUP BY 1
+)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, st, tp FROM latest WHERE op <> 'D'
+"""
+
+
+@_register("cdc_apply_orders", _CDC_SQL)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with deletes: a synthesized I/U/D change feed (keys
+    divisible by 101/97/89; 97·89 overlaps carry BOTH an update and a
+    later delete, so last-wins ordering is actually exercised) applied
+    to the orders snapshot via operators.star.apply_cdc — max-seq
+    reduction per key, anti-join eviction, non-delete union-back."""
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    u = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    d = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    i = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = u.unionByName(d).unionByName(i)
+    return apply_cdc(base, changes, ["o_orderkey"])
+
+
+@_register(
+    "ntile_quartiles_orders",
+    """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         AS quartile
+FROM orders
+""",
+)
+def ntile_quartiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per priority class via ntile — windowed,
+    PARTITIONED on the class so every group sorts in parallel (a
+    global ORDER BY ntile would single-partition; partitioning is the
+    scale-correct form). (o_totalprice, o_orderkey) is a total order,
+    so bucket boundaries are deterministic in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@_register(
+    "unpivot_lineitem_metrics",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS val
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE)
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem WHERE l_orderkey % 50 = 0
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): three lineitem measures unpivoted
+    into (metric, val) rows with ``DataFrame.unpivot`` — ONE pass over
+    the input (the oracle's UNION ALL formulation scans three times;
+    Spark's unpivot is the scan-once Expand the optimizer turns it
+    into)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.col("l_discount").cast("double").alias("l_discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+@_register(
+    "semi_anti_customers",
+    """
+SELECT c.c_custkey, 'with_orders' AS cls FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, 'no_orders' FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-join coverage: LEFT SEMI (customers with ≥1 order)
+    and LEFT ANTI (customers with none) unioned with a class label —
+    the id-only probe never materializes order payloads, and the
+    orders side reduces to its join key before the shuffle."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = cust.join(keys, "c_custkey", "left_semi").withColumn(
+        "cls", F.lit("with_orders")
+    )
+    anti = cust.join(keys, "c_custkey", "left_anti").withColumn(
+        "cls", F.lit("no_orders")
+    )
+    return semi.unionByName(anti)

@@ -106,6 +106,66 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_interval_join_events",
+    """
+SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_id <> e2.event_id
+ AND epoch_us(e1.ts) >= epoch_us(e2.ts)
+ AND epoch_us(e1.ts) <= epoch_us(e2.ts) + 3600000000
+GROUP BY e1.user_id
+""",
+)
+def streaming_interval_join_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM interval join: two incremental feeds of the
+    events table joined on user_id with a one-hour event-time bound —
+    the Structured Streaming state machine buffers each side until
+    its watermark passes the join window, then evicts (state is
+    bounded by the interval + watermark, not the stream length).
+
+    The joined pairs are materialized by one availableNow activation;
+    the per-user count on the RESULT is batch (chaining an aggregate
+    after a stream-stream join is a second stateful operator — kept
+    out deliberately so the streaming surface under test is the join
+    itself). Oracle: the same interval self-join in DuckDB — identical
+    to the batch range_join twin, proving stream/batch parity."""
+    from pyspark.sql import functions as F
+
+    left = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid1"),
+            F.col("event_id").alias("e1"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", "2 hours")
+    )
+    right = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid2"),
+            F.col("event_id").alias("e2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", "2 hours")
+    )
+    pairs = left.join(
+        right,
+        F.expr(
+            "uid1 = uid2 AND e1 <> e2 "
+            "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("uid1").alias("user_id"))
+    joined = run_available_now(pairs, "q_stream_interval_join")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@_register(
     "streaming_dedup_events",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -218,3 +218,35 @@ def compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     )
+
+
+_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_state, event_type AS to_state,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_register("transitions_events", _TRANSITIONS_SQL)
+def transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts per user timeline
+    (Markov bigrams): one lag window over (user, ts, event_id) + one
+    count aggregate. event_id tie-breaks equal timestamps so the
+    sequence — and therefore the counts — are deterministic."""
+    from workshoop2_etl_spark.operators.timeseries import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(
+        ev,
+        actor_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        order_tiebreak=["event_id"],
+    )
