@@ -104,6 +104,8 @@ _DEMOTED_ORACLES = (
     "ntile_quartiles_orders",
     "unpivot_lineitem_metrics",
     "semi_anti_customers",
+    "overlap_join_events",
+    "mom_revenue_growth",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -280,3 +280,47 @@ def test_mixture_sample_broadcasts_quotas(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_overlap_join_never_nested_loop(spark):
+    # Interval-overlap must be the bin-bucketed EQUI join; a
+    # BroadcastNestedLoopJoin or cartesian here is the quadratic
+    # failure the operator exists to avoid.
+    plan = _physical(q("overlap_join_events")(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_fill_no_nested_loop_and_no_global_sort(spark):
+    plan = _physical(q("resample_fill_events")(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bm25_uses_global_topk_not_full_sort(spark):
+    # The final top-k must be TakeOrderedAndProject (per-partition
+    # heaps + merge), never a global Sort over all scored docs.
+    plan = _physical(q("bm25_search_documents")(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_ids_no_single_partition_exchange_in_registry(spark):
+    plan = _physical(q("global_ids_documents")(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fuzzy_join_broadcasts_dimension(spark):
+    # Non-equi predicate -> nested loop is expected, but it must be
+    # the BROADCAST variant (tiny dim ships to executors), never a
+    # shuffle cartesian.
+    plan = _physical(q("fuzzy_join_nation_names")(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_broadcasts_change_keys(spark):
+    # The snapshot anti-joins the (tiny) changed-key set via
+    # broadcast; the base table never shuffles for eviction.
+    plan = _physical(q("cdc_apply_orders")(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -309,3 +309,66 @@ def fuzzy_join(
     return left.join(
         r, (dist >= 0) & (dist <= max_distance), "inner"
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    *,
+    bin_size: int,
+) -> DataFrame:
+    """Interval-OVERLAP join (interval×interval; the sibling of
+    :func:`range_join`'s point-in-interval): pairs whose [lo, hi]
+    ranges intersect — ``l.lo ≤ r.hi AND r.lo ≤ l.hi`` — under equal
+    keys. Temporal overlap, reservation conflicts, genomic intervals.
+
+    Both sides explode to the ``bin_size`` bins they span, join
+    per (key, bin) — an equi-join, never a nested loop — and the
+    exact predicate filters within the bin. A pair spanning several
+    shared bins would match once PER shared bin, so the classic
+    first-common-bin guard keeps exactly one: the match is kept only
+    in bin ``max(floor(l.lo), floor(r.lo) / bin)`` — the first bin
+    the two intervals share — making the join duplicate-free WITHOUT
+    a distinct (no second shuffle).
+
+    Σ bins = Σ interval_length / bin_size per side: pick ``bin_size``
+    near the typical interval length so each interval explodes to
+    O(1) bins.
+    """
+    keys = list(key_cols)
+    l = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / bin_size),
+                F.floor(F.col(left_hi) / bin_size),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bin_size),
+                F.floor(F.col(right_hi) / bin_size),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / bin_size),
+        F.floor(F.col(right_lo) / bin_size),
+    )
+    return (
+        l.join(r, [*keys, "__bin"])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )

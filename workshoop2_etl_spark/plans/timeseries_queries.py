@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.ids import assign_global_ids
@@ -249,4 +249,86 @@ def transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         state_col="event_type",
         order_tiebreak=["event_id"],
+    )
+
+
+_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi
+  FROM events
+)
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.lo <= b.hi AND b.lo <= a.hi
+GROUP BY a.user_id
+"""
+
+
+@_register("overlap_join_events", _OVERLAP_SQL)
+def overlap_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each event becomes a 30-minute
+    interval; count intersecting interval pairs per user (a.id < b.id
+    orders the pair once). Bin-bucketed equi-join with the
+    first-common-bin dedup guard — never a nested loop, never a
+    distinct."""
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.operators.merge import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    half_hour_us = 1_800_000_000
+    us = epoch_micros(ev, "ts")
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("ea"),
+        us.alias("a_lo"),
+        (us + half_hour_us).alias("a_hi"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("eb"),
+        us.alias("b_lo"),
+        (us + half_hour_us).alias("b_hi"),
+    )
+    out = overlap_join(
+        left, right, ["user_id"], "a_lo", "a_hi", "b_lo", "b_hi",
+        bin_size=half_hour_us,
+    ).filter(F.col("ea") < F.col("eb"))
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+_MOM_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT mon, revenue,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY mon))
+             / lag(revenue) OVER (ORDER BY mon), 4) AS pct_change
+FROM m
+"""
+
+
+@_register("mom_revenue_growth", _MOM_SQL)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: aggregate FIRST (months are
+    bounded cardinality at any data scale), then a lag window over the
+    tiny monthly series — the global-order window is safe precisely
+    because it runs on the aggregate, never the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("mon")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "mon",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
+            "pct_change"
+        ),
     )
