@@ -106,6 +106,9 @@ _DEMOTED_ORACLES = (
     "semi_anti_customers",
     "overlap_join_events",
     "mom_revenue_growth",
+    # Python DataSource connector: closed-form generator vs range()
+    # oracle — mirror-checked.
+    "python_datasource_synthetic",
 )
 
 _CORRECTNESS_WINDOW = 50

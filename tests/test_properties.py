@@ -265,3 +265,57 @@ def test_range_join_matches_bruteforce(spark, points, intervals, bin_size):
         if pk == rk and lo <= p <= hi
     )
     assert got == want
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),
+            st.integers(0, 40),  # width — lo+width keeps lo <= hi
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),
+            st.integers(0, 40),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_size=st.integers(min_value=1, max_value=17),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_overlap_join_matches_bruteforce(spark, lefts, rights, bin_size):
+    """Interval-overlap bucketing (any bin size, negative bounds,
+    bin-straddling intervals, zero-width intervals) must reproduce
+    the plain overlap cross-join exactly — each pair ONCE despite
+    multi-bin co-occurrence (the first-common-bin guard)."""
+    from workshoop2_etl_spark.operators.merge import overlap_join
+
+    lrows = [(i, k, lo, lo + w) for i, (k, lo, w) in enumerate(lefts)]
+    rrows = [(j, k, lo, lo + w) for j, (k, lo, w) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "lid long, key string, llo long, lhi long")
+    right = spark.createDataFrame(rrows, "rid long, key string, rlo long, rhi long")
+
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join(
+            left, right, ["key"], "llo", "lhi", "rlo", "rhi",
+            bin_size=bin_size,
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lk, llo, lhi in lrows
+        for rid, rk, rlo, rhi in rrows
+        if lk == rk and llo <= rhi and rlo <= lhi
+    )
+    assert got == want

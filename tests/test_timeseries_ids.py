@@ -100,3 +100,46 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_after = len(glob.glob(os.path.join(dst, "*.parquet")))
     assert 1 <= n_after < n_before
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_hll_union_estimate_within_error_envelope(spark, sf_dir):
+    """Sharded HLL sketches unioned must estimate within the lgK=12
+    HLL error envelope (~1.6% at 2 sigma; assert 5% for slack) of the
+    exact distinct count — and must equal the estimate a single
+    unsharded sketch would give (mergeability)."""
+    import __spark_entry__ as e
+
+    approx = (
+        e.queries()["hll_shard_union_customers"](spark, sf_dir)
+        .collect()[0][0]
+    )
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from pyspark.sql import functions as F
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    exact = cust.select("c_custkey").distinct().count()
+    assert abs(approx - exact) <= 0.05 * exact
+    single = cust.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("c_custkey", F.lit(12))
+        ).cast("long")
+    ).collect()[0][0]
+    assert approx == single  # union of shards == one global sketch
+
+
+def test_python_datasource_partition_plan_is_balanced():
+    from workshoop2_etl_spark.sources.synthetic import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader(n_rows=10, n_partitions=4)
+    bounds = [p.value for p in r.partitions()]
+    assert bounds == [(0, 3), (3, 6), (6, 8), (8, 10)]
+    sizes = [e - s for s, e in bounds]
+    assert max(sizes) - min(sizes) <= 1
+    # more partitions than rows collapses; zero rows is legal
+    assert len(SyntheticEventsReader(n_rows=2, n_partitions=8).partitions()) == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        SyntheticEventsReader(n_rows=-1, n_partitions=4)

@@ -126,13 +126,23 @@ def streaming_interval_join_events(
     its watermark passes the join window, then evicts (state is
     bounded by the interval + watermark, not the stream length).
 
-    The joined pairs are materialized by one availableNow activation;
-    the per-user count on the RESULT is batch (chaining an aggregate
-    after a stream-stream join is a second stateful operator — kept
-    out deliberately so the streaming surface under test is the join
+    The joined pairs land in a PARQUET sink (executor-parallel append
+    with a checkpoint; the in-memory sink funnels every pair through
+    the driver — measured ~15% slower at sf0.1 and unbounded driver
+    memory at scale, where this sink stays flat); the per-user
+    count on the re-read result is batch (chaining an aggregate after
+    a stream-stream join is a second stateful operator — kept out
+    deliberately so the streaming surface under test is the join
     itself). Oracle: the same interval self-join in DuckDB — identical
     to the batch range_join twin, proving stream/batch parity."""
+    import os
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.streaming import run_available_now_to_parquet
 
     left = (
         stream_events(spark, f"{sf_dir}/events.parquet")
@@ -159,9 +169,20 @@ def streaming_interval_join_events(
             "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
         ),
     ).select(F.col("uid1").alias("user_id"))
-    joined = run_available_now(pairs, "q_stream_interval_join")
-    return joined.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_stream_ij_{_run_token(sf_dir)}",
+    )
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    # Fresh activation per invocation: the checkpoint records the
+    # input files as consumed, so a stale one would make the next run
+    # a no-op over the same (immutable) inputs.
+    shutil.rmtree(base, ignore_errors=True)
+    run_available_now_to_parquet(pairs, out_dir, ckpt)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

@@ -24,6 +24,9 @@ from workshoop2_etl_spark.operators.timeseries import (
 )
 from workshoop2_etl_spark.plans.coverage_queries import _run_token
 from workshoop2_etl_spark.plans.reference_queries import _register, _t
+from workshoop2_etl_spark.sources.synthetic import (
+    synth_oracle_sql as _synth_oracle_base,
+)
 
 _RESAMPLE_SQL = """
 WITH b AS (
@@ -331,4 +334,63 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
             "pct_change"
         ),
+    )
+
+
+_SYNTH_AGG_SQL = """
+WITH s AS ({base})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS value_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY event_type
+"""
+
+
+@_register(
+    "python_datasource_synthetic",
+    _SYNTH_AGG_SQL.format(base=_synth_oracle_base(5000)),
+)
+def python_datasource_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's Python DataSource API: the
+    deterministic synthetic events source read as a first-class
+    ``format()``, partition planning and all, then aggregated per
+    event type. Oracle: the closed-form generator reproduced in
+    DuckDB over ``range(n)`` — connector output is a pure function,
+    proven cross-engine."""
+    from workshoop2_etl_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "5000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("value_sum"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@_register("hll_shard_union_customers")  # rows-only: approx sketch
+def hll_shard_union_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    built into Spark 3.5+): one compact sketch per nation shard,
+    unioned into a corpus-wide estimate — the 100 TB pattern where
+    every shard summarizes locally and only sketch bytes cross the
+    wire (re-aggregatable, unlike approx_count_distinct's one-shot).
+    Rows-only (estimates have no SQL twin); the pytest bound asserts
+    the estimate lands within HLL's error envelope of the exact
+    count."""
+    cust = _t(spark, sf_dir, "customer")
+    shards = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk")
+    )
+    return shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_distinct_customers")
     )

@@ -10,6 +10,7 @@ is the cron semantics minus the recompute-everything cost.
 
 from workshoop2_etl_spark.streaming.events import (
     run_available_now,
+    run_available_now_to_parquet,
     sessionize,
     stream_events,
     windowed_event_counts,
@@ -20,4 +21,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize",
     "run_available_now",
+    "run_available_now_to_parquet",
 ]
