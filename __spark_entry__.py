@@ -109,6 +109,12 @@ _DEMOTED_ORACLES = (
     # Python DataSource connector: closed-form generator vs range()
     # oracle — mirror-checked.
     "python_datasource_synthetic",
+    # Spark-4 SQL surfaces (VARIANT, recursive CTE, LATERAL, UDTF):
+    # mirror-checked.
+    "sql_variant_props",
+    "sql_recursive_halving_depth",
+    "sql_lateral_top2_nations",
+    "sql_udtf_word_bigrams",
 )
 
 _CORRECTNESS_WINDOW = 50

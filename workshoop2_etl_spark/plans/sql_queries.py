@@ -100,3 +100,113 @@ def sql_popularity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         """,
     )
+
+
+@_register(
+    "sql_variant_props",
+    """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum
+FROM events GROUP BY 1
+""",
+)
+def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary variant encoding, typed
+    ``variant_get`` extraction — the engine-native path for schema-
+    on-read JSON (vs get_json_object's per-access string re-parse).
+    Oracle: DuckDB's JSON extraction, same values."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        SELECT event_type,
+               CAST(count(variant_get(parse_json(props), '$.k', 'long'))
+                    AS BIGINT) AS n_k,
+               CAST(sum(variant_get(parse_json(props), '$.k', 'long'))
+                    AS BIGINT) AS k_sum
+        FROM events GROUP BY 1
+        """,
+    )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(key, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+  UNION ALL
+  SELECT key, CAST(floor(cur / 2) AS BIGINT), depth + 1
+  FROM chain WHERE cur > 1
+)
+SELECT key, CAST(max(depth) AS BIGINT) AS depth FROM chain GROUP BY key
+"""
+
+
+@_register("sql_recursive_halving_depth", _RECURSIVE_SQL)
+def sql_recursive_halving_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4, SPARK-24497): per-key iteration depth
+    of the halving chain key → key/2 → … → 1 — the hierarchical-walk
+    query class (org charts, BOM explosions, graph reachability) that
+    needed driver-side loops before recursive CTEs landed. Iterations
+    are Catalyst-planned unions, executor-side. Oracle: the identical
+    ANSI recursive CTE in DuckDB."""
+    return _sql(spark, sf_dir, ["customer"], _RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT r_name, l.n_name
+FROM region, LATERAL (
+  SELECT n_name FROM nation
+  WHERE n_regionkey = r_regionkey
+  ORDER BY n_name LIMIT 2
+) l
+"""
+
+
+@_register("sql_lateral_top2_nations", _LATERAL_SQL)
+def sql_lateral_top2_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT: the
+    top-2-per-outer-row idiom SQL users reach for before window
+    functions — supported verbatim on both engines."""
+    return _sql(spark, sf_dir, ["region", "nation"], _LATERAL_SQL)
+
+
+_UDTF_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+)
+SELECT bg, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]) AS bg
+  FROM toks
+) GROUP BY bg ORDER BY n DESC, bg LIMIT 15
+"""
+
+
+@_register("sql_udtf_word_bigrams", _UDTF_BIGRAMS_ORACLE)
+def sql_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): a user-defined TABLE function lateral-
+    joined per document — the API for set-returning custom logic the
+    SQL surface can call directly. Row-at-a-time Python is the slow
+    path (the vectorized twin is split+explode, cf. word_frequencies);
+    this entry covers the API surface on a bounded corpus. Oracle:
+    DuckDB list-comprehension bigrams."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bg string")
+    class Bigrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            toks = [t for t in (text or "").split(" ") if t]
+            for a, b in zip(toks, toks[1:]):
+                yield (a + " " + b,)
+
+    spark.udtf.register("word_bigrams", Bigrams)
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        SELECT bg, count(*) AS n
+        FROM documents, LATERAL word_bigrams(text)
+        GROUP BY bg ORDER BY n DESC, bg LIMIT 15
+        """,
+    )
