@@ -115,6 +115,7 @@ _DEMOTED_ORACLES = (
     "sql_recursive_halving_depth",
     "sql_lateral_top2_nations",
     "sql_udtf_word_bigrams",
+    "python_stream_datasource_synthetic",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from workshoop2_etl_spark.plans.reference_queries import _register
+from workshoop2_etl_spark.sources.synthetic import (
+    synth_oracle_sql as _synth_oracle_sql,
+)
 from workshoop2_etl_spark.streaming import (
     run_available_now,
     sessionize,
@@ -232,4 +235,52 @@ def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return run_available_now(
         counts, "q_stream_sliding_counts", output_mode="complete"
+    )
+
+
+_SYNTH_STREAM_SQL = """
+WITH s AS ({base})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS value_sum,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY event_type
+"""
+
+
+@_register(
+    "python_stream_datasource_synthetic",
+    _SYNTH_STREAM_SQL.format(base=_synth_oracle_sql(2000)),
+)
+def python_stream_datasource_synthetic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING half of the Python DataSource connector SDK:
+    the synthetic feed read through
+    ``spark.readStream.format("synthetic_events")`` — offset-tracked
+    microbatches with deterministic replay (readBetweenOffsets) —
+    drained by one availableNow activation and aggregated. A
+    SimpleDataSourceStreamReader activation consumes exactly one
+    read() slice, so the drain sets batchrows = rows; incremental
+    multi-activation resume from a shared checkpoint is proven in
+    tests/test_streaming_datasource.py. Oracle: the closed-form
+    generator's DuckDB range() twin — streaming output equals the
+    pure function."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", "2000")
+        .option("batchrows", "2000")
+        .load()
+    )
+    out = run_available_now(stream, "q_synth_stream_feed")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("value_sum"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
     )

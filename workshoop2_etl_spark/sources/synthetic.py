@@ -33,6 +33,7 @@ try:  # pragma: no cover - import guard exercised only on old Spark
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     HAVE_PYTHON_DATASOURCE = True
@@ -49,6 +50,9 @@ except ImportError:  # Spark < 4
     class InputPartition:  # type: ignore[no-redef]
         def __init__(self, value):
             self.value = value
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
 
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -100,6 +104,14 @@ class SyntheticEventsDataSource(DataSource):
             n_partitions=int(self.options.get("numpartitions", 8)),
         )
 
+    def simpleStreamReader(
+        self, schema
+    ) -> "SyntheticEventsStreamReader":  # noqa: N802 - API contract
+        return SyntheticEventsStreamReader(
+            n_rows=int(self.options.get("rows", 1000)),
+            batch_rows=int(self.options.get("batchrows", 100)),
+        )
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, *, n_rows: int, n_partitions: int) -> None:
@@ -123,6 +135,51 @@ class SyntheticEventsReader(DataSourceReader):
         start, end = partition.value
         for i in range(start, end):
             yield synth_row(i)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector SDK
+    (``spark.readStream.format("synthetic_events")``): offsets are
+    plain row indices; each microbatch serves the next ``batchrows``
+    slice of the same closed-form feed, so replay from any
+    checkpointed offset is exact (the contract Kafka offsets give).
+    ``rows`` bounds the feed — a bounded stream drains under
+    ``Trigger.AvailableNow`` and the result equals the batch read,
+    which is what the oracle-parity entry proves.
+
+    The Simple reader variant serves data through the driver —
+    appropriate for control-plane-scale feeds and tests; a
+    partition-planned DataSourceStreamReader is the high-volume shape
+    (same generator, same offsets per partition)."""
+
+    def __init__(self, *, n_rows: int, batch_rows: int) -> None:
+        if batch_rows < 1:
+            raise ValueError("batchrows must be >= 1")
+        self.n_rows = n_rows
+        self.batch_rows = batch_rows
+
+    def initialOffset(self) -> dict:  # noqa: N802 - API contract
+        return {"idx": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # One bounded slice per call: the engine keeps calling (and a
+        # bounded trigger keeps firing) until the returned offset
+        # stops advancing — batch_rows is the rate limit.
+        lo = start["idx"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # iter(list), NOT a generator: the engine caches and COPIES
+        # the iterator for replay (datasource_internal getCache), and
+        # generators are unpicklable — a generator here fails at
+        # planPartitions with "cannot pickle 'generator' object".
+        return iter([synth_row(i) for i in range(lo, hi)]), {"idx": hi}
+
+    def readBetweenOffsets(  # noqa: N802 - API contract
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        # Deterministic replay for recovery: same closed form.
+        return iter(
+            [synth_row(i) for i in range(start["idx"], end["idx"])]
+        )
 
 
 def register_synthetic_source(spark) -> bool:
