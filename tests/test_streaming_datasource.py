@@ -63,3 +63,65 @@ def test_stream_reader_replay_is_deterministic():
     assert nxt3 == {"idx": 50} and len(list(rows3)) == 10
     with pytest.raises(ValueError):
         SyntheticEventsStreamReader(n_rows=10, batch_rows=0)
+
+
+def test_foreachbatch_stream_upsert_merges_incrementally(spark, tmp_path):
+    """Two bounded activations over a growing source directory: the
+    second batch's overlapping keys replace the first's rows, new
+    keys append, untouched keys survive — the streaming MERGE sink."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.streaming.events import run_stream_upsert
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    ).write.parquet(src)
+
+    def activate():
+        stream = spark.readStream.schema(
+            "k long, name string, v double"
+        ).parquet(src)
+        run_stream_upsert(stream, dst, ckpt, ["k"])
+
+    activate()
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(dst).collect()
+    ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+    # second file: update k=2, insert k=4
+    spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    ).write.mode("append").parquet(src)
+    activate()
+    got = sorted((r.k, r.name, r.v) for r in spark.read.parquet(dst).collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 99.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_drop_duplicates_within_watermark_suppresses_near_dupes(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys arriving within
+    the watermark horizon are suppressed while state for expired keys
+    is evicted — the bounded-state streaming dedup (the exact variant
+    keeps state forever)."""
+    import datetime as dt
+
+    src = str(tmp_path / "dd_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),   # dup within horizon
+        (2, t0 + dt.timedelta(minutes=10)),
+        (2, t0 + dt.timedelta(minutes=12)),  # dup within horizon
+        (3, t0 + dt.timedelta(hours=5)),
+    ]
+    spark.createDataFrame(rows, "k long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    from workshoop2_etl_spark.streaming import run_available_now
+
+    out = run_available_now(deduped, "q_dd_watermark")
+    keys = sorted(r.k for r in out.collect())
+    assert keys == [1, 2, 3]  # one survivor per key

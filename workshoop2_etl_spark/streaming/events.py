@@ -341,3 +341,54 @@ def run_available_now_to_parquet(
         raise TimeoutError(
             f"streaming activation to {out_dir!r} exceeded {timeout_sec}s"
         )
+
+
+def run_stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    *,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming UPSERT sink via ``foreachBatch``: each microbatch
+    merges into the keyed parquet dataset through
+    ``sources.writers.upsert_parquet`` (anti-join + union + atomic
+    staged swap) — the streaming twin of the reference's MERGE-to-DW
+    step (reference dags/merge_to_dw.py:153-170 replaces dims row-by-
+    row; here each batch is one set-wise merge).
+
+    foreachBatch is the escape hatch for sinks Spark lacks natively
+    (JDBC upsert, key-value stores, MERGE INTO targets): the batch
+    DataFrame is exactly-once PER EPOCH (the checkpoint records the
+    epoch; on recovery the same epoch re-runs) — so the sink must be
+    idempotent, which a keyed upsert is: replaying a batch rewrites
+    the same keys to the same values.
+    """
+    from workshoop2_etl_spark.sources.writers import upsert_parquet
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # upsert_parquet requires ONE row per key; a batch carrying
+        # several versions of a key collapses to an arbitrary single
+        # row here — callers needing last-writer-wins semantics
+        # within a batch pre-reduce upstream (cf. apply_cdc's max-seq
+        # reduction).
+        spark = batch_df.sparkSession
+        dedup = batch_df.dropDuplicates(key_cols)
+        upsert_parquet(spark, dedup, path, key_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming upsert to {path!r} exceeded {timeout_sec}s"
+        )
