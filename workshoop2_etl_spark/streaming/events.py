@@ -1,10 +1,10 @@
 """Streaming operators over the events feed.
 
 - :func:`stream_events` — incremental parquet file-source scan (the
-  streaming twin of ``read_parquet``, including the TIMESTAMP(NANOS)
-  workaround: the file source needs a declared schema anyway, so the
-  nanos column is declared ``long`` and rebuilt into a
-  micro-precision timestamp — identical values to the batch reader).
+  streaming twin of ``read_parquet``: the file source needs a
+  declared schema anyway, so the ``ts`` type is detected from the
+  parquet footer — long-nanos rebuild, NTZ→epoch-true LTZ, or native
+  TIMESTAMP — yielding values identical to the batch reader).
 - :func:`windowed_event_counts` — watermarked tumbling-window counts
   (the dashboard's per-period series, computed incrementally).
 - :func:`sessionize` — gap-based sessionization via
