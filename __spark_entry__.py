@@ -116,6 +116,9 @@ _DEMOTED_ORACLES = (
     "sql_lateral_top2_nations",
     "sql_udtf_word_bigrams",
     "python_stream_datasource_synthetic",
+    # End-to-end training export: composed oracle over quality gate →
+    # dedup → chunk → split → JSONL round-trip — mirror-checked.
+    "training_export_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -1151,3 +1151,120 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     )
     return out.select("doc_id", "source")
+
+
+_TRAINING_EXPORT_SQL = r"""
+WITH m AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+           AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|is|in|that|it)\b')) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN n_tokens > 0
+                 AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+               THEN 0.2 ELSE 0.0 END
+         + CASE WHEN n_chars > 0
+                 AND CAST(punct AS DOUBLE) / n_chars <= 0.2
+               THEN 0.2 ELSE 0.0 END
+         + least(CASE WHEN n_tokens > 0
+                      THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                      ELSE 0.0 END * 4.0, 1.0) * 0.2 AS quality
+  FROM m
+), gated AS (
+  SELECT doc_id, text FROM q WHERE round(quality, 4) >= 0.5
+), kept AS (
+  SELECT doc_id, text FROM gated
+  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM kept
+), t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id,
+         CAST(len(tk[i * 128 + 1 : i * 128 + 128]) AS BIGINT) AS n_tokens
+  FROM t, unnest(range(0, CAST(ceil(len(tk) / 128.0) AS BIGINT))) AS u(i)
+), labeled AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM chunks
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM labeled GROUP BY split
+"""
+
+
+@_register("training_export_documents", _TRAINING_EXPORT_SQL)
+def training_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data export: quality gate → exact
+    dedup → 128-token chunking → id-stable train/val/test split →
+    train shards written as JSONL and RE-READ — the full composition
+    a pretraining pipeline ships, verified against ONE composed DuckDB
+    oracle (each stage also has its own oracle elsewhere; this entry
+    proves they compose). The train-split numbers in the result come
+    from the exported JSONL on disk, not the in-memory plan, so the
+    sink round-trip is inside the verified surface."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+    from workshoop2_etl_spark.operators.dedup import exact_dedup
+    from workshoop2_etl_spark.operators.sampling import hash_split
+    from workshoop2_etl_spark.operators.textstats import quality_score
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.readers import read_jsonl
+    from workshoop2_etl_spark.sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = quality_score(docs, "text").filter(F.col("quality") >= 0.5)
+    kept = exact_dedup(gated.select("doc_id", "text"), "text", "doc_id")
+    chunks = chunk_documents(kept, "doc_id", "text", max_tokens=128)
+    labeled = hash_split(chunks, "doc_id")
+
+    train = labeled.filter(F.col("split") == "train").select(
+        "doc_id", "chunk_no", "chunk_text", "n_tokens"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_training_export_{_run_token(sf_dir)}",
+    )
+    write_jsonl(train, out_dir)
+    train_back = read_jsonl(
+        spark,
+        out_dir,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("chunk_no", T.IntegerType()),
+                T.StructField("chunk_text", T.StringType()),
+                T.StructField("n_tokens", T.IntegerType()),
+            ]
+        ),
+    ).withColumn("split", F.lit("train"))
+    rest = labeled.filter(F.col("split") != "train").select(
+        "doc_id", "chunk_no", "chunk_text", "n_tokens", "split"
+    )
+    return (
+        train_back.select("doc_id", "chunk_no", "chunk_text", "n_tokens", "split")
+        .unionByName(rest)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

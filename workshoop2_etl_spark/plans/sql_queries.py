@@ -175,7 +175,7 @@ def sql_lateral_top2_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UDTF_BIGRAMS_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
-  FROM documents
+  FROM documents WHERE doc_id % 10 = 0
 )
 SELECT bg, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]) AS bg
@@ -190,8 +190,9 @@ def sql_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined per document — the API for set-returning custom logic the
     SQL surface can call directly. Row-at-a-time Python is the slow
     path (the vectorized twin is split+explode, cf. word_frequencies);
-    this entry covers the API surface on a bounded corpus. Oracle:
-    DuckDB list-comprehension bigrams."""
+    this entry covers the API surface on a bounded tenth of the
+    corpus (doc_id %% 10 — the slow path is priced accordingly).
+    Oracle: DuckDB list-comprehension bigrams."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="bg string")
@@ -206,7 +207,8 @@ def sql_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["documents"],
         """
         SELECT bg, count(*) AS n
-        FROM documents, LATERAL word_bigrams(text)
+        FROM (SELECT text FROM documents WHERE doc_id % 10 = 0),
+             LATERAL word_bigrams(text)
         GROUP BY bg ORDER BY n DESC, bg LIMIT 15
         """,
     )
