@@ -1268,3 +1268,17 @@ def training_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+@_register("textrank_keywords_documents")  # rows-only: iterative PageRank
+def textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: token co-occurrence graph →
+    PageRank power iteration (lineage-truncated DataFrame loop, one
+    join + one aggregate per superstep) → top-15 vocabulary. The
+    iterative-algorithm class has no SQL oracle (per-step
+    re-aggregation); correctness is pinned by
+    tests/test_graph.py's numpy power-iteration parity."""
+    from workshoop2_etl_spark.operators.graph import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, "text", k=15, iterations=8)
