@@ -143,3 +143,78 @@ def test_python_datasource_partition_plan_is_balanced():
 
     with pytest.raises(ValueError):
         SyntheticEventsReader(n_rows=-1, n_partitions=4)
+
+
+def test_resample_fill_sum_agg_matches_independent_buckets(spark, sf_dir):
+    import math
+
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.operators.timeseries import resample_fill
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 5
+    )
+    step = 86400
+    s = resample_fill(
+        ev, group_cols=["user_id"], ts_col="ts", value_col="value",
+        step_seconds=step, agg="sum",
+    )
+    # Independent per-bucket ground truth: every bucket that actually
+    # holds events must carry its own (unfilled) sum in the output.
+    exp = (
+        ev.withColumn(
+            "bucket",
+            (epoch_micros(ev, "ts") / F.lit(step * 1_000_000)).cast("long"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("value").alias("exp"))
+    )
+    got = s.withColumn(
+        "bucket",
+        (F.unix_micros("bucket_ts") / F.lit(step * 1_000_000)).cast("long"),
+    )
+    rows = got.join(exp, ["user_id", "bucket"]).collect()
+    assert len(rows) == exp.count()
+    for r in rows:
+        assert math.isclose(r.v, r.exp, rel_tol=1e-9)
+
+
+def test_fuzzy_join_unbroadcast_path(spark):
+    from workshoop2_etl_spark.operators.merge import fuzzy_join
+
+    left = spark.createDataFrame([("kitten",), ("sittin",)], "a string")
+    right = spark.createDataFrame([("sitting",), ("mitten",)], "b string")
+    got = sorted(
+        (r.a, r.b)
+        for r in fuzzy_join(
+            left, right, "a", "b", max_distance=2, broadcast_right=False
+        ).collect()
+    )
+    # kitten↔sitting is distance 3 and must NOT match at bound 2
+    assert got == [("kitten", "mitten"), ("sittin", "mitten"),
+                   ("sittin", "sitting")]
+
+
+def test_apply_cdc_rejects_missing_columns(spark):
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    base = spark.createDataFrame([(1, "x")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "I", 1)], "k long, op string, seq long"
+    )  # lacks v
+    import pytest
+
+    with pytest.raises(ValueError, match="lack base columns"):
+        apply_cdc(base, changes, ["k"])
+
+
+def test_compact_parquet_single_file_input(spark, tmp_path):
+    src_dir = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(src_dir)
+    import glob as g
+
+    single = g.glob(os.path.join(src_dir, "*.parquet"))[0]
+    dst = str(tmp_path / "one_out")
+    n = compact_parquet(spark, single, dst, target_file_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(dst).count() == 100
