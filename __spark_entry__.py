@@ -119,6 +119,11 @@ _DEMOTED_ORACLES = (
     # End-to-end training export: composed oracle over quality gate →
     # dedup → chunk → split → JSONL round-trip — mirror-checked.
     "training_export_documents",
+    # Numeric cleaning/normalization + calendar-range window:
+    # mirror-checked.
+    "winsorize_orders_totalprice",
+    "rolling_7d_revenue",
+    "zscore_lineitem_price",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -394,3 +394,111 @@ def hll_shard_union_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("approx_distinct_customers")
     )
+
+
+_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT o_orderkey,
+       round(CASE WHEN o_totalprice < lo THEN lo
+                  WHEN o_totalprice > hi THEN hi
+                  ELSE o_totalprice END, 2) AS clipped
+FROM orders, b
+"""
+
+
+@_register("winsorize_orders_totalprice", _WINSORIZE_SQL)
+def winsorize_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping to the exact [p1, p99] band (winsorization —
+    the numeric-cleaning step before any scale-sensitive model).
+    EXACT percentiles with linear interpolation on both engines
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); the two-row
+    bound frame broadcasts, the fact table never shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            F.round(
+                F.when(F.col("o_totalprice") < F.col("lo"), F.col("lo"))
+                .when(F.col("o_totalprice") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("o_totalprice")),
+                2,
+            ).alias("clipped"),
+        )
+    )
+
+
+_ROLLING_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS DATE) AS day,
+       round(sum(rev) OVER (
+         ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW), 2) AS rev_7d
+FROM d
+"""
+
+
+@_register("rolling_7d_revenue", _ROLLING_SQL)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue via a RANGE-frame window over the DAILY
+    aggregate (calendar range, not row count — gaps in the date axis
+    still window correctly). Aggregate first: the global-order window
+    runs on ≤ one row per day at any data scale."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day", F.round(F.sum("rev").over(w), 2).alias("rev_7d")
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice - mu) / sd, 6) AS z
+FROM lineitem, s
+WHERE l_orderkey % 20 = 0
+"""
+
+
+@_register("zscore_lineitem_price", _ZSCORE_SQL)
+def zscore_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature normalization: corpus mean/stddev as a one-row
+    broadcast, standardization as a narrow projection (the fact table
+    never shuffles). Sample stddev on both engines; output bounded to
+    a twentieth of the keys for the hash compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                (F.col("l_extendedprice") - F.col("mu")) / F.col("sd"), 6
+            ).alias("z"),
+        )
+    )
