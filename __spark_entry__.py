@@ -124,6 +124,11 @@ _DEMOTED_ORACLES = (
     "winsorize_orders_totalprice",
     "rolling_7d_revenue",
     "zscore_lineitem_price",
+    # Aggregation-lattice, relative-standing-window, and higher-order
+    # array-function coverage: mirror-checked.
+    "grouping_sets_orders",
+    "percent_rank_customers",
+    "array_hof_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

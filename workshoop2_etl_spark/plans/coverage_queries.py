@@ -1025,3 +1025,97 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cls", F.lit("no_orders")
     )
     return semi.unionByName(anti)
+
+
+_GSETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@_register("grouping_sets_orders", _GSETS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary aggregation lattices via GROUPING SETS — the general
+    form rollup/cube specialize (X27): per-priority totals,
+    per-status totals, and the grand total in ONE Expand pass, with
+    grouping_id disambiguating subtotal rows from genuine NULL
+    groups."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_PRANK_SQL = """
+SELECT c_custkey,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey), 6)
+         AS pr,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey), 6)
+         AS cd
+FROM customer
+"""
+
+
+@_register("percent_rank_customers", _PRANK_SQL)
+def percent_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows (percent_rank + cume_dist) per
+    market segment — partitioned, so every segment ranks in parallel;
+    (acctbal, custkey) is a total order, making both statistics
+    deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+_HOF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(tk, t -> length(t) >= 6)) AS BIGINT)
+         AS n_long_tokens,
+       CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+         AS total_chars,
+       CAST(list_max(list_transform(tk, t -> length(t))) AS BIGINT)
+         AS max_token_len
+FROM toks
+"""
+
+
+@_register("array_hof_documents", _HOF_SQL)
+def array_hof_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface
+    (transform / filter / aggregate — the same codegen'd lambda
+    machinery the similarity and dedup operators build on), computed
+    per document without a single explode-shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    lens = F.transform(tk, lambda t: F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(tk, lambda t: F.length(t) >= 6))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            lens, F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("total_chars"),
+        F.array_max(lens).cast("long").alias("max_token_len"),
+    )
