@@ -319,3 +319,74 @@ def test_overlap_join_matches_bruteforce(spark, lefts, rights, bin_size):
         if lk == rk and llo <= rhi and rlo <= lhi
     )
     assert got == want
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 9), st.integers(0, 100), min_size=1, max_size=8
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 12),              # key (may be novel)
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 100),             # value
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_apply_cdc_matches_dict_replay(spark, base, changes):
+    """apply_cdc vs a python-dict replay oracle: per key only the
+    max-seq change applies (seq = list position), deletes evict,
+    inserts/updates set, untouched base keys survive."""
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long"
+    )
+    ch_rows = [
+        (k, op, seq, v) for seq, (k, op, v) in enumerate(changes)
+    ]
+    want = dict(base)
+    latest: dict = {}
+    for k, op, seq, v in ch_rows:
+        latest[k] = (op, v)  # later rows have higher seq
+    for k, (op, v) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    ch_df = spark.createDataFrame(
+        ch_rows, "k long, op string, seq long, v long"
+    )
+    got_df = apply_cdc(base_df, ch_df, ["k"])
+    got = {r.k: r.v for r in got_df.collect()}
+    assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(-20, 20), min_size=1, max_size=25),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_assign_global_ids_dense_even_with_duplicate_keys(spark, keys):
+    """Duplicate ordering keys still get DENSE unique ids covering
+    exactly range(n), and ids respect the key order across distinct
+    keys (ties ordered arbitrarily within their group)."""
+    from workshoop2_etl_spark.operators.ids import assign_global_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = assign_global_ids(df, "k", num_partitions=4).collect()
+    gids = sorted(r.gid for r in rows)
+    assert gids == list(range(len(keys)))
+    by_gid = sorted(rows, key=lambda r: r.gid)
+    ks = [r.k for r in by_gid]
+    assert ks == sorted(ks)  # ids never invert the key order
