@@ -191,3 +191,54 @@ def test_sliding_window_counts_match_batch(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got.count() > tumbling.count()
+
+
+def test_events_schema_detects_tz_adjusted_timestamps(spark, tmp_path):
+    """A tz-adjusted (isAdjustedToUTC) parquet ts column must stream
+    as TIMESTAMP (LTZ) with no rebuild — the third branch of the
+    footer detection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from workshoop2_etl_spark.streaming.events import _events_schema
+
+    path = str(tmp_path / "tz_events.parquet")
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1000000, 2000000], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, path)
+    schema, needs_rebuild = _events_schema(path)
+    from pyspark.sql import types as T
+
+    assert isinstance(schema["ts"].dataType, T.TimestampType)
+    assert needs_rebuild is False
+
+
+def test_epoch_micros_both_timestamp_flavors(spark):
+    """epoch_micros must yield identical epoch integers for the same
+    instant whether the column is LTZ (unix_micros path) or NTZ
+    (timestampdiff path) under a UTC session."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.functions.text import epoch_micros
+
+    instant = dt.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    df = spark.createDataFrame(
+        [(instant, instant)], "lt timestamp, nt timestamp_ntz"
+    )
+    row = df.select(
+        epoch_micros(df, "lt").alias("a"), epoch_micros(df, "nt").alias("b")
+    ).collect()[0]
+    assert row.a == row.b
+    assert row.b == int(
+        instant.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
