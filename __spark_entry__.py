@@ -129,6 +129,8 @@ _DEMOTED_ORACLES = (
     "grouping_sets_orders",
     "percent_rank_customers",
     "array_hof_documents",
+    # Content-addressed binary payload dedup: mirror-checked.
+    "media_payload_dedup",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -67,3 +67,19 @@ def test_orc_partition_by_layout_and_roundtrip(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.count() == 100
     assert back.filter(F.col("bucket") == "2").count() == 25
+
+
+def test_jsonl_failfast_raises_on_corrupt_and_permissive_tolerates(spark, tmp_path):
+    """read_jsonl's FAILFAST default must surface a malformed dump
+    loudly; opting into PERMISSIVE nulls the bad row instead."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n{"a": broken\n{"a": 3}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        read_jsonl(spark, str(p), schema=schema).collect()
+    ok = read_jsonl(spark, str(p), schema=schema, mode="PERMISSIVE")
+    vals = sorted((r.a for r in ok.collect()), key=lambda v: (v is None, v))
+    assert vals == [1, 3, None]

@@ -1282,3 +1282,34 @@ def textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return textrank_keywords(docs, "text", k=15, iterations=8)
+
+
+@_register(
+    "media_payload_dedup",
+    """
+SELECT md5(text) AS content_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup of BINARY media payloads: group by the
+    payload digest (computed JVM-side on the bytes, never decoded),
+    keep the min doc_id — the exact-dedup step every multimodal corpus
+    runs before any expensive perceptual near-dup pass. At 100 TB the
+    shuffle carries a 16-byte digest + two longs per object, never the
+    payload. (Oracle twin works because the synthetic payloads are
+    UTF-8 text: DuckDB md5(VARCHAR) == Spark md5(binary).)"""
+    media = _media_docs(spark, sf_dir)
+    return (
+        media.select(
+            "doc_id", F.md5(F.col("media.payload")).alias("content_md5")
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
