@@ -90,6 +90,36 @@ def test_global_ids_dense_and_never_single_partition(spark, sf_dir):
     assert [r.gid for r in rows] == list(range(n))  # dense, rank-ordered
 
 
+def test_global_ids_single_range_shuffle_beyond_sample_size(spark):
+    """Regression for the two-job formulation: repartitionByRange
+    seeds its boundary sampling from the runtime RDD id, so two
+    separate executions of the same lineage can draw different
+    boundaries once a partition holds more rows than
+    rangeExchange.sampleSizePerPartition (default 100) — the old
+    collect-then-rebuild offsets map could then mismatch the second
+    partitioning. The single-plan formulation must stay dense at
+    50k rows / 8 ranges (6250 rows per partition >> sample size),
+    and its plan must contain exactly ONE range exchange subtree
+    executed (the counts branch reuses it)."""
+    df = (
+        spark.range(50_000)
+        # decorrelate key order from partition order so ranges matter
+        .select(F.xxhash64("id").alias("k"))
+        .distinct()
+    )
+    n = df.count()
+    out = assign_global_ids(df, "k", num_partitions=8)
+    rows = sorted(out.collect(), key=lambda r: r.k)
+    assert [r.gid for r in rows] == list(range(n))
+    # collect() above finalized the AQE plan in place — read it now
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the P-row offsets branch must coalesce, never exchange-to-one
+    assert "Exchange SinglePartition" not in plan
+    # the counts branch must READ the data branch's range shuffle,
+    # not re-execute it (re-execution re-samples boundaries)
+    assert "reused" in plan.lower()
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     src = str(tmp_path / "fragmented")
     dst = str(tmp_path / "compacted")

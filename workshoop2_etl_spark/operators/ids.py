@@ -9,7 +9,7 @@ same numbering with the classic two-phase scheme instead:
    partitions are balanced), number rows *within* each partition —
    parallel windows, one per range;
 2. count rows per range (a P-row aggregate, P = #partitions), prefix-
-   sum the counts on the driver (P longs — not data), broadcast the
+   sum the counts with a window over those P rows, broadcast-join the
    offsets back, and add.
 
 The result is deterministic for a unique ordering key: ids equal the
@@ -37,40 +37,68 @@ def assign_global_ids(
     under ``order_col`` (which must be unique — duplicate keys get
     arbitrary but still unique ids within their tie group).
 
-    Two shuffles (range repartition + per-range window sort that reuses
-    the range layout) and one P-row driver hop; no stage is ever
-    single-partition.
+    The whole computation is ONE plan in which the per-range rows and
+    the per-range counts are two branches over the *same* range
+    exchange. Spark's exchange reuse (``spark.sql.exchange.reuse``,
+    on by default, and AQE stage reuse) dedupes the identical
+    subtrees, so the range shuffle — including its nondeterministic
+    boundary sampling — executes exactly ONCE and both branches read
+    the same shuffle output. This matters: ``repartitionByRange``
+    samples boundaries with a seed derived from the runtime RDD id,
+    so two *separate* executions of the same lineage may draw
+    different boundaries once partitions exceed the reservoir sample
+    size (~``spark.sql.execution.rangeExchange.sampleSizePerPartition``
+    rows). An earlier formulation collected the counts in a separate
+    job and could mismatch the second run's partitioning; the
+    single-plan join formulation removes both the second job and the
+    driver collect. (Correctness therefore rides on exchange reuse —
+    ``spark.sql.exchange.reuse`` and the AQE stage-reuse equivalent,
+    both default-on since 2.x; the regression test runs 6k rows per
+    partition, far past the reservoir, and asserts the reuse node is
+    present in the executed plan.)
 
-    The input lineage is evaluated twice (once for the counts, once in
-    the returned plan) — safe because ``repartitionByRange`` samples
-    its boundaries with a fixed seed, so both evaluations see identical
-    partitioning; callers with an expensive upstream should persist
-    ``df`` first.
+    The offsets branch is P rows (P = #partitions): its prefix-sum
+    window runs on one task over P longs — metadata, not data — and
+    joins back in via broadcast hash join.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = ranged.withColumn("__rn", F.row_number().over(w))
-
-    counts = (
-        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    local = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(order_col)
+            ),
+        )
     )
     # Range partition ids are ordered by key range, so offsets are the
-    # prefix sums of counts in __pid order. P rows on the driver.
-    offset, offsets = 0, {}
-    for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = offset
-        offset += row["__n"]
-    offmap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # prefix sums of counts in __pid order. P rows; coalesce(1) (a
+    # narrow pull, not a shuffle — its outputPartitioning IS
+    # SinglePartition) lets the unpartitioned prefix-sum window plan
+    # with no Exchange at all.
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .coalesce(1)
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
     )
     return (
-        local.withColumn(
-            id_name,
-            (offmap[F.col("__pid")] + F.col("__rn") - 1).cast("long"),
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            id_name, (F.col("__off") + F.col("__rn") - 1).cast("long")
         )
-        .drop("__pid", "__rn")
+        .drop("__pid", "__rn", "__off")
     )
