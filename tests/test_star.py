@@ -162,3 +162,46 @@ def test_scd2_history_validates_args(spark):
     df = spark.createDataFrame([(1, "A", 1)], "k int, s string, ts int")
     with pytest.raises(ValueError, match="natural_keys"):
         scd2_history(df, [], ["s"], "ts")
+
+
+def test_apply_cdc_rejects_unknown_and_null_ops(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    base = spark.createDataFrame([(1, "x")], "k long, v string")
+    bad_verb = spark.createDataFrame(
+        [(2, "UPSERT", 1, "y")], "k long, op string, seq long, v string"
+    )
+    with pytest.raises(Exception, match="I/U/D"):
+        apply_cdc(base, bad_verb, ["k"]).collect()
+    null_op = spark.createDataFrame(
+        [(1, None, 1, "y")], "k long, op string, seq long, v string"
+    )
+    # unvalidated, a NULL op silently deletes (op != 'D' is NULL-false)
+    with pytest.raises(Exception, match="NULL"):
+        apply_cdc(base, null_op, ["k"]).collect()
+    # escape hatch for contract-checked feeds: documented silent paths
+    assert apply_cdc(base, null_op, ["k"], validate_ops=False).count() == 0
+
+
+def test_apply_cdc_unbroadcast_changes_same_result(spark):
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "D", 1, None), (2, "U", 2, "nv"), (99, "I", 3, "new")],
+        "k long, op string, seq long, v string",
+    )
+    a = {(r.k, r.v) for r in apply_cdc(base, changes, ["k"]).collect()}
+    b = {
+        (r.k, r.v)
+        for r in apply_cdc(
+            base, changes, ["k"], broadcast_changes=False
+        ).collect()
+    }
+    assert a == b and (99, "new") in a and (2, "nv") in a
+    assert not any(k == 1 for k, _ in a)
