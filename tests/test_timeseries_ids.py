@@ -23,15 +23,43 @@ from workshoop2_etl_spark.sources.writers import compact_parquet
 
 def test_resample_fill_oversized_grid_raises(spark, sf_dir):
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    with pytest.raises(ValueError, match="max_buckets"):
+    # the guard is lazy (in-plan assert_true): plan construction is
+    # side-effect-free and the failure surfaces at action time
+    plan = resample_fill(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=1,
+        max_buckets=100,
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        plan.count()
+
+
+def test_resample_fill_floors_pre_epoch_timestamps(spark):
+    # truncation toward zero would put 1969-12-31T12:00 in bucket 0
+    # (1970-01-01); floor puts it in bucket -1 (1969-12-31) — the
+    # grid semantics and the DuckDB oracle's floor()
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("g", datetime(1969, 12, 31, 12, 0, 0), 5.0),
+         ("g", datetime(1970, 1, 1, 6, 0, 0), 7.0)],
+        "g string, ts timestamp, value double",
+    )
+    rows = (
         resample_fill(
-            ev,
-            group_cols=["user_id"],
-            ts_col="ts",
-            value_col="value",
-            step_seconds=1,
-            max_buckets=100,
-        ).count()
+            df, group_cols=["g"], ts_col="ts", value_col="value",
+            step_seconds=86400, agg="avg",
+        )
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    assert [r.bucket_ts for r in rows] == [
+        datetime(1969, 12, 31, 0, 0), datetime(1970, 1, 1, 0, 0)
+    ]
+    assert [r.v for r in rows] == [5.0, 7.0]
 
 
 def test_resample_fill_bad_agg_raises(spark, sf_dir):
@@ -194,7 +222,9 @@ def test_resample_fill_sum_agg_matches_independent_buckets(spark, sf_dir):
     exp = (
         ev.withColumn(
             "bucket",
-            (epoch_micros(ev, "ts") / F.lit(step * 1_000_000)).cast("long"),
+            F.floor(
+                epoch_micros(ev, "ts") / F.lit(step * 1_000_000)
+            ).cast("long"),
         )
         .groupBy("user_id", "bucket")
         .agg(F.sum("value").alias("exp"))

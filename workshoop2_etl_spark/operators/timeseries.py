@@ -60,13 +60,19 @@ def resample_fill(
 
     ``max_buckets`` guards the grid explode: a single group spanning
     years at 1-second steps would quietly generate 10⁸ rows per group
-    — fail loudly instead so the caller picks a coarser step.
+    — fail loudly instead (at action time, executor-side) so the
+    caller picks a coarser step.
     """
     if agg not in ("avg", "sum", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
     gcols = list(group_cols)
     step_us = step_seconds * _US
-    bucket = (epoch_micros(df, ts_col) / F.lit(step_us)).cast("long")
+    # floor, not cast-truncation: division truncates TOWARD ZERO, so a
+    # pre-1970 timestamp would land one bucket high — diverging from
+    # both the grid semantics and the DuckDB oracle's floor().
+    bucket = F.floor(epoch_micros(df, ts_col) / F.lit(step_us)).cast(
+        "long"
+    )
 
     per_bucket = (
         df.withColumn("__bucket", bucket)
@@ -76,17 +82,26 @@ def resample_fill(
     spans = per_bucket.groupBy(*gcols).agg(
         F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
     )
-    oversized = spans.filter(
-        (F.col("__hi") - F.col("__lo")) >= F.lit(max_buckets)
+    # Lazy in-plan guard (no extra job, plan construction stays
+    # side-effect-free): assert_true evaluates executor-side on the
+    # P-group spans rows during the single execution and fails the
+    # job with the message below; an earlier version ran an eager
+    # take(1) here, executing the full per-bucket aggregate at CALL
+    # time and again at action time.
+    guarded_hi = F.when(
+        F.assert_true(
+            (F.col("__hi") - F.col("__lo")) < F.lit(max_buckets),
+            F.lit(
+                f"resample_fill grid would exceed max_buckets="
+                f"{max_buckets} for at least one group; use a coarser "
+                f"step_seconds"
+            ),
+        ).isNull(),
+        F.col("__hi"),
     )
-    if oversized.take(1):
-        raise ValueError(
-            f"resample_fill grid would exceed max_buckets={max_buckets} "
-            f"for at least one group; use a coarser step_seconds"
-        )
     grid = spans.select(
         *gcols,
-        F.explode(F.sequence("__lo", "__hi")).alias("__bucket"),
+        F.explode(F.sequence("__lo", guarded_hi)).alias("__bucket"),
     )
     w = (
         Window.partitionBy(*gcols)
