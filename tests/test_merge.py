@@ -201,3 +201,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in exp.itertuples()
     }
     assert got == expected
+
+
+def test_overlap_join_raises_on_colliding_nonkey_columns(spark):
+    # a self-join without renaming would silently mis-resolve the
+    # bound predicates; the operator must refuse instead
+    import pytest
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.merge import overlap_join
+
+    iv = spark.createDataFrame(
+        [(1, 0, 10)], "k long, lo long, hi long"
+    )
+    with pytest.raises(ValueError, match="both\\s+sides|both sides"):
+        overlap_join(iv, iv, ["k"], "lo", "hi", "lo", "hi", bin_size=5)
+    # renamed self-join works and finds the self-pair
+    rn = iv.select(
+        "k", F.col("lo").alias("rlo"), F.col("hi").alias("rhi")
+    )
+    got = overlap_join(
+        iv, rn, ["k"], "lo", "hi", "rlo", "rhi", bin_size=5
+    ).collect()
+    assert len(got) == 1 and got[0].lo == 0 and got[0].rhi == 10

@@ -332,43 +332,68 @@ def overlap_join(
     exact predicate filters within the bin. A pair spanning several
     shared bins would match once PER shared bin, so the classic
     first-common-bin guard keeps exactly one: the match is kept only
-    in bin ``max(floor(l.lo), floor(r.lo) / bin)`` — the first bin
-    the two intervals share — making the join duplicate-free WITHOUT
-    a distinct (no second shuffle).
+    in bin ``max(floor(l.lo / bin), floor(r.lo / bin))`` — the first
+    bin the two intervals share — making the join duplicate-free
+    WITHOUT a distinct (no second shuffle).
+
+    Non-key column names must be DISJOINT across the two sides
+    (raised, not silently mis-resolved: the bound predicates
+    reference both sides' lo/hi after the join, and a self-join with
+    un-renamed columns would otherwise either throw an ambiguity
+    error or — worse — resolve both references to one side and emit
+    wrong pairs). Rename one side first for self-joins; the exact
+    predicate is evaluated on side-tagged internal copies so it can
+    never cross-resolve.
 
     Σ bins = Σ interval_length / bin_size per side: pick ``bin_size``
     near the typical interval length so each interval explodes to
     O(1) bins.
     """
     keys = list(key_cols)
-    l = left.withColumn(
+    clashes = sorted(
+        (set(left.columns) - set(keys)) & (set(right.columns) - set(keys))
+    )
+    if clashes:
+        raise ValueError(
+            f"overlap_join: non-key columns {clashes} appear on both "
+            "sides; rename one side (self-joins must alias lo/hi)"
+        )
+    l = left.select(
+        "*",
+        F.col(left_lo).alias("__l_lo"),
+        F.col(left_hi).alias("__l_hi"),
+    ).withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(left_lo) / bin_size),
-                F.floor(F.col(left_hi) / bin_size),
+                F.floor(F.col("__l_lo") / bin_size),
+                F.floor(F.col("__l_hi") / bin_size),
             )
         ),
     )
-    r = right.withColumn(
+    r = right.select(
+        "*",
+        F.col(right_lo).alias("__r_lo"),
+        F.col(right_hi).alias("__r_hi"),
+    ).withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_lo) / bin_size),
-                F.floor(F.col(right_hi) / bin_size),
+                F.floor(F.col("__r_lo") / bin_size),
+                F.floor(F.col("__r_hi") / bin_size),
             )
         ),
     )
     first_shared = F.greatest(
-        F.floor(F.col(left_lo) / bin_size),
-        F.floor(F.col(right_lo) / bin_size),
+        F.floor(F.col("__l_lo") / bin_size),
+        F.floor(F.col("__r_lo") / bin_size),
     )
     return (
         l.join(r, [*keys, "__bin"])
         .filter(
-            (F.col(left_lo) <= F.col(right_hi))
-            & (F.col(right_lo) <= F.col(left_hi))
+            (F.col("__l_lo") <= F.col("__r_hi"))
+            & (F.col("__r_lo") <= F.col("__l_hi"))
             & (F.col("__bin") == first_shared)
         )
-        .drop("__bin")
+        .drop("__bin", "__l_lo", "__l_hi", "__r_lo", "__r_hi")
     )
