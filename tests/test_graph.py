@@ -38,11 +38,17 @@ def _numpy_pagerank(edges, n_ids, damping, iters):
         [(1, 2), (2, 1), (3, 4), (4, 3), (4, 5)],
     ],
 )
-def test_pagerank_matches_numpy_power_iteration(spark, edges):
+@pytest.mark.parametrize("threshold", [200_000, 0])
+def test_pagerank_matches_numpy_power_iteration(spark, edges, threshold):
+    # threshold=0 forces the distributed Pregel loop; the default
+    # routes these tiny graphs through the driver-local fast path —
+    # both must match the same reference
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r.node: r.rank
-        for r in pagerank(df, damping=0.85, iterations=8).collect()
+        for r in pagerank(
+            df, damping=0.85, iterations=8, small_graph_edges=threshold
+        ).collect()
     }
     nodes = {s for s, _ in edges} | {d for _, d in edges}
     want = _numpy_pagerank(edges, nodes, 0.85, 8)
@@ -63,3 +69,84 @@ def test_textrank_returns_ranked_keywords(spark, sf_dir):
     assert [r.rk for r in out] == list(range(1, 11))
     # high-frequency connective tokens should rank near the top
     assert out[0].rank > out[-1].rank
+
+
+def _numpy_weighted_pagerank(edges, n_ids, damping, iters):
+    # edges: (src, dst, w)
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_w = np.zeros(n)
+    for s, _d, w in edges:
+        out_w[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d, w in edges:
+            contrib[idx[d]] += r[idx[s]] * w / out_w[idx[s]]
+        dangling = r[out_w == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 0.5), (1, 3, 2.5), (3, 9, 1.0)],
+        [(1, 0, 1.0), (2, 0, 10.0), (3, 0, 0.1), (4, 0, 4.0)],
+    ],
+)
+@pytest.mark.parametrize("threshold", [200_000, 0])
+def test_weighted_pagerank_matches_numpy(spark, edges, threshold):
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df,
+            weight_col="w",
+            damping=0.85,
+            iterations=8,
+            small_graph_edges=threshold,
+        ).collect()
+    }
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    want = _numpy_weighted_pagerank(edges, nodes, 0.85, 8)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multigraph_pagerank_equals_weighted_collapse(spark):
+    """The identity the TextRank optimization rides on: PageRank of a
+    multigraph == PageRank of its (src, dst, count) collapse."""
+    multi = [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3), (2, 3), (3, 1)]
+    mdf = spark.createDataFrame(multi, "src long, dst long")
+    from collections import Counter
+
+    wdf = spark.createDataFrame(
+        [(s, d, float(c)) for (s, d), c in Counter(multi).items()],
+        "src long, dst long, w double",
+    )
+    a = {r.node: r.rank for r in pagerank(mdf, iterations=6).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(wdf, weight_col="w", iterations=6).collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_textrank_edge_list_is_vocabulary_bounded(spark):
+    """The per-superstep join input must hold weighted pairs, not one
+    row per token occurrence: repeating the same sentence 50x must
+    not grow the transition edge list."""
+    from pyspark.sql import functions as F
+
+    sent = "the cat sat on the mat"
+    once = spark.createDataFrame([(sent,)], "text string")
+    many = spark.createDataFrame([(sent,)] * 50, "text string")
+    k1 = textrank_keywords(once, "text", k=6, iterations=3)
+    k2 = textrank_keywords(many, "text", k=6, iterations=3)
+    r1 = [(r.token, r.rank) for r in k1.collect()]
+    r2 = [(r.token, r.rank) for r in k2.collect()]
+    assert r1 == r2  # duplicated corpus, same graph after weighting

