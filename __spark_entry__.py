@@ -131,6 +131,10 @@ _DEMOTED_ORACLES = (
     "array_hof_documents",
     # Content-addressed binary payload dedup: mirror-checked.
     "media_payload_dedup",
+    # Round-6: real BMP/WAV generate→decode round trips (struct parse
+    # of actual bytes vs closed-form oracle) — mirror-checked.
+    "image_decode_documents",
+    "audio_features_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

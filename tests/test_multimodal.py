@@ -116,3 +116,71 @@ def test_timestamped_path():
     assert timestamped_path("/data/merged", "20240101T020000") == \
         "/data/merged/run_20240101T020000.parquet"
     assert timestamped_path("s3://b/x/", "t1", ext="csv") == "s3://b/x/run_t1.csv"
+
+
+def test_synth_bmp_real_decode_roundtrip(spark):
+    from workshoop2_etl_spark.operators.multimodal import (
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (5, "beta"), (123, "gamma " * 40)],
+        "doc_id long, text string",
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="bmp").drop("text"),
+        "payload", media_type="image", fmt="bmp",
+    ).drop("payload")
+    rows = {r.doc_id: r for r in decode_image_metadata(media, "media").collect()}
+    for did, r in rows.items():
+        assert (r.width, r.height, r.mode) == (
+            1 + did % 31, 1 + did % 13, "RGB"
+        )
+    # the payloads are REAL BMPs: file signature + declared size hold
+    raw = {
+        r.doc_id: r.payload
+        for r in synthesize_media_payload(docs, fmt="bmp").collect()
+    }
+    import struct
+
+    for did, b in raw.items():
+        assert b[:2] == b"BM"
+        assert struct.unpack_from("<I", b, 2)[0] == len(b)
+
+
+def test_synth_wav_real_decode_roundtrip(spark):
+    from workshoop2_etl_spark.operators.multimodal import (
+        synthesize_media_payload,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 10), (7, "y" * 799), (42, "z" * 1234)],
+        "doc_id long, text string",
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="wav").drop("text"),
+        "payload", media_type="audio", fmt="wav",
+    ).drop("payload")
+    rows = {
+        r.doc_id: r
+        for r in extract_audio_features(media, "media").collect()
+    }
+    for did, n_text in [(0, 10), (7, 799), (42, 1234)]:
+        n = 1600 + n_text % 800
+        amp = float(100 + did % 900)
+        r = rows[did]
+        assert r.duration_sec == pytest.approx(n / 16000.0, abs=1e-12)
+        # constant amplitude: every chunk's RMS is exactly amp
+        assert r.rms_profile == [amp] * len(r.rms_profile)
+        assert len(r.rms_profile) == -(-n // 2048)  # ceil
+
+
+def test_synth_media_rejects_unknown_format(spark):
+    from workshoop2_etl_spark.operators.multimodal import (
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="format"):
+        synthesize_media_payload(docs, fmt="jpeg")

@@ -89,7 +89,94 @@ def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode / transform stubs (deterministic fakes; real codecs absent)
+# Synthetic REAL-format payload generators (BMP / WAV)
+# ---------------------------------------------------------------------------
+# The container has no compressed-codec fixtures (PIL/librosa absent),
+# but "image decode" does not require one: BMP and WAV are
+# struct-parseable containers, so the generators below emit REAL files
+# — correct headers, padded pixel rows, RIFF chunk walk — whose
+# geometry/audio parameters are CLOSED-FORM in (doc_id, text length).
+# The decode kernels then parse the actual bytes, and a DuckDB oracle
+# can check the decoded values against the closed form end-to-end.
+
+def _synth_bmp(doc_id: int, text: str) -> bytes:
+    """A real 24-bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    pixel array. width = 1 + doc_id % 31, height = 1 + doc_id % 13
+    (the oracle's closed form); pixel bytes cycle the text's md5."""
+    import struct
+
+    w = 1 + doc_id % 31
+    h = 1 + doc_id % 13
+    row = (3 * w + 3) & ~3  # rows pad to 4-byte boundaries
+    pix_len = row * h
+    seed = hashlib.md5((text or "").encode()).digest()
+    pixels = (seed * (pix_len // len(seed) + 1))[:pix_len]
+    header = struct.pack("<2sIHHI", b"BM", 54 + pix_len, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix_len, 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def _synth_wav(doc_id: int, text: str) -> bytes:
+    """A real PCM WAV: RIFF container, fmt chunk (mono 16-bit 16 kHz),
+    data chunk of constant-amplitude samples. Closed form:
+    n_samples = 1600 + len(text) % 800, amplitude = 100 + doc_id % 900
+    — so duration and per-chunk RMS are SQL-expressible exactly (the
+    RMS of a constant is that constant, and sqrt of a perfect square
+    is exact in IEEE double)."""
+    import struct
+
+    import numpy as np
+
+    rate, bits, channels = 16000, 16, 1
+    n = 1600 + len(text or "") % 800
+    amp = 100 + doc_id % 900
+    data = np.full(n, amp, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def synthesize_media_payload(
+    df: DataFrame,
+    *,
+    fmt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "payload",
+) -> DataFrame:
+    """Emit a REAL ``fmt`` ∈ {bmp, wav} file per row (mapInPandas,
+    Arrow-batched) with parameters closed-form in (id, text length) —
+    the fixture side of the real-decode round trip."""
+    if fmt not in ("bmp", "wav"):
+        raise ValueError(f"unsupported synthetic media format {fmt!r}")
+    make = _synth_bmp if fmt == "bmp" else _synth_wav
+    schema = T.StructType(
+        list(df.schema) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out[out_col] = [
+                make(int(i), t)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Decode / transform kernels (real BMP/WAV parse; deterministic fakes
+# for formats whose codecs are absent)
 # ---------------------------------------------------------------------------
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -99,15 +186,64 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+def _parse_bmp(b: bytes) -> tuple[int, int, str] | None:
+    """Parse a real BITMAPINFOHEADER: (width, height, mode) or None if
+    the payload is not a BMP. Negative height encodes top-down row
+    order; dimensions are the absolute values."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    mode = {8: "L", 24: "RGB", 32: "RGBA"}.get(bpp, f"BPP{bpp}")
+    return abs(w), abs(h), mode
+
+
+def _parse_wav(b: bytes):
+    """Walk a RIFF/WAVE container: returns (sample_rate, channels,
+    bits, samples int16 ndarray) or None if not a PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data_chunk = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt_chunk is None or data_chunk is None or len(fmt_chunk) < 16:
+        return None
+    _fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt_chunk, 0
+    )
+    if bits != 16:
+        return None
+    samples = np.frombuffer(
+        data_chunk[: len(data_chunk) & ~1], dtype="<i2"
+    )
+    return rate, channels, bits, samples
+
+
 def decode_image_metadata(
     df: DataFrame, media_col: str = "media", id_cols: list[str] | None = None
 ) -> DataFrame:
     """Decode image headers → (width, height, mode) per row.
 
-    Real path: ``PIL.Image.open`` per payload inside the Arrow batch.
-    STUB path (this container): deterministic fake dims from the
-    content hash. Batch shape, schema, and partitioning are the real
-    plumbing either way.
+    Decode ladder, per payload: a REAL BMP header parse first
+    (struct-unpacked ``biWidth``/``biHeight``/``biBitCount`` from the
+    actual bytes — no codec library needed), then ``PIL.Image.open``
+    for compressed formats when PIL is importable, else the
+    deterministic content-hash stub with mode='STUB' (clearly marked
+    per row). Batch shape, schema, and partitioning are the real
+    plumbing on every path.
     """
     ids = id_cols or [c for c in df.columns if c != media_col]
     schema = T.StructType(
@@ -128,26 +264,25 @@ def decode_image_metadata(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        for pdf in it:
-            payloads = pdf[media_col].map(lambda m: m["payload"])
+        def _decode(b: bytes):
+            b = b or b""
+            bmp = _parse_bmp(b)
+            if bmp is not None:
+                return bmp
             if have_pil:  # pragma: no cover
+                from PIL import Image
 
-                def _open(b):
-                    from PIL import Image
+                img = Image.open(io.BytesIO(b))
+                return img.size[0], img.size[1], img.mode
+            w, h = _fake_dims(b)
+            return w, h, "STUB"
 
-                    img = Image.open(io.BytesIO(b))  # one open per payload
-                    return img.size[0], img.size[1], img.mode
-
-                decoded = payloads.map(_open)
-                dims = decoded.map(lambda t: (t[0], t[1]))
-                modes = decoded.map(lambda t: t[2])
-            else:
-                dims = payloads.map(_fake_dims)
-                modes = "STUB"
+        for pdf in it:
+            decoded = [_decode(m["payload"]) for m in pdf[media_col]]
             out = pdf[ids].copy()
-            out["width"] = [d[0] for d in dims]
-            out["height"] = [d[1] for d in dims]
-            out["mode"] = modes
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["mode"] = [d[2] for d in decoded]
             yield out
 
     return df.mapInPandas(batches, schema)
@@ -235,49 +370,62 @@ def extract_audio_features(
     chunk_bytes: int = 4096,
     id_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Audio feature extraction: per-payload duration estimate and
-    per-chunk RMS energy profile.
+    """Audio feature extraction: per-payload duration and per-chunk
+    RMS energy profile.
 
-    Real path: ``librosa``/``soundfile`` decode inside the Arrow
-    batch. STUB path (this container): byte-level proxies —
-    deterministic per content, same schema and batch flow. Output:
-    id cols + ``duration_sec`` (float) + ``rms_profile``
-    (array<float>, one value per chunk, ≤16 chunks).
+    Decode ladder, per payload: a REAL RIFF/WAVE parse first (chunk
+    walk with ``struct``, int16 PCM samples via one ``frombuffer`` —
+    duration = frames/rate from the ACTUAL fmt chunk, RMS over the
+    actual samples), else the byte-level deterministic proxy (same
+    schema and batch flow; a compressed-codec path — librosa/
+    soundfile — would slot in between). Output: id cols +
+    ``duration_sec`` (double) + ``rms_profile`` (array<double>, one
+    value per ``chunk_bytes``-byte chunk, ≤16 chunks).
     """
     ids = id_cols or [c for c in df.columns if c != media_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]
         + [
-            T.StructField("duration_sec", T.FloatType()),
-            T.StructField("rms_profile", T.ArrayType(T.FloatType())),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms_profile", T.ArrayType(T.DoubleType())),
         ]
     )
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def _chunk_rms(x: "np.ndarray", per: int) -> list[float]:
+            if len(x) == 0:
+                return []
+            x = x[: per * 16].astype(np.float64)
+            x *= x
+            starts = np.arange(0, len(x), per)
+            lens = np.diff(np.append(starts, len(x)))
+            return [
+                float(v)
+                for v in np.sqrt(np.add.reduceat(x, starts) / lens)
+            ]
+
         for pdf in it:
             durs, profiles = [], []
             for m in pdf[media_col]:
                 b = m["payload"] or b""
-                # STUB path only for now: byte-level proxies. When a
-                # real codec lands (librosa/soundfile), decode here —
-                # the schema and batch flow stay identical. (The stub
-                # must remain the fallback, never a crash, when the
-                # library is merely importable.)
-                # 16-bit mono 16 kHz proxy duration; RMS per chunk,
-                # vectorized: one frombuffer + one reduceat per doc
-                # instead of a per-byte Python loop.
-                durs.append(len(b) / (2.0 * 16000.0))
-                head = b[: chunk_bytes * 16]
-                if head:
-                    sq = np.frombuffer(head, dtype=np.uint8).astype(np.float64)
-                    sq *= sq
-                    starts = np.arange(0, len(sq), chunk_bytes)
-                    lens = np.diff(np.append(starts, len(sq)))
-                    rms = np.sqrt(np.add.reduceat(sq, starts) / lens)
-                    profiles.append([float(p) for p in rms])
+                wav = _parse_wav(b)
+                if wav is not None:
+                    rate, channels, _bits, samples = wav
+                    frames = len(samples) // max(channels, 1)
+                    durs.append(frames / float(rate))
+                    # chunk over samples: chunk_bytes of 16-bit PCM
+                    profiles.append(
+                        _chunk_rms(samples, max(chunk_bytes // 2, 1))
+                    )
                 else:
-                    profiles.append([])
+                    # byte-proxy fallback: 16-bit mono 16 kHz duration
+                    # estimate, RMS of raw bytes per chunk
+                    durs.append(len(b) / (2.0 * 16000.0))
+                    head = np.frombuffer(
+                        b[: chunk_bytes * 16], dtype=np.uint8
+                    )
+                    profiles.append(_chunk_rms(head, chunk_bytes))
             out = pdf[ids].copy()
             out["duration_sec"] = [float(d) for d in durs]
             out["rms_profile"] = profiles

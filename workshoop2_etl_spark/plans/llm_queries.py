@@ -432,13 +432,37 @@ def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("image_decode_documents")  # rows-only: stub dims from hash bytes
+@_register(
+    "image_decode_documents",
+    """
+SELECT doc_id,
+       CAST(1 + doc_id % 31 AS INTEGER) AS width,
+       CAST(1 + doc_id % 13 AS INTEGER) AS height,
+       'RGB' AS mode
+FROM documents
+""",
+)
 def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image header decode via mapInPandas (PIL when present; marked
-    deterministic stub here)."""
-    from workshoop2_etl_spark.operators.multimodal import decode_image_metadata
+    """REAL image decode, no codec library: the synthetic generator
+    emits actual 24-bpp BMP files (BITMAPFILEHEADER + INFOHEADER +
+    padded pixel rows) whose geometry is closed-form in doc_id, and
+    the mapInPandas kernel struct-unpacks biWidth/biHeight/biBitCount
+    from the real bytes. The oracle checks the decoded values against
+    the closed form — a full generate→encode→decode round trip."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        synthesize_media_payload,
+    )
 
-    return decode_image_metadata(_media_docs(spark, sf_dir), "media")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="bmp").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="bmp",
+    ).drop("payload")
+    return decode_image_metadata(media, "media")
 
 
 @_register("media_embedding_topk")  # rows-only: stub encoder + ANN compose
@@ -554,18 +578,46 @@ def resize_images_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(resized, "media")
 
 
-@_register("audio_features_documents")  # rows-only: stub codec (librosa absent)
+@_register(
+    "audio_features_documents",
+    """
+SELECT doc_id,
+       CAST(1600 + length(text) % 800 AS BIGINT) AS n_frames,
+       CAST(ceil((1600 + length(text) % 800) / 2048.0) AS BIGINT)
+         AS n_chunks,
+       CAST(100 + doc_id % 900 AS DOUBLE) AS rms0
+FROM documents
+""",
+)
 def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction through the mapInPandas stub
-    (numpy-vectorized per-chunk RMS + duration proxy over the payload
-    bytes) — the Arrow batch flow a real librosa decode drops into."""
-    from workshoop2_etl_spark.operators.multimodal import extract_audio_features
+    """REAL audio decode, no codec library: the generator emits actual
+    PCM WAV files (RIFF chunk layout, mono 16-bit 16 kHz, constant
+    amplitude 100 + doc_id % 900, 1600 + len(text) % 800 frames) and
+    the mapInPandas kernel walks the RIFF chunks with struct, reads
+    the fmt parameters, and computes duration + per-2048-sample-chunk
+    RMS from the actual int16 samples. n_frames is recovered exactly
+    from the decoded duration (round(d*rate)); rms0 equals the
+    amplitude because the RMS of a constant is that constant and sqrt
+    of a perfect square is IEEE-exact."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        extract_audio_features,
+        synthesize_media_payload,
+    )
 
-    out = extract_audio_features(_media_docs(spark, sf_dir), "media")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="wav").drop("text"),
+        "payload",
+        media_type="audio",
+        fmt="wav",
+    ).drop("payload")
+    out = extract_audio_features(media, "media")
     return out.select(
         "doc_id",
-        F.round("duration_sec", 4).alias("duration_sec"),
-        F.transform("rms_profile", lambda x: F.round(x, 4)).alias("rms_profile"),
+        F.round(F.col("duration_sec") * 16000).cast("long").alias("n_frames"),
+        F.size("rms_profile").cast("long").alias("n_chunks"),
+        F.round(F.element_at("rms_profile", 1), 6).alias("rms0"),
     )
 
 
