@@ -135,6 +135,9 @@ _DEMOTED_ORACLES = (
     # of actual bytes vs closed-form oracle) — mirror-checked.
     "image_decode_documents",
     "audio_features_documents",
+    # Round-6: blocked big-big fuzzy join vs DuckDB's unblocked
+    # quadratic levenshtein join — mirror-checked.
+    "fuzzy_join_big_customers",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -224,3 +224,61 @@ def test_overlap_join_raises_on_colliding_nonkey_columns(spark):
         iv, rn, ["k"], "lo", "hi", "rlo", "rhi", bin_size=5
     ).collect()
     assert len(got) == 1 and got[0].lo == 0 and got[0].rhi == 10
+
+
+def test_fuzzy_join_blocked_matches_bruteforce(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the pairs the
+    unblocked quadratic join finds (completeness + the exact verify),
+    at distances 1 and 2."""
+    from workshoop2_etl_spark.operators.merge import fuzzy_join_blocked
+
+    words = ["kitten", "sitten", "sittin", "sitting", "mitten",
+             "kitchen", "cat", "cart", "", "a"]
+    left = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid long, ls string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(words)], "rid long, rs string"
+    )
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in fuzzy_join_blocked(
+                left, right, "lid", "ls", "rid", "rs", max_distance=d
+            ).collect()
+        )
+        want = sorted(
+            (i, 100 + j)
+            for (i, a), (j, b) in itertools.product(
+                enumerate(words), enumerate(words)
+            )
+            if lev(a, b) <= d
+        )
+        assert got == want, f"d={d}"
+
+
+def test_fuzzy_join_blocked_validates(spark):
+    import pytest
+
+    from workshoop2_etl_spark.operators.merge import fuzzy_join_blocked
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    other = spark.createDataFrame([(2, "y")], "id2 long, s2 string")
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_join_blocked(df, other, "id", "s", "id2", "s2", max_distance=3)
+    with pytest.raises(ValueError, match="both\\s+sides|both sides"):
+        fuzzy_join_blocked(df, df, "id", "s", "id", "s")

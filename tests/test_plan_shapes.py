@@ -324,3 +324,12 @@ def test_cdc_apply_broadcasts_change_keys(spark):
     # broadcast; the base table never shuffles for eviction.
     plan = _physical(q("cdc_apply_orders")(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fuzzy_join_big_never_nested_loop(spark):
+    # Both sides big: blocking must make the fuzzy join an equi-join
+    # on deletion variants — never a (broadcast) nested loop or a
+    # cartesian product.
+    plan = _physical(q("fuzzy_join_big_customers")(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -311,6 +311,125 @@ def fuzzy_join(
     )
 
 
+def _deletion_variants(col: Column, max_distance: int) -> Column:
+    """All strings reachable from ``col`` by deleting ≤ ``max_distance``
+    characters (the string itself included) — pure higher-order SQL
+    functions, JVM-side, no UDF. |variants| = O(len^d)."""
+    # build iteratively: level 0 = {s}; level k+1 = deletions of level k
+    levels = [F.array(col)]
+    for _ in range(max_distance):
+        prev = levels[-1]
+        levels.append(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        prev,
+                        lambda s: F.transform(
+                            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                            lambda i: F.concat(
+                                F.substring(s, F.lit(1), i - 1),
+                                F.substring(
+                                    s, i + 1, F.length(s)
+                                ),
+                            ),
+                        ),
+                    )
+                )
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = F.array_union(out, lv)
+    return out
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    *,
+    max_distance: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """BOTH-sides-big fuzzy join: pairs within ``max_distance`` edit
+    distance, found via deletion-neighborhood blocking (FastSS /
+    SymSpell) instead of the |L|×|R| loop :func:`fuzzy_join` runs.
+
+    Pigeonhole completeness: two strings within edit distance d always
+    share at least one member of their ≤d-deletion neighborhoods, so
+    the equi-join on variants loses NO true pair; the exact
+    ``levenshtein(…, max_distance)`` verify then kills the false
+    candidates. Scale shape: Σ len^d variant rows per side shuffle on
+    the variant key (same discipline as the MinHash bucket join —
+    candidates are id pairs, payloads never fan out), pairs dedup on
+    (left_id, right_id), and matched ids join the original rows back.
+    ``max_distance`` ∈ {1, 2} — the neighborhood is len^d; beyond 2
+    use the n-gram/MinHash operators.
+
+    ``max_bucket_size`` optionally drops variant buckets larger than
+    the bound (a hot variant shared by B×B strings is inherently
+    quadratic; dropping it is the documented approximation for corpus
+    scale — None keeps the join exact).
+
+    ``left_id`` / ``right_id`` must be unique keys of their sides;
+    non-id output columns must not collide.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError("fuzzy_join_blocked supports max_distance 1 or 2")
+    clashes = sorted(set(left.columns) & set(right.columns))
+    if clashes:
+        raise ValueError(
+            f"fuzzy_join_blocked: columns {clashes} appear on both "
+            "sides; rename one side first"
+        )
+    lv = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_col).alias("__ls")
+    ).select(
+        "__lid",
+        "__ls",
+        F.explode(
+            _deletion_variants(F.col("__ls"), max_distance)
+        ).alias("__v"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_col).alias("__rs")
+    ).select(
+        "__rid",
+        "__rs",
+        F.explode(
+            _deletion_variants(F.col("__rs"), max_distance)
+        ).alias("__v"),
+    )
+    if max_bucket_size is not None:
+        sizes = (
+            lv.groupBy("__v").agg(F.count(F.lit(1)).alias("__nl"))
+            .join(
+                rv.groupBy("__v").agg(F.count(F.lit(1)).alias("__nr")),
+                "__v",
+            )
+            .filter(F.col("__nl") * F.col("__nr") <= max_bucket_size)
+            .select("__v")
+        )
+        lv = lv.join(sizes, "__v")
+        rv = rv.join(sizes, "__v")
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"), max_distance)
+    pairs = (
+        lv.join(rv, "__v")
+        .select("__lid", "__ls", "__rid", "__rs")
+        .distinct()
+        .filter((dist >= 0) & (dist <= max_distance))
+        .select("__lid", "__rid")
+    )
+    return (
+        left.join(pairs, F.col(left_id) == F.col("__lid"))
+        .join(right, F.col(right_id) == F.col("__rid"))
+        .drop("__lid", "__rid")
+    )
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,

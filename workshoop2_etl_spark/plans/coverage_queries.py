@@ -867,6 +867,46 @@ def fuzzy_join_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_BIG_SQL = """
+WITH l AS (
+  SELECT c_custkey AS lid, c_name AS lname FROM customer
+), r AS (
+  SELECT c_custkey AS rid,
+         concat(substr(c_name, 1, 3), substr(c_name, 5)) AS rname
+  FROM customer
+)
+SELECT l.lid, l.lname, r.rid, r.rname
+FROM l JOIN r ON levenshtein(l.lname, r.rname) <= 1
+"""
+
+
+@_register("fuzzy_join_big_customers", _FUZZY_BIG_SQL)
+def fuzzy_join_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH-sides-big fuzzy join: every customer name against a feed
+    of planted typos (4th character dropped from every name), matched
+    within edit distance 1 via deletion-neighborhood blocking — an
+    equi-join on ≤1-deletion variants, never a nested loop — then
+    exact-verified with bounded levenshtein. The oracle is DuckDB's
+    unblocked quadratic levenshtein join, so completeness of the
+    blocking is what the hash check proves."""
+    from workshoop2_etl_spark.operators.merge import fuzzy_join_blocked
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.expr(
+            "concat(substring(c_name, 1, 3), "
+            "substring(c_name, 5, length(c_name)))"
+        ).alias("rname"),
+    )
+    return fuzzy_join_blocked(
+        left, right, "lid", "lname", "rid", "rname", max_distance=1
+    ).select("lid", "lname", "rid", "rname")
+
+
 _CDC_SQL = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
