@@ -138,6 +138,10 @@ _DEMOTED_ORACLES = (
     # Round-6: blocked big-big fuzzy join vs DuckDB's unblocked
     # quadratic levenshtein join — mirror-checked.
     "fuzzy_join_big_customers",
+    # Round-6: stream-stream LEFT OUTER interval join (null-padding at
+    # watermark expiry) vs DuckDB's batch LEFT JOIN on the
+    # provably-closed region — mirror-checked.
+    "streaming_interval_join_outer_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -242,3 +242,20 @@ def test_epoch_micros_both_timestamp_flavors(spark):
     assert row.b == int(
         instant.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
     )
+
+
+def test_stream_outer_interval_join_emits_null_padded_rows(spark, sf_dir):
+    """The outer-specific semantics: left rows with no partner in
+    their hour window must arrive null-padded once the watermark
+    closes their window — visible as n_rows > n_matched."""
+    import __spark_entry__ as e
+
+    rows = (
+        e.queries()["streaming_interval_join_outer_events"](spark, sf_dir)
+        .collect()
+    )
+    assert rows  # the closed region is non-empty
+    total = sum(r.n_rows for r in rows)
+    matched = sum(r.n_matched for r in rows)
+    assert total > matched  # unmatched lefts WERE emitted (as nulls)
+    assert all(r.n_rows >= r.n_matched for r in rows)

@@ -181,11 +181,115 @@ def streaming_interval_join_events(
     # input files as consumed, so a stale one would make the next run
     # a no-op over the same (immutable) inputs.
     shutil.rmtree(base, ignore_errors=True)
-    run_available_now_to_parquet(pairs, out_dir, ckpt)
+    # 8 state-store partitions, not the batch-tuned session default:
+    # per-partition store open/commit overhead dominated the
+    # activation at 32 (see _shuffle_partitions_override).
+    run_available_now_to_parquet(pairs, out_dir, ckpt, shuffle_partitions=8)
     return (
         spark.read.parquet(out_dir)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@_register(
+    "streaming_interval_join_outer_events",
+    """
+WITH l AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events
+), r AS (
+  SELECT user_id AS u2, event_id AS e2,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t2
+  FROM events
+), mx AS (SELECT max(t1) AS m FROM l)
+SELECT l.user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(r.e2) AS BIGINT) AS n_matched
+FROM l LEFT JOIN r
+  ON l.user_id = r.u2 AND l.event_id <> r.e2
+ AND l.t1 >= r.t2 AND l.t1 <= r.t2 + 3600000000
+WHERE l.t1 <= (SELECT m FROM mx) - 3 * 3600000000
+GROUP BY l.user_id
+""",
+)
+def streaming_interval_join_outer_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join — the semantically
+    hard half: matched pairs stream out like the inner join, but an
+    unmatched left row emits null-padded ONLY once the watermark
+    passes its join window (before that, a match could still arrive).
+    State stays watermark-bounded on both sides.
+
+    Bounded-input parity needs care at the tail: the watermark stops
+    at max(event_time) − delay when input exhausts, so left rows whose
+    windows never provably closed are still buffered when the
+    activation stops — correctly unemitted. Both engine and oracle
+    therefore restrict to rows with ``ts1 ≤ max(ts) − (watermark 2h +
+    interval 1h)``, the provably-closed region; inside it the
+    null-padding decision is final and hash-comparable against
+    DuckDB's batch LEFT JOIN. n_rows > n_matched for sparse users
+    proves null-padded rows actually emitted."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.streaming import run_available_now_to_parquet
+
+    left = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid1"),
+            F.col("event_id").alias("e1"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", "2 hours")
+    )
+    right = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid2"),
+            F.col("event_id").alias("e2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", "2 hours")
+    )
+    pairs = left.join(
+        right,
+        F.expr(
+            "uid1 = uid2 AND e1 <> e2 "
+            "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(F.col("uid1").alias("user_id"), "ts1", "e2")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_stream_ijo_{_run_token(sf_dir)}",
+    )
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    run_available_now_to_parquet(pairs, out_dir, ckpt, shuffle_partitions=8)
+    out = spark.read.parquet(out_dir)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    closed = ev.agg(
+        (F.max(epoch_micros(ev, "ts")) - F.lit(3 * 3600 * 1_000_000)).alias(
+            "__cutoff"
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(closed))
+        .filter(epoch_micros(out, "ts1") <= F.col("__cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("e2").alias("n_matched"),
+        )
     )
 
 
