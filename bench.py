@@ -30,6 +30,12 @@ Methodology (fixed in round 4 after two phantom regressions):
   times in round 3). The previous round's file is compared on the
   way out: any query ≥1.5× slower (and ≥0.3 s absolute) is flagged
   in the artifact and on stderr.
+* **Per-query shuffle bytes** — each query records its shuffle WRITE
+  delta (AppStatusStore executor totals), persisted per scale factor
+  in ``BENCH_SHUFFLE.json``; a query whose bytes grow more than 2×
+  past linear between scale factors is flagged
+  (``shuffle_superlinear``). Wall-time at sf0.1 cannot see a
+  100×-scale shuffle blow-up; the bytes curve can.
 
 Each query is materialized with the ``noop`` sink (full execution of
 every output column, no driver-side collect, no disk write) so the
@@ -49,11 +55,94 @@ import time
 
 REGRESSION_RATIO = 1.5
 REGRESSION_ABS_FLOOR_SEC = 0.3
+#: shuffle growth flag: bytes must stay within this factor of linear
+#: scaling between scale factors, past an absolute floor
+SUPERLINEAR_RATIO = 2.0
+SUPERLINEAR_ABS_FLOOR_BYTES = 10 * 1024 * 1024
 
 
 def _materialize(df) -> None:
     """Execute the full plan via the noop sink."""
     df.write.mode("overwrite").format("noop").save()
+
+
+def _shuffle_snapshot(spark) -> int | None:
+    """Cumulative shuffle WRITE bytes across all executors since
+    session start (AppStatusStore via py4j — works with the UI off).
+    Per-query deltas of this counter are what wall-time at one scale
+    factor cannot show: a plan whose shuffle grows superlinearly with
+    input is a 100×-scale liability even when it looks fast at sf0.1.
+    Returns None when the store is unreachable (bench still runs)."""
+    try:
+        sc = spark.sparkContext
+        try:
+            # drain pending listener events so the counter is current
+            sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+        except Exception:
+            pass
+        ex = sc._jsc.sc().statusStore().executorList(False)
+        return sum(ex.apply(i).totalShuffleWrite() for i in range(ex.size()))
+    except Exception:
+        return None
+
+
+def _superlinear_flags(
+    repo_dir: str, sf: float | None, shuffle_bytes: dict
+) -> dict:
+    """Compare this run's per-query shuffle bytes against the nearest
+    SMALLER scale factor recorded in BENCH_SHUFFLE.json (merged across
+    runs), and flag queries growing more than SUPERLINEAR_RATIO past
+    linear. Updates the artifact with this run's bytes either way."""
+    path = os.path.join(repo_dir, "BENCH_SHUFFLE.json")
+    history: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                history = json.load(f)
+        except Exception as exc:  # pragma: no cover
+            print(f"shuffle history unreadable: {exc}", file=sys.stderr)
+    flags: dict[str, dict] = {}
+    if sf is not None:
+        smaller = [
+            float(s) for s in history if s != str(sf) and float(s) < sf
+        ]
+        if smaller:
+            base_sf = max(smaller)
+            base = history.get(str(base_sf), {})
+            scale = sf / base_sf
+            for name, cur in shuffle_bytes.items():
+                prev = base.get(name)
+                if not isinstance(prev, int) or cur is None:
+                    continue
+                linear = prev * scale
+                if (
+                    cur > linear * SUPERLINEAR_RATIO
+                    and cur - linear > SUPERLINEAR_ABS_FLOOR_BYTES
+                ):
+                    flags[name] = {
+                        "sf_base": base_sf,
+                        "bytes_base": prev,
+                        "bytes": cur,
+                        "linear_pred": int(linear),
+                        "ratio_vs_linear": round(cur / max(linear, 1), 2),
+                    }
+        history[str(sf)] = {
+            k: v for k, v in shuffle_bytes.items() if v is not None
+        }
+        try:
+            with open(path, "w") as f:
+                json.dump(history, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except Exception as exc:  # pragma: no cover
+            print(f"shuffle history write failed: {exc}", file=sys.stderr)
+    for name, fl in flags.items():
+        print(
+            f"SUPERLINEAR SHUFFLE {name}: {fl['bytes_base']}B @sf"
+            f"{fl['sf_base']} -> {fl['bytes']}B @sf{sf} "
+            f"({fl['ratio_vs_linear']}x linear)",
+            file=sys.stderr,
+        )
+    return flags
 
 
 def main() -> None:
@@ -116,10 +205,12 @@ def main() -> None:
 
     times: dict[str, float | None] = {}
     rep_times: dict[str, list[float]] = {}
+    shuffle_bytes: dict[str, int | None] = {}
     total = 0.0
     for name, fn in qs.items():
         samples: list[float] = []
         for _ in range(reps):
+            shuf0 = _shuffle_snapshot(spark)
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -132,6 +223,12 @@ def main() -> None:
                 spark = revive_if_dead(spark)
                 break
             samples.append(round(time.perf_counter() - t0, 3))
+            shuf1 = _shuffle_snapshot(spark)
+            if shuf0 is not None and shuf1 is not None:
+                # reps run the same plan cold-cache; keep the last delta
+                shuffle_bytes[name] = shuf1 - shuf0
+            else:
+                shuffle_bytes.setdefault(name, None)
             # Internal persists (LSH candidate caches etc.) register
             # with Spark's CacheManager keyed by logical plan, so a
             # repeat of the same query — or a later query sharing a
@@ -177,6 +274,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    superlinear = _superlinear_flags(repo_dir, sf, shuffle_bytes)
+
     n_failed = sum(1 for v in times.values() if v is None)
     detail = {
         "metric": "per_query_sec",
@@ -188,10 +287,15 @@ def main() -> None:
         "n_queries": len(times),
         "n_failed": n_failed,
         "queries": {
-            name: {"sec": times[name], "reps": rep_times[name]}
+            name: {
+                "sec": times[name],
+                "reps": rep_times[name],
+                "shuffle_bytes": shuffle_bytes.get(name),
+            }
             for name in times
         },
         "regressions": regressions,
+        "shuffle_superlinear": superlinear,
     }
     try:
         with open(detail_path, "w") as f:
@@ -227,6 +331,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "n_failed": n_failed,
                 "n_regressed": len(regressions),
+                "n_shuffle_superlinear": len(superlinear),
                 "slowest": slowest,
             }
         )
