@@ -161,6 +161,9 @@ _DEMOTED_ORACLES = (
     # watermark expiry) vs DuckDB's batch LEFT JOIN on the
     # provably-closed region — mirror-checked.
     "streaming_interval_join_outer_events",
+    # Round-6: exact heavy hitters via Misra–Gries partial summaries —
+    # the sketch is internal, the answer exact; mirror-checked.
+    "heavy_hitters_bigrams_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -25,6 +25,7 @@ from workshoop2_etl_spark.operators.dedup import (
     near_dedup_minhash,
     simhash,
 )
+from workshoop2_etl_spark.operators.heavyhitters import heavy_hitters
 from workshoop2_etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup,
@@ -288,6 +289,49 @@ def word_frequencies_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_frequencies(
         _t(spark, sf_dir, "documents"), "text", min_count=2
     ).select("token", "n")
+
+
+@_register(
+    "heavy_hitters_bigrams_documents",
+    r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+), bi AS (
+  SELECT unnest([ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))])
+         AS item
+  FROM toks
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n
+FROM bi GROUP BY item
+HAVING count(*) >=
+  (SELECT CAST(ceil(0.001 * count(*)) AS BIGINT) FROM bi)
+""",
+)
+def heavy_hitters_bigrams_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 0.1%-heavy word bigrams without aggregating the full
+    bigram vocabulary: per-partition Misra–Gries summaries (bounded
+    memory, no shuffle) produce a provably-complete candidate set,
+    then one candidate-restricted exact aggregate verifies — the
+    shuffle carries candidates only, not the vocabulary. The sketch
+    is internal; the ANSWER is exact, hence the plain SQL oracle
+    (``HAVING count >= ceil(φ·N)``). See operators/heavyhitters.py
+    for the pigeonhole completeness argument."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    docs = _tp(spark, sf_dir, "documents").select(toks.alias("__ts"))
+    tail = "slice(__ts, 1, greatest(size(__ts) - 1, 0))"
+    head = "slice(__ts, 2, greatest(size(__ts) - 1, 0))"
+    bigrams = F.zip_with(
+        F.expr(tail), F.expr(head),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    items = docs.select(F.explode(bigrams).alias("item"))
+    return heavy_hitters(items, "item", support=0.001, capacity=1024)
 
 
 def _langid_oracle() -> str:
