@@ -164,6 +164,9 @@ _DEMOTED_ORACLES = (
     # Round-6: exact heavy hitters via Misra–Gries partial summaries —
     # the sketch is internal, the answer exact; mirror-checked.
     "heavy_hitters_bigrams_documents",
+    # Round-6: state(base) ⊕ state(delta) == full recompute — the
+    # partial-aggregate merge identity; mirror-checked.
+    "incremental_agg_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

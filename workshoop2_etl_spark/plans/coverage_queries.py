@@ -1159,3 +1159,41 @@ def array_hof_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("total_chars"),
         F.array_max(lens).cast("long").alias("max_token_len"),
     )
+
+
+_INCR_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total_o_totalprice,
+       min(o_totalprice) AS lo_o_totalprice,
+       max(o_totalprice) AS hi_o_totalprice,
+       round(sum(o_totalprice) / count(*), 4) AS avg_o_totalprice
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@_register("incremental_agg_orders", _INCR_SQL)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the dashboard aggregate is
+    REFRESHED from a persisted partial-aggregate state plus the new
+    increment — state(base) ⊕ state(delta) — and must equal the
+    oracle's full recompute over everything. The reference recomputes
+    its warehouse rollups from scratch each DAG run
+    (dags/merge_to_dw.py re-extracts the full tables per schedule);
+    at 100 TB only the delta partition is scanned per refresh and the
+    shuffle carries group rows, never fact rows. Split point is an
+    arbitrary load boundary (orders before/after 1997-01-01)."""
+    from workshoop2_etl_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    vals = ["o_totalprice"]
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    base = aggregate_state(orders.filter(F.col("o_orderdate") < cut), keys, vals)
+    delta = aggregate_state(orders.filter(F.col("o_orderdate") >= cut), keys, vals)
+    return finalize_state(merge_states(keys, vals, base, delta), keys, vals)
