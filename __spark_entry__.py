@@ -167,6 +167,8 @@ _DEMOTED_ORACLES = (
     # Round-6: state(base) ⊕ state(delta) == full recompute — the
     # partial-aggregate merge identity; mirror-checked.
     "incremental_agg_orders",
+    # Round-6: gap-and-islands consecutive-day streaks; mirror-checked.
+    "activity_streaks_events",
 )
 
 _CORRECTNESS_WINDOW = 50

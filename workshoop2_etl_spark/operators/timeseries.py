@@ -252,3 +252,70 @@ def transition_counts(
     return pairs.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def islands(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    tick_col: str,
+) -> DataFrame:
+    """Gap-and-islands: collapse each group's set of integer ticks
+    (days, hours, slots — caller's unit) into maximal runs of
+    CONSECUTIVE ticks.
+
+    The classic trick: over distinct ticks per group,
+    ``tick - row_number()`` is constant exactly within a consecutive
+    run, so one ordered window plus one aggregate yields every island
+    — no self-join, no iteration. Returns one row per island:
+    group cols, ``island_start``, ``island_end``, ``length_ticks``.
+
+    Scale: both the window and the aggregate partition by the group
+    key — fully parallel across groups; per-group work is a sort of
+    that group's DISTINCT ticks (days-active, not events), orders of
+    magnitude below event cardinality.
+    """
+    gcols = list(group_cols)
+    return (
+        df.select(*gcols, F.col(tick_col).cast("long").alias("__tick"))
+        .distinct()
+        .withColumn("__grp", F.col("__tick") - F.row_number().over(
+            Window.partitionBy(*gcols).orderBy("__tick")
+        ))
+        .groupBy(*gcols, "__grp")
+        .agg(
+            F.min("__tick").alias("island_start"),
+            F.max("__tick").alias("island_end"),
+            F.count(F.lit(1)).alias("length_ticks"),
+        )
+        .drop("__grp")
+    )
+
+
+def longest_streaks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    tick_col: str,
+) -> DataFrame:
+    """Per-group streak report from :func:`islands`: number of
+    islands, total active ticks, and the LONGEST island (earliest
+    start wins ties — deterministic). One extra per-group window over
+    island rows (tiny: islands ≤ active ticks)."""
+    gcols = list(group_cols)
+    isl = islands(df, gcols, tick_col)
+    w = Window.partitionBy(*gcols).orderBy(
+        F.desc("length_ticks"), F.asc("island_start")
+    )
+    return (
+        isl.withColumn("__rk", F.row_number().over(w))
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("length_ticks").alias("n_active_ticks"),
+            F.max(F.when(F.col("__rk") == 1, F.col("length_ticks"))).alias(
+                "longest_len"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("island_start"))).alias(
+                "longest_start"
+            ),
+        )
+    )

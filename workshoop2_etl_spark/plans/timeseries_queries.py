@@ -502,3 +502,64 @@ def zscore_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), isl AS (
+  SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+         CAST(count(*) AS BIGINT) AS length_ticks
+  FROM g GROUP BY user_id, grp
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY length_ticks DESC, island_start
+  ) AS r
+  FROM isl
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(length_ticks) AS BIGINT) AS n_active_days,
+       max(CASE WHEN r = 1 THEN length_ticks END) AS longest_days,
+       DATE '1970-01-01'
+         + CAST(max(CASE WHEN r = 1 THEN island_start END) AS INTEGER)
+         AS longest_start
+FROM rk GROUP BY user_id
+"""
+
+
+@_register("activity_streaks_events", _STREAKS_SQL)
+def activity_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands: per-user runs of CONSECUTIVE active days
+    collapsed via the tick − row_number constant-group trick (one
+    window + one aggregate, partition-parallel by user — no
+    self-join, no iteration), reported as islands / total active days
+    / longest streak with earliest-start tie-break. Day ticks come
+    from epoch-microsecond floor division so both timestamp flavors
+    (LTZ / NTZ, see functions.text.epoch_micros) agree with the
+    oracle's epoch_us."""
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.operators.timeseries import longest_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(epoch_micros(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
+    )
+    out = longest_streaks(days, ["user_id"], "day")
+    return out.select(
+        "user_id",
+        "n_islands",
+        F.col("n_active_ticks").alias("n_active_days"),
+        F.col("longest_len").alias("longest_days"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.col("longest_start").cast("int"),
+        ).alias("longest_start"),
+    )
