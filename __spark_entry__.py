@@ -169,6 +169,9 @@ _DEMOTED_ORACLES = (
     "incremental_agg_orders",
     # Round-6: gap-and-islands consecutive-day streaks; mirror-checked.
     "activity_streaks_events",
+    # Round-6: Efraimidis–Spirakis weighted draw (md5-derived
+    # uniforms — deterministic, SQL-reproducible); mirror-checked.
+    "weighted_sample_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

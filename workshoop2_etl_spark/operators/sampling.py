@@ -248,3 +248,62 @@ def token_budget_sample(
     return df.withColumn("__cum", cum).filter(F.col("__cum") <= budget).drop(
         "__cum"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    allow_global: bool = False,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically:
+    Efraimidis–Spirakis exponential races (Inf. Proc. Letters 97(5),
+    2006) with md5-derived uniforms instead of ``rand()``.
+
+    Each row gets the race key ``-ln(u)/w`` — an Exp(w) variate from
+    the inversion method — and the k smallest keys per group win;
+    P(row wins first) = wᵢ/Σw exactly, and the remaining draws are
+    the without-replacement cascade. Because ``u`` comes from
+    ``md5(salt‖id)`` (32 uniform bits, +0.5 to dodge ln(0)), the
+    sample is a pure function of (ids, weights, salt): id-stable
+    across reruns and cluster layouts like every sampler here, fresh
+    draws via the salt, and exactly reproducible in ANSI SQL for the
+    oracle. The last-ulp caveat: JVM ``Math.log`` and libm ``log``
+    may differ in the final bit, which could flip a rank only when
+    two race keys are within ~1e-15 relative — vanishing for real
+    corpora (the deterministic id tie-break handles exact equality).
+
+    Rows with weight ≤ 0 never win (key = +∞ via a guard), matching
+    the ES convention. One shuffle on ``group_cols`` for the
+    per-group top-k window; bounded-k heap semantics come free from
+    ``row_number + filter`` (Spark plans a per-partition partial
+    sort). A global draw (``group_cols=None``) funnels the sort into
+    one partition — same guard as the other samplers.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not group_cols and not allow_global:
+        raise ValueError(
+            "weighted_sample without group_cols ranks the entire "
+            "dataset in ONE partition; pass group_cols or "
+            "allow_global=True if that is intended"
+        )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    wcol = F.col(weight_col).cast("double")
+    key = F.when(wcol > 0, -F.log(u) / wcol).otherwise(F.lit(float("inf")))
+    order = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy(key.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(order))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1409,3 +1409,40 @@ def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN n_chars > 0 THEN
+           -ln((CAST(concat('0x', substr(md5(concat('r6', CAST(doc_id AS VARCHAR))), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE)
+         ELSE CAST('infinity' AS DOUBLE) END AS race
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY race, doc_id) AS r
+  FROM keyed
+) WHERE r <= 25
+"""
+
+
+@_register("weighted_sample_documents", _WEIGHTED_SAMPLE_SQL)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, 25 docs per
+    source: Efraimidis–Spirakis exponential races keyed off md5 so
+    the draw is deterministic, id-stable, and exactly reproducible in
+    the SQL oracle (see operators/sampling.py:weighted_sample). The
+    curation use: when downsampling a source, prefer long documents
+    with probability ∝ length instead of uniform-by-id."""
+    from workshoop2_etl_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "doc_id", weight_col="n_chars", k=25,
+        group_cols=["source"], salt="r6",
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
