@@ -521,3 +521,206 @@ def embedding_neardup(
             "sim",
         )
     )
+
+
+def pq_build(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    max_train: int = 65_536,
+    kmeans_iters: int = 20,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    the (L2-normalized) vector splits into ``m`` subvectors, each
+    quantized against its own ``n_codes``-centroid codebook, so a
+    vector stores as ``m`` small ints (dim×4 bytes → m bytes at
+    n_codes ≤ 256 — 32× for dim-64 float32).
+
+    Training is a BOUNDED driver hop: ``max_train`` sample rows
+    (collect is capped regardless of corpus size — at 100 TB the
+    codebooks, like the IVF quantizer, train on a sample and serve
+    the whole corpus), then seeded per-subspace Lloyd in numpy.
+    Returns ``(m, n_codes, dim//m)`` float64; tiny, broadcasts into
+    the encode/score UDFs.
+    """
+    rows = corpus.select(_as_double(vec_col).alias("v")).limit(max_train).collect()
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] == 0:
+        raise ValueError("pq_build: empty or ragged training sample")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        init = rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)
+        cents = sub[init].copy()
+        if len(cents) < n_codes:  # tiny corpora: pad with jitter
+            pad = sub[rng.integers(0, len(sub), n_codes - len(cents))]
+            cents = np.vstack([cents, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(0)
+                else:  # empty cluster → reseed on a random point
+                    cents[c] = sub[rng.integers(0, len(sub))]
+        books[j] = cents
+    return books
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each (normalized) vector as its ``m`` nearest-subcentroid
+    ids — one vectorized matmul batch per subspace, narrow pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    dim = m * dsub
+    # argmin ||x - c||² = argmax (x·c − ||c||²/2): precompute norms.
+    half_norms = (books ** 2).sum(-1) / 2.0  # (m, n_codes)
+
+    @pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vs.map(lambda v: _coerce_vec(v, dim)))
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            scores = sub @ books[j].T - half_norms[j]
+            codes[:, j] = scores.argmax(1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _encode(F.col(vec_col)))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    refine: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-bound 100 TB serving
+    path: IVF inverted lists bound WHICH vectors each query scores
+    (n_probe/n_clusters of the corpus), PQ codes bound WHAT the
+    candidate shuffle carries (m small ints per row instead of the
+    raw vector — 32× smaller at dim 64/m 8), and asymmetric distance
+    computation (ADC) scores candidates from an m×n_codes lookup
+    table per query without touching any raw corpus vector.
+
+    The ADC top-``refine·k`` per query then re-ranks EXACTLY (one
+    id-join back to raw vectors, cosine) — the standard two-stage
+    recall recovery; ``refine=1`` disables nothing but the margin.
+    Pass prebuilt ``centroids``/``codebooks`` to reuse quantizers
+    across shards/batches (cf. ivf_build's contract).
+
+    Returns (query_id, id, sim, rank) with EXACT cosine sims on the
+    approximate candidate set — same shape as the other topk paths.
+    """
+    if centroids is None:
+        centroids = ivf_build(
+            corpus, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
+    if codebooks is None:
+        codebooks = pq_build(
+            corpus, vec_col=vec_col, m=m, n_codes=n_codes, seed=seed
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, n_codes_eff, dsub = books.shape
+    dim = mm * dsub
+
+    cb = ivf_assign(
+        corpus, centroids, vec_col=vec_col, out_col="__cl", n_probe=1
+    ).select(id_col, vec_col, F.col("__cl")[0].alias("__cluster"))
+    cb = pq_assign(cb, books, vec_col=vec_col, out_col="__code").drop(vec_col)
+
+    # Per-query ADC lookup tables: lut[j][c] = q_j · codebook[j][c]
+    # on the normalized query — tiny (Q × m × n_codes), broadcast
+    # into the scoring UDF closure.
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("v")
+    ).collect()
+    luts = {}
+    for r in qrows:
+        q = np.asarray(r["v"], dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        luts[r["qid"]] = np.stack(
+            [books[j] @ q[j * dsub : (j + 1) * dsub] for j in range(mm)]
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qids) == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(len(qids))
+        code_mat = np.stack(codes.map(np.asarray))
+        rows = np.arange(mm)
+        for i, qid in enumerate(qids):
+            out[i] = luts[qid][rows, code_mat[i]].sum()
+        return pd.Series(out)
+
+    qb = ivf_assign(
+        queries, centroids, vec_col=vec_col, out_col="__probes",
+        n_probe=n_probe,
+    ).select(query_id_col, F.explode("__probes").alias("__cluster"))
+
+    cand = (
+        cb.join(F.broadcast(qb), "__cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("__adc", _adc(F.col(query_id_col), F.col("__code")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__adc"), F.asc(id_col)
+    )
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= refine * k)
+        .select(query_id_col, id_col)
+    )
+    rescored = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+            ),
+            query_id_col,
+        )
+        .withColumn("sim", cosine(vec_col, "__qvec"))
+        .filter(F.col("sim").isNotNull())
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

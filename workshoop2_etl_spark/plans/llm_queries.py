@@ -1446,3 +1446,40 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+def _pq_codebooks(emb, sf_dir: str, *, m: int, n_codes: int, seed: int):
+    """PQ codebooks memoized beside the IVF quantizers (same
+    rationale: train once on a bounded sample, serve every call)."""
+    from workshoop2_etl_spark.operators.similarity import pq_build
+
+    key = (sf_dir, "pq", m, n_codes, seed)
+    if key not in _QUANTIZERS:
+        _QUANTIZERS[key] = pq_build(emb, m=m, n_codes=n_codes, seed=seed)
+    return _QUANTIZERS[key]
+
+
+@_register("ivfpq_topk_embeddings")  # rows-only: approximate by design
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: inverted lists bound WHICH vectors each query
+    scores; 8-byte PQ codes bound WHAT the candidate shuffle carries
+    (32× under dim-64 float32); ADC lookup-table scoring touches no
+    raw corpus vector until the exact re-rank of the 4k-deep
+    shortlist. The memory-bound serving path beside ivf_topk
+    (recall traded for candidate-shuffle bytes)."""
+    from workshoop2_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_codes=64, seed=42)
+    out = ivfpq_topk(
+        emb, queries, k=10, n_clusters=16, n_probe=4, m=8, n_codes=64,
+        refine=4, centroids=cents, codebooks=books,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
