@@ -172,6 +172,9 @@ _DEMOTED_ORACLES = (
     # Round-6: Efraimidis–Spirakis weighted draw (md5-derived
     # uniforms — deterministic, SQL-reproducible); mirror-checked.
     "weighted_sample_documents",
+    # Round-6: range-clustered storage layout round trip (pruning
+    # measured in tests/test_data_skipping.py); mirror-checked.
+    "clustered_scan_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -563,3 +563,63 @@ def activity_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("longest_start").cast("int"),
         ).alias("longest_start"),
     )
+
+
+_CLUSTERED_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE epoch_us(ts) >= (SELECT min(epoch_us(ts)) FROM events)
+                      + CAST(floor(0.45 * (SELECT max(epoch_us(ts)) - min(epoch_us(ts))
+                                           FROM events)) AS BIGINT)
+  AND epoch_us(ts) <  (SELECT min(epoch_us(ts)) FROM events)
+                      + CAST(floor(0.55 * (SELECT max(epoch_us(ts)) - min(epoch_us(ts))
+                                           FROM events)) AS BIGINT)
+GROUP BY event_type
+"""
+
+
+@_register("clustered_scan_events", _CLUSTERED_SQL)
+def clustered_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout round trip: rewrite events RANGE-CLUSTERED on
+    event time (writers.cluster_parquet — range exchange +
+    in-partition sort, small row groups), then answer a 10%%-of-span
+    time-window aggregate from the clustered copy. Correctness is the
+    oracle (identical answer from the original layout); the PRUNING —
+    the clustered scan touching ~10%% of row groups where the hashed
+    layout touches all — is measured in tests/test_data_skipping.py.
+    The time bounds are derived from the data (min/max epoch), so the
+    query is scale-factor-portable."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.sources.writers import cluster_parquet
+
+    ev = _t(spark, sf_dir, "events")
+    us = epoch_micros(ev, "ts")
+    ev_us = ev.withColumn("__us", us)
+    dst = _os.path.join(
+        _tempfile.gettempdir(),
+        f"workshoop2_clustered_events_{_run_token(sf_dir)}",
+    )
+    cluster_parquet(
+        ev_us, dst, cluster_cols=["__us"], rowgroup_bytes=256 * 1024
+    )
+    back = spark.read.parquet(dst)
+    # Two-scalar driver hop (cf. ids.py / sampling.py's bounded
+    # fetches): literal bounds are what lets the predicate reach the
+    # parquet reader as PushedFilters and actually prune row groups —
+    # a column-reference bound would filter post-scan.
+    b = back.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    start = lo + int(0.45 * (hi - lo))
+    end = lo + int(0.55 * (hi - lo))
+    framed = back.filter(
+        (F.col("__us") >= F.lit(start)) & (F.col("__us") < F.lit(end))
+    )
+    return framed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -322,3 +322,47 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
     return n_files
+
+
+def cluster_parquet(
+    df,
+    dst_dir: str,
+    *,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    rowgroup_bytes: int | None = None,
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_cols``: one range
+    exchange + in-partition sort, so every parquet row group covers a
+    tight, (near-)disjoint span of the cluster key and its min/max
+    footer statistics actually PRUNE.
+
+    This is the storage-layout half of predicate pushdown: Spark (and
+    DuckDB, and every parquet reader) skips a row group only when the
+    pushed filter's range misses the group's min/max — which on a
+    hash-shuffled layout never happens, because every group spans the
+    whole key domain. Range-clustering turns a selective key/time
+    filter from a full scan into a touch of the few covering groups
+    (see tests/test_data_skipping.py for the measured ratio).
+
+    The 100 TB recipe: cluster the fact table on its dominant filter
+    column (event time, tenant); ``n_files`` defaults to the current
+    shuffle-partition count, each file sorted internally, so file- AND
+    row-group-level stats both tighten. ``rowgroup_bytes`` shrinks
+    parquet's block size when finer skip granularity is worth the
+    footer overhead (wide tables, very selective filters).
+
+    Range boundaries come from Spark's reservoir sample over the sort
+    key — the standard global-sort exchange; skew concentrates in
+    boundary partitions like any range partitioning (AQE rebalances).
+    """
+    if not cluster_cols:
+        raise ValueError("cluster_cols must name at least one column")
+    n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    w = out.write.mode("overwrite")
+    if rowgroup_bytes is not None:
+        w = w.option("parquet.block.size", int(rowgroup_bytes))
+    w.parquet(dst_dir)
