@@ -175,6 +175,9 @@ _DEMOTED_ORACLES = (
     # Round-6: range-clustered storage layout round trip (pruning
     # measured in tests/test_data_skipping.py); mirror-checked.
     "clustered_scan_events",
+    # Round-6: map-side partial per-group top-k (exact answer,
+    # survivor-only shuffle); mirror-checked.
+    "topk_pergroup_partial_lineitem",
 )
 
 _CORRECTNESS_WINDOW = 50

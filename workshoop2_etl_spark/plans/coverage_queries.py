@@ -1197,3 +1197,48 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = aggregate_state(orders.filter(F.col("o_orderdate") < cut), keys, vals)
     delta = aggregate_state(orders.filter(F.col("o_orderdate") >= cut), keys, vals)
     return finalize_state(merge_states(keys, vals, base, delta), keys, vals)
+
+
+_TOPK_PARTIAL_SQL = """
+SELECT l_suppkey, l_partkey, l_extendedprice, l_orderkey,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT l_suppkey, l_partkey, l_extendedprice, l_orderkey,
+         row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+@_register("topk_pergroup_partial_lineitem", _TOPK_PARTIAL_SQL)
+def topk_pergroup_partial_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 line items per supplier by price, via the map-side
+    partial prune (operators/analytics.py:top_k_per_group_partial):
+    each partition folds down to its local per-group top-3 in bounded
+    memory BEFORE the exchange, so the shuffle carries survivors only
+    — never the fact table. The answer is EXACT (total order via the
+    (orderkey, linenumber) tiebreak), hence the plain window oracle."""
+    from workshoop2_etl_spark.operators.analytics import (
+        top_k_per_group_partial,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_orderkey",
+        "l_linenumber",
+    )
+    out = top_k_per_group_partial(
+        li,
+        ["l_suppkey"],
+        [("l_extendedprice", False), ("l_orderkey", True),
+         ("l_linenumber", True)],
+        3,
+    )
+    return out.select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_orderkey",
+        F.col("rank").cast("long").alias("rank"),
+    )
