@@ -178,6 +178,8 @@ _DEMOTED_ORACLES = (
     # Round-6: map-side partial per-group top-k (exact answer,
     # survivor-only shuffle); mirror-checked.
     "topk_pergroup_partial_lineitem",
+    # Round-6: modified-z-score robust outlier gate; mirror-checked.
+    "mad_outliers_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -65,3 +65,27 @@ def test_validation_errors(spark):
         expect_unique(df, [])
     with pytest.raises(ValueError):
         expect_referential(df, df, ["id"], [], dim_name="d")
+
+
+def test_robust_outliers_flags_planted_spike(spark):
+    from workshoop2_etl_spark.operators.quality import robust_outliers
+
+    rows = [("g", float(v)) for v in range(100)] + [("g", 1e6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, ["g"], "v", z=3.5)
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {1e6}
+    # median/MAD are robust: the spike must not drag them
+    [r] = out.filter("v = 50.0").collect()
+    assert abs(r["__med"] - 50.0) < 1e-9
+
+
+def test_robust_outliers_zero_mad_flags_nothing(spark):
+    from workshoop2_etl_spark.operators.quality import robust_outliers
+
+    # >50% identical values → MAD = 0 → convention: no flags, even
+    # for the obvious deviant (use a range gate for that regime).
+    rows = [("g", 5.0)] * 10 + [("g", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, ["g"], "v")
+    assert out.filter("is_outlier").count() == 0

@@ -131,3 +131,47 @@ def expectation_report(checks: Sequence[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check", "target")
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    z: float = 3.5,
+) -> DataFrame:
+    """Flag outliers by the modified z-score (Iglewicz & Hoaglin 1993):
+    ``|x − median| > z · 1.4826 · MAD`` per group — the robust twin of
+    mean/stddev gating (one corrupt feed value moves a mean; it takes
+    50% corruption to move a median, which is exactly the property a
+    load gate wants).
+
+    Exact medians via the ``percentile`` aggregate (not approx): two
+    group-keyed aggregation passes (median, then median absolute
+    deviation against it) with the per-group stats — group-cardinality
+    rows — broadcast back onto the facts. A zero-MAD group (over half
+    the values identical) flags nothing, by convention.
+
+    Returns the input rows plus ``__med``, ``__mad``, ``is_outlier``.
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), gcols)
+    mad = (
+        dev.withColumn("__ad", F.abs(F.col(value_col) - F.col("__med")))
+        .groupBy(*gcols)
+        .agg(F.percentile("__ad", F.lit(0.5)).alias("__mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), gcols)
+        .withColumn(
+            "is_outlier",
+            (F.col("__mad") > 0)
+            & (
+                F.abs(F.col(value_col) - F.col("__med"))
+                > F.lit(z) * F.lit(1.4826) * F.col("__mad")
+            ),
+        )
+    )

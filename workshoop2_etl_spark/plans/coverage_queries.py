@@ -1242,3 +1242,43 @@ def topk_pergroup_partial_lineitem(
         "l_suppkey", "l_partkey", "l_extendedprice", "l_orderkey",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(abs(value - med)) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN mad.mad > 0
+                      AND abs(d.value - d.med) > 3.5 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(any_value(d.med), 4) AS med,
+       round(any_value(mad.mad), 4) AS mad
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@_register("mad_outliers_events", _MAD_SQL)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: modified z-score (|x − med| > 3.5·1.4826·
+    MAD) per event type over exact medians — the load-quality check
+    that survives a corrupt feed (operators/quality.py:
+    robust_outliers). Reported as per-group outlier counts."""
+    from workshoop2_etl_spark.operators.quality import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = robust_outliers(ev, ["event_type"], "value", z=3.5)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.first("__med"), 4).alias("med"),
+        F.round(F.first("__mad"), 4).alias("mad"),
+    )
