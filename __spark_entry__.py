@@ -180,6 +180,8 @@ _DEMOTED_ORACLES = (
     "topk_pergroup_partial_lineitem",
     # Round-6: modified-z-score robust outlier gate; mirror-checked.
     "mad_outliers_events",
+    # Round-6: character-entropy quality signal; mirror-checked.
+    "char_entropy_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

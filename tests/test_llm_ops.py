@@ -774,3 +774,38 @@ def test_mixture_sample_explicit_total_and_validation(spark):
         mixture_sample(df, "source", {}, id_col="doc_id")
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(df, "source", {"a": -1.0}, id_col="doc_id")
+
+
+def test_compression_ratio_orders_text_regimes(spark):
+    from workshoop2_etl_spark.operators.textstats import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),        # highly repetitive
+        (2, noise),                # near-random
+        (3, None),                 # null-safe
+        (4, ""),                   # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df, "text").collect()}
+    assert got[1]["ratio"] < 0.05            # template text collapses
+    assert got[2]["ratio"] > 0.5             # noise barely compresses
+    assert got[1]["ratio"] < got[2]["ratio"]
+    assert got[3]["raw_bytes"] == 0 and got[4]["raw_bytes"] == 0
+    # deterministic across runs
+    again = {r["doc_id"]: r["ratio"] for r in compression_ratio(df, "text").collect()}
+    assert all(abs(again[k] - got[k]["ratio"]) < 1e-12 for k in again)
+
+
+def test_char_entropy_regimes(spark):
+    from workshoop2_etl_spark.operators.textstats import char_entropy
+
+    rows = [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdefgh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy_bits"] for r in char_entropy(df, "text").collect()}
+    assert got[1] == 0.0          # single symbol
+    assert abs(got[2] - 1.0) < 1e-9   # two symbols, uniform
+    assert abs(got[3] - 3.0) < 1e-9   # eight symbols, uniform

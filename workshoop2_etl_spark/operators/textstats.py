@@ -18,7 +18,7 @@ scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenization: letter runs | single digits | single
@@ -411,4 +411,78 @@ def bm25_search(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (bits/char) — the cheap gibberish/boilerplate signal: natural
+    text sits ≈4 bits, single-char spam ≈0, uniform random ≈6+.
+
+    Pure DataFrame plan: explode to (doc, char) → per-doc char
+    counts → −Σ p·log₂p folded in one keyed aggregate. Both shuffles
+    key on the document id (high-cardinality, uniform — no skew),
+    and the char-count intermediate is bounded by |doc| × alphabet,
+    not corpus × alphabet.
+    """
+    chars = F.filter(
+        F.split(F.lower(F.col(text_col)), ""), lambda c: c != ""
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(chars).alias("__c"))
+        .groupBy(id_col, "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = Window.partitionBy(id_col)
+    p = F.col("__n") / F.sum("__n").over(tot)
+    return (
+        counts.withColumn("__plogp", -p * F.log2(p))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__plogp"), 4).alias("entropy_bits"))
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str, *, id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """DEFLATE compression ratio per document (compressed/raw bytes)
+    — the Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    repetition/boilerplate signal: highly repetitive or templated
+    text compresses far below natural prose, near-random noise
+    barely compresses at all.
+
+    zlib is stdlib (always present) and deterministic for a given
+    level, so the value is reproducible — but no SQL engine exposes
+    DEFLATE, hence rows-only registration with property tests
+    instead of a DuckDB twin. Vectorized mapInPandas: one C call
+    per document, no JVM round trip per row.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nraw = raw.map(len)
+            ncmp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": nraw.astype("int64"),
+                    "compressed_bytes": ncmp.astype("int64"),
+                    "ratio": (
+                        ncmp / nraw.where(nraw > 0, 1)
+                    ).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, raw_bytes long, compressed_bytes long, "
+        "ratio double",
     )

@@ -34,6 +34,7 @@ from workshoop2_etl_spark.operators.similarity import (
 )
 from workshoop2_etl_spark.operators.textstats import (
     LANG_STOPWORDS,
+    char_entropy,
     fingerprint,
     language_id,
     quality_score,
@@ -1482,4 +1483,43 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+                                    c -> c != '')) AS c
+  FROM documents
+), cnt AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id
+)
+SELECT cnt.doc_id,
+       round(sum(-(n / t) * log2(n / t)), 4) AS entropy_bits
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id
+"""
+
+
+@_register("char_entropy_documents", _ENTROPY_SQL)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    cheap gibberish/boilerplate quality signal beside quality_score's
+    ratio features (operators/textstats.py:char_entropy)."""
+    return char_entropy(_tp(spark, sf_dir, "documents"), "text")
+
+
+@_register("compression_ratio_documents")  # rows-only: DEFLATE has no SQL twin
+def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style DEFLATE compression-ratio signal (repetitive or
+    templated text compresses far below natural prose). Deterministic
+    zlib, vectorized mapInPandas; property-tested in
+    tests/test_llm_ops.py instead of a DuckDB twin."""
+    from workshoop2_etl_spark.operators.textstats import compression_ratio
+
+    out = compression_ratio(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id", "raw_bytes", "compressed_bytes", F.round("ratio", 4).alias("ratio")
     )
