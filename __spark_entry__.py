@@ -182,6 +182,10 @@ _DEMOTED_ORACLES = (
     "mad_outliers_events",
     # Round-6: character-entropy quality signal; mirror-checked.
     "char_entropy_documents",
+    # Round-6: PSI distribution-drift alarm; mirror-checked.
+    "psi_drift_orders",
+    # Round-6: AS-OF lookup against the SCD2 history; mirror-checked.
+    "scd2_pointintime_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -89,3 +89,40 @@ def test_robust_outliers_zero_mad_flags_nothing(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = robust_outliers(df, ["g"], "v")
     assert out.filter("is_outlier").count() == 0
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from workshoop2_etl_spark.operators.quality import psi_drift
+
+    import pyspark.sql.functions as SF
+
+    df = spark.range(10_000).select((SF.col("id") % 997).cast("double").alias("v"))
+    out = psi_drift(df, df, "v", n_bins=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    total = sum(r["psi"] for r in rows)
+    assert abs(total) < 1e-9  # p == q in every bin
+
+
+def test_psi_detects_shift(spark):
+    from workshoop2_etl_spark.operators.quality import psi_drift
+
+    import pyspark.sql.functions as SF
+
+    base = spark.range(10_000).select(
+        (SF.col("id") % 1000).cast("double").alias("v")
+    )
+    shifted = base.select((SF.col("v") + 500).alias("v"))
+    total = sum(r["psi"] for r in psi_drift(base, shifted, "v").collect())
+    assert total > 0.25  # the conventional "significant shift" bar
+
+
+def test_psi_nbins_guard(spark):
+    from workshoop2_etl_spark.operators.quality import psi_drift
+
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    df = spark.range(10).select(SF.col("id").cast("double").alias("v"))
+    with _pytest.raises(ValueError, match="n_bins"):
+        psi_drift(df, df, "v", n_bins=1)

@@ -175,3 +175,64 @@ def robust_outliers(
             ),
         )
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    sample of ``value_col`` — the standard drift alarm for feature /
+    score distributions (PSI < 0.1 stable, > 0.25 shifted).
+
+    Bin edges are the baseline's EXACT interior quantiles
+    (``percentile``, n_bins−1 edges — a bounded driver hop of
+    n_bins−1 doubles, then literal comparisons so both scans stay
+    narrow); each side reduces to per-bin counts (shuffle carries
+    n_bins rows), and PSI folds as Σ (p−q)·ln(p/q) with both shares
+    floored at ``eps`` so empty bins contribute a finite, documented
+    penalty instead of ±inf.
+
+    Returns one row per bin: ``bin, n_base, n_current, psi`` (the
+    bin's contribution; total PSI = sum over bins).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = base.agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("e")
+    ).collect()[0]["e"]
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = sum(
+            (F.col(value_col) >= F.lit(float(e))).cast("int") for e in edges
+        )
+        return (
+            df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    nb = binned(base, "n_base")
+    nc = binned(current, "n_current")
+    allbins = base.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        allbins.join(nb, "bin", "left").join(nc, "bin", "left")
+        .fillna(0, ["n_base", "n_current"])
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_current").alias("tc")
+    )
+    p = F.greatest(F.col("n_current") / F.col("tc"), F.lit(eps))
+    q = F.greatest(F.col("n_base") / F.col("tb"), F.lit(eps))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn("psi", (p - q) * F.log(p / q))
+        .select("bin", "n_base", "n_current", F.round("psi", 6).alias("psi"))
+    )

@@ -1282,3 +1282,131 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("__med"), 4).alias("med"),
         F.round(F.first("__mad"), 4).alias("mad"),
     )
+
+
+_PSI_SQL = """
+WITH edges AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+), b AS (
+  SELECT CAST(len(list_filter(e, x -> o_totalprice >= x)) AS INTEGER) AS bin
+  FROM orders, edges WHERE o_orderdate < DATE '1997-01-01'
+), c AS (
+  SELECT CAST(len(list_filter(e, x -> o_totalprice >= x)) AS INTEGER) AS bin
+  FROM orders, edges WHERE o_orderdate >= DATE '1997-01-01'
+), bins AS (SELECT unnest(range(10)) AS bin),
+nb AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+nc AS (SELECT bin, count(*) AS n FROM c GROUP BY bin),
+j AS (
+  SELECT bins.bin,
+         CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(nc.n, 0) AS BIGINT) AS n_current
+  FROM bins LEFT JOIN nb USING (bin) LEFT JOIN nc USING (bin)
+), t AS (SELECT sum(n_base) AS tb, sum(n_current) AS tc FROM j)
+SELECT CAST(bin AS INTEGER) AS bin, n_base, n_current,
+       round((greatest(n_current / tc, 1e-6) - greatest(n_base / tb, 1e-6))
+             * ln(greatest(n_current / tc, 1e-6)
+                  / greatest(n_base / tb, 1e-6)), 6) AS psi
+FROM j, t
+"""
+
+
+@_register("psi_drift_orders", _PSI_SQL)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, pre-1997 baseline
+    vs post-1997 current — the distribution-drift alarm every scoring
+    pipeline runs between corpus/model versions
+    (operators/quality.py:psi_drift; exact baseline deciles, per-bin
+    contributions, Σ = total PSI)."""
+    from workshoop2_etl_spark.operators.quality import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    return psi_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )
+
+
+_SCD2_PIT_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         CASE WHEN o_orderstatus IS NOT DISTINCT FROM
+                   lag(o_orderstatus) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderstatus ASC NULLS FIRST)
+              THEN 0 ELSE 1 END AS chg
+  FROM orders
+), v AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(chg) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderstatus ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+  FROM s
+), runs AS (
+  SELECT o_custkey, ver, o_orderstatus, min(o_orderdate) AS effective_from
+  FROM v GROUP BY 1, 2, 3
+), hist AS (
+  SELECT o_custkey, o_orderstatus AS status_hist, effective_from,
+         lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY ver)
+           AS effective_to
+  FROM runs
+), probe AS (
+  SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 30 DAY AS asof
+  FROM orders
+)
+SELECT coalesce(h.status_hist, 'NO-HISTORY') AS status_then,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT p.o_custkey) AS BIGINT) AS n_customers
+FROM probe p
+LEFT JOIN hist h
+  ON p.o_custkey = h.o_custkey
+ AND h.effective_from <= p.asof
+ AND (h.effective_to IS NULL OR p.asof < h.effective_to)
+GROUP BY 1
+"""
+
+
+@_register("scd2_pointintime_orders", _SCD2_PIT_SQL)
+def scd2_pointintime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against the type-2 history: for
+    every order, the status its customer's SCD2 interval showed 30
+    days later — the audit/backfill query the type-2 dimension exists
+    for. Equi-join on the customer key with the interval predicate as
+    residual; the history side is dim-cardinality and broadcasts, so
+    the fact table never shuffles. Intervals are half-open
+    [from, to) with NULL to = current, guaranteeing each probe
+    matches at most one interval."""
+    from workshoop2_etl_spark.operators.star import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate"),
+        ["o_custkey"],
+        ["o_orderstatus"],
+        "o_orderdate",
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderstatus").alias("status_hist"),
+        "effective_from",
+        "effective_to",
+    )
+    probe = orders.select(
+        "o_orderkey", "o_custkey", F.date_add("o_orderdate", 30).alias("asof")
+    )
+    joined = probe.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("h_custkey"))
+        & (F.col("effective_from") <= F.col("asof"))
+        & (F.col("effective_to").isNull() | (F.col("asof") < F.col("effective_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("status_hist"), F.lit("NO-HISTORY")).alias("status_then")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
