@@ -186,6 +186,8 @@ _DEMOTED_ORACLES = (
     "psi_drift_orders",
     # Round-6: AS-OF lookup against the SCD2 history; mirror-checked.
     "scd2_pointintime_orders",
+    # Round-6: per-group closed-form OLS; mirror-checked.
+    "ols_trend_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -36,3 +36,20 @@ def test_longest_streak_tiebreak_earliest(spark):
     assert r["n_active_ticks"] == 5
     assert r["longest_len"] == 2
     assert r["longest_start"] == 1
+
+
+def test_grouped_ols_recovers_planted_line(spark):
+    from workshoop2_etl_spark.operators.analytics import grouped_ols
+
+    # exact line y = 3x + 7 → slope/intercept recovered, r² = 1
+    rows = [("a", float(x), 3.0 * x + 7.0) for x in range(50)]
+    # degenerate groups: single point; zero x-variance
+    rows += [("single", 1.0, 5.0)]
+    rows += [("novar", 2.0, 1.0), ("novar", 2.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert abs(got["a"]["slope"] - 3.0) < 1e-9
+    assert abs(got["a"]["intercept"] - 7.0) < 1e-9
+    assert abs(got["a"]["r2"] - 1.0) < 1e-12
+    assert got["single"]["slope"] is None
+    assert got["novar"]["slope"] is None and got["novar"]["r2"] is None

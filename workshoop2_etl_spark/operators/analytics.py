@@ -322,3 +322,48 @@ def crosstab_counts(df: DataFrame, row_key: str, col_key: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(row_key, col_key)
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a + b·x) in closed
+    form — the "thousands of small models in one pass" pattern:
+    slope, intercept, and r² derive entirely from the five
+    commutative sums (n, Σx, Σy, Σxy, Σx², Σy²), so ONE map-side
+    partial-aggregated groupBy fits every group simultaneously; no
+    iteration, no driver loop, no per-group collect.
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL slope/
+    intercept/r² rather than ±inf (guarded denominators).
+
+    Output: group cols, ``n``, ``slope``, ``intercept``, ``r2``.
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when((F.col("n") >= 2) & (vx > 0), cov / vx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    return agg.select(
+        *gcols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

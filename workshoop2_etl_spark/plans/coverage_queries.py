@@ -1410,3 +1410,49 @@ def scd2_pointintime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+_OLS_SQL = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS x,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), a AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM s GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM a
+"""
+
+
+@_register("ols_trend_orders", _OLS_SQL)
+def ols_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority linear trend of order value over time — the
+    "thousands of small models in one aggregation pass" pattern
+    (operators/analytics.py:grouped_ols): slope/intercept/r² in
+    closed form from five commutative sums, map-side combined; no
+    iteration, no per-group collect."""
+    from workshoop2_etl_spark.operators.analytics import grouped_ols
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = grouped_ols(orders, ["o_orderpriority"], "x", "y")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
