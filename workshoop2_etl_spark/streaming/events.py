@@ -435,3 +435,74 @@ def run_stream_upsert(
         raise TimeoutError(
             f"streaming upsert to {path!r} exceeded {timeout_sec}s"
         )
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` (Spark 4's arbitrary-state API)
+    drives its driver-side worker over a protobuf channel; without the
+    ``protobuf`` package the runner crashes AFTER the query starts
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so availability
+    is probed up front instead of surfacing as a mid-activation
+    stream crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user RUNNING (n, total) via ``transformWithStateInPandas``
+    — Spark 4's successor to ``applyInPandasWithState`` (typed
+    ValueState/ListState/MapState handles, optional TTL and timers;
+    cf. :func:`sessionize` for the older API on the same corpus).
+
+    Each micro-batch folds its rows into a ValueState and emits the
+    cumulative row for every touched user, so whatever the batch
+    split, the LAST emission per user equals the global aggregate —
+    the invariant the batch-parity oracle checks. Requires the
+    RocksDB state-store provider (set per-session) and the protobuf
+    package in the Python env; raises a clear error when absent
+    (environment-blocked in the build sandbox — the operator is
+    exercised wherever protobuf exists).
+    """
+    if not _tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "in the Python environment (absent in this sandbox); use "
+            "sessionize()/applyInPandasWithState for the equivalent "
+            "stateful semantics here"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):  # noqa: ANN001 — API contract
+            self._st = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            n, tot = 0, 0.0
+            if self._st.exists():
+                prev = self._st.get()
+                n, tot = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._st.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+    ).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
