@@ -280,3 +280,44 @@ def load_tables(
             df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    paths: list[str],
+    *,
+    target_schema=None,
+) -> DataFrame:
+    """Read parquet generations whose schemas EVOLVED (columns added
+    over time, types widened) as one DataFrame.
+
+    ``mergeSchema`` unions the footers' fields (files missing a
+    column yield NULLs for it) — the standard long-lived-table
+    situation where last year's files predate this quarter's columns.
+    Schema merging reads every footer, which is why Spark defaults it
+    OFF; this entry point makes the cost explicit and opt-in rather
+    than a session-wide default.
+
+    ``target_schema`` (StructType or DDL string) additionally
+    CONFORMS the result to a declared contract — the other half of
+    evolution, where the reader, not the files, owns the truth:
+    missing columns materialize as typed NULLs, extra columns drop,
+    every kept column casts to the declared type (widening int→long /
+    float→double; lossy casts follow Spark cast semantics). Column
+    order follows the contract, so downstream positional consumers
+    (CSV sinks, COPY loads) stay stable across generations.
+    """
+    from pyspark.sql import types as T
+
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if target_schema is None:
+        return df
+    if isinstance(target_schema, str):
+        target_schema = T._parse_datatype_string(target_schema)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
