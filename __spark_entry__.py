@@ -188,6 +188,8 @@ _DEMOTED_ORACLES = (
     "scd2_pointintime_orders",
     # Round-6: per-group closed-form OLS; mirror-checked.
     "ols_trend_orders",
+    # Round-6: χ² categorical independence; mirror-checked.
+    "chisq_events_weekday",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -126,3 +126,23 @@ def test_psi_nbins_guard(spark):
     df = spark.range(10).select(SF.col("id").cast("double").alias("v"))
     with _pytest.raises(ValueError, match="n_bins"):
         psi_drift(df, df, "v", n_bins=1)
+
+
+def test_chisq_perfect_association_and_independence(spark):
+    from workshoop2_etl_spark.operators.quality import (
+        chi_square_independence,
+    )
+
+    # Perfect association: b == a → χ² = N·(k−1), Cramér's V = 1
+    rows = [(str(i % 3), str(i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert r["n"] == 300 and r["dof"] == 4
+    assert abs(r["chi2"] - 300 * 2) < 1e-6
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+    # Exact independence (balanced cross product) → χ² = 0
+    rows = [(str(i % 3), str(j % 4)) for i in range(3) for j in range(4)] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert abs(r["chi2"]) < 1e-9 and abs(r["cramers_v"]) < 1e-9

@@ -236,3 +236,56 @@ def psi_drift(
         .withColumn("psi", (p - q) * F.log(p / q))
         .select("bin", "n_base", "n_current", F.round("psi", 6).alias("psi"))
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns — the categorical sibling of :func:`psi_drift` (is the
+    event mix the same across segments / weekdays / corpus
+    versions?).
+
+    One contingency aggregate (shuffle carries |A|×|B| cells), then
+    the statistic folds from observed vs expected =
+    row_total·col_total/N. Returns a single row:
+    ``chi2, dof, n, cramers_v`` (effect size — χ²/(N·min(|A|,|B|)−1)
+    under the hood, comparable across table sizes). The p-value needs
+    the incomplete-gamma function — compare χ² against the caller's
+    critical value, or feed dof into scipy where available.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rows = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    colsum = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    # The sum runs over the FULL |A|×|B| grid — an unobserved cell
+    # contributes (0−E)²/E = E, which is exactly what makes perfect
+    # association reach χ² = N·(min(k)−1). Marginals are small
+    # (category cardinality), so the grid cross-join broadcasts.
+    grid = F.broadcast(rows).crossJoin(F.broadcast(colsum))
+    j = (
+        grid.join(cells, ["__a", "__b"], "left")
+        .fillna(0, ["__o"])
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    contrib = (F.col("__o") - e) * (F.col("__o") - e) / e
+    agg = j.agg(
+        F.sum(contrib).alias("chi2"),
+        F.countDistinct("__a").alias("ka"),
+        F.countDistinct("__b").alias("kb"),
+        F.first("__n").alias("n"),
+    )
+    dof = (F.col("ka") - 1) * (F.col("kb") - 1)
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("n") * (F.least(F.col("ka"), F.col("kb")) - 1))
+    )
+    return agg.select(
+        F.round("chi2", 4).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(v, 6).alias("cramers_v"),
+    )

@@ -1456,3 +1456,47 @@ def ols_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 4).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+_CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS o
+  FROM events GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+t AS (SELECT sum(o) AS n FROM cells),
+grid AS (SELECT ra.a, ra.r, cb.b, cb.c FROM ra CROSS JOIN cb),
+j AS (
+  SELECT grid.a, grid.b, coalesce(cells.o, 0) AS o, grid.r, grid.c, t.n,
+         (coalesce(cells.o, 0) - grid.r * grid.c / t.n)
+           * (coalesce(cells.o, 0) - grid.r * grid.c / t.n)
+           / (grid.r * grid.c / t.n) AS contrib
+  FROM grid LEFT JOIN cells ON grid.a = cells.a AND grid.b = cells.b, t
+)
+SELECT round(sum(contrib), 4) AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+         AS dof,
+       CAST(any_value(n) AS BIGINT) AS n,
+       round(sqrt(sum(contrib)
+                  / (any_value(n) * (least(count(DISTINCT a),
+                                           count(DISTINCT b)) - 1))), 6)
+         AS cramers_v
+FROM j
+"""
+
+
+@_register("chisq_events_weekday", _CHISQ_SQL)
+def chisq_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence of event type vs day-of-week — the categorical
+    drift/association test beside PSI (operators/quality.py:
+    chi_square_independence). The statistic is label-invariant, so
+    Spark's 1-7 vs DuckDB's 0-6 dayofweek numbering is immaterial —
+    both induce the same partition of rows into weekday cells."""
+    from workshoop2_etl_spark.operators.quality import (
+        chi_square_independence,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return chi_square_independence(ev, "event_type", "dow")
