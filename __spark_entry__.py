@@ -190,6 +190,8 @@ _DEMOTED_ORACLES = (
     "ols_trend_orders",
     # Round-6: χ² categorical independence; mirror-checked.
     "chisq_events_weekday",
+    # Round-6: pre-join key diagnostics; mirror-checked.
+    "join_health_events_customer",
 )
 
 _CORRECTNESS_WINDOW = 50

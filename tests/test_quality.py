@@ -146,3 +146,18 @@ def test_chisq_perfect_association_and_independence(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     [r] = chi_square_independence(df, "a", "b").collect()
     assert abs(r["chi2"]) < 1e-9 and abs(r["cramers_v"]) < 1e-9
+
+
+def test_join_key_health_planted_pathologies(spark):
+    from workshoop2_etl_spark.operators.quality import join_key_health
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,), (99,)], "k long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk long")  # dup key 2
+    [r] = join_key_health(fact, "k", dim, "pk").collect()
+    assert r["n_fact"] == 6
+    assert r["n_null_keys"] == 1
+    assert r["n_orphans"] == 1          # 99 dangles
+    assert r["n_dup_dim_keys"] == 1     # pk=2 duplicated
+    assert r["top_key"] == "1" and r["top_key_n"] == 3

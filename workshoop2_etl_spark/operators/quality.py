@@ -289,3 +289,58 @@ def chi_square_independence(
         F.col("n").cast("long").alias("n"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def join_key_health(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+) -> DataFrame:
+    """Pre-join diagnostics for a fact→dim key — the checks that
+    predict the three classic join disasters BEFORE paying for the
+    join: NULL keys (silently dropped by inner joins), orphans (fact
+    keys missing from the dim — referential breakage), duplicated dim
+    keys (fan-out row explosion), and key skew (one hot key owning a
+    partition at shuffle time).
+
+    One row out: ``n_fact, n_null_keys, n_orphans, n_dup_dim_keys,
+    top_key, top_key_n`` — each from a bounded aggregate; the orphan
+    check is a left-anti join against the DISTINCT dim keys (dim-side
+    shuffle only), and the hot-key probe is a count-desc/key-asc
+    ``first`` (deterministic tie-break).
+    """
+    fk = F.col(fact_key)
+    n_fact = fact.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(fk.isNull().cast("long")).alias("n_null_keys"),
+    )
+    orphans = (
+        fact.filter(fk.isNotNull())
+        .join(dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+              fact_key, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    dup_dim = (
+        dim.groupBy(dim_key)
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .agg(
+            F.sum((F.col("__m") > 1).cast("long")).alias("n_dup_dim_keys")
+        )
+    )
+    top = (
+        fact.filter(fk.isNotNull())
+        .groupBy(fk.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__k"))
+        .limit(1)
+        .select(
+            F.col("__k").cast("string").alias("top_key"),
+            F.col("__n").alias("top_key_n"),
+        )
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dup_dim))
+        .crossJoin(F.broadcast(top))
+    )

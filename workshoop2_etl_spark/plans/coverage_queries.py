@@ -1500,3 +1500,44 @@ def chisq_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.dayofweek("ts").alias("dow")
     )
     return chi_square_independence(ev, "event_type", "dow")
+
+
+_JOIN_HEALTH_SQL = """
+WITH f AS (SELECT user_id AS k FROM events),
+d AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fact,
+         CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_keys
+  FROM f
+), o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphans
+  FROM f WHERE k IS NOT NULL AND k NOT IN (SELECT k FROM d)
+), dd AS (
+  SELECT CAST(coalesce(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_dim_keys
+  FROM (SELECT k, count(*) AS m
+        FROM customer JOIN d ON c_custkey = d.k GROUP BY k) z
+), tp AS (
+  SELECT CAST(k AS VARCHAR) AS top_key, CAST(count(*) AS BIGINT) AS top_key_n
+  FROM f WHERE k IS NOT NULL
+  GROUP BY k ORDER BY count(*) DESC, k LIMIT 1
+)
+SELECT n.n_fact, n.n_null_keys, o.n_orphans, dd.n_dup_dim_keys,
+       tp.top_key, tp.top_key_n
+FROM n, o, dd, tp
+"""
+
+
+@_register("join_health_events_customer", _JOIN_HEALTH_SQL)
+def join_health_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key diagnostics (operators/quality.py:join_key_health)
+    for events.user_id → an even-keyed customer dim: NULL keys,
+    orphans (referential breakage — planted here by halving the dim),
+    dim-key duplication (fan-out hazard), and the hottest key (skew
+    probe) — the report a pipeline reads before paying for the join."""
+    from workshoop2_etl_spark.operators.quality import join_key_health
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    return join_key_health(ev, "user_id", dim, "c_custkey")
