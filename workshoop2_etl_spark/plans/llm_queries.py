@@ -1523,3 +1523,34 @@ def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "raw_bytes", "compressed_bytes", F.round("ratio", 4).alias("ratio")
     )
+
+
+def _bpe_merges(docs, sf_dir: str, *, num_merges: int):
+    """Trained BPE merges memoized beside the IVF/PQ quantizers —
+    same train-once-on-a-sample, serve-every-call contract."""
+    from workshoop2_etl_spark.operators.bpe import bpe_train
+
+    key = (sf_dir, "bpe", num_merges)
+    if key not in _QUANTIZERS:
+        _QUANTIZERS[key] = bpe_train(docs, "text", num_merges=num_merges)
+    return _QUANTIZERS[key]
+
+
+@_register("bpe_tokenize_documents")  # rows-only: iterative merge training
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counts (Sennrich et al. 2016) — the actual-
+    tokenizer upgrade over the n_tokens_bpe regex proxy: merges
+    trained on a bounded corpus sample, applied via memoized
+    per-distinct-word encoding (operators/bpe.py). Rows-only: the
+    iterative merge loop has no SQL twin; exact token sequences are
+    property-tested in tests/test_bpe.py."""
+    from workshoop2_etl_spark.operators.bpe import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges(docs, sf_dir, num_merges=200)
+    out = bpe_apply(ensure_parallelism(docs), "text", merges)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.size(F.array_distinct("bpe_tokens")).cast("long").alias("n_distinct"),
+    )
