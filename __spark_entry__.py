@@ -192,6 +192,8 @@ _DEMOTED_ORACLES = (
     "chisq_events_weekday",
     # Round-6: pre-join key diagnostics; mirror-checked.
     "join_health_events_customer",
+    # Round-6: corpus release diff by content digest; mirror-checked.
+    "corpus_diff_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

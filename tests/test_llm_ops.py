@@ -809,3 +809,21 @@ def test_char_entropy_regimes(spark):
     assert got[1] == 0.0          # single symbol
     assert abs(got[2] - 1.0) < 1e-9   # two symbols, uniform
     assert abs(got[3] - 3.0) < 1e-9   # eight symbols, uniform
+
+
+def test_corpus_diff_all_statuses(spark):
+    from workshoop2_etl_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (5, "brand new"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 5: "added",
+        4: "unchanged",  # NULL content on both sides hashes equal
+    }

@@ -799,3 +799,44 @@ def ngram_jaccard_neardup(
         cache_registry=cache_registry,
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Version diff between two corpus snapshots: per id, classify
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the audit
+    every dataset release needs ("what moved between v3 and v3.1?").
+
+    Content equality is by md5 over the concatenated content columns
+    (16-byte digests shuffle, never documents — same policy as the
+    media payload dedup), id matching is one full outer join on the
+    id. NULL-safe: a NULL content column hashes as the empty string,
+    distinct from an absent row.
+
+    Returns (id_col, status). Aggregate downstream for release notes;
+    filter ``status != 'unchanged'`` for the changed-set export.
+    """
+    cols = content_cols or [c for c in old.columns if c != id_col]
+
+    def digest(df: DataFrame):
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+            )
+        )
+
+    o = old.select(F.col(id_col), digest(old).alias("__ho"))
+    n = new.select(F.col(id_col), digest(new).alias("__hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

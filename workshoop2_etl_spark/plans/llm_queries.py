@@ -1554,3 +1554,46 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe").cast("long").alias("n_bpe"),
         F.size(F.array_distinct("bpe_tokens")).cast("long").alias("n_distinct"),
     )
+
+
+_CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, ''),
+                               coalesce(lang, ''))) AS h
+  FROM documents WHERE doc_id % 10 != 0
+), new AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+               coalesce(CASE WHEN doc_id % 7 = 0
+                             THEN text || ' [v2]' ELSE text END, ''),
+               coalesce(lang, ''))) AS h
+  FROM documents
+)
+SELECT CASE WHEN old.h IS NULL THEN 'added'
+            WHEN new.h IS NULL THEN 'removed'
+            WHEN old.h = new.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM old FULL OUTER JOIN new USING (doc_id)
+GROUP BY 1
+"""
+
+
+@_register("corpus_diff_documents", _CORPUS_DIFF_SQL)
+def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff between two corpus versions (v1 = 90% of docs,
+    v2 = all docs with every 7th text edited): added / removed /
+    changed / unchanged counts via 16-byte content digests — the
+    shuffle never carries documents (operators/dedup.py:corpus_diff)."""
+    from workshoop2_etl_spark.operators.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    d = corpus_diff(old, new, content_cols=["text", "lang"])
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
