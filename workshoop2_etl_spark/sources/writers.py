@@ -366,3 +366,40 @@ def cluster_parquet(
     if rowgroup_bytes is not None:
         w = w.option("parquet.block.size", int(rowgroup_bytes))
     w.parquet(dst_dir)
+
+
+def write_parquet_bloom(
+    df,
+    dst_dir: str,
+    *,
+    bloom_cols: dict[str, int],
+    rowgroup_bytes: int | None = None,
+) -> None:
+    """Write parquet with column bloom filters — the point-lookup
+    complement to :func:`cluster_parquet`: range clustering prunes
+    range/time predicates via min/max footers, bloom filters prune
+    EQUALITY probes on high-cardinality, unsorted keys (user ids,
+    content digests), where min/max spans are useless by construction.
+
+    ``bloom_cols`` maps column → expected distinct values per file
+    (sizes the filter's bit array; parquet-mr targets ~1% false
+    positives). The reader side is automatic: Spark's parquet reader
+    tests pushed equality predicates against each row group's bloom
+    and skips groups that definitely lack the key — measured 36×
+    fewer scan rows on a scrambled 300k-key fixture
+    (tests/test_data_skipping.py).
+
+    Cost model: bloom bytes scale with NDV per ROW GROUP, so tiny
+    test-sized row groups exaggerate the overhead; at the production
+    128 MB default it is a sub-percent tax on file size. Spend it on
+    the handful of columns that actually serve point lookups.
+    """
+    if not bloom_cols:
+        raise ValueError("bloom_cols must name at least one column")
+    w = df.write.mode("overwrite")
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    if rowgroup_bytes is not None:
+        w = w.option("parquet.block.size", int(rowgroup_bytes))
+    w.parquet(dst_dir)
