@@ -827,3 +827,49 @@ def test_corpus_diff_all_statuses(spark):
         1: "unchanged", 2: "changed", 3: "removed", 5: "added",
         4: "unchanged",  # NULL content on both sides hashes equal
     }
+
+
+def test_lsh_tuning_monotone_and_divisor(spark):
+    from workshoop2_etl_spark.operators.dedup import lsh_tuning
+
+    import pytest as _pytest
+
+    b_lo, r_lo = lsh_tuning(0.2, 64)
+    b_hi, r_hi = lsh_tuning(0.9, 64)
+    assert b_lo * r_lo == 64 and b_hi * r_hi == 64
+    # low threshold → more, narrower bands; high → fewer, wider
+    assert b_lo > b_hi and r_lo < r_hi
+    # inflection (1/b)^(1/r) lands near the requested threshold
+    for t in (0.3, 0.5, 0.7):
+        b, r = lsh_tuning(t, 64)
+        inflect = (1.0 / b) ** (1.0 / r)
+        assert abs(inflect - t) < 0.25
+    with _pytest.raises(ValueError):
+        lsh_tuning(0.0, 64)
+
+
+def test_with_load_metrics_zero_extra_pass(spark):
+    from pyspark.sql import functions as SF
+
+    from workshoop2_etl_spark.operators.quality import with_load_metrics
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0)], "id long, v double"
+    )
+    observed, obs = with_load_metrics(
+        df,
+        {
+            "n_rows": SF.count(SF.lit(1)),
+            "n_null_v": SF.sum(SF.col("v").isNull().cast("long")),
+            "sum_v": SF.sum("v"),
+        },
+    )
+    got = observed.collect()  # ONE job materializes rows AND metrics
+    assert len(got) == 3
+    m = obs.get
+    assert m["n_rows"] == 3 and m["n_null_v"] == 1 and m["sum_v"] == 12.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metrics"):
+        with_load_metrics(df, {})

@@ -344,3 +344,28 @@ def join_key_health(
         .crossJoin(F.broadcast(dup_dim))
         .crossJoin(F.broadcast(top))
     )
+
+
+def with_load_metrics(
+    df: DataFrame, metrics: dict[str, "F.Column"], *, name: str = "load"
+):
+    """Attach in-flight metrics to a plan via Spark's Observation API
+    — named aggregates evaluated DURING whatever job materializes the
+    frame (accumulator-backed), so a load can report row counts, null
+    counts, and sums with ZERO extra scans; the alternative (a
+    separate ``agg`` job) re-reads the source.
+
+    Returns ``(observed_df, observation)``: materialize the frame
+    (write/collect), then read ``observation.get`` — the dict of
+    metric values for exactly the rows that job processed. This is
+    the mechanism a production sink wraps so every load ships its own
+    audit row (cf. the DQ expectation suite, which gates BEFORE a
+    load; this measures the load itself).
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("metrics must name at least one aggregate")
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return observed, obs
