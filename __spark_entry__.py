@@ -194,6 +194,8 @@ _DEMOTED_ORACLES = (
     "join_health_events_customer",
     # Round-6: corpus release diff by content digest; mirror-checked.
     "corpus_diff_documents",
+    # Round-6: deterministic k-fold CV assignment; mirror-checked.
+    "kfold_split_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -307,3 +307,27 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 5,
+    out_col: str = "fold",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5-bucket(id) % k``
+    — a pure projection (no shuffle) with every sampler's id-stable
+    guarantee: a row's fold never changes with partitioning, row
+    order, or corpus growth, so cross-validation train/holdout sets
+    stay disjoint across reruns and engines (exact SQL oracle).
+
+    Folds are binomially balanced (±√n noise), the right trade at
+    scale; exact equal-size folds would need a global rank. Use
+    ``salt`` for a fresh independent fold assignment.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    bucket = hash_bucket(id_col, buckets=1_000_003, salt=salt)
+    return df.withColumn(out_col, (bucket % k).cast("int"))

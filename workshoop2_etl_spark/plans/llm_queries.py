@@ -1608,3 +1608,32 @@ def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = corpus_diff(old, new, content_cols=["text", "lang"])
     return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+_KFOLD_SQL = """
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(concat('cv', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) % 1000003 AS BIGINT) % 5 AS fold
+  FROM documents
+)
+GROUP BY fold
+"""
+
+
+@_register("kfold_split_documents", _KFOLD_SQL)
+def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment summary: md5-bucketed fold per document —
+    zero-shuffle projection, id-stable across reruns/engines
+    (operators/sampling.py:kfold_assign), folds binomially balanced."""
+    from workshoop2_etl_spark.operators.sampling import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kfold_assign(docs, "doc_id", k=5, salt="cv")
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
