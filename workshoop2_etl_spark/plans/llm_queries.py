@@ -741,17 +741,28 @@ def corpus_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshoop2_etl_spark.plans.pipelines import corpus_pipeline
 
     docs = _tp(spark, sf_dir, "documents")
+    registry: list = []
     kept = corpus_pipeline(
-        docs, min_quality=0.5, neardup_threshold=0.3
+        docs, min_quality=0.5, neardup_threshold=0.3,
+        cache_registry=registry,
     )
-    return (
+    # Aggregate to the tiny per-language summary WHILE the pipeline's
+    # exact-dedup cache is still hot, eagerly checkpoint it (lineage
+    # cut), then release — avoids re-running the regex-heavy quality/
+    # language stack for the final materialization (7.9 → 6.1 s at
+    # sf0.1, identical rows).
+    out = (
         kept.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(whitespace_token_count("text")).alias("n_tokens"),
             F.round(F.avg("quality"), 4).alias("mean_quality"),
         )
+        .localCheckpoint(eager=True)
     )
+    for cached in registry:
+        cached.unpersist()
+    return out
 
 
 _CHUNK_SQL = r"""

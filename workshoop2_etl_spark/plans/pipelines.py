@@ -118,6 +118,7 @@ def corpus_pipeline(
     min_quality: float = 0.5,
     langs: Sequence[str] | None = None,
     neardup_threshold: float = 0.7,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """End-to-end pretraining-corpus preparation — the composition a
     100 TB data pipeline actually runs, in dependency order chosen so
@@ -155,13 +156,18 @@ def corpus_pipeline(
     # (signatures, candidate-id semi-join, both shingle-set sides),
     # each re-executing the regex-heavy quality + language stack.
     # near_dedup_keep materializes its pair count eagerly, which
-    # fills this cache; releasing it right after leaves one recompute
-    # (the caller's final anti-join materialization). Measured ~8% at
-    # sf0.1 (the LSH passes dominate there); the win scales with the
-    # cost of the upstream stack relative to corpus size.
+    # fills this cache. Without a cache_registry it is released here,
+    # leaving ONE recompute (the caller's final materialization) —
+    # ~8% at sf0.1. WITH a registry the caller owns the release and
+    # can keep the cache hot through its own (small) final aggregate
+    # + eager checkpoint before releasing — measured 7.9 → 6.1 s at
+    # sf0.1 for the registered corpus-prep summary.
     exact = exact.persist()
     kept = near_dedup_keep(
         exact, id_col, text_col, threshold=neardup_threshold
     )
-    exact.unpersist()
+    if cache_registry is not None:
+        cache_registry.append(exact)
+    else:
+        exact.unpersist()
     return kept
