@@ -196,6 +196,9 @@ _DEMOTED_ORACLES = (
     "corpus_diff_documents",
     # Round-6: deterministic k-fold CV assignment; mirror-checked.
     "kfold_split_documents",
+    # Round-6: pandas-API-on-Spark onramp (the reference's idioms,
+    # distributed); mirror-checked.
+    "pandas_api_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -1541,3 +1541,39 @@ def join_health_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     dim = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
     return join_key_health(ev, "user_id", dim, "c_custkey")
+
+
+_PS_SQL = """
+SELECT o_orderpriority AS priority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@_register("pandas_api_orders", _PS_SQL)
+def pandas_api_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``) — the onramp for the
+    reference's users: its DAGs are literal pandas (rename /
+    column-subset / groupby-agg, dags/merge_to_dw.py:52,68-69), and
+    this entry runs exactly those idioms distributed, then drops to
+    the DataFrame API at the boundary (``to_spark``). Distributed
+    default index — no implicit global sort sneaks in."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    out = (
+        pdf.rename(columns={"o_orderpriority": "priority"})
+        [["priority", "o_orderstatus", "o_totalprice"]]
+        .groupby(["priority", "o_orderstatus"])
+        .agg(n=("o_totalprice", "count"), total=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "priority", "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+    )
