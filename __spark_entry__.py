@@ -199,6 +199,11 @@ _DEMOTED_ORACLES = (
     # Round-6: pandas-API-on-Spark onramp (the reference's idioms,
     # distributed); mirror-checked.
     "pandas_api_orders",
+    # Round-6: exact-substring dedup (Lee et al. 2022) — duplicated
+    # 30-char windows merged to spans, then cut with in-order
+    # reassembly; both stages mirror-checked byte-for-byte.
+    "duplicate_spans_documents",
+    "substring_dedup_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -873,3 +873,80 @@ def test_with_load_metrics_zero_extra_pass(spark):
 
     with _pytest.raises(ValueError, match="metrics"):
         with_load_metrics(df, {})
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (duplicate_spans / remove_duplicate_spans)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    # A 60-char boilerplate licence block shared by docs 1..3, planted
+    # at offsets ≡ 0 (mod 5) — strided windows are phase-sensitive
+    # (see the duplicate_spans docstring), so aligned copies are the
+    # case the operator detects. Doc 4 is clean. window=20/stride=5
+    # tiles the block so every occurrence after the first is covered.
+    boiler = "this content is licensed under creative commons attribution."
+    assert len(boiler) == 60
+    pre1 = "alpha beta gamma odd"           # 20 chars → phase 0
+    pre2 = "totally different opening words towards "  # 40 chars → phase 0
+    assert len(pre1) % 5 == 0 and len(pre2) % 5 == 0
+    return spark.createDataFrame(
+        [
+            (1, pre1 + boiler + " unique tail one here."),
+            (2, pre2 + boiler),
+            (3, boiler + " and a fresh ending follows the shared block."),
+            (4, "no shared passages in this document at all, honest text."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    from workshoop2_etl_spark.operators.dedup import duplicate_spans
+
+    docs = _span_docs(spark)
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicate_spans(
+            docs, "doc_id", "text", window=20, stride=5
+        ).collect()
+    }
+    # Doc 1 holds the global first occurrence — no spans there; docs
+    # 2 and 3 each get exactly one merged span covering their copy of
+    # the block (window tiling can overhang by < stride+window chars).
+    assert 1 not in spans and 4 not in spans
+    assert set(spans) == {2, 3}
+    for doc_id, (start, end) in spans.items():
+        text = {r.doc_id: r.text for r in docs.collect()}[doc_id]
+        block_at = text.index("this content is licensed")
+        assert start <= block_at + 5  # span reaches the block's head
+        assert end >= block_at + 55  # ...and nearly its tail
+        assert end - start <= 60 + 25  # bounded overhang
+
+
+def test_remove_duplicate_spans_reassembles_in_order(spark):
+    from workshoop2_etl_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, "doc_id", "text", window=20, stride=5)
+    out = {
+        r.doc_id: r.cleaned_text
+        for r in remove_duplicate_spans(
+            docs, spans, "doc_id", "text"
+        ).collect()
+    }
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    # First occurrence and the clean doc are untouched.
+    assert out[1] == orig[1]
+    assert out[4] == orig[4]
+    # Cut docs: equal to original with the span sliced out — segments
+    # stay in original order, prefix and suffix survive.
+    for r in spans.collect():
+        t = orig[r.doc_id]
+        assert out[r.doc_id] == t[: r.span_start] + t[r.span_end :]
+    assert out[2].startswith("totally different opening words")
+    assert "creative commons" not in out[2]
+    assert out[3].endswith("follows the shared block.")

@@ -161,7 +161,15 @@ def test_cosine_zero_and_corrupt_vectors_never_rank(spark):
 
 def test_near_dedup_keep_releases_caches(spark):
     """near_dedup_keep must leave no cached lineages behind and return
-    the same corpus filter as before the cache-hygiene change."""
+    the same corpus filter as before the cache-hygiene change.
+
+    Asserted as NO INCREASE over the pre-call persistent-RDD count,
+    not a global zero: other operators legitimately return eagerly
+    localCheckpoint'ed frames (PageRank's final ranks, the minhash
+    pair set) whose blocks outlive their call by contract, and
+    ``catalog.clearCache()`` does not touch checkpoint RDDs — a
+    global-zero assert would fail on suite ordering, not on a leak
+    in near_dedup_keep."""
     from workshoop2_etl_spark.operators.dedup import near_dedup_keep
 
     docs = spark.createDataFrame(
@@ -176,10 +184,11 @@ def test_near_dedup_keep_releases_caches(spark):
         "doc_id long, text string",
     )
     spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     kept = near_dedup_keep(docs, "doc_id", "text", threshold=0.5)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
-    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached == 0
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
 
 
 def test_approx_quantiles_within_rank_error(spark, sf_dir):

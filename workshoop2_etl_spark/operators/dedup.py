@@ -877,3 +877,162 @@ def lsh_tuning(
         if best is None or err < best[0]:
             best = (err, bands, r)
     return best[1], best[2]
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (duplicated passages, not whole documents)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 30,
+    stride: int = 10,
+) -> DataFrame:
+    """Character spans of each document that repeat elsewhere in the
+    corpus (Lee et al. 2022, *Deduplicating Training Data Makes
+    Language Models Better* — the exact-substring variant, windowed).
+
+    The reference corpus has no notion of sub-document dedup (its
+    dedup is full-row ``drop_duplicates``,
+    reference dags/limpiezaSpotify.py:101); this is the passage-level
+    generalization a pretraining pipeline needs: boilerplate headers,
+    licence blocks, and quoted passages duplicate *across* otherwise
+    distinct documents.
+
+    Algorithm: slide a ``window``-char window at ``stride`` over each
+    text; a window occurring more than once corpus-wide is a
+    duplicated window; the globally-first occurrence (min
+    ``(id, offset)``) is kept, every other occurrence is marked; per
+    document, overlapping/adjacent marked offsets merge into maximal
+    ``[span_start, span_end)`` spans (gap-and-islands over a running
+    max-end window).
+
+    Scale: the explode emits ``chars/stride`` rows but projects to
+    ``(id, offset, xxhash64)`` before any exchange — window *strings*
+    never shuffle; the duplicate test groups 8-byte hashes with
+    map-side combine; the island merge is a per-document window
+    (partition-parallel). Hash equality stands in for string equality
+    exactly as in :func:`exact_dedup` (64-bit collision odds are
+    negligible and the oracle groups by the string itself).
+
+    Alignment caveat: with ``stride > 1``, two copies of a passage
+    only collide when they sit at offsets congruent mod ``stride``
+    (strided sampling is phase-sensitive). ``stride=1`` restores full
+    sensitivity at ``stride``× the row count; the alignment-robust
+    sparse alternative is winnowing (Schleimer et al. 2003), which
+    selects the min hash per sliding hash-window and guarantees any
+    shared substring of length ≥ ``window + w − 1`` shares a
+    fingerprint regardless of phase.
+
+    Returns one row per span: ``(id_col, span_start, span_end)``,
+    half-open char offsets into the original text.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    text = F.col(text_col)
+    occ = (
+        df.filter(F.length(text) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.length(text) - window, F.lit(stride)
+                )
+            ).alias("__off"),
+            text.alias("__t"),
+        )
+        .select(
+            id_col,
+            "__off",
+            F.xxhash64(
+                F.col("__t").substr(F.col("__off") + 1, F.lit(window))
+            ).alias("__h"),
+        )
+    )
+    firsts = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col), F.col("__off"))).alias("__first"),
+        )
+        .filter(F.col("__n") > 1)
+        .select("__h", "__first")
+    )
+    dup_occ = (
+        occ.join(firsts, "__h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__off") == F.col("__first")["__off"])
+            )
+        )
+        .select(id_col, "__off")
+    )
+    w = Window.partitionBy(id_col).orderBy("__off")
+    prev_end = F.max(F.col("__off") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_occ.withColumn(
+        "__isl",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("__off") > prev_end), 1)
+            .otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("__off").alias("span_start"),
+        (F.max("__off") + window).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Cut ``spans`` (as produced by :func:`duplicate_spans` —
+    disjoint, half-open) out of each document, keeping the remaining
+    segments in order.
+
+    One aggregate packs each document's spans into a sorted array,
+    one join attaches them to the text, and a higher-order
+    ``F.aggregate`` fold builds the cleaned string JVM-side — the
+    accumulator carries ``(pos, acc)`` and each span appends the kept
+    gap ``[pos, span_start)`` then advances ``pos`` to ``span_end``;
+    the finisher appends the tail. No Python per row, no explode of
+    text segments, and documents without spans pass through the join
+    as-is (left join, null spans → original text).
+    """
+    text = F.col(text_col)
+    packed = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.join(packed, id_col, "left")
+    folded = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda a, s: F.struct(
+            s["span_end"].cast("int").alias("pos"),
+            F.concat(
+                a["acc"],
+                text.substr(a["pos"] + 1, s["span_start"] - a["pos"]),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], text.substr(a["pos"] + 1, F.length(text) - a["pos"])
+        ),
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__spans").isNull(), text).otherwise(folded),
+    ).drop("__spans")

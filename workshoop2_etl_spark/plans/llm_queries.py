@@ -1236,6 +1236,122 @@ def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared CTE prefix for the exact-substring-dedup oracles: windowed
+#: occurrences → global first-occurrence ranking → duplicate marks →
+#: per-doc island merge into maximal spans. The 10000 series bound is
+#: a constant-only DuckDB requirement (no lateral column args);
+#: testdata docs max out well under it, and the inequality join
+#: filters offsets past each doc's length.
+_SPAN_CTES = """
+WITH offs AS (SELECT off FROM generate_series(0, 10000, 10) AS t(off)),
+occ AS (
+  SELECT d.doc_id, o.off, substr(d.text, o.off + 1, 30) AS win
+  FROM documents d JOIN offs o ON o.off <= length(d.text) - 30
+),
+ranked AS (
+  SELECT doc_id, off,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, off) AS rn,
+         count(*) OVER (PARTITION BY win) AS c
+  FROM occ
+),
+dup AS (SELECT doc_id, off FROM ranked WHERE c > 1 AND rn > 1),
+brk AS (
+  SELECT doc_id, off,
+         CASE WHEN off > coalesce(max(off + 30) OVER (
+                  PARTITION BY doc_id ORDER BY off
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, off, sum(b) OVER (PARTITION BY doc_id ORDER BY off) AS g
+  FROM brk
+)
+"""
+
+_SPANS_SQL = _SPAN_CTES + """
+SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+       CAST(max(off) + 30 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@_register("duplicate_spans_documents", _SPANS_SQL)
+def duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022, windowed
+    variant): 30-char windows at stride 10, a window seen more than
+    once corpus-wide marks every occurrence after the global first,
+    and per-doc marks merge into maximal ``[start, end)`` spans.
+
+    The shuffle carries ``(doc_id, offset, xxhash64)`` — never window
+    strings; the oracle groups by the substring itself, so a hash
+    collision would surface as a mismatch."""
+    from workshoop2_etl_spark.operators.dedup import duplicate_spans
+
+    docs = _tp(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", window=30, stride=10)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+_SUBSTRING_DEDUP_SQL = _SPAN_CTES + """,
+spans AS (SELECT doc_id, min(off) AS s, max(off) + 30 AS e FROM grp GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+         s AS ke
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(e) AS ks, NULL AS ke FROM spans GROUP BY doc_id
+),
+pieces AS (
+  SELECT sp.doc_id, sp.ks,
+         substr(d.text, sp.ks + 1,
+                coalesce(sp.ke, length(d.text)) - sp.ks) AS piece
+  FROM segs sp JOIN documents d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ks) AS cleaned
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(r.cleaned, d.text)) AS cleaned_sig,
+       CAST(length(d.text) - length(coalesce(r.cleaned, d.text)) AS BIGINT)
+         AS chars_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@_register("substring_dedup_documents", _SUBSTRING_DEDUP_SQL)
+def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: cut every duplicate
+    span out of its document (keeping the corpus-global first
+    occurrence intact), reassemble the remaining segments in order.
+    The rebuild is one higher-order ``F.aggregate`` fold over each
+    doc's sorted span array — JVM-side, one join, no per-segment
+    explode. Output is an md5 signature of the cleaned text plus the
+    removed-char count; the oracle rebuilds via lag-segment
+    ``string_agg`` and must agree byte-for-byte."""
+    from workshoop2_etl_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", window=30, stride=10)
+    cleaned = remove_duplicate_spans(docs, spans, "doc_id", "text")
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("cleaned_text")).alias("cleaned_sig"),
+        (F.length("text") - F.length("cleaned_text"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
 _MIXTURE_SQL = """
 WITH m(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
 c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
