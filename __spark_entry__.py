@@ -204,6 +204,9 @@ _DEMOTED_ORACLES = (
     # reassembly; both stages mirror-checked byte-for-byte.
     "duplicate_spans_documents",
     "substring_dedup_documents",
+    # Round-6: CCNet stupid-backoff LM cross-entropy + head/middle/
+    # tail tertile buckets; all three scoring branches mirrored.
+    "lm_quality_buckets_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

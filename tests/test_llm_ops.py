@@ -950,3 +950,59 @@ def test_remove_duplicate_spans_reassembles_in_order(spark):
     assert out[2].startswith("totally different opening words")
     assert "creative commons" not in out[2]
     assert out[3].endswith("follows the shared block.")
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity (stupid backoff) + CCNet buckets
+# ---------------------------------------------------------------------------
+
+def test_lm_perplexity_backoff_branches(spark):
+    """Seen-bigram, unigram-backoff, and OOV branches each score as
+    the closed-form stupid-backoff formula says."""
+    import math
+
+    from workshoop2_etl_spark.operators.textstats import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            # Training doc: "a b a b" → U: a=2,b=2 (N=4); B: ab=2, ba=1.
+            (0, "a b a b"),
+            # Scored: "a b" → seen bigram: ln(2/2) = 0.
+            (1, "a b"),
+            # Scored: "b b" → unseen bigram, b known: ln(0.4*2/4).
+            (3, "b b"),
+            # Scored: "a z" → z OOV: ln(0.4/4).
+            (5, "a z"),
+            # One token → no bigrams → NULL xent.
+            (7, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.xent
+        for r in lm_perplexity(
+            docs, "doc_id", "text", train_pred=(F.col("doc_id") % 2 == 0)
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(-math.log(0.4 * 2 / 4))
+    assert out[5] == pytest.approx(-math.log(0.4 / 4))
+    assert out[7] is None
+    # The training doc scores itself: bigrams ab,ba,ab →
+    # ln(2/2), ln(1/2), ln(2/2) → xent = ln(2)/3.
+    assert out[0] == pytest.approx(math.log(2) / 3)
+
+
+def test_perplexity_buckets_tertiles_and_short(spark):
+    from workshoop2_etl_spark.operators.textstats import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)] + [(99, None)],
+        "doc_id long, xent double",
+    )
+    out = {r.doc_id: r.bucket for r in perplexity_buckets(scored).collect()}
+    # percentile([1..9], 1/3) = 3.667, 2/3 → 6.333
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[99] == "short"

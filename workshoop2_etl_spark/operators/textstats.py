@@ -486,3 +486,130 @@ def compression_ratio(
         schema=f"{id_col} long, raw_bytes long, compressed_bytes long, "
         "ratio double",
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    train_pred: Column,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document, CCNet-style
+    (Wenzek et al. 2020, arXiv:1911.00359: score every document with
+    an LM trained on a *reference* corpus; low perplexity ≈ clean
+    prose, high ≈ noise/boilerplate/gibberish).
+
+    ``train_pred`` selects the reference rows the counts are trained
+    on (CCNet trains on Wikipedia and scores Common Crawl; here any
+    boolean column expression — the registered query trains on the
+    even-``doc_id`` half so the backoff paths actually fire on the
+    scored half). Scoring is stupid backoff (Brants et al. 2007):
+
+    - bigram seen in training:  ln( B(w1,w2) / U(w1) )
+    - else unigram seen:        ln( alpha · U(w2) / N )
+    - else (OOV):               ln( alpha / N )
+
+    Cross-entropy = −mean(ln p) over the document's bigrams (nats);
+    documents with fewer than two tokens get NULL.
+
+    Scale: unigram counts are vocabulary-bounded (a natural-language
+    vocab broadcasts even at 100 TB — Zipf saturates); the bigram
+    count table shuffle-joins on its (w1, w2) key with map-side
+    combine, skewed pairs handled by AQE. Tokenization is one regex
+    split per side; no Python per row.
+
+    Output: the input rows plus ``xent`` (nats, NULL for short docs).
+    """
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(text), "[^a-z]+"), lambda t: t != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.coalesce(train_pred, F.lit(False)).alias("__train"),
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))"
+        ),
+    ).otherwise(F.array())
+
+    train_toks = base.filter("__train").select(
+        F.explode("__toks").alias("__w")
+    )
+    uni = train_toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    # One scalar: total training tokens. Broadcast, never collected.
+    total = uni.agg(F.sum("__c1").alias("__n"))
+    big = (
+        base.filter("__train")
+        .select(F.explode(bigrams).alias("__b"))
+        .select("__b.w1", "__b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+
+    doc_bigrams = base.select(
+        F.col(id_col), F.explode(bigrams).alias("__b")
+    ).select(id_col, "__b.w1", "__b.w2")
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__c1").alias("__u1"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__c1").alias("__u2"))
+    scored = (
+        doc_bigrams.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = (
+        F.when(
+            F.col("__c2").isNotNull(), F.log(F.col("__c2") / F.col("__u1"))
+        )
+        .when(
+            F.col("__u2").isNotNull(),
+            F.log(F.lit(alpha) * F.col("__u2") / F.col("__n")),
+        )
+        .otherwise(F.log(F.lit(alpha) / F.col("__n")))
+    )
+    per_doc = scored.groupBy(id_col).agg((-F.avg(lp)).alias("xent"))
+    return df.join(per_doc, id_col, "left")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    xent_col: str = "xent",
+    out_col: str = "bucket",
+    decimals: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: tertile thresholds on the
+    (rounded) cross-entropy, NULL scores → ``'short'``.
+
+    Rounding BEFORE the threshold computation makes the bucketing
+    engine-reproducible: both Spark and an oracle see bit-identical
+    inputs to the same linear-interpolation percentile, so the
+    comparison ``xent <= t`` cannot flip on 1e-16 summation-order
+    noise. Thresholds are a single two-double broadcast (the
+    psi_drift scalar-hop pattern) — no global sort, no driver loop.
+    """
+    r = F.round(F.col(xent_col), decimals)
+    rounded = scored.withColumn(xent_col, r)
+    thr = rounded.agg(
+        F.expr(
+            f"percentile({xent_col}, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("__t")
+    )
+    return (
+        rounded.crossJoin(F.broadcast(thr))
+        .withColumn(
+            out_col,
+            F.when(F.col(xent_col).isNull(), F.lit("short"))
+            .when(F.col(xent_col) <= F.col("__t")[0], F.lit("head"))
+            .when(F.col(xent_col) <= F.col("__t")[1], F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__t")
+    )

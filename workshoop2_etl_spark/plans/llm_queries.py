@@ -1352,6 +1352,74 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_BUCKETS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ts,
+         doc_id % 2 = 0 AS train
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c1 FROM (
+    SELECT unnest(ts) AS w FROM d WHERE train
+  ) GROUP BY w
+),
+tot AS (SELECT sum(c1) AS n FROM uni),
+idx AS (SELECT i FROM generate_series(1, 5000) t(i)),
+allbig AS (
+  SELECT d.doc_id, d.train, d.ts[i] AS w1, d.ts[i+1] AS w2
+  FROM d JOIN idx ON i <= len(d.ts) - 1
+),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM allbig WHERE train GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN bc.c2 IS NOT NULL THEN ln(bc.c2 * 1.0 / u1.c1)
+              WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / tot.n)
+              ELSE ln(0.4 / tot.n) END AS lp
+  FROM allbig b
+  LEFT JOIN bc USING (w1, w2)
+  LEFT JOIN uni u1 ON u1.w = b.w1
+  LEFT JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot
+),
+docscore AS (SELECT doc_id, round(-avg(lp), 4) AS xent FROM scored GROUP BY doc_id),
+thr AS (
+  SELECT quantile_cont(xent, 1.0/3) AS t1, quantile_cont(xent, 2.0/3) AS t2
+  FROM docscore
+)
+SELECT dd.doc_id, ds.xent,
+       CASE WHEN ds.xent IS NULL THEN 'short'
+            WHEN ds.xent <= thr.t1 THEN 'head'
+            WHEN ds.xent <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents dd LEFT JOIN docscore ds USING (doc_id) CROSS JOIN thr
+"""
+
+
+@_register("lm_quality_buckets_documents", _LM_BUCKETS_SQL)
+def lm_quality_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): a
+    stupid-backoff bigram model trained on the even-``doc_id`` half
+    scores every document's cross-entropy; exact tertile thresholds
+    split head/middle/tail. Training on a strict subset makes the
+    backoff and OOV paths fire on the scored half — the oracle
+    reproduces all three scoring branches, the threshold percentile,
+    and the bucket labels exactly (scores rounded before the
+    percentile so both engines see bit-identical inputs)."""
+    from workshoop2_etl_spark.operators.textstats import (
+        lm_perplexity,
+        perplexity_buckets,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    scored = lm_perplexity(
+        docs, "doc_id", "text", train_pred=(F.col("doc_id") % 2 == 0)
+    )
+    out = perplexity_buckets(scored.select("doc_id", "xent"))
+    return out.select("doc_id", F.round("xent", 4).alias("xent"), "bucket")
+
+
 _MIXTURE_SQL = """
 WITH m(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
 c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
