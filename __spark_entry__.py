@@ -207,6 +207,10 @@ _DEMOTED_ORACLES = (
     # Round-6: CCNet stupid-backoff LM cross-entropy + head/middle/
     # tail tertile buckets; all three scoring branches mirrored.
     "lm_quality_buckets_documents",
+    # Round-6: DPR-style hard-negative mining (nearest different-label
+    # neighbors); the cosine/top-k family stays driver-visible via
+    # brute_force_topk_embeddings.
+    "hard_negatives_embeddings",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -1006,3 +1006,28 @@ def test_perplexity_buckets_tertiles_and_short(spark):
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
     assert out[99] == "short"
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    from workshoop2_etl_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.99, 0.1], "a"),   # nearest overall — same label, excluded
+            (2, [0.95, 0.3], "b"),   # nearest different-label
+            (3, [0.0, 1.0], "b"),
+            (4, [0.5, 0.5], None),   # NULL label: differs from 'a'
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    anchors = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    rows = sorted(
+        hard_negatives(emb, anchors, k=3).collect(), key=lambda r: r.rank
+    )
+    ids = [r.vec_id for r in rows]
+    assert 1 not in ids and 0 not in ids  # same-label + self excluded
+    assert ids[0] == 2                    # hard negative ranks first
+    assert 4 in ids                       # NULL label counts as different

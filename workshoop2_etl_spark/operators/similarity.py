@@ -724,3 +724,62 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    (anchor), the ``k`` most cosine-similar corpus vectors with a
+    DIFFERENT label — near misses are the negatives that sharpen a
+    contrastive objective (in-batch random negatives are mostly easy;
+    retrieval training mines the hard ones, cf. DPR, Karpukhin et al.
+    2020, arXiv:2004.04906 §4.2).
+
+    Same plan shape as :func:`brute_force_topk` — the (small by
+    definition) anchor set broadcasts with its labels, the corpus
+    scans once, the label-mismatch predicate filters before the
+    per-anchor top-k window — plus the anchor itself is excluded by
+    id. Swap the corpus side for :func:`ivf_topk`'s inverted lists
+    when the corpus no longer brute-forces (the mining predicate
+    composes the same way: filter label != anchor label before the
+    re-rank).
+
+    Output: ``query_id``, ``{id_col}``, ``neg_label``, ``sim``,
+    ``rank`` (dense ranks 1..k, ties broken on ascending id).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    joined = (
+        corpus.select(id_col, vec_col, label_col)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & ~F.col(label_col).eqNullSafe(F.col("__qlabel"))
+        )
+    )
+    scored = joined.withColumn("sim", cosine(vec_col, "__qvec")).filter(
+        F.col("sim").isNotNull()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            "sim",
+            "rank",
+        )
+    )

@@ -237,6 +237,50 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label IS DISTINCT FROM q.label
+), ranked AS (
+  SELECT query_id, vec_id, neg_label, sim_raw,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, neg_label, round(sim_raw, 4) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("hard_negatives_embeddings", _HARD_NEG_SQL)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (DPR-style): for each anchor
+    vector, the 10 most-similar corpus vectors with a different
+    label. Anchors broadcast with their labels; the mismatch filter
+    runs before the per-anchor top-k window."""
+    from workshoop2_etl_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negatives(emb, anchors, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "neg_label",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @_register("embedding_neardup_pairs")  # rows-only: LSH-bucketed
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs via LSH buckets — quadratic only
