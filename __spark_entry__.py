@@ -211,6 +211,10 @@ _DEMOTED_ORACLES = (
     # neighbors); the cosine/top-k family stays driver-visible via
     # brute_force_topk_embeddings.
     "hard_negatives_embeddings",
+    # Round-6: winnowing (MOSS) fingerprint candidates — the
+    # alignment-robust complement to duplicate_spans; md5 minima
+    # reproduced exactly by the oracle.
+    "winnow_candidates_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -1031,3 +1031,80 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert 1 not in ids and 0 not in ids  # same-label + self excluded
     assert ids[0] == 2                    # hard negative ranks first
     assert 4 in ids                       # NULL label counts as different
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (alignment-robust near-dup candidates)
+# ---------------------------------------------------------------------------
+
+def test_winnow_candidates_alignment_robust(spark):
+    """The guarantee strided windows lack: a shared passage is found
+    at ANY offset phase (docs 1/2/3 plant the same 40-char block at
+    offsets 7, 13, 0 — no two congruent mod anything)."""
+    from workshoop2_etl_spark.operators.dedup import winnow_candidates
+
+    shared = "the licensed boilerplate block goes here"
+    assert len(shared) == 40
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 7 + shared + "small tail"),
+            (2, "y" * 13 + shared),
+            (3, shared + " completely fresh ending text"),
+            (4, "nothing shared with the others at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_candidates(
+            docs, "doc_id", "text", k=8, w=4, min_shared=2
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_winnow_fingerprints_density_and_short_docs(spark):
+    from workshoop2_etl_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),  # 36 chars
+            (2, "abcdefg"),   # 7 chars < k → no fingerprints
+            (3, "abcdefghi"), # 9 chars → 2 grams < w → exactly one
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.off, r.gram_hash))
+    assert 2 not in by_doc
+    assert len(by_doc[3]) == 1
+    # ~2n/(w+1) density: 29 grams, w=4 → expect ≥ 26/ (4+1) ≈ 5..15
+    n1 = len(by_doc[1])
+    assert 5 <= n1 <= 15
+    # offsets are valid gram starts and hashes are 32-hex
+    for off, gh in by_doc[1]:
+        assert 0 <= off <= 36 - 8
+        assert len(gh) == 32 and int(gh, 16) >= 0
+
+
+def test_winnow_stop_gram_guard(spark):
+    """A gram shared by more docs than max_postings is dropped before
+    the pair join (the quadratic guard)."""
+    from workshoop2_etl_spark.operators.dedup import winnow_candidates
+
+    block = "boilerplate block everywhere"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} prefix " + block) for i in range(6)],
+        "doc_id long, text string",
+    )
+    open_pairs = winnow_candidates(
+        docs, "doc_id", "text", k=8, w=4, min_shared=1, max_postings=50
+    ).count()
+    guarded = winnow_candidates(
+        docs, "doc_id", "text", k=8, w=4, min_shared=1, max_postings=2
+    ).count()
+    assert open_pairs > 0
+    assert guarded < open_pairs

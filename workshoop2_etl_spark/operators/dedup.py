@@ -1036,3 +1036,141 @@ def remove_duplicate_spans(
         out_col,
         F.when(F.col("__spans").isNull(), text).otherwise(folded),
     ).drop("__spans")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (alignment-robust local fingerprints)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash EVERY ``k``-gram, then from each
+    sliding window of ``w`` consecutive gram hashes select the
+    minimum (leftmost on ties — any deterministic tie-break keeps
+    the guarantee; with a strong hash ties are negligible).
+
+    The selection guarantee that strided sampling
+    (:func:`duplicate_spans`) lacks: any substring shared between two
+    documents of length ≥ ``w + k − 1`` contributes at least one
+    *common* fingerprint, at ANY alignment — the shared region spans
+    a full hash window, and both documents select the same minimum
+    inside it. Density is ~2/(w+1) fingerprints per position.
+
+    Hash choice: ``md5`` (hex string) rather than ``xxhash64`` so an
+    external SQL engine reproduces the minima bit-for-bit (the same
+    trade the :func:`~workshoop2_etl_spark.operators.textstats.fingerprint`
+    sketch makes); both engines compare the same strings. At scale
+    the hex strings stay executor-side: the per-window min is
+    computed in a partition-local window frame and only the selected
+    ~2n/(w+1) fingerprints survive to any exchange.
+
+    Plan: one explode (every gram offset), one per-doc window frame
+    ``[current, w−1 following]``, one distinct. Documents shorter
+    than ``k`` chars yield no fingerprints; documents with fewer than
+    ``w`` grams yield exactly one (the min over all their grams).
+
+    Output: ``(id_col, off, gram_hash)`` — ``off`` is the selected
+    gram's char offset.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k/w must be >= 1, got {k}/{w}")
+    text = F.col(text_col)
+    n_grams = (F.length(text) - k + 1).alias("__ng")
+    grams = (
+        df.filter(F.length(text) >= k)
+        .select(
+            F.col(id_col),
+            n_grams,
+            F.explode(
+                F.sequence(F.lit(0), F.length(text) - k)
+            ).alias("__off"),
+            text.alias("__t"),
+        )
+        .select(
+            id_col,
+            "__ng",
+            "__off",
+            # (hash, off) packed into one orderable key: hex md5 is
+            # fixed-width, so concatenating a zero-padded offset makes
+            # lexicographic min == min of (hash, offset) — identical
+            # semantics in any SQL engine, no struct-ordering quirks.
+            F.concat(
+                F.md5(F.col("__t").substr(F.col("__off") + 1, F.lit(k))),
+                F.lpad(F.col("__off").cast("string"), 10, "0"),
+            ).alias("__key"),
+        )
+    )
+    wspec = (
+        Window.partitionBy(id_col)
+        .orderBy("__off")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.withColumn("__sel", F.min("__key").over(wspec))
+        # Only full windows define fingerprints (truncated trailing
+        # frames would add spurious suffix minima); short docs keep
+        # their single all-gram window at start 0.
+        .filter(
+            (F.col("__off") <= F.col("__ng") - w)
+            | ((F.col("__ng") < w) & (F.col("__off") == 0))
+        )
+        .select(id_col, "__sel")
+        .distinct()
+    )
+    return selected.select(
+        id_col,
+        F.substring("__sel", 33, 10).cast("long").alias("off"),
+        F.substring("__sel", 1, 32).alias("gram_hash"),
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing
+    fingerprints: docs sharing ≥ ``min_shared`` distinct selected
+    grams, with the shared count as evidence weight.
+
+    ``max_postings`` drops grams selected by more than that many
+    documents before the self-join — the stop-gram guard (the
+    analog of LSH's ``max_bucket_size``): a boilerplate gram in 10⁶
+    documents would otherwise go quadratic. Dropped grams are
+    common, so the pairs they would have contributed are
+    overwhelmingly already connected by rarer shared grams.
+
+    Shuffle: postings are ``(gram_hash, id)`` pairs — 32 hex chars +
+    an id, never text; the pair aggregation groups on (id_a, id_b).
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        id_col, "gram_hash"
+    ).distinct()
+    postings_ok = (
+        fp.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_postings)
+        .select("gram_hash")
+    )
+    fp = fp.join(postings_ok, "gram_hash")
+    a = fp.select(F.col(id_col).alias("id_a"), "gram_hash")
+    b = fp.select(F.col(id_col).alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1396,6 +1396,54 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_SQL = """
+WITH offs AS (SELECT off FROM generate_series(0, 10000) AS t(off)),
+grams AS (
+  SELECT d.doc_id, length(d.text) - 20 + 1 AS ng, o.off,
+         md5(substr(d.text, o.off + 1, 20)) ||
+         lpad(CAST(o.off AS VARCHAR), 10, '0') AS key
+  FROM documents d JOIN offs o ON o.off <= length(d.text) - 20
+  WHERE length(d.text) >= 20
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS k
+  FROM grams
+  QUALIFY (off <= ng - 8) OR (ng < 8 AND off = 0)
+),
+fp AS (SELECT DISTINCT doc_id, substr(k, 1, 32) AS gram_hash FROM sel),
+ok AS (SELECT gram_hash FROM fp GROUP BY gram_hash HAVING count(*) <= 50),
+fpo AS (SELECT f.doc_id, f.gram_hash FROM fp f JOIN ok USING (gram_hash))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpo a JOIN fpo b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@_register("winnow_candidates_documents", _WINNOW_SQL)
+def winnow_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidates: every 20-gram hashed,
+    per-window-of-8 minima selected, doc pairs sharing ≥2 selected
+    grams. Alignment-robust where strided windowing
+    (``duplicate_spans_documents``) is phase-sensitive: any shared
+    passage ≥ 27 chars guarantees a common fingerprint at any
+    offset. md5 keys make the minima engine-reproducible; the
+    stop-gram guard (``max_postings=50``) keeps boilerplate grams
+    from going quadratic."""
+    from workshoop2_etl_spark.operators.dedup import winnow_candidates
+
+    docs = _tp(spark, sf_dir, "documents")
+    out = winnow_candidates(
+        docs, "doc_id", "text", k=20, w=8, min_shared=2, max_postings=50
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
 _LM_BUCKETS_SQL = r"""
 WITH d AS (
   SELECT doc_id,
