@@ -1108,3 +1108,61 @@ def test_winnow_stop_gram_guard(spark):
     ).count()
     assert open_pairs > 0
     assert guarded < open_pairs
+
+
+# ---------------------------------------------------------------------------
+# k-means data map + cluster-balanced sampling
+# ---------------------------------------------------------------------------
+
+def _two_cluster_vecs(spark):
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(40):
+        base = [5.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 5.0, 0.0]
+        rows.append((i, [v + random.uniform(-0.2, 0.2) for v in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cluster_profile_planted_clusters(spark):
+    from workshoop2_etl_spark.operators.similarity import (
+        cluster_profile,
+        ivf_build,
+    )
+
+    vecs = _two_cluster_vecs(spark)
+    cents = ivf_build(vecs, n_clusters=2, seed=1)
+    prof = cluster_profile(vecs, cents).collect()
+    assert len(prof) == 2
+    assert sorted(r.n_members for r in prof) == [20, 20]
+    for r in prof:
+        assert r.mean_sim > 0.99          # tight planted clusters
+        assert r.min_sim <= r.mean_sim
+        # exemplar belongs to its own cluster's parity class
+        members = set(range(0, 40, 2)) if r.exemplar_id % 2 == 0 else set(
+            range(1, 40, 2)
+        )
+        assert r.exemplar_id in members
+
+
+def test_cluster_balanced_sample_cap_determinism_salt(spark):
+    from workshoop2_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_build,
+    )
+
+    vecs = _two_cluster_vecs(spark)
+    cents = ivf_build(vecs, n_clusters=2, seed=1)
+    s1 = cluster_balanced_sample(vecs, cents, per_cluster=3)
+    s2 = cluster_balanced_sample(vecs, cents, per_cluster=3)
+    ids1 = sorted(r.vec_id for r in s1.collect())
+    assert ids1 == sorted(r.vec_id for r in s2.collect())  # deterministic
+    from collections import Counter
+
+    per = Counter(r.cluster for r in s1.collect())
+    assert set(per.values()) == {3}  # exactly 3 per cluster
+    s3 = cluster_balanced_sample(vecs, cents, per_cluster=3, salt="v2")
+    assert sorted(r.vec_id for r in s3.collect()) != ids1  # salt redraws
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(vecs, cents, per_cluster=0)

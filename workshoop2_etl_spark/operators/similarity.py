@@ -783,3 +783,109 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Data-map of an embedding corpus over a trained k-means
+    quantizer: per cluster, the member count, mean/min cosine to the
+    centroid (cohesion), and the id of the most central member (the
+    cluster's exemplar).
+
+    The curation view behind cluster-balanced sampling and SemDeDup-
+    style pruning: skewed cluster sizes reveal mode collapse in the
+    corpus, low mean cohesion reveals junk clusters. One assignment
+    pass (vectorized UDF, centroids broadcast) + one aggregate on the
+    cluster key; nothing is collected.
+
+    Output: ``cluster``, ``n_members``, ``mean_sim``, ``min_sim``,
+    ``exemplar_id`` (max-sim member, min-id tie-break).
+    """
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), centroids, vec_col=vec_col,
+        out_col="__cl", n_probe=1,
+    ).select(
+        id_col,
+        F.col("__cl")[0].alias("cluster"),
+        F.col(vec_col).alias("__v"),
+    )
+    import pandas as pd  # noqa: F401 — pandas_udf dependency is implicit
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype("float64")
+    norms = (cents ** 2).sum(axis=1) ** 0.5
+    norms[norms == 0] = 1.0
+    cents_n = cents / norms[:, None]
+
+    @pandas_udf("double")
+    def _sim_to_centroid(vecs: "pd.Series", cls: "pd.Series") -> "pd.Series":
+        out = []
+        for v, c in zip(vecs, cls):
+            if v is None:
+                out.append(None)
+                continue
+            vv = np.asarray(v, dtype="float64")
+            n = float((vv ** 2).sum()) ** 0.5
+            if n == 0 or not np.isfinite(n):
+                out.append(None)
+                continue
+            out.append(float(vv @ cents_n[int(c)]) / n)
+        return pd.Series(out, dtype="float64")
+
+    sims = assigned.withColumn(
+        "sim", _sim_to_centroid(F.col("__v"), F.col("cluster"))
+    ).filter(F.col("sim").isNotNull())
+    return (
+        sims.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("sim"), 4).alias("mean_sim"),
+            F.round(F.min("sim"), 4).alias("min_sim"),
+            F.min(
+                F.struct((-F.col("sim")).alias("s"), F.col(id_col).alias("i"))
+            )["i"].alias("exemplar_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    per_cluster: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Diversity sampling: up to ``per_cluster`` rows from every
+    k-means cluster, selected by md5 rank — deterministic, id-stable,
+    and re-drawable via ``salt`` (the same contract as
+    ``sampling.hash_split``). Equal-per-cluster draws flatten the
+    corpus's mode distribution — the cheap version of coreset /
+    k-center selection for training-set diversity.
+
+    One assignment pass + one per-cluster rank window (bounded by
+    cluster size; no global sort). Output: the sampled rows with
+    their ``cluster``.
+    """
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    assigned = ivf_assign(
+        corpus, centroids, vec_col=vec_col, out_col="__cl", n_probe=1
+    ).withColumn("cluster", F.col("__cl")[0]).drop("__cl")
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
+        F.col(id_col),
+    )
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cluster)
+        .drop("__rn")
+    )

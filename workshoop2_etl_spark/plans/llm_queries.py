@@ -281,6 +281,35 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cluster_profile_embeddings")  # rows-only: seeded k-means
+def cluster_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-map over the shared IVF quantizer: per-cluster member
+    count, cohesion (mean/min cosine to centroid), and exemplar id.
+    Rows-only: the k-means centroids have no SQL twin; the closed-form
+    geometry is pytest-proven on planted clusters."""
+    from workshoop2_etl_spark.operators.similarity import cluster_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    return cluster_profile(emb, cents)
+
+
+@_register("cluster_sample_embeddings")  # rows-only: seeded k-means
+def cluster_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: up to 5 vectors per k-means
+    cluster by deterministic md5 rank — the mode-flattening draw for
+    training-set diversity. Rows-only (centroid dependence); the
+    determinism/cap/salt contract is pytest-proven."""
+    from workshoop2_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    out = cluster_balanced_sample(emb, cents, per_cluster=5)
+    return out.select("vec_id", "label", "cluster")
+
+
 @_register("embedding_neardup_pairs")  # rows-only: LSH-bucketed
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs via LSH buckets — quadratic only
