@@ -215,6 +215,9 @@ _DEMOTED_ORACLES = (
     # alignment-robust complement to duplicate_spans; md5 minima
     # reproduced exactly by the oracle.
     "winnow_candidates_documents",
+    # Round-6: Gopher rule battery (canonical thresholds) — the
+    # quality family stays driver-visible via quality_score_documents.
+    "gopher_rules_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

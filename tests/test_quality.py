@@ -161,3 +161,54 @@ def test_join_key_health_planted_pathologies(spark):
     assert r["n_orphans"] == 1          # 99 dangles
     assert r["n_dup_dim_keys"] == 1     # pk=2 duplicated
     assert r["top_key"] == "1" and r["top_key_n"] == 3
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule trips on a document built to violate exactly
+    that rule; a well-formed document passes all of them."""
+    from workshoop2_etl_spark.operators.quality import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over and over with steady prose to "
+        "be sure of that rhythm " * 3
+    )  # ~48 words — pad to pass min_words=50
+    good = good + "padding words here again thanks"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "tiny doc"),                                # word count
+            (3, " ".join(["a"] * 60)),                      # mean word len + alpha ok? 'a' alpha; len 1 < 3
+            (4, " ".join(["word#tag#x"] * 60)),             # symbol ratio (2 hits/word)
+            (5, "\n".join(["- bullet line item"] * 10)),    # bullets
+            (6, "\n".join(["trailing thought..."] * 10)),   # ellipses
+            (7, " ".join(["1234"] * 60)),                   # alpha fraction
+            (8, " ".join(["zxqv"] * 60)),                   # stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs, "text").collect()}
+    assert out[1].gopher_pass
+    assert not out[2].ok_word_count
+    assert not out[3].ok_mean_word_len
+    assert not out[4].ok_symbol_ratio
+    assert not out[5].ok_bullets
+    assert not out[6].ok_ellipses
+    assert not out[7].ok_alpha_words
+    assert not out[8].ok_stopwords
+    for d in range(2, 9):
+        assert not out[d].gopher_pass
+
+
+def test_gopher_rules_threshold_overrides_and_guard(spark):
+    from workshoop2_etl_spark.operators.quality import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sat with all of that")],
+        "doc_id long, text string",
+    )
+    relaxed = gopher_rules(docs, "text", min_words=5).collect()[0]
+    assert relaxed.ok_word_count and relaxed.gopher_pass
+    strict = gopher_rules(docs, "text", min_words=50).collect()[0]
+    assert not strict.ok_word_count
+    with pytest.raises(ValueError):
+        gopher_rules(docs, "text", not_a_threshold=1)

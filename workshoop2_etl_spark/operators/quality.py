@@ -369,3 +369,133 @@ def with_load_metrics(
     obs = Observation(name)
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     return observed, obs
+
+
+#: Gopher rule defaults (Rae et al. 2021, arXiv:2112.11446 Sec A1.1).
+#: The canonical web-filtering thresholds; every one is a parameter
+#: because corpus policy differs (the registered query keeps them).
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "min_stopword_hits": 2,
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    **overrides,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1) as
+    one narrow projection — per-document booleans for each rule plus
+    the conjunctive ``gopher_pass``. Never a silent filter:
+    downstream picks which rules gate and which merely annotate.
+
+    Rules (thresholds overridable, defaults are the paper's): word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    (``#`` and ``...`` hits per word), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and a
+    minimum distinct-stopword hit count (the "contains common words
+    at all" gibberish gate).
+
+    Everything is built-in column expressions over one tokenization —
+    zero joins, zero shuffles, zero Python: the gate runs at scan
+    speed and composes into any pipeline stage. SQL-expressible, so
+    the oracle replays every rule bit-for-bit. Line rules degrade
+    gracefully on newline-free corpora (0/1-line documents pass
+    unless genuinely bullet/ellipsis shaped).
+    """
+    t = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(t)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    t.update(overrides)
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / n_words,
+    )
+    symbol_hits = F.regexp_count(text, F.lit(r"\.\.\.|#"))
+    lines = F.filter(F.split(text, "\n"), lambda line: F.trim(line) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda line: F.trim(line).rlike(r"^[*\-•]"))
+        )
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda line: F.rtrim(line).rlike(r"\.\.\.$"))
+        )
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    ok_word_count = (n_words >= t["min_words"]) & (n_words <= t["max_words"])
+    ok_mean_wlen = (mean_wlen >= t["min_mean_word_len"]) & (
+        mean_wlen <= t["max_mean_word_len"]
+    )
+    ok_symbol = (
+        F.coalesce(
+            F.when(n_words > 0, symbol_hits / n_words), F.lit(0.0)
+        )
+        <= t["max_symbol_word_ratio"]
+    )
+    ok_bullets = (
+        F.coalesce(bullet_frac, F.lit(0.0)) <= t["max_bullet_line_frac"]
+    )
+    ok_ellipses = (
+        F.coalesce(ellipsis_frac, F.lit(0.0)) <= t["max_ellipsis_line_frac"]
+    )
+    ok_alpha = (
+        F.coalesce(alpha_frac, F.lit(1.0)) >= t["min_alpha_word_frac"]
+    )
+    ok_stop = stop_hits >= t["min_stopword_hits"]
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.coalesce(ok_word_count, F.lit(False)).alias("ok_word_count"),
+        F.coalesce(ok_mean_wlen, F.lit(False)).alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipses.alias("ok_ellipses"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            F.coalesce(ok_word_count, F.lit(False))
+            & F.coalesce(ok_mean_wlen, F.lit(False))
+            & ok_symbol
+            & ok_bullets
+            & ok_ellipses
+            & ok_alpha
+            & ok_stop
+        ).alias("gopher_pass"),
+    )

@@ -1425,6 +1425,66 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+         list_filter(string_split_regex(text, '\n'), x -> trim(x) <> '') AS lines,
+         len(regexp_extract_all(text, '\.\.\.|#')) AS symbol_hits
+  FROM documents
+), m AS (
+  SELECT doc_id, symbol_hits,
+         len(words) AS n_words, len(lines) AS n_lines,
+         CASE WHEN len(words) > 0 THEN
+           list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+         END AS mean_wlen,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, x -> regexp_matches(trim(x), '^[*\-•]')))
+             * 1.0 / len(lines) END AS bullet_frac,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, x -> regexp_matches(rtrim(x), '\.\.\.$')))
+             * 1.0 / len(lines) END AS ellipsis_frac,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+             * 1.0 / len(words) END AS alpha_frac,
+         len(list_intersect(
+           list_distinct(list_transform(words, x -> lower(x))),
+           ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wlen, 4) AS mean_word_len,
+  coalesce(n_words >= 50 AND n_words <= 100000, FALSE) AS ok_word_count,
+  coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, FALSE) AS ok_mean_word_len,
+  coalesce(CASE WHEN n_words > 0 THEN symbol_hits * 1.0 / n_words END, 0.0)
+    <= 0.1 AS ok_symbol_ratio,
+  coalesce(bullet_frac, 0.0) <= 0.90 AS ok_bullets,
+  coalesce(ellipsis_frac, 0.0) <= 0.30 AS ok_ellipses,
+  coalesce(alpha_frac, 1.0) >= 0.80 AS ok_alpha_words,
+  stop_hits >= 2 AS ok_stopwords,
+  coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+    AND coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, FALSE)
+    AND coalesce(CASE WHEN n_words > 0 THEN symbol_hits * 1.0 / n_words END, 0.0) <= 0.1
+    AND coalesce(bullet_frac, 0.0) <= 0.90
+    AND coalesce(ellipsis_frac, 0.0) <= 0.30
+    AND coalesce(alpha_frac, 1.0) >= 0.80
+    AND stop_hits >= 2 AS gopher_pass
+FROM m
+"""
+
+
+@_register("gopher_rules_documents", _GOPHER_SQL)
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1) at the
+    paper's canonical thresholds — per-rule booleans, never a silent
+    filter. Pure column expressions; the oracle replays every rule."""
+    from workshoop2_etl_spark.operators.quality import gopher_rules
+
+    docs = _tp(spark, sf_dir, "documents")
+    return gopher_rules(docs, "text")
+
+
 _WINNOW_SQL = """
 WITH offs AS (SELECT off FROM generate_series(0, 10000) AS t(off)),
 grams AS (
