@@ -218,6 +218,12 @@ _DEMOTED_ORACLES = (
     # Round-6: Gopher rule battery (canonical thresholds) — the
     # quality family stays driver-visible via quality_score_documents.
     "gopher_rules_documents",
+    # Round-6: attribution / sliding-distinct / linear-interpolation
+    # time-axis wave; the time-series family stays driver-visible via
+    # resample_fill_events + funnel_conversion_events in the window.
+    "attribution_events",
+    "active_users_7d_events",
+    "interpolate_linear_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -278,3 +278,120 @@ def test_compact_parquet_single_file_input(spark, tmp_path):
     n = compact_parquet(spark, single, dst, target_file_bytes=10**9)
     assert n == 1
     assert spark.read.parquet(dst).count() == 100
+
+
+def test_linear_interpolation_matches_pandas(spark):
+    """fill='linear' against pandas interpolate(limit_direction=
+    'forward') on a crafted series: leading gap NULL, interior gaps on
+    the straight line (multi-bucket slope), trailing gap holds."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def t(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    # observations at buckets 1, 4, 5 (1h step): leading gap bucket 0
+    # absent (grid starts at first obs), gap 2-3 interpolates, and a
+    # second group checks independence.
+    rows = [
+        ("a", t(1), 10.0),
+        ("a", t(4), 40.0),
+        ("a", t(5), 20.0),
+        ("b", t(0), 5.0),
+        ("b", t(3), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = resample_fill(
+        df,
+        group_cols=["g"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        fill="linear",
+    )
+    got = {
+        (r["g"], r["bucket_ts"].hour): r["v"] for r in out.collect()
+    }
+    for g, obs in (("a", {1: 10.0, 4: 40.0, 5: 20.0}), ("b", {0: 5.0, 3: 8.0})):
+        lo, hi = min(obs), max(obs)
+        s = pd.Series(
+            [obs.get(h) for h in range(lo, hi + 1)], dtype="float64"
+        ).interpolate(method="linear", limit_direction="forward")
+        for i, h in enumerate(range(lo, hi + 1)):
+            assert got[(g, h)] == pytest.approx(s.iloc[i]), (g, h)
+
+
+def test_attribution_tiebreak_and_no_prior_touch(spark):
+    """Deterministic tie-break on (ts, id); a converter whose first
+    event IS the conversion carries no credit; channel credited on one
+    side only gets a zero on the other."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(uid, sec, typ, eid):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ)
+
+    rows = [
+        # user 1: ad(ts=0,id=2) vs email(ts=0,id=1) tie -> email first
+        # by id; last touch before buy = ad (ts=5)
+        r(1, 0, "email", 1),
+        r(1, 0, "ad", 2),
+        r(1, 5, "ad", 3),
+        r(1, 10, "buy", 4),
+        # user 2: converts with no prior event -> no credit
+        r(2, 0, "buy", 5),
+        # user 3: single pre-touch 'social' credits both sides
+        r(3, 0, "social", 6),
+        r(3, 1, "buy", 7),
+        # user 4: never converts -> ignored
+        r(4, 0, "email", 8),
+    ]
+    from workshoop2_etl_spark.operators.timeseries import attribution
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["channel"]: (r["n_first_touch"], r["n_last_touch"])
+        for r in attribution(
+            df,
+            actor_col="user_id",
+            ts_col="ts",
+            channel_col="event_type",
+            conversion_predicate=F.col("event_type") == "buy",
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert out == {"email": (1, 0), "ad": (0, 1), "social": (1, 1)}
+
+
+def test_sliding_active_actors_matches_bruteforce(spark, sf_dir):
+    """Fan-out + re-distinct recomposition equals the quadratic
+    definition computed row-by-row in Python."""
+    import collections
+
+    from workshoop2_etl_spark.operators.timeseries import (
+        sliding_active_actors,
+    )
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    pdf = ev.select(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    ).toPandas()
+    pairs = {(u, d) for u, d in zip(pdf.user_id, pdf.day)}
+    days = sorted({d for _, d in pairs})
+    import datetime as dt
+
+    expect = {}
+    for day in days:
+        lo = day - dt.timedelta(days=6)
+        expect[day] = len({u for (u, d) in pairs if lo <= d <= day})
+    got = {
+        r["day"]: r["n_active"]
+        for r in sliding_active_actors(
+            ev, actor_col="user_id", ts_col="ts", window_days=7
+        ).collect()
+    }
+    assert got == expect

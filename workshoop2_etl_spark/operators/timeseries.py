@@ -47,14 +47,25 @@ def resample_fill(
     step_seconds: int = 3600,
     agg: str = "avg",
     max_buckets: int = 1_000_000,
+    fill: str = "ffill",
 ) -> DataFrame:
-    """Per-group fixed-step resample with forward fill.
+    """Per-group fixed-step resample with gap filling.
 
     Each group's timeline becomes a dense grid of ``step_seconds``
     buckets from its first to its last observation; ``value_col`` is
     aggregated per bucket (``avg``/``sum``/``min``/``max``/``count``)
-    and empty buckets inherit the most recent earlier bucket's value
-    (classic ffill; leading gaps stay NULL).
+    and empty buckets are filled per ``fill``:
+
+    - ``"ffill"`` — inherit the most recent earlier bucket's value
+      (classic forward fill; leading gaps stay NULL).
+    - ``"linear"`` — straight-line interpolation between the nearest
+      observed bucket on each side (two IGNORE NULLS windows — one
+      trailing ``last``, one leading ``first`` — carrying both the
+      neighbor's value and its bucket index, so the slope is exact
+      even across multi-bucket gaps). Trailing gaps hold the last
+      observation (no future anchor to interpolate toward); leading
+      gaps stay NULL — same edge semantics pandas
+      ``interpolate(limit_direction='forward')`` uses.
 
     Returns (group_cols…, ``bucket_ts`` timestamp, ``v`` double).
 
@@ -65,6 +76,8 @@ def resample_fill(
     """
     if agg not in ("avg", "sum", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
+    if fill not in ("ffill", "linear"):
+        raise ValueError(f"unsupported fill {fill!r}")
     gcols = list(group_cols)
     step_us = step_seconds * _US
     # floor, not cast-truncation: division truncates TOWARD ZERO, so a
@@ -108,16 +121,42 @@ def resample_fill(
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(per_bucket, [*gcols, "__bucket"], "left")
-        .withColumn("__filled", F.last("__v", ignorenulls=True).over(w))
-        .select(
-            *gcols,
-            F.timestamp_micros(
-                F.col("__bucket") * F.lit(step_us)
-            ).alias("bucket_ts"),
-            F.col("__filled").alias("v"),
+    joined = grid.join(per_bucket, [*gcols, "__bucket"], "left")
+    if fill == "linear":
+        # Nearest observed neighbor on each side, carried WITH its
+        # bucket index so the interpolation slope spans multi-bucket
+        # gaps correctly. Two windows over the same per-group sort —
+        # one physical sort, two frame scans.
+        w_next = (
+            Window.partitionBy(*gcols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+        obs_b = F.when(F.col("__v").isNotNull(), F.col("__bucket"))
+        prev_v = F.last("__v", ignorenulls=True).over(w)
+        prev_b = F.last(obs_b, ignorenulls=True).over(w)
+        next_v = F.first("__v", ignorenulls=True).over(w_next)
+        next_b = F.first(obs_b, ignorenulls=True).over(w_next)
+        filled = (
+            F.when(F.col("__v").isNotNull(), F.col("__v"))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("__bucket") - prev_b)
+                / (next_b - prev_b),
+            )
+            # trailing gap: hold the last observation (no next anchor)
+            .otherwise(prev_v)
+        )
+    else:
+        filled = F.last("__v", ignorenulls=True).over(w)
+    return joined.withColumn("__filled", filled).select(
+        *gcols,
+        F.timestamp_micros(
+            F.col("__bucket") * F.lit(step_us)
+        ).alias("bucket_ts"),
+        F.col("__filled").alias("v"),
     )
 
 
@@ -251,6 +290,125 @@ def transition_counts(
     ).filter(F.col("from_state").isNotNull())
     return pairs.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+def attribution(
+    df: DataFrame,
+    *,
+    actor_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_predicate,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every actor whose
+    history contains a conversion (``conversion_predicate`` Column),
+    credit the channel of their EARLIEST pre-conversion event and the
+    channel of their LATEST event strictly before the first
+    conversion, then count credits per channel.
+
+    Two aggregates and one actor-keyed join — never a per-channel
+    self-join: (1) first conversion time per actor; (2) over the
+    pre-conversion slice, ``min_by``/``max_by`` on the (ts,
+    tiebreak…) struct picks each actor's first/last touch
+    deterministically even under timestamp collisions. Actors who
+    convert with no prior event (the conversion IS their first event)
+    carry no touch credit — standard attribution semantics.
+
+    Returns (``channel``, ``n_first_touch`` long, ``n_last_touch``
+    long): one row per channel credited at least once, zeros filled on
+    the side that never credited it.
+
+    Scale: both aggregates shuffle on the actor key; the conversion
+    table is actors-who-converted (far smaller than events) and joins
+    back keyed — broadcast-eligible when dimension-sized. Channel
+    cardinality bounds the final aggregate at a handful of rows.
+    """
+    order_key = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    conv = (
+        df.filter(conversion_predicate)
+        .groupBy(actor_col)
+        .agg(F.min(ts_col).alias("__conv_ts"))
+    )
+    pre = df.join(conv, actor_col).filter(
+        F.col(ts_col) < F.col("__conv_ts")
+    )
+    touches = pre.groupBy(actor_col).agg(
+        F.min_by(F.col(channel_col), order_key).alias("__first_ch"),
+        F.max_by(F.col(channel_col), order_key).alias("__last_ch"),
+    )
+    firsts = touches.groupBy(F.col("__first_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first_touch")
+    )
+    lasts = touches.groupBy(F.col("__last_ch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last_touch")
+    )
+    return (
+        firsts.join(lasts, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+    )
+
+
+def sliding_active_actors(
+    df: DataFrame,
+    *,
+    actor_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct active actors per day (DAU→WAU/MAU
+    family): for each day that appears in the data, how many distinct
+    actors were active in the ``window_days`` ending that day.
+
+    COUNT(DISTINCT) over a sliding window has no single-pass window
+    form — the standard scalable shape is contribution fan-out:
+    distinct (actor, day) pairs [actor-days, far below event count]
+    explode each pair to the ≤``window_days`` report days it
+    contributes to (bounded, narrow), distinct again (an actor active
+    twice in one window counts once), then a plain per-day count.
+    Report days are clipped to the observed day span (no phantom tail
+    after the last event) and to days with ≥1 event (semi-join with
+    the observed-day set — dashboard convention, and what a DuckDB
+    twin over real days computes).
+
+    Returns (``day`` date, ``n_active`` long).
+
+    Scale: every shuffle keys on (actor, day) or day; fan-out is a
+    ×``window_days`` row multiplier on ACTOR-DAYS, not events —
+    28-day windows over years of data stay linear. The observed-day
+    set is days-sized, broadcast.
+    """
+    day = F.col(ts_col).cast("date")
+    actor_days = df.select(
+        F.col(actor_col).alias("actor"), day.alias("__day")
+    ).distinct()
+    observed = actor_days.select("__day").distinct()
+    contrib = (
+        actor_days.select(
+            "actor",
+            F.explode(
+                F.sequence(
+                    F.col("__day"),
+                    F.date_add(F.col("__day"), window_days - 1),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .join(
+            F.broadcast(observed.select(F.col("__day").alias("day"))),
+            "day",
+            "left_semi",
+        )
+    )
+    return contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active")
     )
 
 

@@ -623,3 +623,144 @@ def clustered_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), touches AS (
+  SELECT e.user_id,
+         first(e.event_type ORDER BY e.ts, e.event_id) AS first_ch,
+         last(e.event_type ORDER BY e.ts, e.event_id) AS last_ch
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE CAST(e.ts AS TIMESTAMP) < c.conv_ts
+  GROUP BY e.user_id
+), f AS (
+  SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first_touch
+  FROM touches GROUP BY 1
+), l AS (
+  SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last_touch
+  FROM touches GROUP BY 1
+)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       CAST(COALESCE(n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(COALESCE(n_last_touch, 0) AS BIGINT) AS n_last_touch
+FROM f FULL OUTER JOIN l ON f.channel = l.channel
+"""
+
+
+@_register("attribution_events", _ATTRIBUTION_SQL)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: which event
+    type opened, and which closed, each user's path to their first
+    purchase. min_by/max_by on the (ts, event_id) struct makes both
+    touches deterministic under timestamp ties; the oracle's ordered
+    first()/last() aggregates mirror the same total order."""
+    from workshoop2_etl_spark.operators.timeseries import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev,
+        actor_col="user_id",
+        ts_col="ts",
+        channel_col="event_type",
+        conversion_predicate=F.col("event_type") == "purchase",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_ACTIVE7D_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM d
+)
+SELECT days.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+GROUP BY 1
+"""
+
+
+@_register("active_users_7d_events", _ACTIVE7D_SQL)
+def active_users_7d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day (the
+    DAU/WAU family). Sliding COUNT(DISTINCT) has no window-function
+    form, so the scalable shape is bounded contribution fan-out over
+    actor-days (x7 on distinct pairs, not events) + re-distinct +
+    per-day count; the oracle is the quadratic range-join DuckDB can
+    afford at test scale — agreement proves the fan-out recomposition
+    exact."""
+    from workshoop2_etl_spark.operators.timeseries import (
+        sliding_active_actors,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_active_actors(
+        ev, actor_col="user_id", ts_col="ts", window_days=7
+    )
+
+
+_INTERP_SQL = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600000000) AS BIGINT)
+           AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s
+), j AS (
+  SELECT g.user_id, g.bucket, b.v,
+         last_value(b.v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN b.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+           OVER wp AS prev_b,
+         first_value(b.v IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN b.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+           OVER wn AS next_b
+  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       make_timestamp(bucket * 21600000000) AS bucket_ts,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                     THEN prev_v + (next_v - prev_v) * (bucket - prev_b)
+                          / (next_b - prev_b)
+                   ELSE prev_v END) * 10000 + 0.5) / 10000 AS v
+FROM j
+"""
+
+
+@_register("interpolate_linear_events", _INTERP_SQL)
+def interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resample with LINEAR interpolation across gaps
+    (straight line between the nearest observed bucket on each side;
+    trailing gaps hold, leading gaps stay NULL) — the sibling of
+    resample_fill_events for continuous signals. Identical IEEE
+    expression order on both engines makes the doubles bit-equal
+    (verified: max |Δ| = 0.0 unrounded at sf0.01); the 4-dp cut uses
+    an EXPLICIT floor(x·10⁴+½)/10⁴ on both sides because engine
+    round() builtins disagree at half-boundaries (Spark HALF_UP on
+    the shortest-decimal repr vs DuckDB's scaled-multiply round) —
+    and interpolated midpoints hit .xxxx5 structurally."""
+    ev = _t(spark, sf_dir, "events")
+    out = resample_fill(
+        ev,
+        group_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        agg="avg",
+        fill="linear",
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        (F.floor(F.col("v") * 10000 + F.lit(0.5)) / 10000).alias("v"),
+    )
