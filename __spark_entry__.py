@@ -18,6 +18,7 @@ import workshoop2_etl_spark.plans.llm_queries  # noqa: F401 — registers querie
 import workshoop2_etl_spark.plans.sql_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.streaming_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.timeseries_queries  # noqa: F401 — registers queries
+import workshoop2_etl_spark.plans.tpch_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.window_queries  # noqa: F401 — registers queries
 from workshoop2_etl_spark.plans.reference_queries import (
     ORACLE_SQL,
@@ -224,6 +225,22 @@ _DEMOTED_ORACLES = (
     "attribution_events",
     "active_users_7d_events",
     "interpolate_linear_events",
+    # Round-6: per-key EWMA recursion vs the closed-form oracle —
+    # mirror-checked.
+    "ewma_value_events",
+    # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
+    # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
+    # star-join family stays driver-visible via pricing_summary and
+    # sql_revenue_by_nation in the window; all mirror-checked.
+    "tpch_q3_unshipped_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -333,3 +333,54 @@ def test_fuzzy_join_big_never_nested_loop(spark):
     plan = _physical(q("fuzzy_join_big_customers")(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pure_scan_agg(spark):
+    """Q6 is the pushdown benchmark: all three predicates reach the
+    parquet scan, the read schema is pruned to the referenced columns,
+    and there is no join or wide shuffle — one partial/final agg pair."""
+    plan = _physical(q("tpch_q6_forecast_revenue")(spark, SF))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "Join" not in plan
+
+
+def test_tpch_q7_broadcasts_both_dim_paths(spark):
+    """Both the supplier-nation and customer-nation paths must resolve
+    via broadcast — the fact shuffles only for the final group-by."""
+    plan = _physical(q("tpch_q7_volume_shipping")(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # The nation-pair filter must prune each dim BEFORE the broadcast.
+    opt = _optimized(q("tpch_q7_volume_shipping")(spark, SF))
+    assert "NATION_" in opt
+
+
+def test_tpch_q19_factors_predicates_to_both_scans(spark):
+    """The disjunction's common bounds must be factored into each scan:
+    brand IN (...) on part, quantity bounds on lineitem."""
+    plan = _physical(q("tpch_q19_disjunctive_revenue")(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # part scan receives the brand disjunction as an In/Or pushed filter
+    assert "p_brand" in plan.split("ReadSchema:")[0] or "In(p_brand" in plan
+    # lineitem scan receives the derived quantity range
+    assert "GreaterThanOrEqual(l_quantity" in plan or "l_quantity" in (
+        plan.split("PushedFilters:")[1] if "PushedFilters:" in plan else ""
+    )
+
+
+def test_tpch_q3_and_q18_use_topk_not_global_sort(spark):
+    for name in ("tpch_q3_unshipped_orders", "tpch_q18_large_volume_customers"):
+        plan = _physical(q(name)(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_tpch_q15_argmax_is_broadcast_not_window(spark):
+    """The scalar-max compare must plan as a one-row broadcast join,
+    never a single-partition window over all suppliers."""
+    plan = _physical(q("tpch_q15_top_supplier")(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.ids import assign_global_ids
 from workshoop2_etl_spark.operators.timeseries import (
+    ewma,
     funnel,
     resample_fill,
     retention_cohorts,
@@ -395,3 +396,52 @@ def test_sliding_active_actors_matches_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert got == expect
+
+
+def test_ewma_matches_python_loop(spark):
+    """Recursion vs an explicit Python loop over randomized series."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(5):
+        for t in range(rng.randrange(1, 40)):
+            rows.append((f"k{k}", t, rng.uniform(-100, 100)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    alpha = 0.25
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(
+            df, key_col="k", ts_col="t", value_col="v", alpha=alpha
+        ).collect()
+    }
+    by_key = {}
+    for k, t, v in sorted(rows):
+        if k not in by_key:
+            by_key[k] = v
+        else:
+            by_key[k] = alpha * v + (1.0 - alpha) * by_key[k]
+        assert got[(k, t)] == pytest.approx(by_key[k], abs=1e-12), (k, t)
+
+
+def test_ewma_tiebreak_deterministic_and_alpha_guard(spark):
+    """Equal timestamps order by the tiebreak column; alpha validated."""
+    df = spark.createDataFrame(
+        [("a", 1, 1, 10.0), ("a", 1, 0, 0.0), ("a", 2, 2, 100.0)],
+        "k string, t int, id int, v double",
+    )
+    out = {
+        r["id" if False else "t"]: r["ewma"]
+        for r in ewma(
+            df,
+            key_col="k",
+            ts_col="t",
+            value_col="v",
+            alpha=0.5,
+            tiebreak_cols=["id"],
+        ).collect()
+    }
+    # order is (t=1,id=0) x=0 -> y=0; (t=1,id=1) x=10 -> y=5; (t=2) -> 52.5
+    assert out[2] == pytest.approx(52.5)
+    with pytest.raises(ValueError):
+        ewma(df, key_col="k", ts_col="t", value_col="v", alpha=0.0)

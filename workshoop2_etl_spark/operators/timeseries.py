@@ -477,3 +477,81 @@ def longest_streaks(
             ),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average in event order:
+
+        y_0 = x_0;   y_t = α·x_t + (1−α)·y_{t−1}
+
+    (the recursive / ``adjust=False`` convention — each observation's
+    influence decays by (1−α) per subsequent observation).
+
+    Plan shape: ONE shuffle on the key, then a per-key higher-order
+    ``aggregate`` over the time-sorted (ts, tiebreak…, x) struct array
+    — the recursion runs inside whole-stage codegen, no Python. The
+    per-key state is that key's history array (the same
+    bounded-history contract as sessionization/``resample_fill``:
+    keys here are actors/devices/series whose individual history fits
+    an executor; a key whose history doesn't fit needs time-chunked
+    state carry, which is what the streaming layer's stateful ops are
+    for). Rows come back EXPLODED to the original grain with ``out_col``
+    attached, so the operator composes like any projection.
+
+    Ties on ``ts_col`` are ordered by ``tiebreak_cols`` (pass a unique
+    id to make the recursion deterministic under collisions — struct
+    ordering is lexicographic, same convention as :func:`attribution`).
+
+    Closed form equivalence (what the DuckDB oracle replays):
+    y_t = (1−α)^t·x_0 + α·Σ_{i=1..t} (1−α)^{t−i}·x_i.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    order_struct = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    rows = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(order_struct)).alias("__hist")
+    )
+    # Fold the recursion: accumulator is the ewma-so-far array (NULL
+    # seed distinguishes "no rows yet"); each step appends
+    # α·x + (1−α)·last. element_at(-1) reads the running value.
+    folded = rows.withColumn(
+        "__y",
+        F.aggregate(
+            "__hist",
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, s: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        F.size(acc) == 0, s["__x"]
+                    ).otherwise(
+                        F.lit(alpha) * s["__x"]
+                        + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ),
+    )
+    exploded = folded.select(
+        F.col(key_col),
+        F.posexplode(F.arrays_zip("__hist", "__y")).alias("__i", "__z"),
+    )
+    return exploded.select(
+        key_col,
+        F.col("__z.__hist.__ts").alias(ts_col),
+        F.col("__z.__hist.__x").alias(value_col),
+        F.col("__z.__y").alias(out_col),
+    )

@@ -764,3 +764,45 @@ def interpolate_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts",
         (F.floor(F.col("v") * 10000 + F.lit(0.5)) / 10000).alias("v"),
     )
+
+
+_EWMA_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), l AS (
+  SELECT user_id, list(x ORDER BY ts, event_id) AS xs FROM r GROUP BY user_id
+)
+SELECT r.user_id, r.ts, r.x AS value,
+       list_reduce(l.xs[1:r.rn], (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc)
+         AS ewma
+FROM r JOIN l ON r.user_id = l.user_id
+"""
+
+
+@_register("ewma_value_events", _EWMA_SQL)
+def ewma_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (α=0.3, adjust=False) of event
+    values in event order — the denoised signal monitoring and
+    feature pipelines layer on raw metrics. The engine runs the O(n)
+    per-key recursion (one shuffle + a codegen'd higher-order fold);
+    the oracle replays the IDENTICAL left-fold (per-row prefix
+    list_reduce, same `α·x + (1−α)·acc` operand order, `(1.0 − 0.3)`
+    spelled out because the literal 0.7 is one ulp away) — so the
+    doubles are BIT-EQUAL and the compare runs unrounded. A 4-dp
+    closed-form oracle was tried first and hit 5 genuine half-boundary
+    collisions at sf0.01; exact-recursion replay is the stable shape
+    (cf. interpolate_linear_events on engine round() divergence)."""
+    from workshoop2_etl_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.3,
+        tiebreak_cols=["event_id"],
+    )
