@@ -228,6 +228,9 @@ _DEMOTED_ORACLES = (
     # Round-6: per-key EWMA recursion vs the closed-form oracle —
     # mirror-checked.
     "ewma_value_events",
+    # Round-6: hybrid BM25+dense reciprocal-rank fusion — both
+    # branches and the fusion replayed in one oracle; mirror-checked.
+    "hybrid_rrf_search_documents",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

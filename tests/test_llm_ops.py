@@ -1166,3 +1166,111 @@ def test_cluster_balanced_sample_cap_determinism_salt(spark):
     assert sorted(r.vec_id for r in s3.collect()) != ids1  # salt redraws
     with pytest.raises(ValueError):
         cluster_balanced_sample(vecs, cents, per_cluster=0)
+
+
+def test_mmr_matches_python_greedy(spark):
+    """MMR vs an independent pure-Python greedy over random shortlists."""
+    import math
+    import random
+
+    from workshoop2_etl_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(11)
+    rows = []
+    for q in range(3):
+        for i in range(12):
+            rows.append(
+                (
+                    q,
+                    100 * q + i,
+                    [rng.uniform(-1, 1) for _ in range(8)],
+                    round(rng.uniform(0, 1), 6),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, sim double"
+    )
+    lam, k = 0.6, 5
+    got = {
+        (r.query_id, r["rank"]): (r.vec_id, r.mmr_score)
+        for r in mmr_rerank(df, k=k, lam=lam).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    for q in range(3):
+        cand = [(v, e, s) for (qq, v, e, s) in rows if qq == q]
+        cand.sort(key=lambda t: (-t[2], t[0]))
+        chosen = []
+        for rank in range(1, k + 1):
+            best = None
+            for v, e, s in cand:
+                if any(v == cv for cv, _, _ in chosen):
+                    continue
+                red = max((cos(e, ce) for _, ce, _ in chosen), default=None)
+                marg = lam * s if red is None else lam * s - (1 - lam) * red
+                if best is None or marg > best[3] + 1e-12 or (
+                    abs(marg - best[3]) <= 1e-12 and v < best[0]
+                ):
+                    best = (v, e, s, marg)
+            chosen.append((best[0], best[1], best[3]))
+            gv, gs = got[(q, rank)]
+            assert gv == best[0], (q, rank)
+            assert gs == pytest.approx(best[3], abs=1e-9)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted geometry: two near-identical high-relevance vectors and
+    one orthogonal medium one — MMR must pick the orthogonal vector
+    second, while plain relevance ranking would not."""
+    from workshoop2_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, 1, [1.0, 0.0], 0.99),
+        (0, 2, [0.999, 0.01], 0.98),  # redundant twin of #1
+        (0, 3, [0.0, 1.0], 0.60),  # diverse
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, sim double"
+    )
+    out = [
+        r.vec_id
+        for r in mmr_rerank(df, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [1, 3, 2]
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=3, lam=1.5)
+
+
+def test_rrf_fuse_fusion_math_and_membership(spark):
+    """Doc in both lists outranks better-single-list docs per RRF; the
+    per-list rank columns surface membership; empty input raises."""
+    from workshoop2_etl_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(12, 1), (13, 2)], "doc_id long, rank long"
+    )
+    out = {
+        r.doc_id: r
+        for r in rrf_fuse(
+            {"lexical": lex, "dense": dense}, id_col="doc_id"
+        ).collect()
+    }
+    # doc 12: 1/63 + 1/61 beats doc 10's 1/61 alone
+    assert out[12].rrf == pytest.approx(
+        round(1 / 63 + 1 / 61, 6)
+    )
+    assert out[12].lexical_rank == 3 and out[12].dense_rank == 1
+    assert out[10].dense_rank is None
+    top = sorted(out.values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert top[0].doc_id == 12
+    with pytest.raises(ValueError):
+        rrf_fuse({}, id_col="doc_id")

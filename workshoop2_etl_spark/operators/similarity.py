@@ -889,3 +889,148 @@ def cluster_balanced_sample(
         .filter(F.col("__rn") <= per_cluster)
         .drop("__rn")
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    *,
+    id_col: str,
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of N ranked retrieval lists — the standard hybrid-search combiner
+    for lexical (BM25) + dense (ANN) branches, robust because it only
+    consumes RANKS, never the incomparable raw scores:
+
+        rrf(d) = Σ_lists 1 / (c + rank_list(d))
+
+    ``ranked`` maps a list name to a DataFrame carrying (``id_col``,
+    ``rank_col``); each list's rank column comes back as
+    ``{name}_rank`` (NULL where the list didn't surface the doc), so
+    the fused row explains itself. Ties break on ascending id.
+
+    Plan shape: the inputs are top-k lists — k·N rows total,
+    dimension-sized BY CONSTRUCTION no matter the corpus size — so
+    the union + one aggregate is metadata-scale; everything heavy
+    already happened inside the branch retrievers. ``k`` optionally
+    truncates the fused list (TakeOrderedAndProject).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = []
+    names = list(ranked)
+    for name, df in ranked.items():
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(name).alias("__list"),
+                F.col(rank_col).cast("long").alias("__rank"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    aggs = [
+        F.round(
+            F.sum(1.0 / (F.lit(float(c)) + F.col("__rank"))), 6
+        ).alias("rrf")
+    ] + [
+        F.max(
+            F.when(F.col("__list") == n, F.col("__rank"))
+        ).alias(f"{n}_rank")
+        for n in names
+    ]
+    out = (
+        allp.groupBy(id_col)
+        .agg(*aggs)
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "sim",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick, per query, the candidate maximizing
+
+        λ · rel(q, d) − (1−λ) · max_{s ∈ selected} cos(d, s)
+
+    — relevance traded against redundancy, the diversity pass run on
+    a retriever's shortlist before showing results or building
+    RAG/training contexts.
+
+    ``candidates`` is a SHORTLIST (query_id, id, vec, rel) — the
+    output of :func:`brute_force_topk`/:func:`ivf_topk` joined back to
+    its vectors — so each per-query group is k′ rows by construction.
+    The greedy loop is inherently sequential per query, so it runs as
+    one vectorized numpy kernel per query group via ``applyInPandas``
+    (groups are independent → executor-parallel across queries; the
+    O(k·k′) pair matrix is tiny because k′ is). Deterministic: ties
+    break on (score desc, id asc); float comparisons see identical
+    operand orders on every engine pass.
+
+    Returns (``query_id_col``, ``id_col``, ``mmr_score`` double,
+    ``rank`` long) — ``mmr_score`` is the marginal objective at
+    selection time (first pick: λ·rel).
+    """
+    import pandas as pd  # noqa: F811 — local, matches module import
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, mmr_score double, rank long"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [rel_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T  # k'×k' candidate-candidate cosine
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        for _ in range(min(k, n)):
+            if not chosen:
+                marg = lam * rel[remaining]
+            else:
+                red = sims[np.ix_(remaining, chosen)].max(axis=1)
+                marg = lam * rel[remaining] - (1.0 - lam) * red
+            # argmax with (score desc, id asc) tie-break
+            best = min(
+                range(len(remaining)),
+                key=lambda i: (-marg[i], ids[remaining[i]]),
+            )
+            chosen.append(remaining[best])
+            scores.append(float(marg[best]))
+            remaining.pop(best)
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[0],
+                id_col: ids[chosen],
+                "mmr_score": scores,
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(
+        _greedy, schema=out_schema
+    )

@@ -15,7 +15,7 @@ double-precision cosine path are fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.dedup import (
@@ -2012,4 +2012,118 @@ def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
+_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(ts) AS dl, t.term, count(*) AS tf
+  FROM toks, unnest(ts) AS t(term)
+  WHERE t.term IN ('spark', 'join', 'window')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM posting GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM toks
+), bm AS (
+  SELECT p.doc_id,
+         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+  FROM posting p JOIN dfreq d ON p.term = d.term CROSS JOIN stats s
+  GROUP BY p.doc_id
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 3
+), scored AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 3
+), dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+  FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 20
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60.0 + l.r), 0)
+               + COALESCE(1.0 / (60.0 + d.r), 0), 6) AS rrf,
+         CAST(l.r AS BIGINT) AS lexical_rank,
+         CAST(d.r AS BIGINT) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+@_register("hybrid_rrf_search_documents", _RRF_SQL)
+def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (terms {spark, join, window})
+    fused with dense cosine top-20 (query = embedding #3, doc_id ≡
+    vec_id in the synthetic corpus) by reciprocal-rank fusion
+    (operators/similarity.py:rrf_fuse). Rank-only fusion sidesteps
+    incomparable score scales; both branch rankings are already
+    deterministic (rounded score desc, id asc), the fused score is a
+    two-term 1/(60+r) sum — commutative-exact in floats — and the
+    oracle replays both branches plus the fusion in one SQL."""
+    from workshoop2_etl_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from workshoop2_etl_spark.operators.textstats import bm25_search
+
+    docs = _tp(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(
+        docs, "doc_id", "text", ["spark", "join", "window"], k=20
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(emb, queries, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        {"lexical": lex, "dense": dense}, id_col="doc_id", k=10
+    )
+
+
+@_register("mmr_rerank_embeddings")  # rows-only: iterative greedy (no SQL twin)
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=0.7) of each query's exact top-30
+    shortlist down to 10 — relevance traded against redundancy
+    (operators/similarity.py:mmr_rerank). The greedy argmax is
+    sequential per query, so it runs as one numpy kernel per query
+    group (executor-parallel across queries); property-tested against
+    a pure-Python greedy in tests/test_llm_ops.py."""
+    from workshoop2_etl_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = brute_force_topk(emb, queries, k=30).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank(shortlist, k=10, lam=0.7)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("mmr_score", 6).alias("mmr_score"),
+        "rank",
     )
