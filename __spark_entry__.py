@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import workshoop2_etl_spark.plans.basket_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.coverage_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.llm_queries  # noqa: F401 — registers queries
 import workshoop2_etl_spark.plans.sql_queries  # noqa: F401 — registers queries
@@ -231,6 +232,10 @@ _DEMOTED_ORACLES = (
     # Round-6: hybrid BM25+dense reciprocal-rank fusion — both
     # branches and the fusion replayed in one oracle; mirror-checked.
     "hybrid_rrf_search_documents",
+    # Round-6: market-basket rules + co-purchase triangle census —
+    # mirror-checked.
+    "association_rules_lineitem",
+    "triangles_copurchase_lineitem",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

@@ -30,6 +30,9 @@ QUERIES = [
     "winnow_candidates_documents",  # per-doc window minima + postings join
     "lm_quality_buckets_documents", # corpus-trained counts + tertiles
     "substring_dedup_documents",    # global keep-first + fold rebuild
+    "ewma_value_events",            # order-sensitive per-key recursion
+    "tpch_q7_volume_shipping",      # dual broadcast dim paths + agg
+    "hybrid_rrf_search_documents",  # two ranked branches + fusion
 ]
 
 

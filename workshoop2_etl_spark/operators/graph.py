@@ -290,3 +290,49 @@ def textrank_keywords(
             .cast("long"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle census of an undirected graph given as a
+    deduplicated oriented edge list (``src < dst`` per edge — callers
+    with both directions should orient first): the canonical
+    robustness metric for co-occurrence graphs and the textbook
+    join-based formulation (triangle ⇔ edges (a,b), (b,c), (a,c) with
+    a < b < c, each triangle counted exactly once).
+
+    Two equi-joins — (a,b)⋈(b,c) on b fans out to wedges, then the
+    closing (a,c) probe is a semi-join-shaped equi-join. Wedge count
+    is Σ_v deg⁺(v)², so at scale the classic mitigation is
+    DEGREE-ORDERED orientation (point each edge at the higher-degree
+    endpoint, bounding deg⁺ by √m): callers with skewed graphs should
+    pre-orient by (degree, id) instead of raw id; the join pipeline
+    here is identical either way, and AQE's skew split covers the
+    moderate case.
+
+    Returns one row: (``n_nodes``, ``n_edges``, ``n_wedges``,
+    ``n_triangles`` — all long).
+    """
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") < F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(e2, "b").select("a", "b", "c")
+    closing = e.select(
+        F.col("a").alias("a"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"])
+    nodes = e.select(F.col("a").alias("v")).union(
+        e.select(F.col("b").alias("v"))
+    ).distinct()
+    counts = (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+    )
+    return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

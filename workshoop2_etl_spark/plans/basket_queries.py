@@ -1,0 +1,98 @@
+"""Registry entries for market-basket and co-occurrence-graph
+analytics over the lineitem fact: pairwise association rules
+(support / confidence / lift) and the triangle census of the
+co-purchase graph. Both oracle-backed (DuckDB twins) and demoted past
+the driver's 50-row window — hash-checked by the local mirror
+(tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.basket import association_rules
+from workshoop2_etl_spark.operators.graph import triangle_count
+from workshoop2_etl_spark.plans.reference_queries import _register, _t
+
+_RULES_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), p AS (
+  SELECT x.it AS i1, y.it AS i2, count(*) AS n
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), m AS (
+  SELECT it, count(*) AS nm FROM b GROUP BY 1
+), t AS (
+  SELECT count(DISTINCT bk) AS n FROM b
+), bidir AS (
+  SELECT i1 AS a, i2 AS c, n FROM p
+  UNION ALL
+  SELECT i2, i1, n FROM p
+)
+SELECT a AS antecedent, c AS consequent, CAST(bidir.n AS BIGINT) AS n_pair,
+       round(bidir.n / t.n, 6) AS support,
+       round(bidir.n / ma.nm, 6) AS confidence,
+       round((bidir.n / ma.nm) / (mc.nm / t.n), 6) AS lift
+FROM bidir JOIN m ma ON bidir.a = ma.it JOIN m mc ON bidir.c = mc.it CROSS JOIN t
+ORDER BY lift DESC, antecedent ASC, consequent ASC
+LIMIT 100
+"""
+
+
+@_register("association_rules_lineitem", _RULES_SQL)
+def association_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-purchase rules by lift over order baskets (pairs in
+    ≥2 baskets). The pair shuffle is Σ basket² — baskets are
+    order-sized, so a small constant × the fact table; marginals and
+    the basket count broadcast back onto the surviving pair aggregate
+    (operators/basket.py). (rounded lift desc, antecedent, consequent)
+    is a total order, so the cut is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return out.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(100)
+
+
+_TRI_SQL = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), p AS (
+  SELECT x.it AS a, y.it AS bb, count(*) AS n
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e AS (
+  SELECT a, bb FROM p
+), w AS (
+  SELECT e1.a, e1.bb, e2.bb AS c FROM e e1 JOIN e e2 ON e1.bb = e2.a
+), tri AS (
+  SELECT 1 FROM w JOIN e ON w.a = e.a AND w.c = e.bb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT a AS v FROM e UNION SELECT bb FROM e)) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+@_register("triangles_copurchase_lineitem", _TRI_SQL)
+def triangles_copurchase_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts sharing ≥2
+    order baskets): the join-based a<b<c formulation — wedges via one
+    equi-join on the middle vertex, closed by the (a,c) edge probe
+    (operators/graph.py:triangle_count; degree-ordered orientation is
+    the documented skew path at scale)."""
+    from workshoop2_etl_spark.operators.basket import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return triangle_count(edges)
