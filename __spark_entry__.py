@@ -236,6 +236,11 @@ _DEMOTED_ORACLES = (
     # mirror-checked.
     "association_rules_lineitem",
     "triangles_copurchase_lineitem",
+    # Round-6: stream-static broadcast enrichment, batch parity —
+    # mirror-checked.
+    "streaming_static_join_events",
+    # Round-6: k-anonymity / l-diversity privacy audit — mirror-checked.
+    "k_anonymity_customers",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

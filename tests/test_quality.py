@@ -212,3 +212,29 @@ def test_gopher_rules_threshold_overrides_and_guard(spark):
     assert not strict.ok_word_count
     with pytest.raises(ValueError):
         gopher_rules(docs, "text", not_a_threshold=1)
+
+
+def test_k_anonymity_planted_violations(spark):
+    from workshoop2_etl_spark.operators.quality import k_anonymity
+
+    rows = (
+        [("a", 1, 100.0)] * 5          # group size 5, 1 distinct value
+        + [("a", 2, float(i)) for i in range(3)]  # size 3 < k
+        + [("b", 1, 7.0), ("b", 1, 8.0)]          # size 2 < k
+        + [(None, 9, 1.0)]              # NULL quasi forms its own group
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, bal double")
+    r = k_anonymity(
+        df, ["seg", "nat"], k=4, sensitive_col="bal", l_threshold=2
+    ).collect()[0]
+    assert r.n_rows == 11 and r.n_groups == 4
+    assert r.min_group_size == 1
+    assert r.n_violating_groups == 3  # sizes 3, 2, 1 < 4
+    assert r.n_reidentifiable_rows == 6
+    assert r.pct_reidentifiable == pytest.approx(round(6 / 11, 6))
+    # homogeneity: the size-5 group has 1 distinct bal, NULL group too
+    assert r.min_l_diversity == 1 and r.n_low_diversity_groups == 2
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=4)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["seg"], k=0)

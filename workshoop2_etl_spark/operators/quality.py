@@ -499,3 +499,68 @@ def gopher_rules(
             & ok_stop
         ).alias("gopher_pass"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    combination — the privacy gate a training-data release runs
+    before shipping user-derived tables: every row whose
+    quasi-identifier group has fewer than ``k`` members is
+    re-identifiable by linkage.
+
+    With ``sensitive_col``, also reports l-diversity (Machanavajjhala
+    et al. 2007): groups whose sensitive attribute takes fewer than
+    ``l_threshold`` distinct values leak the attribute even when
+    k-anonymous (the homogeneity attack).
+
+    One aggregate on the quasi key (group sizes + distinct sensitive
+    counts in the same pass), one bounded rollup of the group table —
+    group cardinality is the product of quasi-identifier domains,
+    dimension-scale by construction. NULL quasi values form their own
+    group (Spark groupBy semantics), matching the linkage model: NULL
+    is an observable value to an attacker.
+
+    Returns ONE row: ``n_rows``, ``n_groups``, ``min_group_size``,
+    ``n_violating_groups``, ``n_reidentifiable_rows`` (all long),
+    ``pct_reidentifiable`` (6 dp) — plus, when ``sensitive_col`` is
+    set, ``min_l_diversity`` and ``n_low_diversity_groups``.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("__sz")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("__div"))
+    groups = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out_aggs = [
+        F.sum("__sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__sz").cast("long").alias("min_group_size"),
+        F.sum((F.col("__sz") < k).cast("long")).alias("n_violating_groups"),
+        F.sum(
+            F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0)
+        ).cast("long").alias("n_reidentifiable_rows"),
+        F.round(
+            F.sum(
+                F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0)
+            )
+            / F.sum("__sz"),
+            6,
+        ).alias("pct_reidentifiable"),
+    ]
+    if sensitive_col is not None:
+        out_aggs += [
+            F.min("__div").cast("long").alias("min_l_diversity"),
+            F.sum(
+                (F.col("__div") < l_threshold).cast("long")
+            ).alias("n_low_diversity_groups"),
+        ]
+    return groups.agg(*out_aggs)

@@ -1577,3 +1577,44 @@ def pandas_api_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("total", 2).alias("total"),
     )
+
+
+_KANON_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS sz,
+         count(DISTINCT c_acctbal) AS dv
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN sz < 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN sz < 12 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_reidentifiable_rows,
+       round(sum(CASE WHEN sz < 12 THEN sz ELSE 0 END) / sum(sz), 6)
+         AS pct_reidentifiable,
+       CAST(min(dv) AS BIGINT) AS min_l_diversity,
+       CAST(sum(CASE WHEN dv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups
+FROM g
+"""
+
+
+@_register("k_anonymity_customers", _KANON_SQL)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=12) + l-diversity (l=2) audit of customers
+    under the (mktsegment, nationkey) quasi-identifier with acctbal
+    sensitive — the privacy release gate
+    (operators/quality.py:k_anonymity): one aggregate on the quasi
+    key, one rollup of the dimension-scale group table."""
+    from workshoop2_etl_spark.operators.quality import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        cust,
+        ["c_mktsegment", "c_nationkey"],
+        k=12,
+        sensitive_col="c_acctbal",
+        l_threshold=2,
+    )

@@ -388,3 +388,46 @@ def python_stream_datasource_synthetic(
         F.round(F.sum("value"), 3).alias("value_sum"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@_register(
+    "streaming_static_join_events",
+    """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+)
+def streaming_static_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins the static
+    customer dimension (unconditionally broadcast — the static side
+    is planned per micro-batch, so a non-broadcast dim would re-sort
+    EVERY batch) and aggregates per market segment in complete mode.
+    This is THE production streaming shape — dimension enrichment
+    before a rolling aggregate — and bounded-input parity against the
+    batch join proves the micro-batched join semantics exact.
+    4-partition state override: segment cardinality is 5, so 32 state
+    stores would be pure per-batch overhead (cf. X87)."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.readers import read_parquet
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_available_now(
+        agg,
+        "q_stream_static_join",
+        output_mode="complete",
+        shuffle_partitions=4,
+    )
