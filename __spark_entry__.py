@@ -241,6 +241,10 @@ _DEMOTED_ORACLES = (
     "streaming_static_join_events",
     # Round-6: k-anonymity / l-diversity privacy audit — mirror-checked.
     "k_anonymity_customers",
+    # Round-6: positional-posting phrase search — mirror-checked.
+    "phrase_search_documents",
+    # Round-6: Benford first-digit audit — mirror-checked.
+    "benford_orders_totalprice",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

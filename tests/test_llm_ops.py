@@ -1274,3 +1274,29 @@ def test_rrf_fuse_fusion_math_and_membership(spark):
     assert top[0].doc_id == 12
     with pytest.raises(ValueError):
         rrf_fuse({}, id_col="doc_id")
+
+
+def test_phrase_search_overlaps_and_order(spark):
+    from workshoop2_etl_spark.operators.textstats import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b a" overlapping anchors at 0 and 2
+            (2, "b a a b"),        # no "a b a"
+            (3, "a  b a"),         # multi-space split still one match
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_occurrences for r in phrase_search(
+        df, "doc_id", "text", ["a", "b", "a"]
+    ).collect()}
+    assert out == {1: 2, 3: 1}
+    single = {r.doc_id: r.n_occurrences for r in phrase_search(
+        df, "doc_id", "text", ["b"]
+    ).collect()}
+    assert single == {1: 2, 2: 2, 3: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "doc_id", "text", [])

@@ -238,3 +238,25 @@ def test_k_anonymity_planted_violations(spark):
         k_anonymity(df, [], k=4)
     with pytest.raises(ValueError):
         k_anonymity(df, ["seg"], k=0)
+
+
+def test_benford_digit_extraction_and_exclusions(spark):
+    from workshoop2_etl_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        benford_audit,
+    )
+
+    # 1000.00 is the classic libm trap (log10 -> 2.999…); exact-cents
+    # extraction must put it in digit 1. Negatives/zero excluded.
+    vals = [1000.00, 19.99, 2.50, 0.0, -5.0, 935.01, 0.001]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[1].n == 2  # 1000.00 and 19.99
+    assert rows[2].n == 1 and rows[9].n == 1
+    assert rows[1].n_excluded == 3  # 0.0, -5.0, 0.001 (sub-cent)
+    assert rows[3].n == 0 and rows[3].observed == 0.0
+    for d in range(1, 10):
+        assert rows[d].expected == BENFORD_EXPECTED[d]
+    total = sum(rows[d].n for d in range(1, 10))
+    assert total == 4

@@ -564,3 +564,87 @@ def k_anonymity(
             ).alias("n_low_diversity_groups"),
         ]
     return groups.agg(*out_aggs)
+
+
+#: First-digit expected shares log10(1 + 1/d), rounded once here and
+#: shared VERBATIM by the Spark plan and the DuckDB oracle literal —
+#: engines' libm log() implementations can disagree in the last ulp,
+#: so the canonical constants live in exactly one place.
+BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    decimals: int = 2,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive
+    numeric column — the classic fabricated-data / unit-mixing alarm
+    for financial facts (naturally-growing magnitudes follow
+    P(d) = log10(1+1/d); hand-entered or synthesized ones usually
+    don't).
+
+    The digit is extracted WITHOUT float log/division: the value is
+    scaled to an exact integer (``round(x·10^decimals)`` — lossless
+    for money-typed data) and the integer's first decimal character
+    taken. That makes the digit bit-identical across engines;
+    ``floor(x / 10^floor(log10 x))`` does not (log10(1000) is
+    2.999… in some libms). Non-positive and sub-resolution values
+    are excluded (reported via ``n_excluded``).
+
+    Returns 9 rows: ``digit`` (1–9 long), ``n`` long, ``observed``
+    share (6 dp), ``expected`` share (the module-level canonical
+    constants), ``deviation`` = observed − expected (6 dp), plus the
+    constant ``n_excluded`` for auditability. Digits absent from the
+    data still get their row (n=0) — a missing digit is the loudest
+    possible Benford violation.
+    """
+    scale = 10 ** decimals
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(cents.alias("__c"))
+    counted = (
+        base.filter(F.col("__c") > 0)
+        .select(
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    expected_map = F.create_map(
+        *[
+            F.lit(x)
+            for d, e in BENFORD_EXPECTED.items()
+            for x in (d, e)
+        ]
+    )
+    excluded = base.agg(
+        F.sum(
+            (F.col("__c").isNull() | (F.col("__c") <= 0)).cast("long")
+        ).alias("n_excluded")
+    )
+    total = counted.agg(F.sum("n").alias("__total"))
+    return (
+        digits.join(counted, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(excluded))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("observed"),
+            expected_map[F.col("digit")].alias("expected"),
+            F.round(
+                F.round(F.col("n") / F.col("__total"), 6)
+                - expected_map[F.col("digit")],
+                6,
+            ).alias("deviation"),
+            F.col("n_excluded"),
+        )
+    )

@@ -613,3 +613,54 @@ def perplexity_buckets(
         )
         .drop("__t")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact token-phrase search via positional-posting intersection —
+    the inverted-index complement to :func:`bm25_search`'s bag-of-words
+    scoring (phrases are what LIKE '%…%' scans can't do at scale:
+    a substring scan reads every byte of every document; posting
+    intersection touches only the phrase terms' positions).
+
+    Tokenization matches the module convention (lowercase, split on
+    whitespace). A document matches at anchor position p when
+    token[p+i] == phrase[i] for all i; occurrences may overlap
+    (anchors are counted independently, the standard positional-index
+    semantics).
+
+    Plan shape: ONE posexplode pass filtered to the phrase's terms
+    BEFORE any shuffle — the posting stream entering the joins is
+    |phrase| terms' occurrences, not the corpus; each conjunct is an
+    (id, anchor)-keyed equi-join carrying (id, pos) pairs only. The
+    final count groups by document. At 100 TB this is the
+    make-or-break difference from a LIKE scan.
+
+    Returns (``{id_col}``, ``n_occurrences`` long), matches only.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    terms = [t.lower() for t in phrase]
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    postings = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.posexplode("__t").alias("__p", "__term"))
+        .filter(F.col("__term").isin(terms))
+    )
+    anchors = postings.filter(F.col("__term") == terms[0]).select(
+        id_col, F.col("__p").alias("__a")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("__term") == t).select(
+            id_col, (F.col("__p") - i).alias("__a")
+        )
+        anchors = anchors.join(nxt, [id_col, "__a"])
+    return anchors.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

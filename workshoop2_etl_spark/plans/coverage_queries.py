@@ -1618,3 +1618,45 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive_col="c_acctbal",
         l_threshold=2,
     )
+
+
+def _benford_sql() -> str:
+    from workshoop2_etl_spark.operators.quality import BENFORD_EXPECTED
+
+    case = " ".join(
+        f"WHEN {d} THEN {e!r}" for d, e in BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM c WHERE cents > 0 GROUP BY 1
+), t AS (
+  SELECT sum(n) AS total FROM d
+), x AS (
+  SELECT count(*) FILTER (cents IS NULL OR cents <= 0) AS n_excluded FROM c
+)
+SELECT g.digit, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+       round(COALESCE(d.n, 0) / t.total, 6) AS observed,
+       CASE g.digit {case} END AS expected,
+       round(round(COALESCE(d.n, 0) / t.total, 6)
+             - CASE g.digit {case} END, 6) AS deviation,
+       CAST(x.n_excluded AS BIGINT) AS n_excluded
+FROM generate_series(1, 9) g(digit)
+LEFT JOIN d ON g.digit = d.digit CROSS JOIN t CROSS JOIN x
+"""
+
+
+@_register("benford_orders_totalprice", _benford_sql())
+def benford_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — digit extracted
+    from the exact integer cents (never float log10, whose last-ulp
+    libm differences make floor(log10(1000)) engine-dependent);
+    expected shares are module-level canonical constants shared
+    verbatim by both engines (operators/quality.py:benford_audit)."""
+    from workshoop2_etl_spark.operators.quality import benford_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice")

@@ -2127,3 +2127,34 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr_score", 6).alias("mmr_score"),
         "rank",
     )
+
+
+_PHRASE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, u.s.i AS i, u.s.t AS term
+  FROM toks, unnest(list_transform(ts, (x, ix) -> {'t': x, 'i': ix})) u(s)
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.term = 'hash' AND b.term = 'join'
+GROUP BY 1
+"""
+
+
+@_register("phrase_search_documents", _PHRASE_SQL)
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("hash join") by positional-posting
+    intersection (operators/textstats.py:phrase_search): the posting
+    stream is pruned to the phrase's terms before any shuffle, each
+    conjunct an (id, anchor) equi-join on narrow pairs — what LIKE
+    '%…%' cannot do without reading every byte of the corpus. The
+    oracle intersects the same positions via an indexed list
+    transform."""
+    from workshoop2_etl_spark.operators.textstats import phrase_search
+
+    docs = _tp(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", ["hash", "join"])
