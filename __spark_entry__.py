@@ -245,6 +245,9 @@ _DEMOTED_ORACLES = (
     "phrase_search_documents",
     # Round-6: Benford first-digit audit — mirror-checked.
     "benford_orders_totalprice",
+    # Round-6: versioned-table time travel (manifest snapshots,
+    # roll-forward rollback) vs snapshot recomputes — mirror-checked.
+    "versioned_timetravel_orders",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

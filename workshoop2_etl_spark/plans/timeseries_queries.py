@@ -806,3 +806,81 @@ def ewma_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.3,
         tiebreak_cols=["event_id"],
     )
+
+
+_VERSIONED_SQL = """
+WITH v0 AS (
+  SELECT 0 AS version, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), v1 AS (
+  SELECT 1, count(*), round(sum(o_totalprice), 2)
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), v2 AS (
+  SELECT 2, count(*), round(sum(o_totalprice), 2)
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+), v3 AS (
+  SELECT 3, count(*), round(sum(o_totalprice), 2)
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_orders AS BIGINT) AS n_orders, total_price
+FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+      UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+"""
+
+
+@_register("versioned_timetravel_orders", _VERSIONED_SQL)
+def versioned_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table lifecycle proof (sources/versioned.py): create
+    (pre-1996 orders) → append (1996) → logical overwrite (2000+) →
+    rollback to the append. Every version is then TIME-TRAVEL-READ
+    and aggregated; the oracle recomputes each snapshot straight from
+    the date predicates — manifests, immutable file sets, and the
+    roll-forward rollback must all reproduce the base table's math
+    exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_append,
+        commit_overwrite,
+        create_table,
+        read_version,
+        rollback,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_versioned_orders_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    d96 = F.lit("1996-01-01").cast("timestamp")
+    d97 = F.lit("1997-01-01").cast("timestamp")
+    d00 = F.lit("2000-01-01").cast("timestamp")
+    create_table(orders.filter(F.col("o_orderdate") < d96), t)       # v0
+    commit_append(
+        orders.filter(
+            (F.col("o_orderdate") >= d96) & (F.col("o_orderdate") < d97)
+        ),
+        t,
+    )                                                                # v1
+    commit_overwrite(orders.filter(F.col("o_orderdate") >= d00), t)  # v2
+    rollback(t, 1)                                                   # v3
+    parts = [
+        read_version(spark, t, v)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit(v).cast("long").alias("version"), "n_orders", "total_price"
+        )
+        for v in range(4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

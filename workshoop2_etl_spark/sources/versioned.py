@@ -1,0 +1,199 @@
+"""Versioned parquet tables with time travel — the transaction-log
+pattern of Delta Lake / Iceberg in its minimal, dependency-free form
+(a public design: Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020).
+
+Why an engine needs this: the reference's pipelines overwrite their
+CSV/MySQL sinks in place (`dags/merge_to_dw.py:87-92,305-308`), so a
+half-written load is observable and yesterday's answer is gone. The
+manifest pattern fixes both with two invariants:
+
+1. **Readers never list directories.** Each commit writes its data
+   files first, then publishes ONE manifest naming the complete file
+   set for that version. A read plans exactly the manifest's files —
+   partially-written data files are invisible because no manifest
+   names them (snapshot isolation for free on any storage with
+   atomic single-file publish).
+2. **Commits are optimistic.** Publishing version N+1 uses an
+   exclusive-create (``os.open(..., O_EXCL)``); two concurrent
+   writers race, exactly one wins, the loser gets
+   :class:`VersionConflict` and must re-read + retry. Single-file
+   atomic publish is the only storage primitive required — on object
+   stores this maps to conditional PUT.
+
+Scale: the manifest holds file PATHS (metadata, KBs per thousand
+files); data never moves on commit — append publishes old files + new
+files, overwrite publishes just the new set, rollback re-publishes an
+old version's file list as a NEW version (history is immutable,
+roll-forward only). Reads are ordinary parquet multi-file scans, so
+column pruning, pushdown, and row-group skipping all still apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+class VersionConflict(RuntimeError):
+    """Another writer published this version first — re-read, retry."""
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    """Highest published version, or None for a non-table."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(mdir)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomic exclusive publish: write-temp + hard-link-exclusive.
+    O_EXCL on the final name is the optimistic lock — exactly one
+    concurrent writer of version N can succeed."""
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    final = _manifest_path(table_dir, version)
+    payload = json.dumps(manifest, indent=1, sort_keys=True)
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError as exc:
+        raise VersionConflict(
+            f"version {version} already published in {table_dir}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+
+
+def _write_data(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df's rows as a fresh immutable file set; return paths
+    relative to the table root. The commit id comes from uuid4 —
+    uniqueness, not secrecy, is the requirement."""
+    commit_id = uuid.uuid4().hex[:12]
+    sub = os.path.join("data", commit_id)
+    out = os.path.join(table_dir, sub)
+    df.write.mode("error").parquet(out)
+    return sorted(
+        os.path.join(sub, name)
+        for name in os.listdir(out)
+        if name.endswith(".parquet")
+    )
+
+
+def _commit(
+    df: DataFrame,
+    table_dir: str,
+    op: str,
+    *,
+    parent: int | None,
+    base_files: list[str],
+) -> int:
+    """Publish ``parent + 1`` — NEVER a re-read 'latest'. The version
+    number must name the parent whose file list the commit was built
+    from: re-reading latest at publish time would let this commit
+    silently drop a concurrent writer's files (lost update). If the
+    slot is taken, the O_EXCL publish raises :class:`VersionConflict`
+    and the caller re-reads + retries with fresh base files."""
+    files = base_files + _write_data(df, table_dir)
+    version = 0 if parent is None else parent + 1
+    _publish(
+        table_dir,
+        version,
+        {"version": version, "parent": parent, "op": op, "files": files},
+    )
+    return version
+
+
+def create_table(df: DataFrame, table_dir: str) -> int:
+    """Publish version 0. Fails if the table already exists."""
+    if current_version(table_dir) is not None:
+        raise VersionConflict(f"table already exists at {table_dir}")
+    return _commit(df, table_dir, "create", parent=None, base_files=[])
+
+
+def commit_append(df: DataFrame, table_dir: str) -> int:
+    """New version = parent's files + this df's files (data immutable,
+    manifest-only append). Conflicts if anyone commits between the
+    parent read and the publish — retry re-reads the new base."""
+    parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {table_dir}")
+    base = _read_manifest(table_dir, parent)["files"]
+    return _commit(df, table_dir, "append", parent=parent, base_files=base)
+
+
+def commit_overwrite(df: DataFrame, table_dir: str) -> int:
+    """New version = exactly this df's files. Old versions (and their
+    files) remain readable — overwrite is logical, not physical."""
+    parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {table_dir}")
+    return _commit(df, table_dir, "overwrite", parent=parent, base_files=[])
+
+
+def rollback(table_dir: str, to_version: int) -> int:
+    """Re-publish an old version's file list as a NEW version —
+    roll-forward history: the bad version stays auditable, readers of
+    'latest' see the restored data."""
+    latest = current_version(table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no versioned table at {table_dir}")
+    old = _read_manifest(table_dir, to_version)
+    version = latest + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": latest,
+            "op": f"rollback:{to_version}",
+            "files": old["files"],
+        },
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the pinned (or latest) manifest's exact file
+    set, as an ordinary parquet scan — pruning and pushdown intact.
+    An empty file list yields an empty DataFrame with whatever schema
+    the caller applies downstream (overwrite-to-empty is legal)."""
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versioned table at {table_dir}")
+    manifest = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, p) for p in manifest["files"]]
+    if not paths:
+        raise ValueError(
+            f"version {version} of {table_dir} has no files"
+        )
+    return spark.read.parquet(*paths)
+
+
+def history(table_dir: str) -> list[dict]:
+    """All manifests, oldest first (the audit log)."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return []
+    return [_read_manifest(table_dir, v) for v in range(latest + 1)]
