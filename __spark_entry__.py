@@ -248,6 +248,12 @@ _DEMOTED_ORACLES = (
     # Round-6: versioned-table time travel (manifest snapshots,
     # roll-forward rollback) vs snapshot recomputes — mirror-checked.
     "versioned_timetravel_orders",
+    # Round-6: Holt level+trend recursion vs a recursive-CTE replay —
+    # mirror-checked, bit-equal.
+    "holt_trend_events",
+    # Round-6: exact two-sample KS drift via two-phase CDF prefix
+    # sums — mirror-checked, bit-equal.
+    "ks_drift_orders",
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

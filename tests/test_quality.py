@@ -260,3 +260,45 @@ def test_benford_digit_extraction_and_exclusions(spark):
         assert rows[d].expected == BENFORD_EXPECTED[d]
     total = sum(rows[d].n for d in range(1, 10))
     assert total == 4
+
+
+def test_ks_two_sample_matches_scipy_style_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.quality import ks_two_sample
+
+    rng = random.Random(5)
+    xs = [(round(rng.gauss(0, 1), 3), True) for _ in range(200)] + [
+        (round(rng.gauss(0.5, 1.2), 3), False) for _ in range(150)
+    ]
+    df = spark.createDataFrame(xs, "v double, g boolean")
+    r = ks_two_sample(df, "v", F.col("g"), num_partitions=5).collect()[0]
+    a = sorted(v for v, g in xs if g)
+    b = sorted(v for v, g in xs if not g)
+    vals = sorted({v for v, _ in xs})
+    import bisect
+
+    best, best_v = -1.0, None
+    for v in vals:
+        d = abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        if d > best + 1e-15:
+            best, best_v = d, v
+    assert r.n_a == 200 and r.n_b == 150
+    assert r.ks_stat == pytest.approx(best, abs=1e-12)
+    assert r.ks_at == pytest.approx(best_v)
+
+
+def test_ks_two_sample_identical_distributions_zero(spark):
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.quality import ks_two_sample
+
+    rows = [(float(i % 7), i % 2 == 0) for i in range(140)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    r = ks_two_sample(df, "v", F.col("g")).collect()[0]
+    assert r.ks_stat == 0.0

@@ -445,3 +445,38 @@ def test_ewma_tiebreak_deterministic_and_alpha_guard(spark):
     assert out[2] == pytest.approx(52.5)
     with pytest.raises(ValueError):
         ewma(df, key_col="k", ts_col="t", value_col="v", alpha=0.0)
+
+
+def test_holt_matches_python_loop(spark):
+    import random
+
+    from workshoop2_etl_spark.operators.timeseries import holt
+
+    rng = random.Random(3)
+    rows = []
+    for k in range(4):
+        for t in range(rng.randrange(2, 30)):
+            rows.append((f"k{k}", t, rng.uniform(-50, 50)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a, b = 0.4, 0.3
+    got = {
+        (r.k, r.t): (r.level, r.trend, r.forecast)
+        for r in holt(
+            df, key_col="k", ts_col="t", value_col="v", alpha=a, beta=b
+        ).collect()
+    }
+    state = {}
+    for k, t, v in sorted(rows):
+        if k not in state:
+            state[k] = (v, 0.0)
+        else:
+            pl, pb = state[k]
+            ln = a * v + (1.0 - a) * (pl + pb)
+            state[k] = (ln, b * (ln - pl) + (1.0 - b) * pb)
+        l, bb = state[k]
+        gl, gb, gf = got[(k, t)]
+        assert gl == pytest.approx(l, abs=1e-12)
+        assert gb == pytest.approx(bb, abs=1e-12)
+        assert gf == pytest.approx(l + bb, abs=1e-12)
+    with pytest.raises(ValueError):
+        holt(df, key_col="k", ts_col="t", value_col="v", alpha=0.5, beta=1.5)

@@ -555,3 +555,86 @@ def ewma(
         F.col("__z.__hist.__x").alias(value_col),
         F.col("__z.__y").alias(out_col),
     )
+
+
+def holt(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear
+    trend) in event order — :func:`ewma`'s sibling for drifting
+    signals, where single smoothing lags systematically:
+
+        l_0 = x_0,  b_0 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Same plan shape as :func:`ewma` (one key shuffle + a codegen'd
+    two-state higher-order fold over the sorted history; same
+    bounded-per-key-history contract) — the accumulator is an array
+    of (level, trend) structs instead of scalars, which is exactly
+    why the fold formulation generalizes where a window sum cannot:
+    ANY finite-state per-key recursion fits.
+
+    Returns the original grain + ``level``, ``trend``, and
+    ``forecast`` (= level + trend, the one-step-ahead prediction).
+    The DuckDB oracle replays the identical recursion as a RECURSIVE
+    CTE stepping rn → rn+1 with the same operand order, so all three
+    doubles compare bit-equal unrounded (cf. :func:`ewma` on why
+    replay beats closed forms).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    order_struct = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    rows = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(order_struct)).alias("__hist")
+    )
+
+    def _step(acc, s):
+        prev = F.element_at(acc, -1)
+        l_new = F.lit(alpha) * s["__x"] + F.lit(1.0 - alpha) * (
+            prev["l"] + prev["b"]
+        )
+        b_new = F.lit(beta) * (l_new - prev["l"]) + F.lit(1.0 - beta) * prev[
+            "b"
+        ]
+        first = F.struct(
+            s["__x"].alias("l"), F.lit(0.0).alias("b")
+        )
+        nxt = F.struct(l_new.alias("l"), b_new.alias("b"))
+        return F.concat(
+            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(nxt))
+        )
+
+    folded = rows.withColumn(
+        "__s",
+        F.aggregate(
+            "__hist",
+            F.expr("CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>)"),
+            _step,
+        ),
+    )
+    exploded = folded.select(
+        F.col(key_col),
+        F.posexplode(F.arrays_zip("__hist", "__s")).alias("__i", "__z"),
+    )
+    return exploded.select(
+        key_col,
+        F.col("__z.__hist.__ts").alias(ts_col),
+        F.col("__z.__hist.__x").alias(value_col),
+        F.col("__z.__s.l").alias("level"),
+        F.col("__z.__s.b").alias("trend"),
+        (F.col("__z.__s.l") + F.col("__z.__s.b")).alias("forecast"),
+    )

@@ -1660,3 +1660,48 @@ def benford_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return benford_audit(orders, "o_totalprice")
+
+
+_KS_SQL = """
+WITH a AS (
+  SELECT o_totalprice AS v,
+         (o_orderdate < TIMESTAMP '1998-01-01') AS g
+  FROM orders
+), d AS (
+  SELECT v, sum(CASE WHEN g THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS cb
+  FROM a GROUP BY 1
+), t AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb FROM d
+), c AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+         sum(cb) OVER (ORDER BY v) AS ccb
+  FROM d
+), s AS (
+  SELECT v, abs(cca / (SELECT na FROM t) - ccb / (SELECT nb FROM t)) AS dd
+  FROM c
+)
+SELECT (SELECT CAST(na AS BIGINT) FROM t) AS n_a,
+       (SELECT CAST(nb AS BIGINT) FROM t) AS n_b,
+       (SELECT max(dd) FROM s) AS ks_stat,
+       (SELECT min(v) FROM s WHERE dd = (SELECT max(dd) FROM s)) AS ks_at
+"""
+
+
+@_register("ks_drift_orders", _KS_SQL)
+def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test on order totals,
+    pre-1998 vs 1998+ (operators/quality.py:ks_two_sample): the
+    empirical-CDF prefix sums run the two-phase range-partition
+    scheme (per-partition running sums + a P-row offsets branch) —
+    never a single-partition global window over the data. Per-value
+    D is the same integer arithmetic on both engines, so the sup
+    compares bit-equal unrounded."""
+    from workshoop2_etl_spark.operators.quality import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return ks_two_sample(
+        orders,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )

@@ -884,3 +884,48 @@ def versioned_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_HOLT_SQL = """
+WITH RECURSIVE r AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), s AS (
+  SELECT user_id, ts, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.ts, r.x, r.rn,
+         0.3 * r.x + (1.0 - 0.3) * (s.l + s.b) AS l,
+         0.2 * ((0.3 * r.x + (1.0 - 0.3) * (s.l + s.b)) - s.l)
+           + (1.0 - 0.2) * s.b AS b
+  FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
+)
+SELECT user_id, ts, x AS value, l AS level, b AS trend,
+       l + b AS forecast
+FROM s
+"""
+
+
+@_register("holt_trend_events", _HOLT_SQL)
+def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing (α=0.3, β=0.2):
+    level + linear trend + one-step forecast per event
+    (operators/timeseries.py:holt). The oracle replays the identical
+    two-state recursion as a RECURSIVE CTE stepping rn → rn+1 with
+    the same operand order — level, trend, and forecast all compare
+    BIT-EQUAL unrounded, the strongest cross-engine statement an
+    iterative recurrence can make."""
+    from workshoop2_etl_spark.operators.timeseries import holt
+
+    ev = _t(spark, sf_dir, "events")
+    return holt(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.3,
+        beta=0.2,
+        tiebreak_cols=["event_id"],
+    )
