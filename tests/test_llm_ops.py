@@ -1300,3 +1300,34 @@ def test_phrase_search_overlaps_and_order(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(df, "doc_id", "text", [])
+
+
+def test_ctfidf_planted_clusters(spark):
+    """Two clusters with distinct vocabularies: each cluster's top
+    terms are its own distinctive words, never the shared filler."""
+    import math
+
+    from workshoop2_etl_spark.operators.textstats import ctfidf_topic_terms
+
+    rows = [
+        (0, "alpha beta common common"),
+        (0, "alpha beta common"),
+        (1, "gamma delta common common"),
+        (1, "gamma delta common"),
+    ]
+    df = spark.createDataFrame(rows, "cluster int, text string")
+    out = ctfidf_topic_terms(df, "cluster", "text", k=2)
+    top = {
+        c: [r.term for r in sorted(g, key=lambda r: r.rk)]
+        for c, g in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r.cluster, r.rk)),
+            key=lambda r: r.cluster,
+        )
+    }
+    assert set(top[0]) == {"alpha", "beta"}
+    assert set(top[1]) == {"gamma", "delta"}
+    # hand-check one weight: tf(alpha,0)=2, f(alpha)=2, A=7 (14 toks/2)
+    w = {(r.cluster, r.term): r.weight for r in out.collect()}
+    assert w[(0, "alpha")] == pytest.approx(
+        round(2 * math.log(1.0 + 7.0 / 2.0), 6)
+    )

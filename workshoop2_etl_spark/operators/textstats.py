@@ -664,3 +664,62 @@ def phrase_search(
     return anchors.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def ctfidf_topic_terms(
+    df: DataFrame,
+    cluster_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    min_cluster_tf: int = 1,
+) -> DataFrame:
+    """Class-based TF-IDF topic descriptors (c-TF-IDF, the BERTopic
+    labeling step — Grootendorst 2022): treat each cluster's
+    concatenated documents as one pseudo-document and score
+
+        W(t, c) = tf(t, c) · ln(1 + A / f(t))
+
+    where tf(t,c) is the term's count inside cluster c, f(t) its
+    corpus-wide count, and A the average token count per cluster —
+    frequent-in-cluster but rare-in-corpus terms win, which is what
+    makes the top-k a human-readable label for an embedding cluster.
+
+    Plan shape: one explode → (cluster, term) aggregate (the only
+    data-sized shuffle); f(t) and A derive from THAT aggregate
+    (vocabulary-bounded, never re-scanning the corpus); the top-k per
+    cluster is a window over the vocabulary-sized score table. Ties
+    break on ascending term after a 6-dp round.
+
+    Returns (``{cluster_col}``, ``term``, ``weight``, ``rk`` long).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ct = (
+        df.select(F.col(cluster_col), F.explode(toks).alias("term"))
+        .groupBy(cluster_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    if min_cluster_tf > 1:
+        ct = ct.filter(F.col("__tf") >= min_cluster_tf)
+    corpus_f = ct.groupBy("term").agg(F.sum("__tf").alias("__f"))
+    avg_tokens = ct.groupBy(cluster_col).agg(
+        F.sum("__tf").alias("__ctoks")
+    ).agg(F.avg("__ctoks").alias("__a"))
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        ct.join(corpus_f, "term")
+        .crossJoin(F.broadcast(avg_tokens))
+        .withColumn(
+            "weight",
+            F.round(
+                F.col("__tf") * F.log(1.0 + F.col("__a") / F.col("__f")), 6
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(cluster_col, "term", "weight", "rk")
+    )

@@ -35,6 +35,7 @@ from workshoop2_etl_spark.operators.similarity import (
 from workshoop2_etl_spark.operators.textstats import (
     LANG_STOPWORDS,
     char_entropy,
+    ctfidf_topic_terms,
     fingerprint,
     language_id,
     quality_score,
@@ -2158,3 +2159,25 @@ def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return phrase_search(docs, "doc_id", "text", ["hash", "join"])
+
+
+@_register("cluster_topics_documents")  # rows-only: seeded k-means upstream
+def cluster_topics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for embedding clusters: documents assigned to the
+    SHARED memoized IVF quantizer's clusters (doc_id ≡ vec_id), then
+    c-TF-IDF top-5 descriptor terms per cluster
+    (operators/textstats.py:ctfidf_topic_terms) — the human-readable
+    face of the X117 data map. Rows-only (k-means upstream has no SQL
+    twin); the scoring math itself is pytest-proven on planted
+    clusters."""
+    from workshoop2_etl_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    assigned = ivf_assign(emb, cents, n_probe=1).select(
+        F.col("vec_id").alias("doc_id"),
+        F.element_at(F.col("cluster"), 1).alias("cluster"),
+    )
+    joined = docs.join(assigned, "doc_id").select("cluster", "text")
+    return ctfidf_topic_terms(joined, "cluster", "text", k=5)
