@@ -97,3 +97,87 @@ def test_reader_never_sees_unpublished_files(spark, tmp_path):
 def test_append_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         commit_append(_df(spark, 0, 1), str(tmp_path / "nope"))
+
+
+def test_merge_cdc_publishes_new_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    create_table(base, t)
+    changes = spark.createDataFrame(
+        [(2, "B", "U", 1), (3, None, "D", 2), (4, "d", "I", 3)],
+        "id long, v string, op string, seq long",
+    )
+    from workshoop2_etl_spark.sources.versioned import merge_cdc
+
+    v = merge_cdc(spark, t, changes, ["id"])
+    assert v == 1
+    got = {
+        (r.id, r.v) for r in read_version(spark, t).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # pre-merge snapshot still readable
+    assert {r.id for r in read_version(spark, t, 0).collect()} == {1, 2, 3}
+
+
+def test_foreach_batch_sink_exactly_once(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = foreach_batch_versioned_sink(t)
+    sink(_df(spark, 0, 3), 0)
+    sink(_df(spark, 3, 5), 1)
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(5)
+    )
+    # Spark replays batch 1 after a crash/restart: must be a NO-OP
+    sink(_df(spark, 3, 5), 1)
+    assert current_version(t) == 1
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(5)
+    )
+    # a genuinely new batch still lands
+    sink(_df(spark, 5, 6), 2)
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(6)
+    )
+
+
+def test_foreach_batch_sink_through_real_stream(spark, tmp_path):
+    """End-to-end: a file stream writes into the versioned table via
+    foreachBatch + checkpoint; a second availableNow activation with
+    no new input commits nothing new."""
+    import os
+
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_sink,
+    )
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 10).write.parquet(src)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_versioned_sink(t)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    v1 = current_version(t)
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(10)
+    )
+    run()  # no new files -> no new version
+    assert current_version(t) == v1

@@ -197,3 +197,105 @@ def history(table_dir: str) -> list[dict]:
     if latest is None:
         return []
     return [_read_manifest(table_dir, v) for v in range(latest + 1)]
+
+
+def merge_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> int:
+    """MERGE a CDC feed into the versioned table as one new version —
+    the Delta ``MERGE INTO`` verb on this log: read the latest
+    snapshot, apply the change feed set-wise
+    (:func:`~workshoop2_etl_spark.operators.star.apply_cdc` — max-seq
+    per key wins, I/U upsert, D deletes), publish the merged state as
+    a logical overwrite. Time travel keeps the pre-merge snapshot
+    readable; a conflicting concurrent commit raises
+    :class:`VersionConflict` before anything becomes visible.
+
+    Returns the new version number.
+    """
+    from workshoop2_etl_spark.operators.star import apply_cdc
+
+    parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {table_dir}")
+    base = read_version(spark, table_dir, parent)
+    merged = apply_cdc(
+        base, changes, key_cols, op_col=op_col, seq_col=seq_col
+    )
+    files = _write_data(merged, table_dir)
+    version = parent + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "op": "merge_cdc",
+            "files": files,
+        },
+    )
+    return version
+
+
+def foreach_batch_versioned_sink(table_dir: str):
+    """Exactly-once streaming sink: a ``foreachBatch`` function that
+    appends each micro-batch to the versioned table with the BATCH ID
+    recorded in the manifest — on failure/restart Spark RE-RUNS a
+    batch id, and the sink makes the replay a NO-OP instead of a
+    duplicate append (the idempotent-sink half of Structured
+    Streaming's exactly-once contract; the checkpoint provides the
+    other half). This is the documented pattern for transactional
+    stores (Delta's txnAppId/txnVersion), built on this module's
+    manifests.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(foreach_batch_versioned_sink(dir))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        latest = current_version(table_dir)
+        if latest is not None:
+            seen = {
+                m.get("batch_id")
+                for m in history(table_dir)
+                if m.get("batch_id") is not None
+            }
+            if batch_id in seen:
+                return  # replayed batch — already committed, skip
+        files = _write_data(batch_df, table_dir)
+        if latest is None:
+            _publish(
+                table_dir,
+                0,
+                {
+                    "version": 0,
+                    "parent": None,
+                    "op": "stream_append",
+                    "batch_id": batch_id,
+                    "files": files,
+                },
+            )
+            return
+        base = _read_manifest(table_dir, latest)["files"]
+        _publish(
+            table_dir,
+            latest + 1,
+            {
+                "version": latest + 1,
+                "parent": latest,
+                "op": "stream_append",
+                "batch_id": batch_id,
+                "files": base + files,
+            },
+        )
+
+    return _sink
