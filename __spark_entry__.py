@@ -267,6 +267,10 @@ _DEMOTED_ORACLES = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q22_prospective_customers",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_suppliers",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -384,3 +384,28 @@ def test_tpch_q15_argmax_is_broadcast_not_window(spark):
     plan = _physical(q("tpch_q15_top_supplier")(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_tpch_q4_semi_join_with_residual_not_aggregate(spark):
+    """EXISTS with an equi key + cross-side inequality must plan as a
+    LeftSemi join carrying the residual — not a distinct or count>0."""
+    plan = _physical(q("tpch_q4_order_priority")(spark, SF))
+    assert "LeftSemi" in plan
+    assert "l_shipdate" in plan  # the residual inequality survived
+
+
+def test_tpch_q22_anti_join_on_distinct_keys(spark):
+    plan = _physical(q("tpch_q22_prospective_customers")(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q13_left_outer_keeps_every_customer(spark):
+    """The join must stay LEFT OUTER (an inner join silently drops
+    orderless customers — invisible at scale factors where everyone
+    ordered, which is exactly why the plan is asserted), and the
+    histogram must account for every customer."""
+    df = q("tpch_q13_customer_distribution")(spark, SF)
+    assert "LeftOuter" in _optimized(df)
+    total = sum(r.custdist for r in df.collect())
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total == n_cust

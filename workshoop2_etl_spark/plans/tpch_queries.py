@@ -439,3 +439,172 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_rev()), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@_register("tpch_q13_customer_distribution", _Q13_SQL)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    0, 1, 2… orders — the LEFT OUTER join that must keep orderless
+    customers (count(o_orderkey) counts non-null keys, so they land
+    in bucket 0) followed by a histogram of the counts. First
+    aggregate shuffles on the customer key; the second is
+    bucket-cardinality-sized."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@_register("tpch_q22_prospective_customers", _Q22_SQL)
+def tpch_q22_prospective_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers who
+    never placed an URGENT order (adapted from "never ordered": this
+    synthetic schema gives every customer orders, which would make the
+    original vacuously empty) — a one-row broadcast scalar
+    (positive-balance average) filters the dim, then a LEFT ANTI join
+    removes everyone with a qualifying order. The anti-join's build
+    side is the DISTINCT qualifying customer keys, not the fact
+    table."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@_register("tpch_q4_order_priority", _Q4_SQL)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders with at least
+    one line item shipping 60+ days after the order date — an EXISTS
+    that mixes an equi key (order key) with a non-equi conjunct
+    referencing BOTH sides (l_shipdate > o_orderdate + 60d). Planned
+    as a LEFT SEMI join carrying the inequality as the join
+    condition's residual — never a fact-side distinct or a count>0
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q11_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT sum(rev) AS tot FROM r
+)
+SELECT l_suppkey, round(rev, 2) AS revenue
+FROM r, t
+WHERE rev > tot * 0.0105
+ORDER BY revenue DESC, l_suppkey ASC
+"""
+
+
+@_register("tpch_q11_important_suppliers", _Q11_SQL)
+def tpch_q11_important_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock): suppliers whose revenue
+    exceeds a FRACTION OF THE GLOBAL TOTAL — the HAVING-against-a-
+    scalar-subquery pattern. The per-supplier aggregate is computed
+    once; its grand total re-aggregates the supplier-sized result
+    (never a second fact scan) and broadcasts back as one row. The
+    unrounded revenue feeds the threshold compare on both engines;
+    rounding only shapes the output column."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("__rev"))
+    tot = r.agg(F.sum("__rev").alias("__tot"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(F.col("__rev") > F.col("__tot") * 0.0105)
+        .select(
+            "l_suppkey", F.round(F.col("__rev"), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    )
