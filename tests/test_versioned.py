@@ -181,3 +181,55 @@ def test_foreach_batch_sink_through_real_stream(spark, tmp_path):
     )
     run()  # no new files -> no new version
     assert current_version(t) == v1
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Range-clustered commit + manifest stats: a narrow range read
+    plans a small subset of files, and returns exactly the rows the
+    unpruned filter would."""
+    from workshoop2_etl_spark.sources.versioned import (
+        candidate_files,
+        commit_with_stats,
+        read_version_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 97 AS v")
+    # range layout makes per-file id ranges tight and disjoint
+    commit_with_stats(
+        df.repartitionByRange(8, "id"), t, stats_cols=["id"]
+    )
+    keep, total = candidate_files(t, "id", 100, 200)
+    assert total >= 8 and len(keep) <= 2, (keep, total)
+    got = sorted(
+        r.id for r in read_version_pruned(spark, t, "id", 100, 200).collect()
+    )
+    assert got == list(range(100, 201))
+
+
+def test_manifest_stats_missing_column_keeps_all_files(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        candidate_files,
+        commit_with_stats,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_with_stats(
+        _df(spark, 0, 100).repartition(4), t, stats_cols=["id"]
+    )
+    keep, total = candidate_files(t, "v", 0, 1)  # no stats for v
+    assert len(keep) == total  # conservative: no stats -> no pruning
+
+
+def test_manifest_stats_empty_intersection_returns_empty(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_with_stats,
+        read_version_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_with_stats(
+        _df(spark, 0, 50).repartitionByRange(4, "id"), t, stats_cols=["id"]
+    )
+    out = read_version_pruned(spark, t, "id", 1000, 2000)
+    assert out.count() == 0
