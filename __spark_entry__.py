@@ -271,6 +271,7 @@ _DEMOTED_ORACLES = (
     "tpch_q22_prospective_customers",
     "tpch_q4_order_priority",
     "tpch_q11_important_suppliers",
+    # (rp_topk_embeddings is rows-only and needs no demotion)
 )
 
 _CORRECTNESS_WINDOW = 50

