@@ -272,6 +272,8 @@ _DEMOTED_ORACLES = (
     "tpch_q4_order_priority",
     "tpch_q11_important_suppliers",
     # (rp_topk_embeddings is rows-only and needs no demotion)
+    # Round-6: Kaplan–Meier survival curve — mirror-checked.
+    "kaplan_meier_customers",
 )
 
 _CORRECTNESS_WINDOW = 50

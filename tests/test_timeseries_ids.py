@@ -480,3 +480,32 @@ def test_holt_matches_python_loop(spark):
         assert gf == pytest.approx(l + bb, abs=1e-12)
     with pytest.raises(ValueError):
         holt(df, key_col="k", ts_col="t", value_col="v", alpha=0.5, beta=1.5)
+
+
+def test_kaplan_meier_textbook_and_censoring(spark):
+    from workshoop2_etl_spark.operators.timeseries import kaplan_meier
+
+    # classic: events at 1,3,4; censored at 2,5
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0)], "d int, e int"
+    )
+    out = {
+        r.duration: r
+        for r in kaplan_meier(df, duration_col="d", event_col="e").collect()
+    }
+    assert set(out) == {1, 3, 4}  # event times only
+    assert out[1].n_risk == 5 and out[1].survival == pytest.approx(0.8)
+    assert out[3].n_risk == 3 and out[3].survival == pytest.approx(0.533333)
+    assert out[4].n_risk == 2 and out[4].survival == pytest.approx(0.266667)
+    # censoring matters: treating censored as events changes the curve
+    all_events = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)], "d int, e int"
+    )
+    out2 = {
+        r.duration: r.survival
+        for r in kaplan_meier(
+            all_events, duration_col="d", event_col="e"
+        ).collect()
+    }
+    assert out2[5] == 0.0  # everyone eventually dies -> curve hits zero
+    assert out2[3] < out[3].survival

@@ -233,3 +233,30 @@ def test_manifest_stats_empty_intersection_returns_empty(spark, tmp_path):
     )
     out = read_version_pruned(spark, t, "id", 1000, 2000)
     assert out.count() == 0
+
+
+def test_commit_with_expectations_pass_and_fail_invisible(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        ExpectationViolation,
+        commit_with_expectations,
+    )
+
+    t = str(tmp_path / "tbl")
+    good = _df(spark, 1, 6)  # ids 1..5, v = 10*id
+    v = commit_with_expectations(
+        good, t, {"id_positive": "id > 0", "v_bounds": "v <= 50"}, op="create"
+    )
+    assert v == 0
+    assert history(t)[0]["expectations"]["id_positive"] == "id > 0"
+    # violating append: nothing becomes visible
+    bad = spark.createDataFrame([(0, None), (7, 70)], "id long, v long")
+    with pytest.raises(ExpectationViolation) as ei:
+        commit_with_expectations(
+            bad, t, {"id_positive": "id > 0", "v_nonnull": "v IS NOT NULL"}
+        )
+    # id=0 violates id_positive once; v NULL violates v_nonnull once
+    assert ei.value.counts == {"id_positive": 1, "v_nonnull": 1}
+    assert current_version(t) == 0
+    assert sorted(r.id for r in read_version(spark, t).collect()) == [
+        1, 2, 3, 4, 5,
+    ]

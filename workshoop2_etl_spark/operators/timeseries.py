@@ -638,3 +638,91 @@ def holt(
         F.col("__z.__s.b").alias("trend"),
         (F.col("__z.__s.l") + F.col("__z.__s.b")).alias("forecast"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator (product-limit, 1958) over
+    right-censored durations — THE churn/retention curve: subjects
+    contribute ``duration_col`` (time observed) and ``event_col``
+    (1 = event occurred, 0 = censored — still alive when observation
+    ended, which naive "avg lifetime" silently treats as dead):
+
+        S(t) = Π_{tᵢ ≤ t} (1 − dᵢ / nᵢ)
+
+    with dᵢ events at time tᵢ and nᵢ the at-risk count (everyone
+    with duration ≥ tᵢ, censored included — that's the whole point).
+
+    Plan shape: the data-sized work is ONE aggregate onto distinct
+    durations; the cumulative product then runs over that
+    DISTINCT-TIME table, bounded by the time resolution (days →
+    thousands of rows at any corpus size), so its single-partition
+    window is metadata-scale — same reasoning as TextRank's top-k
+    rank. The product is exp(Σ ln(1−dᵢ/nᵢ)) with the dᵢ=nᵢ factor
+    guarded (ln(1)=0 contribution + an explicit zero-survival flag)
+    so neither engine evaluates ln(0).
+
+    Returns event times only (where dᵢ > 0): (``duration`` long,
+    ``n_risk`` long, ``n_events`` long, ``survival`` double 6 dp).
+    """
+    per_t = (
+        df.select(
+            F.col(duration_col).cast("long").alias("duration"),
+            F.col(event_col).cast("long").alias("__e"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum("__e").alias("__d"),
+            F.count(F.lit(1)).alias("__tot"),
+        )
+    )
+    w_before = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_upto = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_t.agg(F.sum("__tot").alias("__n"))
+    stepped = (
+        # one-row broadcast, not a collect: plan construction stays
+        # side-effect-free (cf. the resample_fill eager-guard lesson)
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (F.col("__n") - F.coalesce(F.sum("__tot").over(w_before), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn(
+            "__lnterm",
+            F.log(
+                F.when(F.col("__d") == F.col("n_risk"), F.lit(1.0)).otherwise(
+                    1.0 - F.col("__d") / F.col("n_risk")
+                )
+            ),
+        )
+        .withColumn(
+            "__dead",
+            F.max(
+                (F.col("__d") == F.col("n_risk")).cast("int")
+            ).over(w_upto),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("__lnterm").over(w_upto)), 6)
+            ),
+        )
+    )
+    return (
+        stepped.filter(F.col("__d") > 0)
+        .select(
+            "duration",
+            "n_risk",
+            F.col("__d").alias("n_events"),
+            "survival",
+        )
+    )

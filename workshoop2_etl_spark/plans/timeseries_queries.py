@@ -929,3 +929,65 @@ def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta=0.2,
         tiebreak_cols=["event_id"],
     )
+
+
+_KM_SQL = """
+WITH life AS (
+  SELECT o_custkey,
+         date_diff('day', min(o_orderdate), max(o_orderdate)) AS duration,
+         CASE WHEN max(o_orderdate) < TIMESTAMP '2001-05-01'
+              THEN 1 ELSE 0 END AS event
+  FROM orders GROUP BY o_custkey
+), per_t AS (
+  SELECT duration, sum(event) AS d, count(*) AS tot
+  FROM life GROUP BY duration
+), t AS (
+  SELECT sum(tot) AS n FROM per_t
+), stepped AS (
+  SELECT duration, d,
+         CAST(t.n - COALESCE(sum(tot) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk,
+         tot
+  FROM per_t, t
+), curve AS (
+  SELECT duration, d, n_risk,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER w AS dead,
+         sum(ln(CASE WHEN d = n_risk THEN 1.0
+                     ELSE 1.0 - d / n_risk END)) OVER w AS lnsum
+  FROM stepped
+  WINDOW w AS (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT duration, n_risk, CAST(d AS BIGINT) AS n_events,
+       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+FROM curve WHERE d > 0
+"""
+
+
+@_register("kaplan_meier_customers", _KM_SQL)
+def kaplan_meier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime survival curve (Kaplan–Meier product-limit):
+    lifetime = days between a customer's first and last order;
+    customers whose last order falls within the dataset's final three
+    months are right-CENSORED (still active — naive avg-lifetime
+    would count them as churned, biasing lifetimes down). Data-sized
+    work is one per-customer + one per-duration aggregate; the
+    cumulative product runs over the distinct-duration table
+    (time-resolution-bounded) — operators/timeseries.py:kaplan_meier."""
+    from workshoop2_etl_spark.operators.timeseries import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    life = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+            "duration"
+        ),
+        F.when(
+            F.max("o_orderdate") < F.lit("2001-05-01").cast("timestamp"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("event"),
+    )
+    return kaplan_meier(life, duration_col="duration", event_col="event")

@@ -419,3 +419,82 @@ def read_version_pruned(
     return spark.read.parquet(*paths).filter(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
+
+
+class ExpectationViolation(RuntimeError):
+    """A CHECK-constrained commit found violating rows; nothing was
+    published. ``counts`` maps expectation name → violating rows."""
+
+    def __init__(self, counts: dict):
+        self.counts = counts
+        super().__init__(f"expectations violated: {counts}")
+
+
+def commit_with_expectations(
+    df: DataFrame,
+    table_dir: str,
+    expectations: dict[str, str],
+    *,
+    op: str = "append",
+) -> int:
+    """CHECK-constrained commit (Delta table-constraints analog):
+    every expectation is a SQL boolean over the rows; a row where it
+    is not TRUE (false OR null — strict null-fails, unlike Delta's
+    null-passes CHECK, because a null quality signal in a data load
+    is itself a defect) is a violation.
+
+    Single pass, fail-invisible: violation counts ride the WRITE job
+    itself via the Observation API (accumulator-backed — no separate
+    validation scan), and the manifest publishes only after the
+    counts come back clean. On violation the freshly-written files
+    are ORPHANS — invisible to every reader by the module's
+    no-manifest-no-visibility invariant — and
+    :class:`ExpectationViolation` reports the per-rule counts.
+
+    The passing manifest records the expectations it enforced, so
+    the table's history doubles as its contract audit log.
+    """
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.quality import with_load_metrics
+
+    if not expectations:
+        raise ValueError("need at least one expectation")
+    parent = current_version(table_dir)
+    if op == "create":
+        if parent is not None:
+            raise VersionConflict(f"table already exists at {table_dir}")
+        base: list[str] = []
+    elif op == "append":
+        if parent is None:
+            raise FileNotFoundError(f"no versioned table at {table_dir}")
+        base = _read_manifest(table_dir, parent)["files"]
+    else:
+        raise ValueError(f"op must be create|append, got {op!r}")
+    metrics = {
+        name: F.sum(
+            F.when(F.expr(sql), F.lit(0)).otherwise(F.lit(1))
+        )
+        for name, sql in expectations.items()
+    }
+    observed, obs = with_load_metrics(df, metrics, name="expectations")
+    files = _write_data(observed, table_dir)
+    counts = {
+        name: int(v or 0) for name, v in obs.get.items()
+    }
+    bad = {n: c for n, c in counts.items() if c > 0}
+    if bad:
+        raise ExpectationViolation(bad)
+    version = 0 if parent is None else parent + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": base + files,
+            "expectations": expectations,
+        },
+    )
+    return version
