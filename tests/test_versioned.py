@@ -260,3 +260,58 @@ def test_commit_with_expectations_pass_and_fail_invisible(spark, tmp_path):
     assert sorted(r.id for r in read_version(spark, t).collect()) == [
         1, 2, 3, 4, 5,
     ]
+
+
+def test_compact_then_vacuum_lifecycle(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        compact_table,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    create_table(_df(spark, 0, 50).repartition(6), t)      # v0: 6 files
+    commit_append(_df(spark, 50, 100).repartition(6), t)   # v1: +6
+    v2 = compact_table(spark, t, target_files=2)           # v2: 2 files
+    assert v2 == 2
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(100)
+    )
+    n_files_v2 = len(history(t)[2]["files"])
+    assert n_files_v2 <= 2
+    # vacuum with no retention arg removes only orphans -> nothing yet
+    assert vacuum(t) == []
+    assert sorted(r.id for r in read_version(spark, t, 0).collect()) == list(
+        range(50)
+    )
+    # retention=1 keeps only the compacted snapshot; old files drop
+    deleted = vacuum(t, keep_versions=1)
+    assert deleted  # pre-compaction files reclaimed
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(100)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, t, 0)  # time travel truncated, explicitly
+
+
+def test_vacuum_reclaims_expectation_orphans(spark, tmp_path):
+    from workshoop2_etl_spark.sources.versioned import (
+        ExpectationViolation,
+        commit_with_expectations,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    create_table(_df(spark, 1, 5), t)
+    with pytest.raises(ExpectationViolation):
+        commit_with_expectations(
+            spark.createDataFrame([(0, 0)], "id long, v long"),
+            t,
+            {"pos": "id > 0"},
+        )
+    deleted = vacuum(t)
+    assert deleted  # the failed commit's orphan files are gone
+    assert sorted(r.id for r in read_version(spark, t).collect()) == [
+        1, 2, 3, 4,
+    ]

@@ -498,3 +498,79 @@ def commit_with_expectations(
         },
     )
     return version
+
+
+def compact_table(
+    spark: SparkSession, table_dir: str, *, target_files: int = 1
+) -> int:
+    """Rewrite the latest snapshot into ``target_files`` files and
+    publish as op "compact" — same rows, fewer/larger files (the
+    small-file problem is the #1 operational cost of streaming
+    appends: every reader pays per-file open/footer overhead). The
+    pre-compaction versions still read (their files are untouched);
+    :func:`vacuum` reclaims them once unreferenced-by-retention.
+    """
+    parent = current_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no versioned table at {table_dir}")
+    snapshot = read_version(spark, table_dir, parent)
+    files = _write_data(snapshot.repartition(target_files), table_dir)
+    version = parent + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": parent,
+            "op": "compact",
+            "files": files,
+        },
+    )
+    return version
+
+
+def vacuum(
+    table_dir: str, *, keep_versions: int | None = None
+) -> list[str]:
+    """Garbage-collect data files no manifest references (orphans
+    from crashed or expectation-failed commits), and — when
+    ``keep_versions`` is given — files referenced ONLY by manifests
+    older than the newest ``keep_versions`` (whose manifests are also
+    dropped, truncating time travel to the retention window; the
+    Delta VACUUM trade, stated rather than implied).
+
+    Never touches a file referenced by any retained manifest.
+    Returns the deleted paths (table-root-relative) for audit.
+    """
+    import shutil
+
+    latest = current_version(table_dir)
+    if latest is None:
+        return []
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    cutoff = (
+        0 if keep_versions is None else max(0, latest - keep_versions + 1)
+    )
+    retained_files: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        retained_files.update(_read_manifest(table_dir, v)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for commit_dir in sorted(os.listdir(data_root)):
+            sub = os.path.join("data", commit_dir)
+            full = os.path.join(data_root, commit_dir)
+            members = [
+                os.path.join(sub, f)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            ]
+            if members and not any(m in retained_files for m in members):
+                shutil.rmtree(full)
+                deleted.extend(members)
+    for v in range(0, cutoff):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            os.remove(p)
+    return deleted
