@@ -274,6 +274,9 @@ _DEMOTED_ORACLES = (
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",
+    # Round-6: lakehouse lifecycle e2e (CHECK create → CDC merge →
+    # compact → time travel) vs ONE composed oracle — mirror-checked.
+    "lakehouse_roundtrip_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -991,3 +991,94 @@ def kaplan_meier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("event"),
     )
     return kaplan_meier(life, duration_col="duration", event_col="event")
+
+
+_LAKEHOUSE_SQL = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), ins AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+), kept_base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM base WHERE o_orderkey % 97 <> 0
+), kept_ins AS (
+  SELECT o_orderkey, o_totalprice AS p FROM ins WHERE o_orderkey % 97 <> 0
+), final AS (
+  SELECT * FROM kept_base UNION ALL SELECT * FROM kept_ins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS total_price,
+       CAST((SELECT count(*) FROM base) AS BIGINT) AS n_v0
+FROM final
+"""
+
+
+@_register("lakehouse_roundtrip_orders", _LAKEHOUSE_SQL)
+def lakehouse_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse lifecycle end-to-end, ONE composed oracle: a
+    CHECK-constrained CREATE of the pre-1998 snapshot (expectations
+    ride the write, sources/versioned.py:commit_with_expectations), a
+    CDC MERGE (1998+ inserts, +1000 price updates on keys %100,
+    deletes on keys %97 — delete outranks update by sequence), a
+    COMPACT rewrite, then the final snapshot aggregated alongside a
+    TIME-TRAVEL read of v0 — while the oracle recomputes the same
+    state straight from date predicates and modular arithmetic. Any
+    drift in manifests, merge precedence, compaction, or time travel
+    breaks the hash."""
+    import shutil
+
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_with_expectations,
+        compact_table,
+        merge_cdc,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_lakehouse_orders_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    d98 = F.lit("1998-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < d98)
+    commit_with_expectations(
+        base,
+        t,
+        {
+            "price_positive": "o_totalprice > 0",
+            "key_present": "o_orderkey IS NOT NULL",
+        },
+        op="create",
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= d98).select(
+        "*", F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq")
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).cast("long").alias("seq")
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    merge_cdc(spark, t, changes, ["o_orderkey"])
+    compact_table(spark, t, target_files=4)
+    final = read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    v0 = read_version(spark, t, 0).agg(
+        F.count(F.lit(1)).alias("n_v0")
+    )
+    return final.crossJoin(F.broadcast(v0)).select(
+        "n_rows", "total_price", "n_v0"
+    )
