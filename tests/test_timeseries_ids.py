@@ -509,3 +509,26 @@ def test_kaplan_meier_textbook_and_censoring(spark):
     }
     assert out2[5] == 0.0  # everyone eventually dies -> curve hits zero
     assert out2[3] < out[3].survival
+
+
+def test_ewma_and_holt_null_observations_carry(spark):
+    """A NULL value must carry the smoothed state, not poison the
+    rest of the key's series; leading NULLs stay NULL until the first
+    observation seeds the state."""
+    from workshoop2_etl_spark.operators.timeseries import holt
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+        "k string, t int, v double",
+    )
+    e = {r.t: r.ewma for r in ewma(
+        df, key_col="k", ts_col="t", value_col="v", alpha=0.5
+    ).collect()}
+    assert e[0] is None and e[1] == 10.0 and e[2] == 10.0 and e[3] == 20.0
+    h = {r.t: (r.level, r.trend, r.forecast) for r in holt(
+        df, key_col="k", ts_col="t", value_col="v", alpha=0.5, beta=0.5
+    ).collect()}
+    assert h[0] == (None, None, None)
+    assert h[1] == (10.0, 0.0, 10.0)
+    assert h[2] == (10.0, 0.0, 10.0)  # carried, not poisoned
+    assert h[3] == (20.0, 5.0, 25.0)

@@ -510,6 +510,9 @@ def ewma(
     Ties on ``ts_col`` are ordered by ``tiebreak_cols`` (pass a unique
     id to make the recursion deterministic under collisions — struct
     ordering is lexicographic, same convention as :func:`attribution`).
+    NULL observations carry the smoothed state unchanged (and emit
+    the carried value) — the pandas-ewm convention; without the guard
+    one NULL would poison every subsequent value of its key.
 
     Closed form equivalence (what the DuckDB oracle replays):
     y_t = (1−α)^t·x_0 + α·Σ_{i=1..t} (1−α)^{t−i}·x_i.
@@ -527,22 +530,33 @@ def ewma(
     # Fold the recursion: accumulator is the ewma-so-far array (NULL
     # seed distinguishes "no rows yet"); each step appends
     # α·x + (1−α)·last. element_at(-1) reads the running value.
+    def _ewma_step(acc, s):
+        last = F.element_at(acc, -1)
+        no_state = (F.size(acc) == 0) | last.isNull()
+        nxt = (
+            # NULL observation = no new information: the smoothed
+            # state CARRIES (pandas-ewm convention) instead of
+            # poisoning every subsequent value with NULL arithmetic.
+            F.when(
+                s["__x"].isNull(),
+                F.when(
+                    F.size(acc) == 0, F.lit(None).cast("double")
+                ).otherwise(last),
+            )
+            .when(no_state, s["__x"])
+            .otherwise(
+                F.lit(alpha) * s["__x"]
+                + F.lit(1.0 - alpha) * last
+            )
+        )
+        return F.concat(acc, F.array(nxt))
+
     folded = rows.withColumn(
         "__y",
         F.aggregate(
             "__hist",
             F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
-            lambda acc, s: F.concat(
-                acc,
-                F.array(
-                    F.when(
-                        F.size(acc) == 0, s["__x"]
-                    ).otherwise(
-                        F.lit(alpha) * s["__x"]
-                        + F.lit(1.0 - alpha) * F.element_at(acc, -1)
-                    )
-                ),
-            ),
+            _ewma_step,
         ),
     )
     exploded = folded.select(
@@ -577,10 +591,11 @@ def holt(
 
     Same plan shape as :func:`ewma` (one key shuffle + a codegen'd
     two-state higher-order fold over the sorted history; same
-    bounded-per-key-history contract) — the accumulator is an array
-    of (level, trend) structs instead of scalars, which is exactly
-    why the fold formulation generalizes where a window sum cannot:
-    ANY finite-state per-key recursion fits.
+    bounded-per-key-history contract and the same NULL-carries
+    convention) — the accumulator is an array of (level, trend)
+    structs instead of scalars, which is exactly why the fold
+    formulation generalizes where a window sum cannot: ANY
+    finite-state per-key recursion fits.
 
     Returns the original grain + ``level``, ``trend``, and
     ``forecast`` (= level + trend, the one-step-ahead prediction).
@@ -602,6 +617,8 @@ def holt(
         F.array_sort(F.collect_list(order_struct)).alias("__hist")
     )
 
+    null_state = 'CAST(NULL AS STRUCT<l: DOUBLE, b: DOUBLE>)'
+
     def _step(acc, s):
         prev = F.element_at(acc, -1)
         l_new = F.lit(alpha) * s["__x"] + F.lit(1.0 - alpha) * (
@@ -614,9 +631,20 @@ def holt(
             s["__x"].alias("l"), F.lit(0.0).alias("b")
         )
         nxt = F.struct(l_new.alias("l"), b_new.alias("b"))
-        return F.concat(
-            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(nxt))
+        no_state = (F.size(acc) == 0) | prev.isNull()
+        step = (
+            # NULL observation carries (level, trend) unchanged —
+            # same convention as the EWMA fold.
+            F.when(
+                s["__x"].isNull(),
+                F.when(F.size(acc) == 0, F.expr(null_state)).otherwise(
+                    prev
+                ),
+            )
+            .when(no_state, first)
+            .otherwise(nxt)
         )
+        return F.concat(acc, F.array(step))
 
     folded = rows.withColumn(
         "__s",
