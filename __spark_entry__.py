@@ -277,6 +277,9 @@ _DEMOTED_ORACLES = (
     # Round-6: lakehouse lifecycle e2e (CHECK create → CDC merge →
     # compact → time travel) vs ONE composed oracle — mirror-checked.
     "lakehouse_roundtrip_orders",
+    # Round-6: exactly-once streaming sink into the versioned table,
+    # batch parity — mirror-checked.
+    "streaming_versioned_sink_events",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -431,3 +431,64 @@ def streaming_static_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         shuffle_partitions=4,
     )
+
+
+@_register(
+    "streaming_versioned_sink_events",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_versioned_sink_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exactly-once streaming sink, driver-visible: the events
+    stream lands in a VERSIONED table via foreachBatch (each
+    micro-batch id recorded in its manifest —
+    sources/versioned.py:foreach_batch_versioned_sink), then the
+    table's LATEST SNAPSHOT is read back and aggregated. Parity with
+    the batch oracle proves offsets→batches→manifest commits lose
+    and duplicate nothing; the replay-no-op half is pytest-proven."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_sink,
+        read_version,
+    )
+
+    token = _run_token(sf_dir)
+    t = os.path.join(
+        tempfile.gettempdir(), f"workshoop2_stream_versioned_{token}"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"workshoop2_stream_versioned_ckpt_{token}"
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_versioned_sink(t))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_versioned_sink_events activation")
+    return (
+        read_version(spark, t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
