@@ -280,6 +280,8 @@ _DEMOTED_ORACLES = (
     # Round-6: exactly-once streaming sink into the versioned table,
     # batch parity — mirror-checked.
     "streaming_versioned_sink_events",
+    # Round-6: ABC/Pareto in exact integer cents — mirror-checked.
+    "abc_pareto_parts",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -34,7 +34,7 @@ driver's 50-row window — hash-checked by the local mirror
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.plans.reference_queries import _register, _t
@@ -607,4 +607,64 @@ def tpch_q11_important_suppliers(
             "l_suppkey", F.round(F.col("__rev"), 2).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    )
+
+
+_ABC_SQL = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), t AS (
+  SELECT sum(cents) AS tot FROM r
+), c AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+)
+SELECT CASE WHEN 5 * cum <= 4 * t.tot THEN 'A'
+            WHEN 20 * cum <= 19 * t.tot THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(cents) / 100.0, 2) AS class_revenue
+FROM c, t
+GROUP BY 1
+"""
+
+
+@_register("abc_pareto_parts", _ABC_SQL)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: A carries the
+    first 80% of cumulative revenue share, B to 95%, C the tail — the
+    inventory-policy classic. Per-part revenue is converted to EXACT
+    integer cents first, so the ranking, the cumulative prefix sums,
+    and the 80%/95% threshold compares (5·cum ≤ 4·tot, 20·cum ≤
+    19·tot) are pure integer arithmetic — identical on any engine,
+    no float-boundary flicker at the class cutoffs. The data-sized work is
+    one aggregate onto parts; the ranked cumulative share runs over
+    the part-dimension table (bounded), same reasoning as the KM
+    curve's distinct-duration window."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_rev()) * 100).cast("long").alias("cents")
+    )
+    tot = r.agg(F.sum("cents").alias("__tot"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.sum("cents").over(w))
+        .withColumn(
+            "abc_class",
+            F.when(5 * F.col("__cum") <= 4 * F.col("__tot"), "A")
+            .when(20 * F.col("__cum") <= 19 * F.col("__tot"), "B")
+            .otherwise("C"),
+        )
+    )
+    return c.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("cents") / 100.0, 2).alias("class_revenue"),
     )
