@@ -315,3 +315,40 @@ def test_vacuum_reclaims_expectation_orphans(spark, tmp_path):
     assert sorted(r.id for r in read_version(spark, t).collect()) == [
         1, 2, 3, 4,
     ]
+
+
+def test_history_and_revacuum_survive_truncation(spark, tmp_path):
+    """history() and a WIDER later vacuum must tolerate the gap a
+    tighter earlier vacuum left."""
+    from workshoop2_etl_spark.sources.versioned import vacuum
+
+    t = str(tmp_path / "tbl")
+    create_table(_df(spark, 0, 5), t)
+    for lo in (5, 10, 15):
+        commit_append(_df(spark, lo, lo + 5), t)
+    vacuum(t, keep_versions=1)
+    assert [m["version"] for m in history(t)] == [3]
+    # wider retention on the truncated table: no crash, nothing to do
+    assert vacuum(t, keep_versions=3) == []
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(
+        range(20)
+    )
+
+
+def test_stats_commit_skips_non_json_columns(spark, tmp_path):
+    """Timestamp stats can't live in a JSON manifest — the column is
+    skipped (file conservatively unpruned), never a crash."""
+    from workshoop2_etl_spark.sources.versioned import (
+        candidate_files,
+        commit_with_stats,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr(
+        "id", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts"
+    )
+    commit_with_stats(df.repartitionByRange(4, "id"), t, stats_cols=["id", "ts"])
+    keep, total = candidate_files(t, "ts", 0, 1)
+    assert len(keep) == total  # ts unpruned
+    keep_id, _ = candidate_files(t, "id", 0, 10)
+    assert len(keep_id) < total  # id still prunes

@@ -192,11 +192,19 @@ def read_version(
 
 
 def history(table_dir: str) -> list[dict]:
-    """All manifests, oldest first (the audit log)."""
+    """All EXISTING manifests, oldest first (the audit log). After a
+    retention :func:`vacuum`, truncated versions are simply absent —
+    the log must stay readable, not crash on the gap."""
     latest = current_version(table_dir)
     if latest is None:
         return []
-    return [_read_manifest(table_dir, v) for v in range(latest + 1)]
+    out = []
+    for v in range(latest + 1):
+        try:
+            out.append(_read_manifest(table_dir, v))
+        except FileNotFoundError:
+            continue
+    return out
 
 
 def merge_cdc(
@@ -325,6 +333,14 @@ def _collect_file_stats(
                     continue
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    broken.add(name)
+                    ranges.pop(name, None)
+                    continue
+                if not isinstance(st.min, (int, float, str)) or not isinstance(
+                    st.max, (int, float, str)
+                ):
+                    # timestamps/bytes don't survive the JSON manifest
+                    # — skip the column (conservative: file unpruned)
                     broken.add(name)
                     ranges.pop(name, None)
                     continue
@@ -554,7 +570,12 @@ def vacuum(
     )
     retained_files: set[str] = set()
     for v in range(cutoff, latest + 1):
-        retained_files.update(_read_manifest(table_dir, v)["files"])
+        try:
+            retained_files.update(_read_manifest(table_dir, v)["files"])
+        except FileNotFoundError:
+            # already truncated by an earlier, tighter vacuum — a
+            # WIDER retention later must not crash on the gap
+            continue
     deleted: list[str] = []
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
