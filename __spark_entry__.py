@@ -282,6 +282,8 @@ _DEMOTED_ORACLES = (
     "streaming_versioned_sink_events",
     # Round-6: ABC/Pareto in exact integer cents — mirror-checked.
     "abc_pareto_parts",
+    # Round-6: PMI collocation discovery — mirror-checked.
+    "pmi_collocations_documents",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -723,3 +723,93 @@ def ctfidf_topic_terms(
         .filter(F.col("rk") <= k)
         .select(cluster_col, "term", "weight", "rk")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks
+    1990): adjacent token pairs scored by how much more often they
+    co-occur than independence predicts —
+
+        PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+
+    with P(a,b) over adjacent-pair positions and P(·) over token
+    positions. High-PMI pairs are the corpus's multiword expressions
+    ("hash join", "sort merge") — the phrase-discovery complement to
+    :func:`phrase_search`, which needs the phrase given.
+
+    ``min_count`` drops rare pairs (PMI's known pathology: a 1-count
+    pair of two 1-count tokens maxes the score on pure noise).
+
+    Plan: one explode pass builds pair counts (corpus-sized
+    aggregate, the only big shuffle); unigram counts re-aggregate
+    from the PAIR table's margins... no — from a second explode of
+    the same tokens column, both vocabulary-bounded after their
+    aggregates; totals are one-row broadcasts. Ties break on
+    (pair count desc, a, b) after a 6-dp round.
+
+    Returns (``a``, ``b``, ``n_pair`` long, ``pmi`` double) — top
+    ``k`` by (pmi desc, a asc, b asc).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(toks.alias("__t"))
+    pairs = (
+        base.select(
+            F.posexplode("__t").alias("__i", "a"),
+            F.col("__t"),
+        )
+        .select("a", F.get(F.col("__t"), F.col("__i") + 1).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    if min_count > 1:
+        pairs = pairs.filter(F.col("n_pair") >= min_count)
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n_tokens = uni.agg(F.sum("n_tok").alias("__nt"))
+    n_pairs = (
+        base.select(
+            F.greatest(F.size("__t") - 1, F.lit(0)).alias("__np")
+        ).agg(F.sum("__np").alias("__npairs"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "__na")),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "__nb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__npairs"))
+                    / (
+                        (F.col("__na") / F.col("__nt"))
+                        * (F.col("__nb") / F.col("__nt"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("a", "b", "n_pair", "pmi")
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

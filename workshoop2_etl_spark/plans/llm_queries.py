@@ -2226,3 +2226,45 @@ def rp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+_PMI_SQL = """
+WITH base AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pr AS (
+  SELECT z.p[1] AS a, z.p[2] AS b
+  FROM base, unnest(list_zip(ts, ts[2:])) z(p)
+  WHERE z.p[2] IS NOT NULL
+), pairs AS (
+  SELECT a, b, count(*) AS n_pair FROM pr GROUP BY 1, 2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT t.term AS tok, count(*) AS n_tok
+  FROM base, unnest(ts) t(term) GROUP BY 1
+), nt AS (
+  SELECT sum(n_tok) AS n FROM uni
+), np AS (
+  SELECT sum(greatest(len(ts) - 1, 0)) AS n FROM base
+)
+SELECT a, b, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln((n_pair / np.n)
+                / ((ua.n_tok / nt.n) * (ub.n_tok / nt.n))), 6) AS pmi
+FROM pairs JOIN uni ua ON pairs.a = ua.tok
+           JOIN uni ub ON pairs.b = ub.tok
+CROSS JOIN nt CROSS JOIN np
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT 30
+"""
+
+
+@_register("pmi_collocations_documents", _PMI_SQL)
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over adjacent token pairs (≥5
+    occurrences) — corpus phrase DISCOVERY, the complement of
+    phrase_search's phrase LOOKUP
+    (operators/textstats.py:pmi_collocations)."""
+    from workshoop2_etl_spark.operators.textstats import pmi_collocations
+
+    docs = _tp(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, k=30)
