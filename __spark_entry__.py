@@ -284,6 +284,9 @@ _DEMOTED_ORACLES = (
     "abc_pareto_parts",
     # Round-6: PMI collocation discovery — mirror-checked.
     "pmi_collocations_documents",
+    # Round-6: Holt–Winters triple smoothing vs a list-state
+    # recursive-CTE replay — mirror-checked, bit-equal.
+    "holt_winters_daily_revenue",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -532,3 +532,44 @@ def test_ewma_and_holt_null_observations_carry(spark):
     assert h[1] == (10.0, 0.0, 10.0)
     assert h[2] == (10.0, 0.0, 10.0)  # carried, not poisoned
     assert h[3] == (20.0, 5.0, 25.0)
+
+
+def test_holt_winters_matches_python_loop(spark):
+    import random
+
+    from workshoop2_etl_spark.operators.timeseries import holt_winters
+
+    rng = random.Random(13)
+    m, a, b, g = 4, 0.4, 0.2, 0.3
+    rows = [("k", t, rng.uniform(0, 100)) for t in range(37)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        r.t: (r.level, r.trend, r.seasonal, r.fitted)
+        for r in holt_winters(
+            df, key_col="k", ts_col="t", value_col="v",
+            period=m, alpha=a, beta=b, gamma=g,
+        ).collect()
+    }
+    s = [0.0] * m
+    for t, (_, _, x) in enumerate(rows):
+        if t == 0:
+            l, tr = x, 0.0
+            assert got[0] == (x, 0.0, 0.0, None)
+            continue
+        sm = s[0]
+        fit = l + tr + sm
+        l_new = a * (x - sm) + (1 - a) * (l + tr)
+        tr_new = b * (l_new - l) + (1 - b) * tr
+        sv = g * (x - l_new) + (1 - g) * sm
+        s = s[1:] + [sv]
+        l, tr = l_new, tr_new
+        gl, gt, gs, gf = got[t]
+        assert gl == pytest.approx(l, abs=1e-9)
+        assert gt == pytest.approx(tr, abs=1e-9)
+        assert gs == pytest.approx(sv, abs=1e-9)
+        assert gf == pytest.approx(fit, abs=1e-9)
+    with pytest.raises(ValueError):
+        holt_winters(
+            df, key_col="k", ts_col="t", value_col="v",
+            period=1, alpha=0.5, beta=0.1, gamma=0.1,
+        )

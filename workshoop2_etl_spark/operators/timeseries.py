@@ -754,3 +754,116 @@ def kaplan_meier(
             "survival",
         )
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key additive Holt–Winters (triple exponential smoothing:
+    level + trend + a rolling seasonal vector of ``period`` indices)
+    — :func:`holt` extended with seasonality, completing the family:
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    Initialization is the simple deterministic convention
+    (l₀ = x₀, b₀ = 0, seasonal vector all-zero — indices converge
+    over the first cycles), chosen because BOTH engines can replay it
+    exactly; ``fitted`` is the one-step-ahead prediction
+    l_{t−1} + b_{t−1} + s_{t−m} (NULL for the first row — no prior
+    state to predict from). Seasonality is POSITIONAL (every key's
+    t-th observation is season index t mod m) — regularize the series
+    first (:func:`resample_fill`) if timestamps are irregular.
+
+    Same fold machinery as :func:`ewma`/:func:`holt` with the
+    accumulator struct carrying the rolling seasonal ARRAY — the
+    demonstration that the pattern scales to vector-valued per-key
+    state. The oracle replays the identical recursion as a RECURSIVE
+    CTE whose rows carry the list state, same operand order —
+    bit-equal unrounded when the input series is exact (the
+    registered query feeds integer cents).
+
+    Returns the original grain + ``level``, ``trend``, ``seasonal``
+    (s_t), ``fitted``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    for nm, v in (("beta", beta), ("gamma", gamma)):
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"{nm} must be in [0, 1], got {v}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    order_struct = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    rows = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(order_struct)).alias("__hist")
+    )
+    state_t = (
+        "STRUCT<l: DOUBLE, b: DOUBLE, sv: DOUBLE, fit: DOUBLE, "
+        "s: ARRAY<DOUBLE>>"
+    )
+
+    def _step(acc, srow):
+        prev = F.element_at(acc, -1)
+        x = srow["__x"]
+        sm = F.element_at(prev["s"], 1)
+        l_new = F.lit(alpha) * (x - sm) + F.lit(1.0 - alpha) * (
+            prev["l"] + prev["b"]
+        )
+        b_new = F.lit(beta) * (l_new - prev["l"]) + F.lit(
+            1.0 - beta
+        ) * prev["b"]
+        s_val = F.lit(gamma) * (x - l_new) + F.lit(1.0 - gamma) * sm
+        fit = prev["l"] + prev["b"] + sm
+        nxt = F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_val.alias("sv"),
+            fit.alias("fit"),
+            F.concat(
+                F.slice(prev["s"], 2, period - 1), F.array(s_val)
+            ).alias("s"),
+        )
+        first = F.struct(
+            x.alias("l"),
+            F.lit(0.0).alias("b"),
+            F.lit(0.0).alias("sv"),
+            F.lit(None).cast("double").alias("fit"),
+            F.array_repeat(F.lit(0.0), period).alias("s"),
+        )
+        return F.concat(
+            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(nxt))
+        )
+
+    folded = rows.withColumn(
+        "__s",
+        F.aggregate(
+            "__hist", F.expr(f"CAST(array() AS ARRAY<{state_t}>)"), _step
+        ),
+    )
+    exploded = folded.select(
+        F.col(key_col),
+        F.posexplode(F.arrays_zip("__hist", "__s")).alias("__i", "__z"),
+    )
+    return exploded.select(
+        key_col,
+        F.col("__z.__hist.__ts").alias(ts_col),
+        F.col("__z.__hist.__x").alias(value_col),
+        F.col("__z.__s.l").alias("level"),
+        F.col("__z.__s.b").alias("trend"),
+        F.col("__z.__s.sv").alias("seasonal"),
+        F.col("__z.__s.fit").alias("fitted"),
+    )

@@ -1082,3 +1082,69 @@ def lakehouse_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.crossJoin(F.broadcast(v0)).select(
         "n_rows", "total_price", "n_v0"
     )
+
+
+_HW_SQL = """
+WITH RECURSIVE r AS (
+  SELECT o_orderpriority AS pri, o_orderdate AS day,
+         CAST(CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS DOUBLE)
+           AS x,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS rn
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT pri, day, x, rn, x AS l,
+         CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sv,
+         CAST(NULL AS DOUBLE) AS fit,
+         CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS sarr
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.pri, r.day, r.x, r.rn,
+         0.3 * (r.x - s.sarr[1]) + (1.0 - 0.3) * (s.l + s.b) AS l,
+         0.1 * ((0.3 * (r.x - s.sarr[1]) + (1.0 - 0.3) * (s.l + s.b))
+                - s.l) + (1.0 - 0.1) * s.b AS b,
+         0.2 * (r.x - (0.3 * (r.x - s.sarr[1])
+                       + (1.0 - 0.3) * (s.l + s.b)))
+           + (1.0 - 0.2) * s.sarr[1] AS sv,
+         s.l + s.b + s.sarr[1] AS fit,
+         s.sarr[2:] || [0.2 * (r.x - (0.3 * (r.x - s.sarr[1])
+                                      + (1.0 - 0.3) * (s.l + s.b)))
+                        + (1.0 - 0.2) * s.sarr[1]] AS sarr
+  FROM r JOIN s ON r.pri = s.pri AND r.rn = s.rn + 1
+)
+SELECT pri AS o_orderpriority, day AS o_orderdate, x AS cents,
+       l AS level, b AS trend, sv AS seasonal, fit AS fitted
+FROM s
+"""
+
+
+@_register("holt_winters_daily_revenue", _HW_SQL)
+def holt_winters_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (m=7, weekly seasonality) over each
+    order priority's DAILY revenue series — level, trend, seasonal
+    index, and the one-step forecast per day
+    (operators/timeseries.py:holt_winters). The daily series is fed
+    as EXACT integer cents, so the triple recursion — including the
+    rolling seasonal vector — replays BIT-EQUAL against the oracle's
+    RECURSIVE CTE carrying the list state: the strongest cross-engine
+    statement a seasonal forecaster can make, and the vector-state
+    capstone of the EWMA→Holt fold family."""
+    from workshoop2_etl_spark.operators.timeseries import holt_winters
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("cents")
+    )
+    return holt_winters(
+        daily,
+        key_col="o_orderpriority",
+        ts_col="o_orderdate",
+        value_col="cents",
+        period=7,
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+    )
