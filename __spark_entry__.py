@@ -287,6 +287,9 @@ _DEMOTED_ORACLES = (
     # Round-6: Holt–Winters triple smoothing vs a list-state
     # recursive-CTE replay — mirror-checked, bit-equal.
     "holt_winters_daily_revenue",
+    # Round-6: cohort LTV + contribution decomposition — mirror-checked.
+    "cohort_ltv_orders",
+    "contribution_analysis_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

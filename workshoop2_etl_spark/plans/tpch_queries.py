@@ -668,3 +668,135 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("cents") / 100.0, 2).alias("class_revenue"),
     )
+
+
+_LTV_SQL = """
+WITH first_order AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort,
+         (year(o.o_orderdate) - year(f.cohort)) * 12
+           + (month(o.o_orderdate) - month(f.cohort)) AS month_offset,
+         o.o_totalprice
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(sum(o_totalprice)) OVER (
+         PARTITION BY cohort ORDER BY month_offset
+         ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+FROM rev
+GROUP BY cohort, month_offset
+"""
+
+
+@_register("cohort_ltv_orders", _LTV_SQL)
+def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by
+    first-order month, revenue per month offset, cumulated into the
+    LTV curve — the revenue sibling of retention_cohorts_events. Two
+    aggregates (first-order month per customer — broadcastable dim —
+    then cohort×offset revenue) and a per-cohort cumulative window
+    over month offsets (bounded by the calendar, not the data).
+    Rounded before cumulating on both engines: the inner sums are
+    rounded to identical 2-dp doubles, so the running sums add the
+    SAME values in the SAME order — no drift."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort")
+    )
+    rev = (
+        orders.join(F.broadcast(first), "o_custkey")
+        .withColumn(
+            "month_offset",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("long"),
+        )
+        .groupBy("cohort", "month_offset")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.withColumn(
+        "cum_revenue", F.round(F.sum("revenue").over(w), 2)
+    )
+
+
+_CONTRIB_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                   AND o_orderdate < TIMESTAMP '2000-01-01'
+                  THEN o_totalprice ELSE 0 END) AS cur,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN o_totalprice ELSE 0 END) AS prev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), t AS (
+  SELECT sum(cur) - sum(prev) AS total_delta FROM seg
+)
+SELECT c_mktsegment,
+       round(cur, 2) AS revenue_cur,
+       round(prev, 2) AS revenue_prev,
+       round(cur - prev, 2) AS delta,
+       round((cur - prev) / t.total_delta, 6) AS contribution
+FROM seg, t
+"""
+
+
+@_register("contribution_analysis_orders", _CONTRIB_SQL)
+def contribution_analysis_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year contribution analysis: which market segment
+    DROVE the revenue change — per-segment 1999-vs-1998 deltas as
+    shares of the total delta (they sum to 1), the decomposition
+    behind every 'why did the number move' dashboard. ONE conditional
+    aggregation pass over the joined fact (never two scans diffed),
+    total delta re-aggregated from the segment-sized result and
+    broadcast back."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d98 = F.lit("1998-01-01").cast("timestamp")
+    d99 = F.lit("1999-01-01").cast("timestamp")
+    d00 = F.lit("2000-01-01").cast("timestamp")
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") >= d99)
+                    & (F.col("o_orderdate") < d00),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("cur"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") >= d98)
+                    & (F.col("o_orderdate") < d99),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("prev"),
+        )
+    )
+    tot = seg.agg(
+        (F.sum("cur") - F.sum("prev")).alias("total_delta")
+    )
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.round(F.col("cur"), 2).alias("revenue_cur"),
+        F.round(F.col("prev"), 2).alias("revenue_prev"),
+        F.round(F.col("cur") - F.col("prev"), 2).alias("delta"),
+        F.round(
+            (F.col("cur") - F.col("prev")) / F.col("total_delta"), 6
+        ).alias("contribution"),
+    )
