@@ -290,6 +290,9 @@ _DEMOTED_ORACLES = (
     # Round-6: cohort LTV + contribution decomposition — mirror-checked.
     "cohort_ltv_orders",
     "contribution_analysis_orders",
+    # Round-6: one-pass higher moments (engine-identical formulas) —
+    # mirror-checked.
+    "moment_stats_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

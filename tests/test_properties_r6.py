@@ -166,3 +166,27 @@ def test_incremental_merge_identity_random_splits(spark, vals, splits):
         assert na == nb and la == lb and ha == hb
         # totals are rounded doubles — summation order may differ
         assert ta == pytest.approx(tb, abs=1e-6)
+
+
+def test_moment_stats_matches_scipy_formulas(spark):
+    """Power-sum moments vs numpy's population moments on random data,
+    plus degenerate-group NULLs."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.analytics import moment_stats
+
+    rng = np.random.default_rng(21)
+    xs = rng.gamma(2.0, 3.0, 500)  # skewed on purpose
+    rows = [("g", float(v)) for v in xs] + [("solo", 1.0), ("flat", 2.0), ("flat", 2.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = {r.k: r for r in moment_stats(df, "k", "x").collect()}
+    mu = xs.mean()
+    m2 = ((xs - mu) ** 2).mean()
+    m3 = ((xs - mu) ** 3).mean()
+    m4 = ((xs - mu) ** 4).mean()
+    assert out["g"].mean == pytest.approx(round(mu, 6), abs=1e-6)
+    assert out["g"].variance == pytest.approx(round(m2, 6), abs=1e-4)
+    assert out["g"].skewness == pytest.approx(m3 / m2**1.5, abs=1e-4)
+    assert out["g"].kurtosis == pytest.approx(m4 / m2**2 - 3.0, abs=1e-4)
+    assert out["solo"].skewness is None  # n < 2
+    assert out["flat"].skewness is None  # zero variance

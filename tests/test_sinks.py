@@ -121,3 +121,43 @@ def test_read_parquet_evolving_single_generation_noop(spark, tmp_path):
     spark.createDataFrame([(1, 2.0)], "a int, b double").write.parquet(p)
     got = read_parquet_evolving(spark, [p]).collect()
     assert [(r["a"], r["b"]) for r in got] == [(1, 2.0)]
+
+
+def test_schema_diff_classification():
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.sources.contracts import schema_diff
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("legacy", T.StringType(), True),
+            T.StructField("score", T.FloatType(), True),
+            T.StructField("opt", T.StringType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),      # safe widening
+            T.StructField("name", T.IntegerType(), True),  # breaking change
+            T.StructField("score", T.DoubleType(), True),  # safe widening
+            T.StructField("opt", T.StringType(), False),   # tightened: breaking
+            T.StructField("extra", T.StringType(), True),  # additive
+            T.StructField("req", T.StringType(), False),   # new required: breaking
+        ]
+    )
+    d = schema_diff(old, new)
+    assert d["added"] == ["extra", "req"]
+    assert d["removed"] == ["legacy"]
+    by = {c["name"]: c for c in d["changed"]}
+    assert not by["id"]["breaking"] and not by["score"]["breaking"]
+    assert by["name"]["breaking"]
+    nb = {c["name"]: c for c in d["nullability"]}
+    assert nb["opt"]["breaking"]
+    assert d["breaking"] is True
+    # purely additive evolution is non-breaking
+    add_only = T.StructType(
+        list(old.fields) + [T.StructField("note", T.StringType(), True)]
+    )
+    assert schema_diff(old, add_only)["breaking"] is False

@@ -367,3 +367,68 @@ def grouped_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def moment_stats(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+) -> DataFrame:
+    """Per-group mean / variance / skewness / kurtosis in ONE
+    aggregation pass from raw power sums (n, Σx, Σx², Σx³, Σx⁴) —
+    the population ("biased") moment formulas spelled out explicitly:
+
+        m2 = Σx²/n − μ²            (variance)
+        m3 = Σx³/n − 3μΣx²/n + 2μ³
+        m4 = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴
+        skew = m3 / m2^1.5,  kurt = m4 / m2² − 3  (excess)
+
+    Why explicit power sums instead of the built-ins: engines
+    disagree on the DEFAULT estimator (Spark's ``skewness`` is the
+    population g₁; DuckDB's is the sample G₁ with the
+    √(n(n−1))/(n−2) correction), so cross-engine parity on built-ins
+    silently compares different statistics. The spelled-out formula
+    is the same number everywhere — and the five sums are map-side
+    combinable, which the pairwise-update built-in implementations
+    also are, so nothing is lost at scale. Degenerate groups
+    (n < 2 or zero variance) yield NULL skew/kurt rather than ±inf.
+
+    Returns group cols + ``n`` long, ``mean``, ``variance``,
+    ``skewness``, ``kurtosis`` (all 6 dp).
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(*gcols).agg(
+        F.count(x).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+        F.sum(x * x * x).alias("__s3"),
+        F.sum(x * x * x * x).alias("__s4"),
+    )
+    n = F.col("__n")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = (
+        F.col("__s3") / n
+        - 3.0 * mu * (F.col("__s2") / n)
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("__s4") / n
+        - 4.0 * mu * (F.col("__s3") / n)
+        + 6.0 * mu * mu * (F.col("__s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    ok = (n >= 2) & (m2 > 0)
+    return agg.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(m2, 6).alias("variance"),
+        F.round(
+            F.when(ok, m3 / F.pow(m2, F.lit(1.5))), 6
+        ).alias("skewness"),
+        F.round(
+            F.when(ok, m4 / (m2 * m2) - 3.0), 6
+        ).alias("kurtosis"),
+    )

@@ -1705,3 +1705,42 @@ def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
     )
+
+
+_MOMENTS_SQL = """
+WITH a AS (
+  SELECT o_orderpriority,
+         count(o_totalprice) AS n,
+         sum(o_totalprice) AS s1,
+         sum(o_totalprice * o_totalprice) AS s2,
+         sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+         sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice)
+           AS s4
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       round(s1 / n, 6) AS mean,
+       round(s2 / n - (s1 / n) * (s1 / n), 6) AS variance,
+       round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6) AS kurtosis
+FROM a
+"""
+
+
+@_register("moment_stats_orders", _MOMENTS_SQL)
+def moment_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distribution shape (mean/variance/skew/kurtosis)
+    from explicit power sums in one pass — built-in skewness/kurtosis
+    deliberately avoided because engines default to DIFFERENT
+    estimators (population vs sample); the spelled-out formula is the
+    same number everywhere (operators/analytics.py:moment_stats)."""
+    from workshoop2_etl_spark.operators.analytics import moment_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    return moment_stats(orders, "o_orderpriority", "o_totalprice")
