@@ -293,6 +293,10 @@ _DEMOTED_ORACLES = (
     # Round-6: one-pass higher moments (engine-identical formulas) —
     # mirror-checked.
     "moment_stats_orders",
+    # Round-6: bounded-state dedup API (WithinWatermark) — mirror-checked.
+    "streaming_dedup_watermark_events",
+    # Round-6: nested array-of-structs analytics via HOFs — mirror-checked.
+    "nested_lineitems_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

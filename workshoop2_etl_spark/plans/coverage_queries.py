@@ -1744,3 +1744,76 @@ def moment_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return moment_stats(orders, "o_orderpriority", "o_totalprice")
+
+
+_NESTED_SQL = """
+WITH nested AS (
+  SELECT o_orderkey, o_orderpriority,
+         list({'qty': l_quantity, 'price': l_extendedprice,
+               'disc': l_discount}) AS items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+), per_order AS (
+  SELECT o_orderpriority,
+         len(items) AS n_items,
+         list_sum(list_transform(items,
+                                 it -> it.price * (1 - it.disc)))
+           AS order_rev,
+         len(list_filter(items, it -> it.qty >= 40)) AS n_bulk
+  FROM nested
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       round(sum(order_rev), 2) AS revenue,
+       CAST(sum(n_bulk) AS BIGINT) AS n_bulk_items
+FROM per_order GROUP BY 1
+"""
+
+
+@_register("nested_lineitems_orders", _NESTED_SQL)
+def nested_lineitems_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data surface: line items COLLECTED into an
+    array-of-structs per order (the document-shaped layout denormalized
+    feeds and exports use), then analyzed entirely with higher-order
+    functions — per-order revenue via transform+aggregate over the
+    nested array, bulk-item counts via filter — before one flat
+    rollup. Proves collect → nested-compute → aggregate round-trips
+    the same numbers as the flat join (the oracle's list_transform
+    twin). The nest shuffles each order's items once; HOF evaluation
+    is codegen'd, no explode back-and-forth."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nested = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_discount").alias("disc"),
+                )
+            ).alias("items")
+        )
+    )
+    per_order = nested.select(
+        "o_orderpriority",
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            F.transform(
+                "items", lambda it: it["price"] * (1 - it["disc"])
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("order_rev"),
+        F.size(
+            F.filter("items", lambda it: it["qty"] >= 40)
+        ).alias("n_bulk"),
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.round(F.sum("order_rev"), 2).alias("revenue"),
+        F.sum("n_bulk").cast("long").alias("n_bulk_items"),
+    )

@@ -492,3 +492,40 @@ def streaming_versioned_sink_events(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@_register(
+    "streaming_dedup_watermark_events",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+""",
+)
+def streaming_dedup_watermark_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the BOUNDED-STATE dedup
+    (state for a key expires once the watermark passes its event
+    time) vs streaming_dedup_events' unbounded ``dropDuplicates`` —
+    at 100 TB/day this is the only sustainable exact-dedup shape, so
+    the API gets its own driver-visible proof. With a 2-hour
+    watermark and duplicates that arrive adjacently (the feed's
+    duplicates share their event timestamp), the bounded dedup's
+    output provably equals the global DISTINCT — which is what the
+    batch oracle checks."""
+    from pyspark.sql import functions as F
+
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+    )
+    out = run_available_now(
+        deduped, "q_stream_dedup_wm", shuffle_partitions=8
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
