@@ -297,6 +297,8 @@ _DEMOTED_ORACLES = (
     "streaming_dedup_watermark_events",
     # Round-6: nested array-of-structs analytics via HOFs — mirror-checked.
     "nested_lineitems_orders",
+    # Round-6: GROUPED_AGG pandas-UDF surface — mirror-checked.
+    "geomean_grouped_agg_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1816,4 +1818,48 @@ def nested_lineitems_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_items").cast("long").alias("n_items"),
         F.round(F.sum("order_rev"), 2).alias("revenue"),
         F.sum("n_bulk").cast("long").alias("n_bulk_items"),
+    )
+
+
+_GEOMEAN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
+FROM orders WHERE o_totalprice > 0
+GROUP BY 1
+"""
+
+
+@_register("geomean_grouped_agg_orders", _GEOMEAN_SQL)
+def geomean_grouped_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF surface (the one Arrow-UDF class the
+    other operators don't exercise — scalar Arrow UDFs, mapInPandas,
+    applyInPandas, and applyInPandasWithState all appear elsewhere):
+    a custom geometric-mean aggregate evaluated per group over Arrow
+    batches, next to built-in aggregates in the same agg() call. The
+    log-mean-exp formulation is the numerically safe one (a direct
+    product overflows at ~200 rows of 1e4-scale prices)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with JVM aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the
+        # same Arrow batch instead of a second shuffle.
+        return len(v)
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            n_rows("o_totalprice").alias("n"),
+            F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
+        )
     )
