@@ -4,16 +4,18 @@ classic retail companion to the star-schema dashboards (Agrawal &
 Srikant, VLDB 1994 define the measures; pairs-only here, which is
 what production recommenders actually ship).
 
-Scale shape: the only data-sized shuffle is the basket-keyed
-self-join producing pairs, and its output is bounded by
-Σ_b |basket_b|² — baskets are order-sized (single digits), NOT
-corpus-sized, so the pair stream is a small constant × the fact
-table. Item marginals are a separate aggregate broadcast back onto
-the (far smaller) surviving pair aggregate. No collect, no
-cross-join, no per-item loop. A pathologically large basket would
-square — the ``max_basket`` guard drops those rows loudly rather
-than letting one degenerate basket shuffle quadratically (same
-policy as ``dedup.near_dedup``'s ``max_bucket_size``).
+Scale shape: ONE basket-keyed shuffle groups each basket's distinct
+items into a sorted array; the C(n,2) pair expansion is then a
+higher-order transform INSIDE the row — no self-join, no second
+data-sized shuffle (the earlier self-join formulation paid one, and
+bench showed it). Pair volume is bounded by Σ_b |basket_b|² —
+baskets are order-sized (single digits), NOT corpus-sized. Item
+marginals are a separate aggregate broadcast back onto the (far
+smaller) surviving pair aggregate. No collect, no cross-join, no
+per-item loop. A pathologically large basket would square — the
+``max_basket`` guard drops those baskets loudly rather than letting
+one degenerate basket explode quadratically (same policy as
+``dedup.near_dedup``'s ``max_bucket_size``).
 """
 
 from __future__ import annotations
@@ -39,21 +41,39 @@ def copurchase_pairs(
 
     Returns (``item_a``, ``item_b``, ``n_baskets`` long).
     """
-    b = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    if max_basket is not None:
-        sizes = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        b = b.join(
-            sizes.filter(F.col("__sz") <= max_basket).select("__b"), "__b"
+    baskets = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
-    left = b.select("__b", F.col("__i").alias("item_a"))
-    right = b.select("__b", F.col("__i").alias("item_b"))
-    pairs = left.join(right, "__b").filter(
-        F.col("item_a") < F.col("item_b")
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
     )
-    out = pairs.groupBy("item_a", "item_b").agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    # Pair expansion as a higher-order transform over the sorted
+    # per-basket array — each basket emits its C(n,2) oriented pairs
+    # WITHOUT a basket-keyed self-join (one shuffle to group, zero to
+    # pair; the self-join formulation paid a second data-sized
+    # shuffle plus join bookkeeping for the same rows).
+    pair_structs = F.flatten(
+        F.transform(
+            "__items",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__items"),
+                    i + 2,
+                    F.greatest(F.size("__items") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    out = (
+        baskets.select(F.explode(pair_structs).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
     if min_count > 1:
         out = out.filter(F.col("n_baskets") >= min_count)
@@ -104,7 +124,7 @@ def association_rules(
         basket_col="__b",
         item_col="__i",
         min_count=min_count,
-        max_basket=None,  # already guarded (and b is already distinct)
+        max_basket=None,  # already guarded upstream
     )
     marg = b.groupBy(F.col("__i").alias("__item")).agg(
         F.count(F.lit(1)).alias("__n_item")
