@@ -299,6 +299,9 @@ _DEMOTED_ORACLES = (
     "nested_lineitems_orders",
     # Round-6: GROUPED_AGG pandas-UDF surface — mirror-checked.
     "geomean_grouped_agg_orders",
+    # Round-6: concentration metrics in exact integer arithmetic —
+    # mirror-checked.
+    "concentration_metrics_orders",
 )
 
 _CORRECTNESS_WINDOW = 50

@@ -800,3 +800,98 @@ def contribution_analysis_orders(
             (F.col("cur") - F.col("prev")) / F.col("total_delta"), 6
         ).alias("contribution"),
     )
+
+
+_CONC_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk
+  FROM r
+), t AS (
+  SELECT count(*) AS n, sum(cents) AS tot,
+         sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS sumsq,
+         sum(rk * cents) AS weighted
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(tot / 100.0, 2) AS total_revenue,
+       round((2.0 * weighted) / (n * tot) - (n + 1.0) / n, 6) AS gini,
+       round(sumsq / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
+       round(
+         (SELECT sum(cents) FROM ranked WHERE rk > n - CAST(n / 10 AS BIGINT))
+         / CAST(tot AS DOUBLE), 6) AS top_decile_share
+FROM t
+"""
+
+
+@_register("concentration_metrics_orders", _CONC_SQL)
+def concentration_metrics_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-concentration metrics over customers: Gini coefficient
+    (rank formula G = 2·Σ rank·xᵢ /(n·Σx) − (n+1)/n on
+    ascending-sorted revenue), Herfindahl–Hirschman index (Σ share²),
+    and the top-decile revenue share — the inequality view beside the
+    X145 ABC classification. Inputs are EXACT integer cents; Σx and
+    Σ rank·x stay integer (Gini and the decile share are bit-equal
+    cross-engine), while Σx² is summed in DOUBLES on both sides —
+    cents² exceeds both int64 (Spark raises ARITHMETIC_OVERFLOW; the
+    first formulation hit it) and the 2⁵³ exact-integer range, and
+    the 6-dp rounding is 10 orders of magnitude above the resulting
+    ulp noise. The per-customer rank
+    runs on the customer DIMENSION (bounded), not the fact table;
+    at fact scale the rank would use the X52 two-phase scheme."""
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = r.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+        ),
+    )
+    t = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cents").alias("__tot"),
+        F.sum(
+            F.col("cents").cast("double") * F.col("cents").cast("double")
+        ).alias("__sumsq"),
+        F.sum(F.col("rk") * F.col("cents")).alias("__weighted"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(t.select("__n")))
+        .filter(
+            F.col("rk") > F.col("__n") - (F.col("__n") / 10).cast("long")
+        )
+        .agg(F.sum("cents").alias("__topsum"))
+    )
+    return (
+        t.crossJoin(F.broadcast(top))
+        .select(
+            F.col("__n").cast("long").alias("n_customers"),
+            F.round(F.col("__tot") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                (2.0 * F.col("__weighted")) / (F.col("__n") * F.col("__tot"))
+                - (F.col("__n") + 1.0) / F.col("__n"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.col("__sumsq")
+                / (F.col("__tot").cast("double") * F.col("__tot")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("__topsum") / F.col("__tot").cast("double"), 6
+            ).alias("top_decile_share"),
+        )
+    )
