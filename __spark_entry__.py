@@ -302,6 +302,8 @@ _DEMOTED_ORACLES = (
     # Round-6: concentration metrics in exact integer arithmetic —
     # mirror-checked.
     "concentration_metrics_orders",
+    # Round-6: sweep-line session concurrency — mirror-checked, exact.
+    "session_concurrency_events",
 )
 
 _CORRECTNESS_WINDOW = 50

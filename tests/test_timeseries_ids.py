@@ -573,3 +573,44 @@ def test_holt_winters_matches_python_loop(spark):
             df, key_col="k", ts_col="t", value_col="v",
             period=1, alpha=0.5, beta=0.1, gamma=0.1,
         )
+
+
+def test_concurrency_profile_sweep_line(spark):
+    from workshoop2_etl_spark.operators.timeseries import (
+        concurrency_profile,
+    )
+
+    # [1,5) [2,4) [3,8) [4,6) [5,9): half-open — end at t meets start
+    # at t without overlap (net collapses at ts=4 and ts=5)
+    df = spark.createDataFrame(
+        [(1, 5), (2, 4), (3, 8), (5, 9), (4, 6)], "s int, e int"
+    )
+    out = {
+        r.ts: (r.net, r.n_active)
+        for r in concurrency_profile(
+            df, start_col="s", end_col="e", num_partitions=3
+        ).collect()
+    }
+    assert out == {
+        1: (1, 1), 2: (1, 2), 3: (1, 3), 4: (0, 3), 5: (0, 3),
+        6: (-1, 2), 8: (-1, 1), 9: (-1, 0),
+    }
+    # randomized vs brute force under awkward partitioning
+    import random
+
+    rng = random.Random(23)
+    iv = []
+    for _ in range(120):
+        a = rng.randrange(0, 500)
+        iv.append((a, a + rng.randrange(1, 80)))
+    df2 = spark.createDataFrame(iv, "s int, e int")
+    prof = {
+        r.ts: r.n_active
+        for r in concurrency_profile(
+            df2, start_col="s", end_col="e", num_partitions=7
+        ).collect()
+    }
+    bounds = sorted({t for ab in iv for t in ab})
+    for t in bounds:
+        active = sum(1 for a, b in iv if a <= t < b)
+        assert prof[t] == active, t

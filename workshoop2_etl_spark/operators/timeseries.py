@@ -867,3 +867,78 @@ def holt_winters(
         F.col("__z.__s.sv").alias("seasonal"),
         F.col("__z.__s.fit").alias("fitted"),
     )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency over half-open intervals [start, end):
+    how many intervals are simultaneously active after each boundary
+    instant — the "max concurrent sessions/users/connections" metric
+    behind capacity planning, computed exactly, never by sampling
+    instants.
+
+    Classic sweep line: +1 at every start, −1 at every end, running
+    sum in time order. The net deltas aggregate per DISTINCT boundary
+    timestamp first (one data-sized shuffle; simultaneous starts and
+    ends at one instant collapse into a single net — which also
+    encodes the half-open convention: an interval ending exactly when
+    another starts never overlaps it). The running sum over distinct
+    boundaries then runs the same two-phase range-partition scheme as
+    ``ids.assign_global_ids``/``quality.ks_two_sample`` — NOT a
+    single-partition global window: per-partition cumsums + a P-row
+    offsets branch broadcast back.
+
+    Pure integer arithmetic end to end — cross-engine exact.
+
+    Returns one row per distinct boundary: (``ts``, ``net`` long,
+    ``n_active`` long — the count active immediately AFTER the
+    boundary).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    deltas = (
+        df.select(F.col(start_col).alias("__ts"), F.lit(1).alias("__d"))
+        .unionByName(
+            df.select(F.col(end_col).alias("__ts"), F.lit(-1).alias("__d"))
+        )
+        .filter(F.col("__ts").isNotNull())
+        .groupBy("__ts")
+        .agg(F.sum("__d").cast("long").alias("net"))
+    )
+    local = (
+        deltas.repartitionByRange(n, F.col("__ts"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__run",
+            F.sum("net").over(Window.partitionBy("__pid").orderBy("__ts")),
+        )
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum("net").alias("__s"))
+        .coalesce(1)
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__s").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col("__ts").alias("ts"),
+            "net",
+            (F.col("__off") + F.col("__run")).cast("long").alias("n_active"),
+        )
+    )

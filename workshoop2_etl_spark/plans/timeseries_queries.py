@@ -1148,3 +1148,86 @@ def holt_winters_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta=0.1,
         gamma=0.2,
     )
+
+
+_CONCURRENCY_SQL = """
+WITH m AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), sess AS (
+  SELECT min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM s GROUP BY user_id, sid
+), deltas AS (
+  SELECT ts, CAST(sum(d) AS BIGINT) AS net FROM (
+    SELECT session_start AS ts, 1 AS d FROM sess
+    UNION ALL
+    SELECT session_end AS ts, -1 AS d FROM sess
+  ) GROUP BY ts
+), c AS (
+  SELECT ts, net,
+         sum(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS n_active
+  FROM deltas
+)
+SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_boundaries,
+       CAST((SELECT max(n_active) FROM c) AS BIGINT) AS max_concurrent,
+       (SELECT min(ts) FROM c
+        WHERE n_active = (SELECT max(n_active) FROM c)) AS peak_ts
+"""
+
+
+@_register("session_concurrency_events", _CONCURRENCY_SQL)
+def session_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: 30-minute-gap sessions swept as
+    half-open intervals (+1/−1 boundaries, exact integer running sum
+    via the two-phase prefix scheme — never a sampled-instants
+    approximation or a single-partition window;
+    operators/timeseries.py:concurrency_profile). Reports session
+    count, distinct boundaries, the maximum concurrency, and the
+    earliest instant achieving it — all integers/timestamps, exact
+    on both engines."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.timeseries import (
+        concurrency_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    prof = concurrency_profile(
+        sess, start_col="session_start", end_col="session_end"
+    )
+    mx = prof.agg(F.max("n_active").alias("__mx"))
+    peak = (
+        prof.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_active") == F.col("__mx"))
+        .agg(F.min("ts").alias("peak_ts"))
+    )
+    counts = prof.agg(F.count(F.lit(1)).alias("n_boundaries"))
+    n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        n_sess.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(mx.select(F.col("__mx").alias("max_concurrent"))))
+        .crossJoin(F.broadcast(peak))
+        .select("n_sessions", "n_boundaries", "max_concurrent", "peak_ts")
+    )
