@@ -271,6 +271,17 @@ _DEMOTED_ORACLES = (
     "tpch_q22_prospective_customers",
     "tpch_q4_order_priority",
     "tpch_q11_important_suppliers",
+    # Round-6 second wave: the remaining TPC-H shapes — with these the
+    # full 22-query suite is represented (Q1 = pricing_summary).
+    # All mirror-checked.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipping_priority_buckets",
+    "tpch_q16_supplier_part_relationship",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",
