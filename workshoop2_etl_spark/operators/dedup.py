@@ -1066,15 +1066,22 @@ def winnow_fingerprints(
     Hash choice: ``md5`` (hex string) rather than ``xxhash64`` so an
     external SQL engine reproduces the minima bit-for-bit (the same
     trade the :func:`~workshoop2_etl_spark.operators.textstats.fingerprint`
-    sketch makes); both engines compare the same strings. At scale
-    the hex strings stay executor-side: the per-window min is
-    computed in a partition-local window frame and only the selected
-    ~2n/(w+1) fingerprints survive to any exchange.
+    sketch makes); both engines compare the same strings.
 
-    Plan: one explode (every gram offset), one per-doc window frame
-    ``[current, w−1 following]``, one distinct. Documents shorter
-    than ``k`` chars yield no fingerprints; documents with fewer than
-    ``w`` grams yield exactly one (the min over all their grams).
+    Plan: ZERO exchanges. The gram-hash array, the sliding O(n·w)
+    window minima, and the per-doc dedup (``array_distinct``) are all
+    higher-order functions over in-row arrays — an earlier
+    formulation exploded every gram through a per-doc window frame,
+    which shuffled the ENTIRE character stream as 42-byte packed keys
+    (the suite's largest exchange, ~138 MB at sf0.1; grows linearly
+    with corpus bytes at 100 TB). In-row, nothing leaves the scan
+    task until the caller aggregates the ~2n/(w+1) selected
+    fingerprints. The trade: a document's gram-key array lives in one
+    row (~42·n_chars bytes transient per task) — fine for documents;
+    for book-length texts chunk first (:mod:`..operators.chunking`).
+    Documents shorter than ``k`` chars yield no fingerprints;
+    documents with fewer than ``w`` grams yield exactly one (the min
+    over all their grams).
 
     Output: ``(id_col, off, gram_hash)`` — ``off`` is the selected
     gram's char offset.
@@ -1082,52 +1089,44 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k/w must be >= 1, got {k}/{w}")
     text = F.col(text_col)
-    n_grams = (F.length(text) - k + 1).alias("__ng")
-    grams = (
-        df.filter(F.length(text) >= k)
-        .select(
-            F.col(id_col),
-            n_grams,
-            F.explode(
-                F.sequence(F.lit(0), F.length(text) - k)
-            ).alias("__off"),
-            text.alias("__t"),
+    ng = F.length(text) - k + 1
+    # (hash, off) packed into one orderable key: hex md5 is
+    # fixed-width, so concatenating a zero-padded offset makes
+    # lexicographic min == min of (hash, offset) — identical
+    # semantics in any SQL engine, no struct-ordering quirks.
+    gram_keys = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: F.concat(
+            F.md5(text.substr(i + 1, F.lit(k))),
+            F.lpad(i.cast("string"), 10, "0"),
+        ),
+    )
+    # __keys is aliased in its own projection so the md5 array is
+    # computed ONCE per row — the sliding min references it w times
+    # per position, and CollapseProject keeps multiply-referenced
+    # non-trivial aliases in their own project instead of inlining.
+    keys = F.col("__keys")
+    # Full windows only (truncated trailing frames would add spurious
+    # suffix minima); short docs keep their single all-gram window.
+    mins = F.when(
+        F.size(keys) < w, F.array(F.array_min(keys))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(keys) - w),
+                lambda s: F.array_min(F.slice(keys, s + 1, w)),
+            )
         )
+    )
+    return (
+        df.filter(F.length(text) >= k)
+        .select(F.col(id_col), gram_keys.alias("__keys"))
+        .select(F.col(id_col), F.explode(mins).alias("__sel"))
         .select(
             id_col,
-            "__ng",
-            "__off",
-            # (hash, off) packed into one orderable key: hex md5 is
-            # fixed-width, so concatenating a zero-padded offset makes
-            # lexicographic min == min of (hash, offset) — identical
-            # semantics in any SQL engine, no struct-ordering quirks.
-            F.concat(
-                F.md5(F.col("__t").substr(F.col("__off") + 1, F.lit(k))),
-                F.lpad(F.col("__off").cast("string"), 10, "0"),
-            ).alias("__key"),
+            F.substring("__sel", 33, 10).cast("long").alias("off"),
+            F.substring("__sel", 1, 32).alias("gram_hash"),
         )
-    )
-    wspec = (
-        Window.partitionBy(id_col)
-        .orderBy("__off")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    selected = (
-        grams.withColumn("__sel", F.min("__key").over(wspec))
-        # Only full windows define fingerprints (truncated trailing
-        # frames would add spurious suffix minima); short docs keep
-        # their single all-gram window at start 0.
-        .filter(
-            (F.col("__off") <= F.col("__ng") - w)
-            | ((F.col("__ng") < w) & (F.col("__off") == 0))
-        )
-        .select(id_col, "__sel")
-        .distinct()
-    )
-    return selected.select(
-        id_col,
-        F.substring("__sel", 33, 10).cast("long").alias("off"),
-        F.substring("__sel", 1, 32).alias("gram_hash"),
     )
 
 
