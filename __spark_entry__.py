@@ -282,6 +282,11 @@ _DEMOTED_ORACLES = (
     "tpch_q16_supplier_part_relationship",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
+    # Round-6 second wave: DSIR importance resampling (integer-micro
+    # log weights + Gumbel top-k) and fastText-style hashed linear
+    # classifier inference — mirror-checked.
+    "dsir_sample_documents",
+    "quality_classifier_documents",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

@@ -1,0 +1,118 @@
+"""Semantic tests for the curation operators (DSIR importance
+resampling, linear classifier inference) on planted frames — the
+oracle-parity run proves cross-engine agreement, these prove the
+selection actually PREFERS target-like documents."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.curation import (
+    dsir_logweights,
+    dsir_resample,
+    hashed_ngram_buckets,
+    linear_text_classifier,
+)
+
+
+@pytest.fixture()
+def planted(spark):
+    # Target (t=True) talks about cats; pool has cat-like docs and
+    # number-station noise. DSIR must rank cat-like pool docs above
+    # the noise.
+    # DSIR weights are UNNORMALIZED log-likelihood-ratio sums (the
+    # paper's form), so cross-document comparisons are only fair at
+    # equal feature counts — all non-empty pool docs here are six
+    # tokens long.
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (1, "a cat and another cat on a mat", True),
+        (2, "a cat sat on a mat", False),
+        (3, "cat on the mat the cat", False),
+        (4, "zq7 xv9 qqj wop lrm vnz", False),
+        (5, "9a8 b7c d6e f5g h4i j3k", False),
+        (6, "", False),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+
+
+def test_dsir_prefers_target_like_docs(planted):
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_logweights(
+            planted, "doc_id", "text", F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    # cat-vocabulary pool docs strictly outrank the noise docs
+    assert min(w[2], w[3]) > max(w[4], w[5])
+    # featureless doc gets exactly zero (empty product)
+    assert w[6] == 0
+
+
+def test_dsir_resample_deterministic_and_topk(planted):
+    a = dsir_resample(
+        planted, "doc_id", "text", F.col("is_t"), k=3, n_buckets=256
+    ).collect()
+    b = dsir_resample(
+        planted, "doc_id", "text", F.col("is_t"), k=3, n_buckets=256
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 3
+    # keys are sorted descending and key = logw + gumbel holds per row
+    keys = [r["key_micro"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_hashed_buckets_in_range_and_bigram_count(spark):
+    df = spark.createDataFrame([(1, "one two three")], ["id", "text"])
+    row = df.select(
+        hashed_ngram_buckets("text", n_buckets=64).alias("b")
+    ).head()
+    # 3 unigrams + 2 bigrams
+    assert len(row["b"]) == 5
+    assert all(0 <= x < 64 for x in row["b"])
+    uni_only = df.select(
+        hashed_ngram_buckets("text", n_buckets=64, bigrams=False).alias("b")
+    ).head()
+    assert len(uni_only["b"]) == 3
+
+
+def test_classifier_known_score(spark):
+    # Single word "hello" hashed into a known bucket; weight 2.0 on
+    # that bucket → z = 2.0, score = sigmoid(2).
+    docs = spark.createDataFrame([(1, "hello"), (2, "")], ["id", "text"])
+    bucket = docs.filter("id = 1").select(
+        F.explode(
+            hashed_ngram_buckets("text", n_buckets=32, bigrams=True)
+        ).alias("b")
+    ).head()["b"]
+    weights = spark.createDataFrame([(int(bucket), 2.0)], ["bucket", "weight"])
+    out = {
+        r["id"]: r
+        for r in linear_text_classifier(
+            docs, weights, "id", "text", n_buckets=32, bias=0.5
+        ).collect()
+    }
+    assert out[1]["n_feats"] == 1
+    assert out[1]["score"] == pytest.approx(
+        1.0 / (1.0 + math.exp(-2.5)), abs=1e-9
+    )
+    # featureless doc: z = bias
+    assert out[2]["n_feats"] == 0
+    assert out[2]["score"] == pytest.approx(
+        1.0 / (1.0 + math.exp(-0.5)), abs=1e-9
+    )
+
+
+def test_classifier_unknown_buckets_weigh_zero(spark):
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], ["id", "text"])
+    weights = spark.createDataFrame(
+        [(0, 0.0)], ["bucket", "weight"]
+    ).filter("bucket < 0")  # empty model
+    row = linear_text_classifier(
+        docs, weights, "id", "text", n_buckets=32
+    ).head()
+    assert row["z"] == 0.0 and row["score"] == 0.5

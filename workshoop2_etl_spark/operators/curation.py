@@ -1,0 +1,256 @@
+"""Model-based corpus curation: DSIR importance resampling and
+hashed-feature linear classifier inference.
+
+Two standard steps of an LLM pre-training data pipeline that sit
+between the rule batteries (:mod:`.quality`) and the LM scorer
+(:mod:`.textstats`):
+
+- **DSIR** (Data Selection via Importance Resampling, Xie et al.
+  2023, arXiv:2302.03169): score every pool document by how much more
+  likely its hashed n-gram profile is under a small TARGET corpus
+  than under the raw pool, then resample with Gumbel top-k. This is
+  the published, principled version of "pick web pages that look
+  like Wikipedia".
+- **Linear classifier inference** (the fastText-style quality filter
+  of CCNet / LLaMA data prep): apply a trained linear model over
+  hashed bag-of-n-gram features as a pure column computation — the
+  weights arrive as a (bucket, weight) table and broadcast; no
+  per-row Python, no model server.
+
+Cross-engine determinism (the repo's integer-micro recipe): every
+per-document accumulation is a sum of 64-bit integers — bucket-level
+log-ratios and Gumbel perturbations are fixed to integer micro-units
+(``floor(x·10⁶ + ½)``) BEFORE any per-document aggregation, so the
+scores compare bit-equal across engines regardless of summation
+order. The only float ops are one ``ln`` per distinct bucket and one
+``ln(ln)`` per document, each immediately quantized; libm ulp
+variance would have to land within 5·10⁻⁷ of a micro-unit boundary
+to flip a result.
+
+Scale shape: one explode of feature occurrences; bucket tables are
+bounded by ``n_buckets`` (broadcast); the only data-sized shuffles
+are the bucket-count partial aggregate and the per-document sum —
+both carry (int, int) pairs, never text. Top-k selection is
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "dsir_logweights",
+    "dsir_resample",
+    "linear_text_classifier",
+]
+
+#: 2^32 as a double — divisor that turns 32 md5 bits into a uniform.
+_TWO32 = 4294967296.0
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace tokens of the lowercased text — the repo-wide
+    convention (`textstats.py`), reproduced in DuckDB as
+    ``list_filter(string_split_regex(lower(text),'\\s+'), t->t!='')``."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def hashed_ngram_buckets(
+    text_col: str, *, n_buckets: int = 512, bigrams: bool = True
+) -> Column:
+    """Array of hashed feature buckets, one entry PER OCCURRENCE
+    (unigrams + adjacent bigrams — the DSIR paper's feature space),
+    bucket = first 32 md5 bits mod ``n_buckets``.
+
+    md5, not xxhash64/murmur: any SQL engine reproduces
+    ``CAST(concat('0x', substr(md5(g),1,8)) AS BIGINT) % n_buckets``
+    bit-for-bit (same trade as :func:`..operators.sampling.hash_bucket`).
+    """
+    toks = _tokens(text_col)
+    tail = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    head = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    feats = F.concat(
+        toks,
+        F.zip_with(tail, head, lambda a, b: F.concat(a, F.lit(" "), b))
+        if bigrams
+        else F.array(),
+    )
+    return F.transform(
+        feats,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def _micro(x: Column) -> Column:
+    """Quantize to integer micro-units with half-up — floor(x·10⁶+½)
+    on BOTH engines, never the engines' round() builtins (they
+    disagree at half-boundaries)."""
+    return F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    n_buckets: int = 512,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight, in integer micro-log
+    units: ``logw_micro = Σ_occurrences floor(10⁶·ln λ(b) + ½)`` where
+    ``λ(b) = p_target(b) / p_raw(b)`` over add-one-smoothed hashed
+    n-gram distributions (target = rows where ``is_target``; raw =
+    the whole pool).
+
+    The bucket ratio table is ``n_buckets`` rows — broadcast back
+    onto the exploded occurrences; quantizing ln λ per BUCKET before
+    the per-document sum makes the weights integer-exact and
+    summation-order-free (see module docstring). Documents with no
+    features get weight 0 (λ over an empty product).
+
+    Returns ``(id_col, logw_micro, n_feats)``.
+    """
+    feats = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode_outer(
+            hashed_ngram_buckets(
+                text_col, n_buckets=n_buckets, bigrams=bigrams
+            )
+        ).alias("__b"),
+    )
+    counts = feats.filter(F.col("__b").isNotNull()).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+    )
+    tot = counts.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    d = float(n_buckets)
+    # identical operation order in the oracle:
+    #   ((ct+1)/(nt+D)) / ((cr+1)/(nr+D))
+    lam = (
+        (F.col("__ct") + F.lit(1.0)) / (F.col("__nt") + F.lit(d))
+    ) / ((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(d)))
+    ratios = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("__b", _micro(F.log(lam)).alias("__lw"))
+    )
+    return (
+        feats.join(F.broadcast(ratios), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("__lw"), F.lit(0)).alias("logw_micro"),
+            F.count("__b").alias("n_feats"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    k: int,
+    n_buckets: int = 512,
+    bigrams: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-``k`` importance resample: key = logw_micro +
+    floor(10⁶·(−ln(−ln u)) + ½) with ``u`` the deterministic
+    md5-uniform of the (salted) id — sampling without replacement
+    with inclusion odds ∝ exp(logw), reproducible anywhere (same
+    Efraimidis–Spirakis trade as ``sampling.weighted_sample``, in
+    Gumbel form so the weight stays in log space and never
+    overflows).
+
+    Returns the selected rows' ``(id_col, logw_micro, key_micro)``,
+    ordered by key desc — TakeOrderedAndProject, no global sort.
+    """
+    w = dsir_logweights(
+        df, id_col, text_col, is_target,
+        n_buckets=n_buckets, bigrams=bigrams,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_TWO32)
+    gumbel = _micro(-F.log(-F.log(u)))
+    return (
+        w.select(
+            id_col,
+            "logw_micro",
+            (F.col("logw_micro") + gumbel).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bias: float = 0.0,
+    n_buckets: int = 512,
+    bigrams: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """Apply a linear text classifier (fastText-style: mean of hashed
+    bag-of-n-gram feature weights through a sigmoid) as a pure
+    column computation — the CCNet / LLaMA-prep quality-filter
+    inference path.
+
+    ``weights`` is a (``bucket`` int, ``weight`` double) table — the
+    trained model, typically a few thousand rows — broadcast onto the
+    exploded feature occurrences. Weights are quantized to integer
+    micro-units per bucket, so the per-document sum is exact; the
+    logit ``z = (Σw)/10⁶/n_feats + bias`` and the sigmoid are then
+    evaluated with the identical operation order in any engine.
+    Featureless documents score ``sigmoid(bias)``.
+
+    Returns ``(id_col, n_feats, z, score_col)``.
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(
+                text_col, n_buckets=n_buckets, bigrams=bigrams
+            )
+        ).alias("__b"),
+    )
+    wq = weights.select(
+        F.col("bucket").alias("__b"), _micro(F.col("weight")).alias("__w")
+    )
+    sums = (
+        feats.join(F.broadcast(wq), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("__w"), F.lit(0)).alias("__sw"),
+            F.count("__b").alias("n_feats"),
+        )
+    )
+    z = (
+        F.col("__sw") / F.lit(1e6)
+    ) / F.greatest(F.col("n_feats"), F.lit(1)).cast("double") + F.lit(bias)
+    return sums.select(
+        id_col,
+        "n_feats",
+        z.alias("z"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(score_col),
+    )

@@ -2268,3 +2268,173 @@ def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return pmi_collocations(docs, "text", min_count=5, k=30)
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS b
+  FROM (
+    SELECT doc_id, unnest(
+      ts || [ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]
+    ) AS g
+    FROM toks
+  )
+), counts AS (
+  SELECT b, count(*) AS cr,
+         sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM feats JOIN documents d USING (doc_id)
+  GROUP BY b
+), tot AS (
+  SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts
+), ratios AS (
+  SELECT b,
+         CAST(floor(ln(((ct + 1.0) / (nt + 512.0))
+                       / ((cr + 1.0) / (nr + 512.0))) * 1e6 + 0.5)
+              AS BIGINT) AS lw
+  FROM counts, tot
+), w AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(r.lw), 0) AS BIGINT) AS logw_micro
+  FROM documents d
+  LEFT JOIN feats f ON d.doc_id = f.doc_id
+  LEFT JOIN ratios r ON f.b = r.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, logw_micro,
+       logw_micro + CAST(floor(-ln(-ln(
+         (CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) + 0.5)
+         / 4294967296.0)) * 1e6 + 0.5) AS BIGINT) AS key_micro
+FROM w
+ORDER BY key_micro DESC, doc_id
+LIMIT 80
+"""
+
+
+@_register("dsir_sample_documents", _DSIR_SQL)
+def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): rate every pool
+    document by the log-likelihood ratio of its hashed unigram+bigram
+    profile under the English subset (the stand-in target corpus)
+    vs the whole pool, then draw a Gumbel top-80 sample with
+    inclusion odds ∝ exp(logw). Bucket log-ratios and Gumbel
+    perturbations are quantized to integer micro-units BEFORE any
+    per-document sum, so the selection is bit-reproducible
+    cross-engine. One occurrence explode; 512-row broadcast ratio
+    table; TakeOrderedAndProject top-k."""
+    from workshoop2_etl_spark.operators.curation import dsir_resample
+
+    docs = _tp(spark, sf_dir, "documents")
+    out = dsir_resample(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        k=80, n_buckets=512, bigrams=True, salt="dsir",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("logw_micro").cast("long").alias("logw_micro"),
+        F.col("key_micro").cast("long").alias("key_micro"),
+    )
+
+
+_CLASSIFIER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS b
+  FROM (
+    SELECT doc_id, unnest(
+      ts || [ts[i] || ' ' || ts[i + 1] FOR i IN range(1, len(ts))]
+    ) AS g
+    FROM toks
+  )
+), wq AS (
+  SELECT b, CAST(floor(
+           ((CAST(concat('0x', substr(md5('qw' || CAST(b AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0 * 2.0 - 1.0) * 1e6 + 0.5)
+         AS BIGINT) AS w
+  FROM (SELECT unnest(range(0, 512)) AS b)
+), sums AS (
+  SELECT d.doc_id,
+         coalesce(sum(w.w), 0) AS sw,
+         count(f.b) AS n_feats
+  FROM documents d
+  LEFT JOIN feats f ON d.doc_id = f.doc_id
+  LEFT JOIN wq w ON f.b = w.b
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       floor((1.0 / (1.0 + exp(-((sw / 1e6)
+             / CAST(greatest(n_feats, 1) AS DOUBLE) + 0.0)))) * 1e6 + 0.5)
+         / 1e6 AS score
+FROM sums
+ORDER BY doc_id
+"""
+
+
+@_register("quality_classifier_documents", _CLASSIFIER_SQL)
+def quality_classifier_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE (the
+    CCNet / LLaMA-prep filter): mean hashed-n-gram feature weight
+    through a sigmoid, with the (bucket, weight) model arriving as a
+    broadcast table — the Spark-side shape of applying any trained
+    linear text model at corpus scale. The model here is a
+    deterministic md5-seeded weight vector (no training dep in this
+    environment — an honest stand-in documented as such); weights
+    quantize to integer micro-units so the per-document sums are
+    exact, and the sigmoid is evaluated with the identical operation
+    order in the oracle. Scores round to 6 dp for the cross-engine
+    compare."""
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    spark_buckets = spark.range(0, 512).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    weights = spark_buckets.select(
+        "bucket",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("qw"),
+                                F.col("bucket").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+            * F.lit(2.0)
+            - F.lit(1.0)
+        ).alias("weight"),
+    )
+    out = linear_text_classifier(
+        docs, weights, "doc_id", "text",
+        bias=0.0, n_buckets=512, bigrams=True,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        (F.floor(F.col("score") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+            "score"
+        ),
+    ).orderBy("doc_id")
