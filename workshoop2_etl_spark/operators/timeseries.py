@@ -785,16 +785,28 @@ def holt_winters(
     t-th observation is season index t mod m) — regularize the series
     first (:func:`resample_fill`) if timestamps are irregular.
 
-    Same fold machinery as :func:`ewma`/:func:`holt` with the
-    accumulator struct carrying the rolling seasonal ARRAY — the
-    demonstration that the pattern scales to vector-valued per-key
-    state. The oracle replays the identical recursion as a RECURSIVE
-    CTE whose rows carry the list state, same operand order —
-    bit-equal unrounded when the input series is exact (the
-    registered query feeds integer cents).
+    Execution: an Arrow-batched per-key kernel (``applyInPandas``),
+    NOT the :func:`ewma`/:func:`holt` JVM fold. The crossover rule:
+    scalar-state recursions stay in-JVM higher-order folds (zero
+    Python, O(n) state churn), but a fold that must EMIT every step
+    can only accumulate into an array — and with vector-valued state
+    the copy-on-append cost is O(n²·m) per key, which a ten-year
+    minutely series turns into a real scale cliff. The kernel is
+    O(n·m): one Python loop per key over Arrow-transferred batches,
+    executor-parallel across keys (the same per-group escape hatch
+    as ``similarity.mmr_rerank``). Per-key state is three scalars +
+    the m-vector; series order is the same (ts, tiebreaks…, value)
+    lexicographic sort the fold used.
+
+    The recursion arithmetic is spelled in the exact operand order of
+    the formulas above — Python doubles and the JVM fold are both
+    IEEE-754, so the oracle's RECURSIVE-CTE replay (rows carrying the
+    list state, same operand order) stays bit-equal unrounded when
+    the input series is exact (the registered query feeds integer
+    cents).
 
     Returns the original grain + ``level``, ``trend``, ``seasonal``
-    (s_t), ``fitted``.
+    (s_t), ``fitted`` (nullable — NULL on each key's first row).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -803,70 +815,65 @@ def holt_winters(
             raise ValueError(f"{nm} must be in [0, 1], got {v}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
-    order_struct = F.struct(
-        F.col(ts_col).alias("__ts"),
-        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak_cols)],
-        F.col(value_col).cast("double").alias("__x"),
-    )
-    rows = df.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(order_struct)).alias("__hist")
-    )
-    state_t = (
-        "STRUCT<l: DOUBLE, b: DOUBLE, sv: DOUBLE, fit: DOUBLE, "
-        "s: ARRAY<DOUBLE>>"
-    )
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    def _step(acc, srow):
-        prev = F.element_at(acc, -1)
-        x = srow["__x"]
-        sm = F.element_at(prev["s"], 1)
-        l_new = F.lit(alpha) * (x - sm) + F.lit(1.0 - alpha) * (
-            prev["l"] + prev["b"]
-        )
-        b_new = F.lit(beta) * (l_new - prev["l"]) + F.lit(
-            1.0 - beta
-        ) * prev["b"]
-        s_val = F.lit(gamma) * (x - l_new) + F.lit(1.0 - gamma) * sm
-        fit = prev["l"] + prev["b"] + sm
-        nxt = F.struct(
-            l_new.alias("l"),
-            b_new.alias("b"),
-            s_val.alias("sv"),
-            fit.alias("fit"),
-            F.concat(
-                F.slice(prev["s"], 2, period - 1), F.array(s_val)
-            ).alias("s"),
-        )
-        first = F.struct(
-            x.alias("l"),
-            F.lit(0.0).alias("b"),
-            F.lit(0.0).alias("sv"),
-            F.lit(None).cast("double").alias("fit"),
-            F.array_repeat(F.lit(0.0), period).alias("s"),
-        )
-        return F.concat(
-            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(nxt))
+    schema = StructType(
+        [
+            df.schema[key_col],
+            df.schema[ts_col],
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("fitted", DoubleType()),
+        ]
+    )
+    sort_cols = list(dict.fromkeys([ts_col, *tiebreak_cols, value_col]))
+    # close over plan-time constants exactly as the fold did with
+    # F.lit(1.0 - alpha): each subtraction happens ONCE, here.
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    m = period
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        xs = pdf[value_col].astype("float64").to_list()
+        n = len(xs)
+        level = [0.0] * n
+        trend = [0.0] * n
+        seas = [0.0] * n
+        fit = [None] * n
+        s = [0.0] * m
+        l = b = sv = 0.0
+        f = None
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b, sv, f = x, 0.0, 0.0, None
+            else:
+                sm = s[0]
+                f = l + b + sm
+                l_new = alpha * (x - sm) + oma * (l + b)
+                b_new = beta * (l_new - l) + omb * b
+                sv = gamma * (x - l_new) + omg * sm
+                s = s[1:] + [sv]
+                l, b = l_new, b_new
+            level[i], trend[i], seas[i], fit[i] = l, b, sv, f
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: xs,
+                "level": level,
+                "trend": trend,
+                "seasonal": seas,
+                # nullable Float64 so the first row's fitted arrives
+                # as NULL (a bare float column would smuggle NaN)
+                "fitted": pd.array(fit, dtype="Float64"),
+            }
         )
 
-    folded = rows.withColumn(
-        "__s",
-        F.aggregate(
-            "__hist", F.expr(f"CAST(array() AS ARRAY<{state_t}>)"), _step
-        ),
-    )
-    exploded = folded.select(
-        F.col(key_col),
-        F.posexplode(F.arrays_zip("__hist", "__s")).alias("__i", "__z"),
-    )
-    return exploded.select(
-        key_col,
-        F.col("__z.__hist.__ts").alias(ts_col),
-        F.col("__z.__hist.__x").alias(value_col),
-        F.col("__z.__s.l").alias("level"),
-        F.col("__z.__s.b").alias("trend"),
-        F.col("__z.__s.sv").alias("seasonal"),
-        F.col("__z.__s.fit").alias("fitted"),
-    )
+    cols = list(dict.fromkeys([key_col, *sort_cols, value_col]))
+    return df.select(*cols).groupBy(key_col).applyInPandas(_kernel, schema)
 
 
 def concurrency_profile(
