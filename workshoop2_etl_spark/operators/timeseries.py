@@ -786,12 +786,13 @@ def holt_winters(
     first (:func:`resample_fill`) if timestamps are irregular.
 
     Execution: an Arrow-batched per-key kernel (``applyInPandas``),
-    NOT the :func:`ewma`/:func:`holt` JVM fold. The crossover rule:
-    scalar-state recursions stay in-JVM higher-order folds (zero
-    Python, O(n) state churn), but a fold that must EMIT every step
-    can only accumulate into an array — and with vector-valued state
-    the copy-on-append cost is O(n²·m) per key, which a ten-year
-    minutely series turns into a real scale cliff. The kernel is
+    NOT the :func:`ewma`/:func:`holt` JVM fold. A fold that must EMIT
+    every step can only accumulate into an array, so copy-on-append
+    makes any such fold quadratic in series length; with scalar state
+    (ewma/holt) the constant is small enough for typical per-key
+    series, but multiplying it by the m-length seasonal vector
+    (O(n²·m) per key) turns a ten-year minutely series into a real
+    scale cliff — that's the crossover to Python. The kernel is
     O(n·m): one Python loop per key over Arrow-transferred batches,
     executor-parallel across keys (the same per-group escape hatch
     as ``similarity.mmr_rerank``). Per-key state is three scalars +
