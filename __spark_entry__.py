@@ -287,6 +287,10 @@ _DEMOTED_ORACLES = (
     # classifier inference — mirror-checked.
     "dsir_sample_documents",
     "quality_classifier_documents",
+    # Round-6 second wave: Fellegi–Sunter entity resolution (blocked
+    # candidates → integer agreement scoring → union-find clusters) —
+    # mirror-checked.
+    "entity_resolution_customers",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

@@ -1863,3 +1863,76 @@ def geomean_grouped_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
         )
     )
+
+
+_ER_SQL = """
+WITH reg AS (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal, c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000,
+         concat(substring(c_name, 1, 3), substring(c_name, 5, length(c_name))),
+         c_acctbal, c_nationkey
+  FROM customer WHERE c_custkey % 3 = 0
+), pairs AS (
+  SELECT a.id AS ida, b.id AS idb,
+         CASE WHEN a.name = b.name THEN 24 ELSE 12 END
+         + CASE WHEN a.c_acctbal = b.c_acctbal THEN 16 ELSE -8 END
+         + CASE WHEN a.c_nationkey = b.c_nationkey THEN 4 ELSE -4 END
+           AS score
+  FROM reg a JOIN reg b
+    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+), matched AS (
+  SELECT ida, idb FROM pairs WHERE score >= 28
+)
+SELECT ida AS id, ida AS entity_id, TRUE AS is_canonical FROM matched
+UNION ALL
+SELECT idb, ida, FALSE FROM matched
+"""
+
+
+@_register("entity_resolution_customers", _ER_SQL)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end (Fellegi–Sunter 1969): a dirty
+    registry — every third customer re-entered with a dropped
+    character under a fresh id, attributes copied — resolved back by
+    deletion-neighborhood blocking, integer agreement scoring (name
+    within distance 1 is WEAK evidence on its own: digit-neighbor
+    lookalikes score 12−8±4 < 28 because their copied attributes
+    DISagree; true re-entries score 12+16+4 ≥ 28), and union-find
+    clustering. The oracle replays the quadratic levenshtein join +
+    scoring and — the planted topology being disjoint pairs —
+    min-per-pair cluster labels; transitive chains are exercised by
+    tests/test_entity.py instead, where the cluster machinery
+    (dedup.duplicate_clusters) does the real work."""
+    from workshoop2_etl_spark.operators.entity import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    typos = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).cast("long").alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 3),
+            F.expr("substring(c_name, 5, length(c_name))"),
+        ).alias("name"),
+        "c_acctbal",
+        "c_nationkey",
+    )
+    reg = base.unionByName(typos)
+    out = resolve_entities(
+        reg, "id", "name",
+        agree_weights={"c_acctbal": (16, -8), "c_nationkey": (4, -4)},
+        name_weights=(24, 12),
+        threshold=28,
+        max_distance=1,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "is_canonical",
+    )
