@@ -1117,11 +1117,16 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The original expresses this with correlated EXISTS / NOT EXISTS;
     the set-based equivalent — per-(order, supplier) lateness flags,
     then per-order counts, then a filter — turns both correlated
-    subqueries into one reusable aggregate. ``od`` re-aggregates
-    ``lo``'s output, so the order-key exchange is planned once and
-    reused (same pattern as assign_global_ids); supplier is a
-    broadcast dim; 'late' is shipped >1 year after order (no
-    l_commitdate/l_receiptdate in the synthetic schema)."""
+    subqueries into WINDOW aggregates over the flags
+    (count/sum OVER (PARTITION BY order)). Not a re-aggregate +
+    self-join: column pruning makes the two branch subtrees differ,
+    so exchange reuse does NOT fire and the whole join+aggregate
+    pipeline would execute twice (measured — zero ReusedExchange
+    nodes in the AQE final plan). The window costs one extra
+    order-keyed exchange but scans and aggregates once, and its
+    groups are order-sized (bounded, ~8 suppliers), never skewed.
+    Supplier is a broadcast dim; 'late' is shipped >1 year after
+    order (no l_commitdate/l_receiptdate in the synthetic schema)."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -1136,15 +1141,16 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
     )
-    od = lo.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("is_late") == 1)
-        .join(od, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        lo.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -1240,10 +1246,11 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_availqty > half-of-shipped test, since there is no partsupp).
     Same nested-semi-join shape: an inner aggregate derives the
     qualifying supplier set, an outer LEFT SEMI join filters the
-    supplier dim, nation broadcasts in. ``tot`` re-aggregates
-    ``shipped`` so the part-key exchange plans once; l_quantity is
-    integral, so the 0.3·total threshold compares exactly in both
-    engines."""
+    supplier dim, nation broadcasts in. The part total is a window
+    sum over the (supplier, part) aggregate — not a re-aggregate
+    joined back, which column pruning would plan as two full
+    subtrees (see Q21); l_quantity is integral, so the 0.3·total
+    threshold compares exactly in both engines."""
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
     ).select("p_partkey")
@@ -1256,11 +1263,11 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    tot = shipped.groupBy("l_partkey").agg(
-        F.sum("qty").alias("total_qty")
-    ).withColumnRenamed("l_partkey", "t_partkey")
     qualifying = (
-        shipped.join(tot, shipped.l_partkey == tot.t_partkey)
+        shipped.withColumn(
+            "total_qty",
+            F.sum("qty").over(Window.partitionBy("l_partkey")),
+        )
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
         .select("l_suppkey")
     )
@@ -1310,13 +1317,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum cost supplier): for every size-15 part, the
     European supplier(s) offering it at the lowest unit cost. The
     original's correlated `= (SELECT min(ps_supplycost) ...)` becomes
-    aggregate-then-equijoin-back — the standard decorrelation. The
-    cost equality join is EXACT cross-engine: unit cost is one double
-    division (identical bits in Spark and DuckDB) and min() selects an
+    a per-part window min + filter — the argmin decorrelation that
+    keeps ONE subtree (a re-aggregate joined back would plan the
+    eligible pipeline twice under column pruning; see Q21). The cost
+    equality is EXACT cross-engine: unit cost is one double division
+    (identical bits in Spark and DuckDB) and min() selects an
     existing value rather than accumulating. partsupp is derived from
     lineitem (no partsupp in the synthetic schema); supplier, nation,
-    region, and the filtered part list all broadcast, and `best`
-    re-aggregates `eligible` so its exchange plans once."""
+    region, and the filtered part list all broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     ps = (
         li.groupBy(
@@ -1348,15 +1356,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
         )
     )
-    best = eligible.groupBy(
-        F.col("ps_partkey").alias("b_partkey")
-    ).agg(F.min("ps_supplycost").alias("min_cost"))
     return (
-        eligible.join(
-            best,
-            (F.col("ps_partkey") == F.col("b_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
+        eligible.withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
         )
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
             F.round("ps_supplycost", 4).alias("supply_cost"),
