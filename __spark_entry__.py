@@ -291,6 +291,9 @@ _DEMOTED_ORACLES = (
     # candidates → integer agreement scoring → union-find clusters) —
     # mirror-checked.
     "entity_resolution_customers",
+    # Round-6 second wave: exact all-pairs Jaccard join via prefix
+    # filtering, vs DuckDB's quadratic verify — mirror-checked.
+    "allpairs_jaccard_documents",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

@@ -1369,3 +1369,61 @@ def test_random_projection_jl_distortion_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         random_projection(df, dim=64, out_dim=0)
+
+
+def test_allpairs_jaccard_exact_at_boundary(spark):
+    from workshoop2_etl_spark.operators.dedup import allpairs_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r t u"), (3, "a b c d")],
+        ["id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in allpairs_jaccard(docs, "id", "text", tau=0.6).collect()
+    }
+    # {p q r s} vs {p q r t u}: ∩=3, ∪=6 → 0.5 < 0.6 → absent
+    assert got == {}
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in allpairs_jaccard(docs, "id", "text", tau=0.5).collect()
+    }
+    # exactly at the τ=0.5 boundary → INCLUDED (inclusive threshold)
+    assert got == {(1, 2): (3, 6)}
+
+
+def test_allpairs_jaccard_tau_boundary_integer_product(spark):
+    from workshoop2_etl_spark.operators.dedup import allpairs_jaccard
+
+    # τ·n an exact integer (0.2·5=1): float ceil overshoot would
+    # shorten prefixes and silently drop this minimal-overlap pair
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a v w x y")], ["id", "text"]
+    )
+    pairs = allpairs_jaccard(docs, "id", "text", tau=0.2).collect()
+    assert len(pairs) == 0  # J = 1/9 < 0.2 — but candidates existed
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c w x")], ["id", "text"]
+    )
+    got = allpairs_jaccard(docs2, "id", "text", tau=0.42).collect()
+    # J = 3/7 ≈ 0.4286 ≥ 0.42 → must be found
+    assert len(got) == 1 and got[0]["n_inter"] == 3
+
+
+def test_allpairs_jaccard_guards(spark):
+    import pytest as _pt
+
+    from workshoop2_etl_spark.operators.dedup import allpairs_jaccard
+
+    docs = spark.createDataFrame([(1, "a b")], ["id", "text"])
+    with _pt.raises(ValueError):
+        allpairs_jaccard(docs, "id", "text", tau=0.0)
+    # identical docs share a hot token; bucket cap drops the bucket
+    hot = spark.createDataFrame(
+        [(i, "common x%d" % i) for i in range(10)], ["id", "text"]
+    )
+    open_pairs = allpairs_jaccard(hot, "id", "text", tau=0.4).count()
+    capped = allpairs_jaccard(
+        hot, "id", "text", tau=0.4, max_bucket_size=2
+    ).count()
+    assert capped <= open_pairs

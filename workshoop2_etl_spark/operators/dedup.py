@@ -1173,3 +1173,134 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def allpairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    tau: float,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs token-set similarity join: every document pair
+    with Jaccard(tokens(a), tokens(b)) ≥ ``tau`` — the AllPairs /
+    prefix-filtering algorithm (Bayardo, Ma & Srikant, WWW 2007;
+    Chaudhuri et al. 2006), the exact complement to the sketch-based
+    members of this family (MinHash-LSH recall < 1, SimHash Hamming
+    proxy, bottom-k blocking).
+
+    Prefix filtering: order every token set by GLOBAL document
+    frequency ascending (rarest first, ties by token — the canonical
+    order that makes prefixes maximally selective). J(x,y) ≥ τ forces
+    overlap ≥ ⌈τ·|x|⌉ and ≥ ⌈τ·|y|⌉, so by pigeonhole the two
+    (|s| − ⌈τ|s|⌉ + 1)-prefixes must share a token — the candidate
+    equi-join on prefix tokens loses NO qualifying pair, and because
+    prefixes hold each set's RAREST tokens, bucket sizes stay small
+    by construction (``max_bucket_size`` optionally drops pathological
+    buckets, trading exactness for a bound, same knob as
+    ``fuzzy_join_blocked``).
+
+    No global rank is materialized: each set sorts its own
+    (frequency, token) structs in-row — frequencies arrive by one
+    token-keyed join against the corpus document-frequency aggregate
+    — so there is no single-partition window anywhere. Verification
+    joins the two full sorted-token arrays back by id and computes
+    |∩| / |∪| exactly (integer sizes; the final τ comparison divides
+    two exact integers, bit-identical in any engine).
+
+    Output: ``(id_a, id_b, n_inter, n_union, jaccard)``.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("__tok"),
+        )
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        toks.join(freq, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "__tok"))
+            ).alias("__s")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__s"), lambda s: s["__tok"]).alias("__toks"),
+            F.size("__s").alias("__n"),
+        )
+    )
+    # epsilon inside the ceil: float τ·n can overshoot an exact
+    # integer product (0.2·5 → 1.0000000000000002 → ceil 2), which
+    # would SHORTEN the prefix and break completeness exactly at the
+    # J = τ boundary; the epsilon can only lengthen a prefix, never
+    # drop a qualifying pair.
+    prefix_len = F.col("__n") - F.ceil(
+        F.lit(tau) * F.col("__n") - F.lit(1e-9)
+    ).cast("int") + 1
+    prefixes = ordered.select(
+        id_col,
+        F.explode(F.slice("__toks", 1, prefix_len)).alias("__tok"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            prefixes.groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__b"))
+            .filter(F.col("__b") <= max_bucket_size)
+            .select("__tok")
+        )
+        prefixes = prefixes.join(ok, "__tok")
+    a = prefixes.select(F.col(id_col).alias("__ida"), "__tok")
+    b = prefixes.select(F.col(id_col).alias("__idb"), "__tok")
+    cand = (
+        a.join(b, "__tok")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    ta = ordered.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    tb = ordered.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (
+        cand.join(ta, "__ida")
+        .join(tb, "__idb")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union", F.col("__na") + F.col("__nb") - F.col("n_inter")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union"),
+        )
+        .filter(F.col("jaccard") >= F.lit(tau))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "n_inter",
+            "n_union",
+            "jaccard",
+        )
+    )

@@ -2438,3 +2438,73 @@ def quality_classifier_documents(
             "score"
         ),
     ).orderBy("doc_id")
+
+
+_ALLPAIRS_SQL = r"""
+WITH reg AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           list_filter(
+             list_filter(string_split_regex(text, '\s+'), t -> t != ''),
+             (t, i) -> i % 4 != 0),
+           ' ')
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150
+), sets AS (
+  SELECT id,
+         list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t != '')) AS s
+  FROM reg
+), nonempty AS (SELECT id, s FROM sets WHERE len(s) > 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+         AS n_union,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM nonempty a JOIN nonempty b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+"""
+
+
+@_register("allpairs_jaccard_documents", _ALLPAIRS_SQL)
+def allpairs_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join (AllPairs / prefix
+    filtering, Bayardo et al. 2007): every document pair with token
+    Jaccard ≥ 0.8, over a registry where every fifth document gains a
+    mutated twin (every fourth token dropped). The oracle is DuckDB's
+    quadratic |reg|² verify, so what the hash check proves is that
+    prefix filtering (candidates restricted to pairs sharing a token
+    in their rarest-first prefixes) loses NO qualifying pair.
+
+    The registry is BOUNDED to doc_id < 150: the synthetic documents
+    draw from a tiny template vocabulary, so their pairwise
+    similarity is DENSE (a fifth of ALL pairs exceed τ=0.8 — measured)
+    and an unbounded self-join would return O(n²) rows at any τ.
+    That density is a property of the fixture, not the algorithm;
+    prefix filtering earns its keep on realistic sparse-similarity
+    corpora, which the unit tests model directly."""
+    from workshoop2_etl_spark.operators.dedup import allpairs_jaccard
+
+    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    raw_toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: t != ""
+    )
+    twins = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.array_join(
+            F.filter(raw_toks, lambda t, i: (i + 1) % 4 != 0), " "
+        ).alias("text"),
+    )
+    reg = docs.select("doc_id", "text").unionByName(twins)
+    out = allpairs_jaccard(reg, "doc_id", "text", tau=0.8)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    )
