@@ -409,3 +409,54 @@ def test_tpch_q13_left_outer_keeps_every_customer(spark):
     total = sum(r.custdist for r in df.collect())
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert total == n_cust
+
+
+def _final(df) -> str:
+    """AQE FINAL plan only: collect() finalizes in place; toString
+    prints final + initial sections and string-counting across both
+    double-counts every node."""
+    df.collect()
+    return _physical(df).split("+- == Initial Plan ==")[0]
+
+
+def test_tpch_q21_single_pass_window_not_self_join(spark):
+    # The EXISTS/NOT-EXISTS decorrelation must be window aggregates
+    # over ONE keyed aggregate — the re-aggregate + join-back form
+    # planned the whole scan-join-aggregate pipeline twice (column
+    # pruning specializes the branches, so exchange reuse never
+    # fires; measured). Three tables, each scanned exactly once.
+    final = _final(q("tpch_q21_waiting_suppliers")(spark, SF))
+    assert final.count("Scan parquet") == 3
+    assert "Window" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_tpch_q20_q2_single_scan_per_table(spark):
+    final = _final(q("tpch_q20_part_promotion")(spark, SF))
+    assert final.count("Scan parquet") == 4  # lineitem part supplier nation
+    assert "Window" in final
+    final = _final(q("tpch_q2_min_cost_supplier")(spark, SF))
+    assert final.count("Scan parquet") == 5  # + region
+    assert "Window" in final
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    plan = _physical(q("tpch_q5_local_supplier_volume")(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_tpch_q12_pushes_shipdate_filter(spark):
+    plan = _physical(q("tpch_q12_shipping_priority_buckets")(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q16_anti_join_blocklist(spark):
+    plan = _physical(q("tpch_q16_supplier_part_relationship")(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q10_topk_no_global_sort(spark):
+    plan = _physical(q("tpch_q10_returned_items")(spark, SF))
+    assert "TakeOrderedAndProject" in plan
