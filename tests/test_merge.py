@@ -282,3 +282,30 @@ def test_fuzzy_join_blocked_validates(spark):
         fuzzy_join_blocked(df, other, "id", "s", "id2", "s2", max_distance=3)
     with pytest.raises(ValueError, match="both\\s+sides|both sides"):
         fuzzy_join_blocked(df, df, "id", "s", "id", "s")
+
+
+def test_fuzzy_join_blocked_extra_on_restricts_candidates(spark):
+    from workshoop2_etl_spark.operators.merge import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(1, "bob", "x"), (2, "ann", "y")], ["lid", "lname", "lcity"]
+    )
+    right = spark.createDataFrame(
+        [(10, "rob", "x"), (20, "anne", "z")], ["rid", "rname", "rcity"]
+    )
+    open_pairs = {
+        (r.lid, r.rid)
+        for r in fuzzy_join_blocked(
+            left, right, "lid", "lname", "rid", "rname", max_distance=1
+        ).collect()
+    }
+    assert open_pairs == {(1, 10), (2, 20)}
+    blocked = {
+        (r.lid, r.rid)
+        for r in fuzzy_join_blocked(
+            left, right, "lid", "lname", "rid", "rname",
+            max_distance=1, extra_on=[("lcity", "rcity")],
+        ).collect()
+    }
+    # ann↔anne disagree on the blocking key → never a candidate
+    assert blocked == {(1, 10)}

@@ -52,6 +52,7 @@ def resolve_entities(
     threshold: int = 28,
     max_distance: int = 1,
     max_bucket_size: int | None = None,
+    block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Resolve near-duplicate records of ``df`` into entities.
 
@@ -65,6 +66,15 @@ def resolve_entities(
     total weight ≥ ``threshold``; linking is transitive via
     connected components.
 
+    ``block_cols`` adds conjunctive blocking keys: candidate pairs
+    must agree EXACTLY on every listed column before the name verify
+    runs (classic multi-key blocking — on a registry whose name space
+    is dense, e.g. serial-numbered ids where every name has dozens of
+    edit-distance-1 neighbors, blocking shrinks candidates by the
+    key's selectivity). The documented recall trade: a true pair
+    that disagrees — or is NULL — on a blocking key is never
+    considered, so block on stable attributes only.
+
     Returns one row per member of a multi-record entity:
     ``(id_col, entity_id, is_canonical)`` with ``entity_id`` the
     cluster's min id. Unmatched records are absent (each is its own
@@ -72,16 +82,21 @@ def resolve_entities(
     the registry.
     """
     a = df.select(
-        F.col(id_col).alias("__ida"), F.col(name_col).alias("__na")
+        F.col(id_col).alias("__ida"),
+        F.col(name_col).alias("__na"),
+        *[F.col(c).alias(f"__la_{c}") for c in block_cols],
     )
     b = df.select(
-        F.col(id_col).alias("__idb"), F.col(name_col).alias("__nb")
+        F.col(id_col).alias("__idb"),
+        F.col(name_col).alias("__nb"),
+        *[F.col(c).alias(f"__rb_{c}") for c in block_cols],
     )
     cand = (
         fuzzy_join_blocked(
             a, b, "__ida", "__na", "__idb", "__nb",
             max_distance=max_distance,
             max_bucket_size=max_bucket_size,
+            extra_on=[(f"__la_{c}", f"__rb_{c}") for c in block_cols],
         )
         .filter(F.col("__ida") < F.col("__idb"))
     )

@@ -353,10 +353,20 @@ def fuzzy_join_blocked(
     *,
     max_distance: int = 1,
     max_bucket_size: int | None = None,
+    extra_on: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """BOTH-sides-big fuzzy join: pairs within ``max_distance`` edit
     distance, found via deletion-neighborhood blocking (FastSS /
     SymSpell) instead of the |L|×|R| loop :func:`fuzzy_join` runs.
+
+    ``extra_on`` adds (left_col, right_col) EQUALITY keys to the
+    variant equi-join — conjunctive blocking, the standard
+    record-linkage lever when the name space is dense (a registry
+    where every name has dozens of edit-distance neighbors): the
+    candidate set shrinks by the blocking key's selectivity BEFORE
+    any verify work, at the documented recall cost that a true pair
+    disagreeing on a blocking key (or NULL-keyed — equality never
+    matches NULL) is never considered.
 
     Pigeonhole completeness: two strings within edit distance d always
     share at least one member of their ≤d-deletion neighborhoods, so
@@ -385,20 +395,29 @@ def fuzzy_join_blocked(
             f"fuzzy_join_blocked: columns {clashes} appear on both "
             "sides; rename one side first"
         )
+    lblk = [pair[0] for pair in extra_on]
+    rblk = [pair[1] for pair in extra_on]
+    blk = [f"__blk{i}" for i in range(len(extra_on))]
     lv = left.select(
-        F.col(left_id).alias("__lid"), F.col(left_col).alias("__ls")
+        F.col(left_id).alias("__lid"),
+        F.col(left_col).alias("__ls"),
+        *[F.col(c).alias(k) for c, k in zip(lblk, blk)],
     ).select(
         "__lid",
         "__ls",
+        *blk,
         F.explode(
             _deletion_variants(F.col("__ls"), max_distance)
         ).alias("__v"),
     )
     rv = right.select(
-        F.col(right_id).alias("__rid"), F.col(right_col).alias("__rs")
+        F.col(right_id).alias("__rid"),
+        F.col(right_col).alias("__rs"),
+        *[F.col(c).alias(k) for c, k in zip(rblk, blk)],
     ).select(
         "__rid",
         "__rs",
+        *blk,
         F.explode(
             _deletion_variants(F.col("__rs"), max_distance)
         ).alias("__v"),
@@ -416,12 +435,19 @@ def fuzzy_join_blocked(
         lv = lv.join(sizes, "__v")
         rv = rv.join(sizes, "__v")
     dist = F.levenshtein(F.col("__ls"), F.col("__rs"), max_distance)
+    # Verify BEFORE deduplicating: the bounded levenshtein is a cheap
+    # map-side evaluation on rows the variant join already holds,
+    # while distinct is a shuffle — filtering first shrinks that
+    # shuffle to the true pairs and narrows its rows to bare id pairs
+    # (the same pair reached via several shared variants costs a few
+    # extra early-exit edit-distance calls, not extra shuffle bytes).
+    # Measured at sf0.1 on the ER registry: 2.5M wide rows → ~0.3M
+    # 16-byte rows through the exchange.
     pairs = (
-        lv.join(rv, "__v")
-        .select("__lid", "__ls", "__rid", "__rs")
-        .distinct()
+        lv.join(rv, ["__v", *blk])
         .filter((dist >= 0) & (dist <= max_distance))
         .select("__lid", "__rid")
+        .distinct()
     )
     return (
         left.join(pairs, F.col(left_id) == F.col("__lid"))

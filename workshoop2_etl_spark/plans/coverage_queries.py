@@ -1881,7 +1881,8 @@ WITH reg AS (
          + CASE WHEN a.c_nationkey = b.c_nationkey THEN 4 ELSE -4 END
            AS score
   FROM reg a JOIN reg b
-    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    ON a.id < b.id AND a.c_nationkey = b.c_nationkey
+   AND levenshtein(a.name, b.name) <= 1
 ), matched AS (
   SELECT ida, idb FROM pairs WHERE score >= 28
 )
@@ -1896,12 +1897,17 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end to end (Fellegi–Sunter 1969): a dirty
     registry — every third customer re-entered with a dropped
     character under a fresh id, attributes copied — resolved back by
-    deletion-neighborhood blocking, integer agreement scoring (name
-    within distance 1 is WEAK evidence on its own: digit-neighbor
-    lookalikes score 12−8±4 < 28 because their copied attributes
-    DISagree; true re-entries score 12+16+4 ≥ 28), and union-find
-    clustering. The oracle replays the quadratic levenshtein join +
-    scoring and — the planted topology being disjoint pairs —
+    deletion-neighborhood blocking CONJOINED with a nation blocking
+    key (the serial-numbered names are dense — every name has ~30
+    edit-distance-1 digit neighbors, so name-only blocking yields
+    290k candidates at sf0.1; the nation key divides that by its
+    25-way selectivity before any verify work — standard multi-key
+    blocking, recall trade documented on the operator), integer
+    agreement scoring (name within distance 1 is WEAK evidence on
+    its own: same-nation digit neighbors score 12−8+4 < 28 because
+    their copied acctbal DISagrees; true re-entries score
+    12+16+4 ≥ 28), and union-find clustering. The oracle replays the
+    quadratic levenshtein join + blocking + scoring and — the planted topology being disjoint pairs —
     min-per-pair cluster labels; transitive chains are exercised by
     tests/test_entity.py instead, where the cluster machinery
     (dedup.duplicate_clusters) does the real work."""
@@ -1930,6 +1936,7 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_weights=(24, 12),
         threshold=28,
         max_distance=1,
+        block_cols=("c_nationkey",),
     )
     return out.select(
         F.col("id").cast("long").alias("id"),
