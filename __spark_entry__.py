@@ -294,6 +294,9 @@ _DEMOTED_ORACLES = (
     # Round-6 second wave: exact all-pairs Jaccard join via prefix
     # filtering, vs DuckDB's quadratic verify — mirror-checked.
     "allpairs_jaccard_documents",
+    # Round-6 second wave: Laplace-mechanism DP count release
+    # (seeded replay, micro-quantized) — mirror-checked.
+    "dp_counts_orders",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

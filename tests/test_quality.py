@@ -302,3 +302,30 @@ def test_ks_two_sample_identical_distributions_zero(spark):
     df = spark.createDataFrame(rows, "v double, g boolean")
     r = ks_two_sample(df, "v", F.col("g")).collect()[0]
     assert r.ks_stat == 0.0
+
+
+def test_dp_noisy_counts_deterministic_and_clamped(spark):
+    import math
+
+    from workshoop2_etl_spark.operators.quality import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 1, ["g"]
+    )
+    a = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=0.5).collect()}
+    b = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=0.5).collect()}
+    assert a == b  # seeded replay
+    # noise magnitude is Laplace(2): within ~30 of truth with
+    # overwhelming certainty at these seeds, never negative
+    assert abs(a["a"] - 50) < 30 and a["a"] >= 0
+    assert a["b"] >= 0
+    # replay the inverse-CDF by hand for group 'a'
+    import hashlib
+    u = (int(hashlib.md5("dp\x1fa".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+    noise = -(1 / 0.5) * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+    expect = max(50 * 1_000_000 + math.floor(noise * 1e6 + 0.5), 0) / 1e6
+    assert a["a"] == expect
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, [], epsilon=1.0)

@@ -752,3 +752,58 @@ def ks_two_sample(
             F.col("__v"), F.struct(F.negate(F.col("__d")), F.col("__v"))
         ).alias("ks_at"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006): per-group counts perturbed with
+    Lap(Δf/ε) noise, Δf = 1 for counting queries — the standard
+    mechanism behind privacy-preserving aggregate exports, beside the
+    :func:`k_anonymity` audit that decides whether raw groups may be
+    released at all.
+
+    The Laplace draw inverts the CDF of a uniform derived from the
+    md5 of the (salted) group key — DETERMINISTIC, so tests and
+    cross-engine oracles replay it exactly. That determinism is the
+    testability trade, stated plainly: real DP requires the noise
+    seed to be secret and non-reusable (a replayable seed lets an
+    adversary subtract the noise), so production callers must swap
+    ``salt`` for a per-release secret. Everything else — sensitivity,
+    scale, the ε accounting — is the real mechanism.
+
+    Noise quantizes to integer micro-units before the add (the repo's
+    cross-engine recipe), and the released count is clamped at 0.
+    Output: ``group_cols…, noisy_count`` (double, micro-resolution).
+    The TRUE count never leaves the operator.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    cols = list(group_cols)
+    if not cols:
+        raise ValueError("group_cols must name at least one column")
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    # inverse-CDF Laplace: -(1/eps)*sign(u-.5)*ln(1-2|u-.5|)
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    noise = -(F.lit(1.0 / epsilon)) * F.signum(centered) * F.log(mag)
+    noise_micro = F.floor(noise * 1e6 + F.lit(0.5)).cast("long")
+    return counts.select(
+        *cols,
+        (
+            F.greatest(
+                F.col("__n") * F.lit(1_000_000) + noise_micro, F.lit(0)
+            )
+            / F.lit(1e6)
+        ).alias("noisy_count"),
+    )

@@ -1943,3 +1943,40 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity_id").cast("long").alias("entity_id"),
         "is_canonical",
     )
+
+
+_DP_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+), noised AS (
+  SELECT o_orderpriority, n,
+         (CAST(concat('0x', substr(md5('dp' || chr(31) || o_orderpriority),
+                                   1, 8)) AS BIGINT) + 0.5)
+           / 4294967296.0 AS u
+  FROM counts
+)
+SELECT o_orderpriority,
+       greatest(n * 1000000 + CAST(floor(
+         -(1.0 / 0.5) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+         * 1e6 + 0.5) AS BIGINT), 0) / 1e6 AS noisy_count
+FROM noised
+ORDER BY o_orderpriority
+"""
+
+
+@_register("dp_counts_orders", _DP_SQL)
+def dp_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    ε=0.5, sensitivity 1): order counts per priority perturbed with
+    inverse-CDF Laplace noise from a seeded md5 uniform, quantized to
+    integer micro-units before the add so the release replays
+    bit-equal cross-engine. Deterministic seeding is the testability
+    trade (documented on the operator — production swaps the salt for
+    a per-release secret); the true counts never appear in the
+    output."""
+    from workshoop2_etl_spark.operators.quality import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"],
+        epsilon=0.5, salt="dp",
+    ).orderBy("o_orderpriority")
