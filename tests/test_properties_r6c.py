@@ -165,3 +165,60 @@ def test_resolve_entities_vs_quadratic_reference(spark, recs, threshold):
     labels = _uf_clusters(linked)
     want = {x: (root, x == root) for x, root in labels.items()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(DOC, st.booleans()), min_size=1, max_size=8
+    ).filter(lambda d: any(t for _, t in d)),
+    n_buckets=st.sampled_from([16, 64]),
+)
+def test_dsir_logweights_vs_python_replay(spark, docs, n_buckets):
+    """The integer-micro log weights must equal a full Python replay:
+    same md5 bucketing, same add-one smoothing, same per-bucket
+    floor(1e6·ln λ + ½) quantization, same integer sums."""
+    from workshoop2_etl_spark.operators.curation import dsir_logweights
+
+    rows = [(i, t, bool(is_t)) for i, (t, is_t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string, is_t boolean")
+    got = {
+        r["id"]: (r["logw_micro"], r["n_feats"])
+        for r in dsir_logweights(
+            df, "id", "text", F.col("is_t"), n_buckets=n_buckets
+        ).collect()
+    }
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            for g in grams
+        ]
+
+    cr: dict = {}
+    ct: dict = {}
+    for _, text, is_t in rows:
+        for b in feats(text):
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    nr = sum(cr.values())
+    nt = sum(ct.get(b, 0) for b in cr)
+    lw = {
+        b: math.floor(
+            math.log(
+                ((ct.get(b, 0) + 1.0) / (nt + float(n_buckets)))
+                / ((cr[b] + 1.0) / (nr + float(n_buckets)))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in cr
+    }
+    want = {}
+    for i, text, _ in rows:
+        fs = feats(text)
+        want[i] = (sum(lw[b] for b in fs), len(fs))
+    assert got == want
