@@ -297,6 +297,9 @@ _DEMOTED_ORACLES = (
     # Round-6 second wave: Laplace-mechanism DP count release
     # (seeded replay, micro-quantized) — mirror-checked.
     "dp_counts_orders",
+    # Round-6 second wave: RFM quintile segmentation — mirror-checked.
+    # (label_propagation_copurchase is rows-only and needs no demotion)
+    "rfm_segments_orders",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

@@ -150,3 +150,54 @@ def test_textrank_edge_list_is_vocabulary_bounded(spark):
     r1 = [(r.token, r.rank) for r in k1.collect()]
     r2 = [(r.token, r.rank) for r in k2.collect()]
     assert r1 == r2  # duplicated corpus, same graph after weighting
+
+
+def test_label_propagation_vs_python_reference(spark):
+    from collections import Counter
+
+    from workshoop2_etl_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge + an isolated pair
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3, 5):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        # python synchronous replay, identical tie-break
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(iters):
+            lab = {
+                n: min(
+                    Counter(lab[m] for m in adj[n]).most_common(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for n in adj
+            }
+        assert got == lab
+
+
+def test_label_propagation_communities_form(spark):
+    from workshoop2_etl_spark.operators.graph import label_propagation
+
+    # two disjoint cliques must converge to two labels
+    clique = lambda nodes: [
+        (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]
+    ]
+    df = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12]), "src long, dst long"
+    )
+    out = label_propagation(df, iterations=4).collect()
+    labels = {r.node: r.label for r in out}
+    assert len({labels[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({labels[n] for n in (10, 11, 12)}) == 1
+    assert labels[1] != labels[10]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(df, iterations=0)

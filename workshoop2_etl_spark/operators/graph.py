@@ -336,3 +336,76 @@ def triangle_count(
         .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
     )
     return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own label; each round,
+    every node adopts the most frequent label among its neighbors
+    (ties broken by SMALLEST label — the deterministic variant; the
+    original's random tie-break is not reproducible). Fixed
+    ``iterations`` rather than convergence detection: synchronous
+    LPA can oscillate on bipartite structures, and a fixed round
+    count is the standard, deterministic cutoff.
+
+    The third member of this module's iterative family, with the same
+    lineage discipline as :func:`pagerank`: per round, ONE edge⋈label
+    join + ONE (node, label) count aggregate + ONE per-node argmax —
+    all keyed on node ids — then an eager ``localCheckpoint`` cut, so
+    round k's physical plan stays O(1). Undirected: edges are
+    symmetrized internally.
+
+    Returns (``node``, ``label``) — nodes sharing a label form a
+    community. Isolated nodes (no edges) are absent, as in
+    ``dedup.duplicate_clusters``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    sym = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")
+            )
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("__u").alias("__n"))
+        .distinct()
+        .withColumn("__l", F.col("__n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        neigh = sym.join(
+            labels.withColumnRenamed("__n", "__v"), "__v"
+        ).select(F.col("__u").alias("__n"), "__l")
+        # per-node argmax label: count desc, label asc — min_by over
+        # a (negated count, label) struct, one aggregate, no window
+        counted = neigh.groupBy("__n", "__l").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        new_labels = counted.groupBy("__n").agg(
+            F.min_by(
+                F.col("__l"), F.struct(F.negate(F.col("__c")), F.col("__l"))
+            ).alias("__l")
+        )
+        old = labels
+        labels = new_labels.localCheckpoint(eager=True)
+        # the new checkpoint is already materialized — the superseded
+        # round's blocks can go (same release discipline as pagerank)
+        old.unpersist()
+    sym.unpersist()
+    return labels.select(
+        F.col("__n").alias("node"), F.col("__l").alias("label")
+    )

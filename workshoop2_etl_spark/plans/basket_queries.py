@@ -96,3 +96,33 @@ def triangles_copurchase_lineitem(
         li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return triangle_count(edges)
+
+
+@_register("label_propagation_copurchase")  # rows-only: iterative
+def label_propagation_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Product communities by synchronous label propagation over the
+    co-purchase graph (parts co-ordered ≥3 times). Rows-only like
+    pagerank: a fixed-round iterative algorithm has no SQL twin; the
+    deterministic tie-break (most frequent neighbor label, then
+    smallest) is property-tested against a Python reference in
+    tests/test_graph.py. Community sizes summarize the result so the
+    output is stable and small."""
+    from workshoop2_etl_spark.operators.basket import copurchase_pairs
+    from workshoop2_etl_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=3
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    labels = label_propagation(edges, iterations=4)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(50)
+    )

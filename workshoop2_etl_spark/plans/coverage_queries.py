@@ -1980,3 +1980,68 @@ def dp_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"), ["o_orderpriority"],
         epsilon=0.5, salt="dp",
     ).orderBy("o_orderpriority")
+
+
+_RFM_SQL = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@_register("rfm_segments_orders", _RFM_SQL)
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic CRM cut a reference dashboard user graduates to.
+    Quintiles are ntile(5) with a (metric, custkey) TOTAL order so
+    tie placement is engine-deterministic; recency anchors to the
+    dataset's max order date (a one-row broadcast, not a driver
+    constant). The three global ntile windows run on the CUSTOMER
+    DIMENSION (bounded, like percent_rank_customers) — at fact scale
+    the two-phase X52 range scheme would replace them. Output is the
+    bounded 5³ segment-count grid."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("__mx"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff(F.col("__mx"), F.col("__last")))
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
