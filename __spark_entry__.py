@@ -300,6 +300,10 @@ _DEMOTED_ORACLES = (
     # Round-6 second wave: RFM quintile segmentation — mirror-checked.
     # (label_propagation_copurchase is rows-only and needs no demotion)
     "rfm_segments_orders",
+    # Round-6 second wave: stream-stream FULL OUTER interval join
+    # (both null-pad directions, two-sided closed-region parity) —
+    # mirror-checked.
+    "streaming_interval_join_full_outer_events",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

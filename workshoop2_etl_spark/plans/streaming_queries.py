@@ -529,3 +529,129 @@ def streaming_dedup_watermark_events(
         F.count(F.lit(1)).alias("n_unique"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@_register(
+    "streaming_interval_join_full_outer_events",
+    """
+WITH l AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events
+), r AS (
+  SELECT user_id AS u2, event_id AS e2,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t2
+  FROM events
+), mx AS (SELECT max(t1) AS m FROM l),
+j AS (
+  SELECT l.user_id AS ul, l.event_id AS e1, l.t1, r.u2, r.e2, r.t2
+  FROM l FULL JOIN r
+    ON l.user_id = r.u2 AND l.event_id <> r.e2
+   AND l.t1 >= r.t2 AND l.t1 <= r.t2 + 3600000000
+)
+SELECT coalesce(ul, u2) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN e1 IS NOT NULL AND e2 IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_matched,
+       CAST(count(CASE WHEN e2 IS NULL THEN 1 END) AS BIGINT)
+         AS n_left_only,
+       CAST(count(CASE WHEN e1 IS NULL THEN 1 END) AS BIGINT)
+         AS n_right_only
+FROM j, mx
+WHERE (t1 IS NULL OR t1 <= m - 4 * 3600000000)
+  AND (t2 IS NULL OR t2 <= m - 4 * 3600000000)
+GROUP BY 1
+""",
+)
+def streaming_interval_join_full_outer_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM **FULL OUTER** interval join — both null-padding
+    directions at once: matched pairs stream out immediately; an
+    unmatched LEFT row null-pads when the watermark passes its own
+    window, an unmatched RIGHT row when it passes ``ts2 + interval``.
+    Completes the inner / left-outer / full-outer family.
+
+    Bounded-input parity deepens the left-outer query's closed-region
+    trick to BOTH sides: keep output rows whose present timestamps
+    are all ≤ max(ts) − 4h (watermark 2h + interval 1h + a full
+    margin). Inside that region every match and both unmatched
+    decisions are final; the asymmetric condition means a matched
+    pair can straddle the cutoff (t2 in-region, t1 past it), so the
+    SAME output-row filter runs in engine and oracle — dropping
+    straddlers consistently rather than reasoning about them.
+    Nonzero ``n_left_only`` / ``n_right_only`` beside ``n_matched``
+    proves both pad directions actually emitted."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.functions.text import epoch_micros
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.readers import read_parquet
+    from workshoop2_etl_spark.streaming import run_available_now_to_parquet
+
+    left = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid1"),
+            F.col("event_id").alias("e1"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", "2 hours")
+    )
+    right = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid2"),
+            F.col("event_id").alias("e2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", "2 hours")
+    )
+    pairs = left.join(
+        right,
+        F.expr(
+            "uid1 = uid2 AND e1 <> e2 "
+            "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("uid1", "uid2").alias("user_id"),
+        "e1", "ts1", "e2", "ts2",
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_stream_ijfo_{_run_token(sf_dir)}",
+    )
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    run_available_now_to_parquet(pairs, out_dir, ckpt, shuffle_partitions=8)
+    out = spark.read.parquet(out_dir)
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    closed = ev.agg(
+        (F.max(epoch_micros(ev, "ts")) - F.lit(4 * 3600 * 1_000_000)).alias(
+            "__cutoff"
+        )
+    )
+    in_region = (
+        F.col("ts1").isNull()
+        | (epoch_micros(out, "ts1") <= F.col("__cutoff"))
+    ) & (
+        F.col("ts2").isNull()
+        | (epoch_micros(out, "ts2") <= F.col("__cutoff"))
+    )
+    return (
+        out.crossJoin(F.broadcast(closed))
+        .filter(in_region)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("e1").isNotNull() & F.col("e2").isNotNull(), 1)
+            ).alias("n_matched"),
+            F.count(F.when(F.col("e2").isNull(), 1)).alias("n_left_only"),
+            F.count(F.when(F.col("e1").isNull(), 1)).alias("n_right_only"),
+        )
+    )
