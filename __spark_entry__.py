@@ -304,6 +304,9 @@ _DEMOTED_ORACLES = (
     # (both null-pad directions, two-sided closed-region parity) —
     # mirror-checked.
     "streaming_interval_join_full_outer_events",
+    # Round-6 second wave: dynamic partition overwrite round trip —
+    # mirror-checked.
+    "dynamic_overwrite_orders",
     # (rp_topk_embeddings is rows-only and needs no demotion)
     # Round-6: Kaplan–Meier survival curve — mirror-checked.
     "kaplan_meier_customers",

@@ -161,3 +161,32 @@ def test_schema_diff_classification():
         list(old.fields) + [T.StructField("note", T.StringType(), True)]
     )
     assert schema_diff(old, add_only)["breaking"] is False
+
+
+def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
+    import pytest as _pt
+
+    from workshoop2_etl_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+        write_parquet,
+    )
+
+    path = str(tmp_path / "dyn")
+    full = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "v int, day string"
+    )
+    write_parquet(full, path, partition_by=["day"])
+    # reload ONLY d2 with corrected rows
+    patch = spark.createDataFrame([(30, "d2"), (31, "d2")], "v int, day string")
+    overwrite_partitions_dynamic(patch, path, partition_by=["day"])
+    got = {
+        (r.v, r.day) for r in spark.read.parquet(path).collect()
+    }
+    # d1 and d3 untouched; d2 replaced wholesale
+    assert got == {(1, "d1"), (2, "d1"), (30, "d2"), (31, "d2"), (4, "d3")}
+    # idempotence: re-running the same patch changes nothing
+    overwrite_partitions_dynamic(patch, path, partition_by=["day"])
+    again = {(r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert again == got
+    with _pt.raises(ValueError):
+        overwrite_partitions_dynamic(patch, path, partition_by=[])

@@ -2045,3 +2045,56 @@ def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_DYN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+         AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("dynamic_overwrite_orders", _DYN_SQL)
+def dynamic_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite round trip: orders land partitioned
+    by priority, then ONLY the 1-URGENT partition is reloaded with
+    doubled totals — static overwrite would wipe the other four
+    partitions; the oracle (untouched partitions verbatim + the
+    patched partition transformed) is exactly the
+    touched-partitions-only contract. The per-write
+    ``partitionOverwriteMode=dynamic`` option leaves the session
+    default alone."""
+    import os as _os
+    import tempfile
+
+    from workshoop2_etl_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+        write_parquet,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_dynamic_overwrite_{_run_token(sf_dir)}",
+    )
+    write_parquet(orders, path, partition_by=["o_orderpriority"])
+    patch = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    overwrite_partitions_dynamic(patch, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

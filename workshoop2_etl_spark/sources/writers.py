@@ -490,3 +490,38 @@ def zorder_parquet(
     if rowgroup_bytes is not None:
         w = w.option("parquet.block.size", int(rowgroup_bytes))
     w.parquet(dst_dir)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions the
+    incoming DataFrame touches, leaving every other partition of the
+    table untouched — the idempotent daily-reload primitive
+    (re-running a day's load rewrites that day's directory and
+    nothing else), where static ``mode("overwrite")`` would wipe the
+    whole table first.
+
+    Implemented with Spark's own
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — set
+    per-write via ``DataFrameWriter.option`` so the session default
+    is untouched (the conf-flip-and-restore alternative races
+    concurrent writers on the shared session).
+
+    At 100 TB this is the partition-granular complement to the
+    versioned table's CDC merge: coarse idempotent reloads by
+    partition here, row-level upserts there. Non-touched-partition
+    preservation and reload idempotence are pinned in
+    tests/test_sinks.py.
+    """
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
