@@ -201,3 +201,54 @@ def test_label_propagation_communities_form(spark):
 
     with _pt.raises(ValueError):
         label_propagation(df, iterations=0)
+
+
+def test_k_core_vs_python_peel(spark):
+    import random
+
+    from workshoop2_etl_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    nodes = list(range(14))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (1, 2, 3, 4):
+        got = {
+            (r.src, r.dst) for r in k_core(df, k=k).collect()
+        }
+        # python peel: order-independent fixpoint
+        cur = set(edges)
+        while True:
+            deg: dict = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        assert got == cur, f"k={k}"
+
+
+def test_k_core_empty_and_guard(spark):
+    import pytest as _pt
+
+    from workshoop2_etl_spark.operators.graph import k_core
+
+    # a triangle has no 3-core (each node has degree 2)
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert k_core(tri, k=3).count() == 0
+    assert k_core(tri, k=2).count() == 3
+    with _pt.raises(ValueError):
+        k_core(tri, k=0)

@@ -409,3 +409,69 @@ def label_propagation(
     return labels.select(
         F.col("__n").alias("node"), F.col("__l").alias("label")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the classic peel (Seidman 1983):
+    repeatedly delete nodes of degree < k until none remain; the
+    result is unique regardless of deletion order, which is what
+    makes the batch-synchronous loop below correct.
+
+    Per round: one degree aggregate over the surviving edge set, one
+    semi-join keeping edges whose BOTH endpoints survive, and an
+    eager ``localCheckpoint`` lineage cut (this module's discipline).
+    The fixpoint test is one scalar count per round — deletion
+    cascades at most ``max_iterations`` deep (a chain graph peels one
+    node per round; real graphs converge in a handful).
+
+    Returns the surviving edges (``src_col``, ``dst_col``), one row
+    per input edge direction kept. Empty when the graph has no
+    k-core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("__u").alias("__n"))
+            .unionByName(cur.select(F.col("__v").alias("__n")))
+            .groupBy("__n")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        keep = deg.filter(F.col("__d") >= k).select("__n")
+        pruned = (
+            cur.join(
+                keep.withColumnRenamed("__n", "__u"), "__u", "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("__n", "__v"), "__v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_after = pruned.count()
+        cur.unpersist()
+        cur = pruned
+        if n_after == n_edges:
+            break
+        n_edges = n_after
+    return cur.select(
+        F.col("__u").alias(src_col), F.col("__v").alias(dst_col)
+    )

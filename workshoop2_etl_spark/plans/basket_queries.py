@@ -126,3 +126,46 @@ def label_propagation_copurchase(
         .orderBy(F.desc("n_members"), F.asc("label"))
         .limit(50)
     )
+
+
+@_register("kcore_word_cooccurrence")  # rows-only: iterative peel
+def kcore_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-core of the word co-occurrence graph (Seidman 1983):
+    vocabulary that survives iterated deletion of low-degree nodes —
+    the dense core a keyword extractor or graph embedding would seed
+    from. The substrate is words co-occurring in ≥ 20 documents
+    (vocabulary-bounded at ANY corpus scale, unlike the co-purchase
+    graph, which thins out as the catalog grows — measured: its
+    4-core is empty at sf0.1). Rows-only like the other iterative
+    graph entries (the peel's fixpoint loop has no SQL twin;
+    order-independence is property-tested against a Python peel in
+    tests/test_graph.py). Output: surviving nodes with in-core
+    degrees, top 50."""
+    from workshoop2_etl_spark.operators.basket import copurchase_pairs
+    from workshoop2_etl_spark.operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = copurchase_pairs(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("word"),
+        ),
+        basket_col="doc_id",
+        item_col="word",
+        min_count=20,
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    core = k_core(edges, k=8)
+    deg = (
+        core.select(F.col("src").alias("node"))
+        .unionByName(core.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.orderBy(F.desc("degree"), F.asc("node")).limit(50)
