@@ -56,7 +56,18 @@ import time
 REGRESSION_RATIO = 1.5
 REGRESSION_ABS_FLOOR_SEC = 0.3
 #: shuffle growth flag: bytes must stay within this factor of linear
-#: scaling between scale factors, past an absolute floor
+#: scaling between scale factors, past an absolute floor.
+#:
+#: Known answer-driven slopes (not plan defects): the synthetic
+#: ``documents`` corpus plants near-duplicates at a density that RISES
+#: with sf — verified hamming≤3 simhash pairs grow 19 → 648 (34x)
+#: across the 0.01 → 0.1 step, so any pair-emitting dedup query's
+#: shuffle legitimately outpaces linear by the answer's own growth.
+#: The round-7 combination-block rewrite (dedup.simhash_neardup_pairs)
+#: removed the other, illegitimate term: 16-bit one-block probe keys
+#: whose random-collision candidates grew n^2/2^16 (measured 96x per
+#: 10x docs); probe keys are now ~31 bits and candidates track the
+#: answer.
 SUPERLINEAR_RATIO = 2.0
 SUPERLINEAR_ABS_FLOOR_BYTES = 10 * 1024 * 1024
 

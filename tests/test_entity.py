@@ -44,9 +44,10 @@ def test_disagreeing_attribute_blocks_lookalikes(spark):
 def test_null_attribute_is_disagreement(spark):
     got = _resolve(spark, [(1, "bob", None), (2, "rob", "x")])
     assert got == {}
-    # two NULLs agree under eqNullSafe — documented and deliberate
+    # both-NULL is ALSO a disagreement (plain `=`, matching the
+    # DuckDB oracle semantics): NULL carries no identity evidence
     got = _resolve(spark, [(1, "bob", None), (2, "rob", None)])
-    assert got == {1: (1, True), 2: (1, False)}
+    assert got == {}
 
 
 def test_exact_name_weight_used(spark):

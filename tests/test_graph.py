@@ -252,3 +252,20 @@ def test_k_core_empty_and_guard(spark):
     assert k_core(tri, k=2).count() == 3
     with _pt.raises(ValueError):
         k_core(tri, k=0)
+
+
+def test_k_core_raises_on_iteration_exhaustion(spark):
+    import pytest as _pt
+
+    from workshoop2_etl_spark.operators.graph import k_core
+
+    # a chain of 8 nodes peels ONE node per side per round under k=2;
+    # with max_iterations=2 the peel cannot reach the (empty) fixpoint
+    # and must refuse rather than return a non-k-core subgraph
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        k_core(chain, k=2, max_iterations=2)
+    # enough rounds: the chain has no 2-core at all
+    assert k_core(chain, k=2, max_iterations=10).count() == 0

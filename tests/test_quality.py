@@ -329,3 +329,35 @@ def test_dp_noisy_counts_deterministic_and_clamped(spark):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
     with pytest.raises(ValueError):
         dp_noisy_counts(df, [], epsilon=1.0)
+
+
+def test_dp_noisy_counts_null_group_gets_own_seed(spark):
+    import hashlib
+    import math
+
+    from workshoop2_etl_spark.operators.quality import dp_noisy_counts
+
+    # a NULL group must NOT alias the seed of any other group (the
+    # concat_ws-skips-NULL hazard): NULL normalizes to '<null>'
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [("<null>",)] * 10 + [("",)] * 10,
+        "g string",
+    )
+    got = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(df, ["g"], epsilon=0.5).collect()
+    }
+    assert len(got) == 3 and None in got
+
+    def replay(key: str) -> float:
+        u = (int(hashlib.md5(key.encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        noise = -(1 / 0.5) * math.copysign(1.0, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+        return max(10 * 1_000_000 + math.floor(noise * 1e6 + 0.5), 0) / 1e6
+
+    assert got[None] == replay("dp\x1f<null>")
+    # the literal string '<null>' intentionally shares the sentinel
+    # seed (documented collision); the empty string does not
+    assert got["<null>"] == replay("dp\x1f<null>")
+    assert got[""] == replay("dp\x1f")

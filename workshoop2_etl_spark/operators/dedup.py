@@ -657,18 +657,32 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bits: int = 63,
     max_bucket_size: int | None = 1000,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash fingerprints: hamming
     distance ≤ ``max_hamming``, exact.
 
-    Block-permutation search (Manku et al., WWW'07 "Detecting
-    near-duplicates for web crawling" — public algorithm): cut the
-    fingerprint into ``max_hamming + 1`` bit blocks. Any pair within
-    hamming distance d ≤ ``max_hamming`` agrees exactly on at least
-    one block (pigeonhole), so candidates come from ONE self-equi-join
-    on (block index, block value) — Σ bucket², never n². The verify
-    step is a single codegen'd ``bit_count(a ^ b)`` popcount per
-    candidate — no re-tokenization, unlike the MinHash verify.
+    Combination-block search (Manku et al., WWW'07 "Detecting
+    near-duplicates for web crawling" — public algorithm, the FULL
+    table-of-permutations form): cut the fingerprint into
+    ``n_blocks`` = m bit blocks (default ``max_hamming + 3``). A pair
+    within hamming distance d ≤ ``max_hamming`` differs in at most d
+    blocks, so it agrees EXACTLY on at least m−d blocks (pigeonhole)
+    — hence on at least one specific (m−d)-subset. Candidates come
+    from ONE self-equi-join on (subset id, packed values of that
+    subset's blocks), enumerated over all C(m, d) subsets.
+
+    Why not the minimal m = d+1 (one-block match keys): a 63-bit
+    fingerprint in 4 blocks gives 16-bit keys, and random-collision
+    candidates grow as n²/2¹⁶ — measured 96× growth across one 10×
+    scale step on the synthetic corpus, a quadratic term that owns
+    the shuffle at 100 TB. The default m = d+3 keys on 3 concatenated
+    blocks (~``3·bits/m`` ≈ 31 bits for d=3), driving random
+    collisions to ~n²/2³¹ at the price of C(m,d)/(d+1)× more explode
+    rows (20 vs 4 at d=3) — linear cost traded for the quadratic one.
+    The verify step is a single codegen'd ``bit_count(a ^ b)``
+    popcount per candidate — no re-tokenization, unlike the MinHash
+    verify.
 
     ``max_bucket_size`` drops degenerate buckets (the same skew guard
     as :func:`lsh_candidate_pairs`: at 100 TB one boilerplate block
@@ -677,23 +691,44 @@ def simhash_neardup_pairs(
 
     Output: ``{id_col}_a < {id_col}_b``, ``hamming`` (bit distance).
     """
-    n_blocks = max_hamming + 1
-    width = -(-bits // n_blocks)  # ceil: last block may be narrower
+    from itertools import combinations
+
+    m = n_blocks if n_blocks is not None else max_hamming + 3
+    if m <= max_hamming:
+        raise ValueError(
+            f"n_blocks={m} must exceed max_hamming={max_hamming} "
+            f"(pigeonhole needs at least one agreeing block)"
+        )
+    width = -(-bits // m)  # ceil: last block may be narrower
     mask = (1 << width) - 1
     fp = F.col(fp_col)
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(fp, i * width)
-                .bitwiseAND(F.lit(mask).cast("long"))
-                .alias("val"),
-            )
-            for i in range(n_blocks)
-        ]
-    )
+    block_vals = [
+        F.shiftrightunsigned(fp, i * width).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+        for i in range(m)
+    ]
+    # one probe key per (m - max_hamming)-subset of blocks: subset id
+    # + the subset's block values packed into one long (widths stay
+    # well under 63 bits for every supported geometry)
+    subsets = list(combinations(range(m), m - max_hamming))
+    if (m - max_hamming) * width > 62:
+        raise ValueError(
+            f"packed key too wide: {(m - max_hamming)}x{width} bits; "
+            f"raise n_blocks or lower bits"
+        )
+    probe_structs = []
+    for sid, subset in enumerate(subsets):
+        packed = F.lit(0).cast("long")
+        for j, i in enumerate(subset):
+            packed = packed + F.shiftleft(block_vals[i], j * width)
+        probe_structs.append(
+            F.struct(F.lit(sid).alias("blk"), packed.alias("val"))
+        )
     b = fingerprints.select(
-        F.col(id_col), fp.alias("__fp"), F.explode(block_structs).alias("__b")
+        F.col(id_col),
+        fp.alias("__fp"),
+        F.explode(F.array(*probe_structs)).alias("__b"),
     ).select(
         id_col, "__fp", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val")
     )

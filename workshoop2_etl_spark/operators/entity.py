@@ -114,10 +114,11 @@ def resolve_entities(
         near_w
     )
     for c, (agree, disagree) in agree_weights.items():
-        # null-safe equality: a NULL attribute on either side is a
-        # DISagreement, not a silent skip
+        # plain equality: a NULL attribute on EITHER side (including
+        # both-NULL) is a DISagreement — the NULL comparison falls
+        # through to otherwise().  Matches the DuckDB oracle's `=`.
         score = score + F.when(
-            F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}")), agree
+            F.col(f"__a_{c}") == F.col(f"__b_{c}"), agree
         ).otherwise(disagree)
     matched = (
         cand.join(side_a, "__ida")

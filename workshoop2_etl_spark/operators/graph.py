@@ -447,8 +447,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_edges = cur.count()
+    converged = n_edges == 0
     for _ in range(max_iterations):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             cur.select(F.col("__u").alias("__n"))
@@ -470,8 +472,17 @@ def k_core(
         cur.unpersist()
         cur = pruned
         if n_after == n_edges:
+            converged = True
             break
         n_edges = n_after
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint within "
+            f"max_iterations={max_iterations}; the result would NOT be "
+            f"a k-core (nodes of degree < {k} still present). Raise "
+            f"max_iterations — deletion cascades (e.g. long chains) "
+            f"peel one layer per round."
+        )
     return cur.select(
         F.col("__u").alias(src_col), F.col("__v").alias(dst_col)
     )

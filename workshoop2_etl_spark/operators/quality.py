@@ -788,7 +788,18 @@ def dp_noisy_counts(
     if not cols:
         raise ValueError("group_cols must name at least one column")
     counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
-    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    # NULL group values are normalized to a sentinel BEFORE keying so a
+    # NULL group gets its own distinct seed (concat_ws would silently
+    # skip NULLs, aliasing NULL with adjacent-value groups); the oracle
+    # SQL applies the identical coalesce.
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in cols
+        ],
+    )
     u = (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
         + F.lit(0.5)

@@ -1866,7 +1866,7 @@ def geomean_grouped_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ER_SQL = """
-WITH reg AS (
+WITH RECURSIVE reg AS (
   SELECT c_custkey AS id, c_name AS name, c_acctbal, c_nationkey
   FROM customer
   UNION ALL
@@ -1885,10 +1885,18 @@ WITH reg AS (
    AND levenshtein(a.name, b.name) <= 1
 ), matched AS (
   SELECT ida, idb FROM pairs WHERE score >= 28
+), sym AS (
+  SELECT ida AS s, idb AS d FROM matched
+  UNION
+  SELECT idb, ida FROM matched
+), reach(node, seen) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT r.node, y.d FROM reach r JOIN sym y ON r.seen = y.s
 )
-SELECT ida AS id, ida AS entity_id, TRUE AS is_canonical FROM matched
-UNION ALL
-SELECT idb, ida, FALSE FROM matched
+SELECT node AS id, min(seen) AS entity_id,
+       (node = min(seen)) AS is_canonical
+FROM reach GROUP BY node
 """
 
 
@@ -1907,10 +1915,11 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own: same-nation digit neighbors score 12−8+4 < 28 because
     their copied acctbal DISagrees; true re-entries score
     12+16+4 ≥ 28), and union-find clustering. The oracle replays the
-    quadratic levenshtein join + blocking + scoring and — the planted topology being disjoint pairs —
-    min-per-pair cluster labels; transitive chains are exercised by
-    tests/test_entity.py instead, where the cluster machinery
-    (dedup.duplicate_clusters) does the real work."""
+    quadratic levenshtein join + blocking + scoring, then computes
+    REAL connected components over the matched pairs with a recursive
+    transitive-closure CTE (min-reachable-id labeling) — structurally
+    safe even if an accidental same-nation/equal-acctbal name pair
+    chains clusters together, which grows likelier with sf."""
     from workshoop2_etl_spark.operators.entity import resolve_entities
 
     cust = _t(spark, sf_dir, "customer")
@@ -1950,7 +1959,8 @@ WITH counts AS (
   SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
 ), noised AS (
   SELECT o_orderpriority, n,
-         (CAST(concat('0x', substr(md5('dp' || chr(31) || o_orderpriority),
+         (CAST(concat('0x', substr(md5('dp' || chr(31) ||
+                   coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')),
                                    1, 8)) AS BIGINT) + 0.5)
            / 4294967296.0 AS u
   FROM counts
