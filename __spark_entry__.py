@@ -43,13 +43,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
     # ------------------------------------------------------------------
-    # Round-6 WINDOW ROTATION: the driver window re-proved the same
-    # front 50 every round, so long-demoted oracles never got
-    # driver-side evidence. Six stable, redundantly-covered entries
-    # rotate OUT here (all remain mirror-checked); six long-demoted
-    # entries rotate IN (asof_join_events_orders, cdc_apply_orders,
-    # training_export_documents, range_join_events_within_hour,
-    # pii_redact_documents, image_decode_documents).
+    # Round-7 WINDOW ROTATION: six never-windowed oracles rotate IN
+    # (holt_winters_daily_revenue, lakehouse_roundtrip_orders,
+    # dsir_sample_documents, allpairs_jaccard_documents,
+    # entity_resolution_customers, winnow_candidates_documents), plus
+    # the two newly-promoted real-codec round trips
+    # (resize_images_documents, video_demux_documents). Eight stable,
+    # redundantly-covered entries rotate OUT below (all remain
+    # mirror-checked by tests/test_oracle_parity.py).
+    # ------------------------------------------------------------------
+    # A6 count-distinct family stays driver-visible via
+    # filtered_count_distinct.
+    "count_distinct_customers",
+    # A14 two-dim counts stay visible via pivot_status_by_priority.
+    "year_priority_counts",
+    # A4/F5 grouped means stay visible via avg_price_by_segment.
+    "group_mean_event_value",
+    # A8/A10 numeric profiling stays visible via quantiles_totalprice
+    # + summary_stats_lineitem.
+    "histogram_totalprice",
+    # md5-sketch primitive stays visible via pii_redact/training_export.
+    "fingerprint_documents",
+    # T-family per-group ranking stays visible via
+    # top_customers_by_revenue.
+    "top3_customers_per_segment",
+    # X21 SQL surface stays visible via sql_revenue_by_nation.
+    "sql_monthly_order_trend",
+    # §2.7 set ops: also exercised by semi_anti_customers (mirror).
+    "setops_customer_status",
+    # ------------------------------------------------------------------
+    # Round-6 rotation notes (historical): six long-demoted entries
+    # got driver evidence that round (asof_join_events_orders,
+    # cdc_apply_orders, training_export_documents,
+    # range_join_events_within_hour, pii_redact_documents,
+    # image_decode_documents).
     # ------------------------------------------------------------------
     # A3 value_counts: the grouping family stays driver-visible via
     # year_priority_counts / pivot_status_by_priority.
@@ -216,7 +243,6 @@ _DEMOTED_ORACLES = (
     # Round-6: winnowing (MOSS) fingerprint candidates — the
     # alignment-robust complement to duplicate_spans; md5 minima
     # reproduced exactly by the oracle.
-    "winnow_candidates_documents",
     # Round-6: Gopher rule battery (canonical thresholds) — the
     # quality family stays driver-visible via quality_score_documents.
     "gopher_rules_documents",
@@ -285,15 +311,12 @@ _DEMOTED_ORACLES = (
     # Round-6 second wave: DSIR importance resampling (integer-micro
     # log weights + Gumbel top-k) and fastText-style hashed linear
     # classifier inference — mirror-checked.
-    "dsir_sample_documents",
     "quality_classifier_documents",
     # Round-6 second wave: Fellegi–Sunter entity resolution (blocked
     # candidates → integer agreement scoring → union-find clusters) —
     # mirror-checked.
-    "entity_resolution_customers",
     # Round-6 second wave: exact all-pairs Jaccard join via prefix
     # filtering, vs DuckDB's quadratic verify — mirror-checked.
-    "allpairs_jaccard_documents",
     # Round-6 second wave: Laplace-mechanism DP count release
     # (seeded replay, micro-quantized) — mirror-checked.
     "dp_counts_orders",
@@ -312,7 +335,6 @@ _DEMOTED_ORACLES = (
     "kaplan_meier_customers",
     # Round-6: lakehouse lifecycle e2e (CHECK create → CDC merge →
     # compact → time travel) vs ONE composed oracle — mirror-checked.
-    "lakehouse_roundtrip_orders",
     # Round-6: exactly-once streaming sink into the versioned table,
     # batch parity — mirror-checked.
     "streaming_versioned_sink_events",
@@ -322,7 +344,6 @@ _DEMOTED_ORACLES = (
     "pmi_collocations_documents",
     # Round-6: Holt–Winters triple smoothing vs a list-state
     # recursive-CTE replay — mirror-checked, bit-equal.
-    "holt_winters_daily_revenue",
     # Round-6: cohort LTV + contribution decomposition — mirror-checked.
     "cohort_ltv_orders",
     "contribution_analysis_orders",

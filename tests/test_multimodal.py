@@ -176,6 +176,134 @@ def test_synth_wav_real_decode_roundtrip(spark):
         assert len(r.rms_profile) == -(-n // 2048)  # ceil
 
 
+def test_resize_real_bmp_full_pixel_parity(spark):
+    """decode(resize(x)) round trip: every output pixel equals the
+    nearest-neighbor floor-mapped source pixel, checked over the FULL
+    grid against a pure-numpy reference."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_bmp_pixels,
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (5, "beta"), (123, "gamma " * 40), (30, "q")],
+        "doc_id long, text string",
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="bmp").drop("text"),
+        "payload", media_type="image", fmt="bmp",
+    ).drop("payload")
+    src = {
+        r.doc_id: r.payload
+        for r in synthesize_media_payload(docs, fmt="bmp").collect()
+    }
+    out = {
+        r.doc_id: r.media
+        for r in resize_images(media, (6, 9), "media").collect()
+    }
+    for did, m in out.items():
+        assert m["format"] == "bmp"  # real path, not the stub
+        got = _decode_bmp_pixels(m["payload"])
+        assert got is not None and got.shape == (9, 6, 3)
+        arr = _decode_bmp_pixels(src[did])
+        y = (np.arange(9) * arr.shape[0]) // 9
+        x = (np.arange(6) * arr.shape[1]) // 6
+        assert np.array_equal(got, arr[y][:, x])
+        assert m["n_bytes"] == len(m["payload"])
+        assert m["content_md5"] == hashlib.md5(m["payload"]).hexdigest()
+
+
+def test_resize_bmp_handles_topdown_rows(spark):
+    """Negative biHeight (top-down row order) decodes without the
+    flip; resize must treat both layouts identically."""
+    import numpy as np
+    import struct
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_bmp_pixels,
+        _encode_bmp,
+        _make_bmp,
+    )
+
+    bottom_up = _make_bmp(5, 4, hashlib.md5(b"seed").digest())
+    arr = _decode_bmp_pixels(bottom_up)
+    # rewrite the header with height = -4 and rows in top-down order
+    stride = (3 * 5 + 3) & ~3
+    rows = np.zeros((4, stride), dtype=np.uint8)
+    rows[:, : 3 * 5] = arr.reshape(4, 15)
+    td = bytearray(bottom_up[:54] + rows.tobytes())
+    struct.pack_into("<i", td, 22, -4)
+    got = _decode_bmp_pixels(bytes(td))
+    assert np.array_equal(got, arr)
+    # encode→decode is the identity on the pixel grid
+    assert np.array_equal(_decode_bmp_pixels(_encode_bmp(arr)), arr)
+
+
+def test_video_demux_real_container(spark):
+    """mux→demux→decode round trip: frame count, per-frame geometry,
+    and frame_md5 all come from actually parsing the container."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        _demux_video,
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (3, "bbb"), (9, "ccc " * 30)],
+        "doc_id long, text string",
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="video").drop("text"),
+        "payload", media_type="video", fmt="vid0",
+    ).drop("payload")
+    rows = sample_frames(media, "media", max_frames=8).collect()
+    by_id: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.frame_no)):
+        by_id.setdefault(r.doc_id, []).append(r)
+    raw = {
+        r.doc_id: r.payload
+        for r in synthesize_media_payload(docs, fmt="video").collect()
+    }
+    for did, frames in by_id.items():
+        n = 1 + did % 5
+        assert [f.frame_no for f in frames] == list(range(n))
+        for i, f in enumerate(frames):
+            assert (f.frame_w, f.frame_h) == (
+                1 + (did + i) % 31, 1 + (did + i) % 13
+            )
+        # md5s match a direct python demux of the same container
+        expect = [hashlib.md5(b).hexdigest() for b in _demux_video(raw[did])]
+        assert [f.frame_md5 for f in frames] == expect
+
+
+def test_video_demux_stride_subsampling(spark):
+    """max_frames below the frame count stride-samples and keeps the
+    SOURCE frame index as frame_no (provenance)."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(4, "x")], "doc_id long, text string"  # 1 + 4 % 5 = 5 frames
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="video").drop("text"),
+        "payload", media_type="video", fmt="vid0",
+    ).drop("payload")
+    rows = sorted(
+        sample_frames(media, "media", max_frames=2).collect(),
+        key=lambda r: r.frame_no,
+    )
+    # ceil(5/2) = 3 → frames 0 and 3
+    assert [r.frame_no for r in rows] == [0, 3]
+    assert all(
+        (r.frame_w, r.frame_h) == (1 + (4 + r.frame_no) % 31,
+                                   1 + (4 + r.frame_no) % 13)
+        for r in rows
+    )
+
+
 def test_synth_media_rejects_unknown_format(spark):
     from workshoop2_etl_spark.operators.multimodal import (
         synthesize_media_payload,

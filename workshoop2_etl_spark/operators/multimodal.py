@@ -99,23 +99,81 @@ def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
 # The decode kernels then parse the actual bytes, and a DuckDB oracle
 # can check the decoded values against the closed form end-to-end.
 
-def _synth_bmp(doc_id: int, text: str) -> bytes:
-    """A real 24-bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + padded
-    pixel array. width = 1 + doc_id % 31, height = 1 + doc_id % 13
-    (the oracle's closed form); pixel bytes cycle the text's md5."""
+def _make_bmp(w: int, h: int, seed: bytes) -> bytes:
+    """A real 24-bpp BMP of ``w``×``h``: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up padded pixel array whose bytes cycle
+    ``seed`` (padding included — byte p of the array is seed[p % 16],
+    the closed form the oracles replay)."""
     import struct
 
-    w = 1 + doc_id % 31
-    h = 1 + doc_id % 13
     row = (3 * w + 3) & ~3  # rows pad to 4-byte boundaries
     pix_len = row * h
-    seed = hashlib.md5((text or "").encode()).digest()
     pixels = (seed * (pix_len // len(seed) + 1))[:pix_len]
     header = struct.pack("<2sIHHI", b"BM", 54 + pix_len, 0, 0, 54)
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix_len, 2835, 2835, 0, 0
     )
     return header + info + pixels
+
+
+def _synth_bmp(doc_id: int, text: str) -> bytes:
+    """A real 24-bpp BMP. width = 1 + doc_id % 31, height =
+    1 + doc_id % 13 (the oracle's closed form); pixel bytes cycle the
+    text's md5."""
+    return _make_bmp(
+        1 + doc_id % 31,
+        1 + doc_id % 13,
+        hashlib.md5((text or "").encode()).digest(),
+    )
+
+
+#: Magic prefix of the synthetic video container: an INDEXED
+#: concatenation of real BMP frames — ``VID0`` + u32 frame count +
+#: u32 per-frame byte lengths + the frames themselves. Trivially
+#: demuxable, which is the point: the frame-sampling kernel can do a
+#: REAL container parse + per-frame header decode with no codec
+#: library (an ``av``-backed keyframe demux slots into the same
+#: kernel).
+VIDEO_MAGIC = b"VID0"
+
+
+def _synth_video(doc_id: int, text: str) -> bytes:
+    """A real (toy-container) video: 1 + doc_id % 5 BMP frames, frame
+    ``i`` sized (1 + (doc_id+i) % 31) × (1 + (doc_id+i) % 13) — the
+    oracle's closed form — with pixel bytes cycling the text's md5."""
+    import struct
+
+    seed = hashlib.md5((text or "").encode()).digest()
+    n = 1 + doc_id % 5
+    frames = [
+        _make_bmp(1 + (doc_id + i) % 31, 1 + (doc_id + i) % 13, seed)
+        for i in range(n)
+    ]
+    index = struct.pack("<I", n) + b"".join(
+        struct.pack("<I", len(f)) for f in frames
+    )
+    return VIDEO_MAGIC + index + b"".join(frames)
+
+
+def _demux_video(b: bytes) -> list[bytes] | None:
+    """Parse the indexed container: list of frame payloads, or None if
+    ``b`` is not a VID0 container (truncated index/frames → None too,
+    never a partial read)."""
+    import struct
+
+    if len(b) < 8 or b[:4] != VIDEO_MAGIC:
+        return None
+    n = struct.unpack_from("<I", b, 4)[0]
+    if len(b) < 8 + 4 * n:
+        return None
+    lens = struct.unpack_from(f"<{n}I", b, 8)
+    pos, frames = 8 + 4 * n, []
+    for ln in lens:
+        if pos + ln > len(b):
+            return None
+        frames.append(b[pos : pos + ln])
+        pos += ln
+    return frames
 
 
 def _synth_wav(doc_id: int, text: str) -> bytes:
@@ -152,12 +210,14 @@ def synthesize_media_payload(
     text_col: str = "text",
     out_col: str = "payload",
 ) -> DataFrame:
-    """Emit a REAL ``fmt`` ∈ {bmp, wav} file per row (mapInPandas,
-    Arrow-batched) with parameters closed-form in (id, text length) —
-    the fixture side of the real-decode round trip."""
-    if fmt not in ("bmp", "wav"):
+    """Emit a REAL ``fmt`` ∈ {bmp, wav, video} file per row
+    (mapInPandas, Arrow-batched) with parameters closed-form in
+    (id, text length) — the fixture side of the real-decode round
+    trip. ``video`` is the indexed BMP-frame container (VID0)."""
+    makers = {"bmp": _synth_bmp, "wav": _synth_wav, "video": _synth_video}
+    if fmt not in makers:
         raise ValueError(f"unsupported synthetic media format {fmt!r}")
-    make = _synth_bmp if fmt == "bmp" else _synth_wav
+    make = makers[fmt]
     schema = T.StructType(
         list(df.schema) + [T.StructField(out_col, T.BinaryType())]
     )
@@ -198,6 +258,66 @@ def _parse_bmp(b: bytes) -> tuple[int, int, str] | None:
     bpp = struct.unpack_from("<H", b, 28)[0]
     mode = {8: "L", 24: "RGB", 32: "RGBA"}.get(bpp, f"BPP{bpp}")
     return abs(w), abs(h), mode
+
+
+def _decode_bmp_pixels(b: bytes):
+    """Decode an uncompressed 24-bpp BMP to a top-down (h, w, 3) uint8
+    ndarray (channel order as stored, i.e. BGR — opaque to the
+    resampler), or None for anything else. Handles bottom-up
+    (height > 0) and top-down (height < 0) row order and 4-byte row
+    padding; reads the pixel array at the header's declared offset."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    if data_off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return rows if top_down else rows[::-1]
+
+
+def _encode_bmp(arr) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 ndarray as a bottom-up padded
+    24-bpp BMP — the exact layout :func:`_make_bmp` emits, so
+    decode(encode(x)) == x byte-for-byte on the pixel grid."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1].reshape(h, 3 * w)
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + info + pix
+
+
+def _resize_nearest(arr, w_out: int, h_out: int):
+    """Nearest-neighbor resample: out[y, x] = in[(y*h_in)//h_out,
+    (x*w_in)//w_out] — the floor mapping the oracles replay."""
+    import numpy as np
+
+    h_in, w_in = arr.shape[:2]
+    y_idx = (np.arange(h_out) * h_in) // h_out
+    x_idx = (np.arange(w_out) * w_in) // w_out
+    return arr[y_idx][:, x_idx]
 
 
 def _parse_wav(b: bytes):
@@ -293,24 +413,55 @@ def resize_images(
     target: tuple[int, int],
     media_col: str = "media",
 ) -> DataFrame:
-    """Resize every image payload to ``target`` (real: PIL thumbnail;
-    stub: truncate/pad the byte stream to a deterministic size so the
-    output schema and batch flow are exercised end-to-end). Output
-    replaces the payload inside the struct and restamps metadata."""
+    """Resize every image payload to ``target`` = (width, height).
+
+    Decode ladder, per payload: a REAL pixel-level path for
+    uncompressed 24-bpp BMPs — decode the padded pixel grid, numpy
+    nearest-neighbor resample (``out[y,x] = in[(y*h_in)//h_out,
+    (x*w_in)//w_out]``), re-encode a valid bottom-up BMP — then PIL
+    for compressed formats when importable, else the labeled
+    byte-truncate/pad STUB (format restamped ``'stub'`` so the fake is
+    visible per row). Output replaces the payload inside the struct
+    and restamps ``n_bytes``/``content_md5``; runs as an Arrow-batched
+    ``mapInPandas`` with no driver involvement."""
     w, h = target
+    if w < 1 or h < 1:
+        raise ValueError(f"target must be >= 1x1, got {target}")
     fake_len = w * h  # stand-in for an encoded thumbnail's size
     out_schema = df.schema
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in it:
             def _resize(m):
-                b = (m["payload"] or b"")[:fake_len].ljust(fake_len, b"\0")
+                b = m["payload"] or b""
+                arr = _decode_bmp_pixels(b)
+                if arr is not None:
+                    out = _encode_bmp(_resize_nearest(arr, w, h))
+                    fmt = m["format"]
+                elif have_pil:  # pragma: no cover
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(b)).resize((w, h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out, fmt = buf.getvalue(), "png"
+                else:
+                    out = b[:fake_len].ljust(fake_len, b"\0")
+                    fmt = "stub"
                 return {
-                    "payload": b,
+                    "payload": out,
                     "media_type": m["media_type"],
-                    "format": m["format"],
-                    "n_bytes": len(b),
-                    "content_md5": hashlib.md5(b).hexdigest(),
+                    "format": fmt,
+                    "n_bytes": len(out),
+                    "content_md5": hashlib.md5(out).hexdigest(),
                 }
 
             pdf = pdf.copy()
@@ -442,17 +593,27 @@ def sample_frames(
     max_frames: int = 8,
     id_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Frame-sample video payloads: one output row per sampled frame
-    (real: demux + keyframe decode via ``av``; stub: slice the byte
-    stream every ``every_n_bytes``). Explodes rows — the output is a
-    frame table keyed by (id, frame_no), the shape a caption/label
-    pipeline consumes."""
+    """Frame-sample video payloads: one output row per sampled frame.
+
+    Decode ladder, per payload: a REAL demux for the indexed VID0
+    container (parse the frame index, stride-sample
+    ``ceil(n/max_frames)`` to keep at most ``max_frames`` frames, and
+    struct-decode each sampled frame's BMP header for its true
+    ``frame_w``/``frame_h`` — an ``av``-backed keyframe demux slots
+    into the same kernel), else the byte-slice stub (one pseudo-frame
+    per ``every_n_bytes``, ``frame_w``/``frame_h`` NULL — the stub is
+    visible per row). Explodes rows — the output is a frame table
+    keyed by (id, frame_no), the shape a caption/label pipeline
+    consumes; ``frame_no`` is the frame's index IN THE SOURCE (stride
+    sampling preserves provenance)."""
     ids = id_cols or [c for c in df.columns if c != media_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]
         + [
             T.StructField("frame_no", T.IntegerType()),
             T.StructField("frame_md5", T.StringType()),
+            T.StructField("frame_w", T.IntegerType()),
+            T.StructField("frame_h", T.IntegerType()),
         ]
     )
 
@@ -460,29 +621,49 @@ def sample_frames(
         import numpy as np
 
         for pdf in it:
-            # Column-wise explode: compute per-row frame counts, then
-            # replicate the id columns with one positional take —
-            # the only per-frame Python is the md5 itself (which the
-            # real ``av`` keyframe decode would be per-frame anyway).
+            # Column-wise explode: compute per-row frame lists, then
+            # replicate the id columns with one positional take — the
+            # only per-frame Python is the md5/header parse itself
+            # (which a real ``av`` keyframe decode would be anyway).
             payloads = [m["payload"] or b"" for m in pdf[media_col]]
-            counts = np.clip(
-                np.array([len(p) for p in payloads], dtype=np.int64)
-                // every_n_bytes,
-                1,
-                max_frames,
-            )
-            row_idx = np.repeat(np.arange(len(payloads)), counts)
-            frame_nos = np.concatenate(
-                [np.arange(n) for n in counts]
-            ) if len(counts) else np.array([], dtype=int)
+            per_row: list[list[tuple[int, str, int | None, int | None]]] = []
+            for p in payloads:
+                frames = _demux_video(p)
+                if frames is not None:
+                    stride = max(-(-len(frames) // max_frames), 1)
+                    rows = []
+                    for i in list(range(0, len(frames), stride))[:max_frames]:
+                        bmp = _parse_bmp(frames[i])
+                        w, h = (bmp[0], bmp[1]) if bmp else (None, None)
+                        rows.append(
+                            (i, hashlib.md5(frames[i]).hexdigest(), w, h)
+                        )
+                else:
+                    n = int(
+                        np.clip(len(p) // every_n_bytes, 1, max_frames)
+                    )
+                    rows = [
+                        (
+                            i,
+                            hashlib.md5(
+                                p[i * every_n_bytes : (i + 1) * every_n_bytes]
+                            ).hexdigest(),
+                            None,
+                            None,
+                        )
+                        for i in range(n)
+                    ]
+                per_row.append(rows)
+            counts = np.array([len(r) for r in per_row], dtype=np.int64)
+            row_idx = np.repeat(np.arange(len(per_row)), counts)
+            flat = [f for rows in per_row for f in rows]
             out = pdf[ids].iloc[row_idx].reset_index(drop=True)
-            out["frame_no"] = frame_nos.astype("int32")
-            out["frame_md5"] = [
-                hashlib.md5(
-                    payloads[r][i * every_n_bytes : (i + 1) * every_n_bytes]
-                ).hexdigest()
-                for r, i in zip(row_idx, frame_nos)
-            ]
+            out["frame_no"] = pd.array(
+                [f[0] for f in flat], dtype="int32"
+            )
+            out["frame_md5"] = [f[1] for f in flat]
+            out["frame_w"] = pd.array([f[2] for f in flat], dtype="Int32")
+            out["frame_h"] = pd.array([f[3] for f in flat], dtype="Int32")
             yield out
 
     return df.mapInPandas(batches, schema)

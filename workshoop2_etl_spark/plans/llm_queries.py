@@ -551,14 +551,53 @@ FROM documents,
 """,
 )
 def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling through the mapInPandas stub: one row per
-    64-byte "frame" (≤8 per doc), keyed (doc_id, frame_no) — the
-    Arrow-batched explode shape a caption pipeline consumes. Fully
-    oracle-checked since the stub slicing is deterministic."""
+    """Frame sampling through the byte-slice fallback (the payloads
+    here are not VID0 containers): one row per 64-byte "frame" (≤8
+    per doc), keyed (doc_id, frame_no) — the Arrow-batched explode
+    shape a caption pipeline consumes. Fully oracle-checked since the
+    slicing is deterministic; the REAL container demux path is
+    ``video_demux_documents``."""
     from workshoop2_etl_spark.operators.multimodal import sample_frames
 
     return sample_frames(
         _media_docs(spark, sf_dir), "media", every_n_bytes=64, max_frames=8
+    ).select("doc_id", "frame_no", "frame_md5")
+
+
+@_register(
+    "video_demux_documents",
+    """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+       CAST(1 + (doc_id + i) % 31 AS INTEGER) AS frame_w,
+       CAST(1 + (doc_id + i) % 13 AS INTEGER) AS frame_h
+FROM documents, unnest(range(0, 1 + doc_id % 5)) AS t(i)
+""",
+)
+def video_demux_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux, no codec library: the generator emits an
+    indexed container (VID0 magic + u32 frame count + u32 lengths) of
+    genuine 24-bpp BMP frames, frame i sized
+    (1 + (doc_id+i) % 31) × (1 + (doc_id+i) % 13), and the
+    mapInPandas kernel actually parses the index, walks the frames,
+    and struct-decodes each frame's BMP header for its true
+    dimensions. The oracle checks frame count and per-frame geometry
+    against the closed form — a full mux→demux→decode round trip
+    (an ``av``-backed keyframe demux slots into the same kernel)."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        sample_frames,
+        synthesize_media_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="video").drop("text"),
+        "payload",
+        media_type="video",
+        fmt="vid0",
+    ).drop("payload")
+    return sample_frames(media, "media", max_frames=8).select(
+        "doc_id", "frame_no", "frame_w", "frame_h"
     )
 
 
@@ -693,19 +732,79 @@ def simhash_neardup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@_register("resize_images_documents")  # rows-only: stub codec (PIL absent)
+_RESIZE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         1 + doc_id % 31 AS w_in,
+         1 + doc_id % 13 AS h_in,
+         md5(text) AS hx
+  FROM documents
+), o AS (
+  SELECT doc_id, hx,
+         ((3 * w_in + 3) // 4) * 4 AS stride,
+         (h_in - 1 - (7 * h_in) // 8) AS row_bot,
+         (h_in - 1) AS row_top
+  FROM g
+)
+SELECT doc_id,
+       CAST(246 AS BIGINT) AS n_bytes,
+       substr(hx, 2 * ((row_bot * stride) % 16) + 1, 2) ||
+       substr(hx, 2 * ((row_bot * stride + 1) % 16) + 1, 2) ||
+       substr(hx, 2 * ((row_bot * stride + 2) % 16) + 1, 2) AS px_bottom0,
+       substr(hx, 2 * ((row_top * stride) % 16) + 1, 2) ||
+       substr(hx, 2 * ((row_top * stride + 1) % 16) + 1, 2) ||
+       substr(hx, 2 * ((row_top * stride + 2) % 16) + 1, 2) AS px_top0,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       'RGB' AS mode
+FROM o
+"""
+
+
+@_register("resize_images_documents", _RESIZE_SQL)
 def resize_images_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize through the mapInPandas stub (deterministic
-    truncate/pad to the 16×16 thumbnail byte budget) with metadata
-    restamped; projected through ``media_metadata`` so the payload is
-    pruned from the result."""
+    """REAL pixel-level image resize, no codec library: genuine
+    24-bpp BMPs (geometry closed-form in doc_id, pixel bytes cycling
+    md5(text)) are decoded to their padded pixel grids, numpy
+    nearest-neighbor resampled to 8×8, and re-encoded as valid BMPs
+    inside the mapInPandas kernel. The oracle replays the layout
+    arithmetic exactly: output size 54 + 8·24 = 246 bytes, re-decoded
+    geometry 8×8 RGB, and two probe pixels — the first 3 pixel-array
+    bytes (bottom-up row 0 = image row 7 → source row (7·h_in)//8)
+    and the first 3 bytes of stored row 7 (image row 0 → source row
+    0) — each traced back through the bottom-up padded source layout
+    to md5-digest byte positions, which DuckDB reads straight out of
+    the md5 hex string. Proves the resampler picked the right source
+    pixels AND the encoder laid rows out correctly."""
     from workshoop2_etl_spark.operators.multimodal import (
-        media_metadata,
+        attach_media,
+        decode_image_metadata,
         resize_images,
+        synthesize_media_payload,
     )
 
-    resized = resize_images(_media_docs(spark, sf_dir), (16, 16), "media")
-    return media_metadata(resized, "media")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="bmp").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="bmp",
+    ).drop("payload")
+    resized = resize_images(media, (8, 8), "media")
+    probed = resized.select(
+        "doc_id",
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("media.payload"), 55, 3))).alias(
+            "px_bottom0"
+        ),
+        F.lower(
+            F.hex(F.substring(F.col("media.payload"), 55 + 7 * 24, 3))
+        ).alias("px_top0"),
+        "media",
+    )
+    return decode_image_metadata(
+        probed, "media", id_cols=["doc_id", "n_bytes", "px_bottom0", "px_top0"]
+    )
 
 
 @_register(
