@@ -196,6 +196,10 @@ _DEMOTED_ORACLES = (
     # Round-6: state(base) ⊕ state(delta) == full recompute — the
     # partial-aggregate merge identity; mirror-checked.
     "incremental_agg_orders",
+    # Round-7: the JOINED-aggregate extension (delta fact rows
+    # broadcast-joined to the dim before partial aggregation);
+    # mirror-checked.
+    "incremental_join_agg_orders",
     # Round-6: gap-and-islands consecutive-day streaks; mirror-checked.
     "activity_streaks_events",
     # Round-6: Efraimidis–Spirakis weighted draw (md5-derived

@@ -61,6 +61,73 @@ def test_delta_introduces_new_group(spark):
     assert rep[("a",)] == (1, 1.0, 1.0, 1.0, 1.0)
 
 
+def test_join_agg_merge_identity_any_split(spark):
+    """state(base⋈dim) ⊕ state(delta⋈dim) == state(all⋈dim) for every
+    split point, including all-base and all-delta."""
+    from workshoop2_etl_spark.operators.incremental import join_agg_state
+
+    fact = spark.createDataFrame(
+        [(i, i % 4, float(i * 10)) for i in range(12)],
+        "id long, fk long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, "seg%d" % (k % 2)) for k in range(4)], "fk long, seg string"
+    )
+    keys, vals = ["seg"], ["v"]
+    full = join_agg_state(fact, dim, "fk", keys, vals)
+    want = _report(full, keys, vals)
+    for cut in (0, 5, 12):
+        merged = merge_states(
+            keys, vals,
+            join_agg_state(fact.filter(F.col("id") < cut), dim, "fk", keys, vals),
+            join_agg_state(fact.filter(F.col("id") >= cut), dim, "fk", keys, vals),
+        )
+        assert _report(merged, keys, vals) == want
+
+
+def test_join_agg_state_broadcasts_dim(spark):
+    """The dim side must be broadcast — no shuffle of delta fact rows
+    for the join itself."""
+    from workshoop2_etl_spark.operators.incremental import join_agg_state
+
+    fact = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(12)],
+        "id long, fk long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, "s%d" % k) for k in range(4)], "fk long, seg string"
+    )
+    st = join_agg_state(fact, dim, "fk", ["seg"], ["v"])
+    st.collect()
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_join_agg_mixed_fact_dim_keys(spark):
+    """keys may mix fact and dim columns."""
+    from workshoop2_etl_spark.operators.incremental import join_agg_state
+
+    fact = spark.createDataFrame(
+        [(1, 0, "x", 2.0), (2, 0, "y", 4.0), (3, 1, "x", 8.0)],
+        "id long, fk long, flag string, v double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "fk long, seg string"
+    )
+    keys, vals = ["seg", "flag"], ["v"]
+    merged = merge_states(
+        keys, vals,
+        join_agg_state(fact.filter("id <= 1"), dim, "fk", keys, vals),
+        join_agg_state(fact.filter("id > 1"), dim, "fk", keys, vals),
+    )
+    rep = _report(merged, keys, vals)
+    assert rep[("a", "x")] == (1, 2.0, 2.0, 2.0, 2.0)
+    assert rep[("a", "y")] == (1, 4.0, 4.0, 4.0, 4.0)
+    assert rep[("b", "x")] == (1, 8.0, 8.0, 8.0, 8.0)
+
+
 def test_schema_mismatch_raises(spark):
     a = aggregate_state(
         spark.createDataFrame([("a", 1.0)], "k string, v double"), KEYS, VALS

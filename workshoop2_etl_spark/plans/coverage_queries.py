@@ -1201,6 +1201,54 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_state(merge_states(keys, vals, base, delta), keys, vals)
 
 
+_INCR_JOIN_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total_o_totalprice,
+       min(o_totalprice) AS lo_o_totalprice,
+       max(o_totalprice) AS hi_o_totalprice,
+       round(sum(o_totalprice) / count(*), 4) AS avg_o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+@_register("incremental_join_agg_orders", _INCR_JOIN_SQL)
+def incremental_join_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOINED aggregate — the dashboard
+    query grouped by a DIM attribute (customer segment) over FACT
+    measures (order totals). Refresh path: only the delta fact
+    partition is scanned, its rows broadcast-joined to the dim and
+    partial-aggregated; the persisted base state is merged at group
+    cardinality. Must equal the oracle's full fact⋈dim recompute —
+    valid because join distributes over union for a fixed dim
+    snapshot (see operators/incremental.py:join_agg_state for the
+    dim-change caveat). Split point is the same arbitrary load
+    boundary as incremental_agg_orders (1997-01-01)."""
+    from workshoop2_etl_spark.operators.incremental import (
+        finalize_state,
+        join_agg_state,
+        merge_states,
+    )
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+    vals = ["o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cut = F.lit("1997-01-01").cast("date")
+    base = join_agg_state(
+        orders.filter(F.col("o_orderdate") < cut), dim, "c_custkey",
+        keys, vals,
+    )
+    delta = join_agg_state(
+        orders.filter(F.col("o_orderdate") >= cut), dim, "c_custkey",
+        keys, vals,
+    )
+    return finalize_state(merge_states(keys, vals, base, delta), keys, vals)
+
+
 _TOPK_PARTIAL_SQL = """
 SELECT l_suppkey, l_partkey, l_extendedprice, l_orderkey,
        CAST(rank AS BIGINT) AS rank

@@ -463,9 +463,12 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     split, the LAST emission per user equals the global aggregate —
     the invariant the batch-parity oracle checks. Requires the
     RocksDB state-store provider (set per-session) and the protobuf
-    package in the Python env; raises a clear error when absent
-    (environment-blocked in the build sandbox — the operator is
-    exercised wherever protobuf exists).
+    package in the Python env — the test environment supplies it via
+    the path-extension shim in ``vendor/pbshim`` (activated by
+    tests/conftest.py BEFORE the JVM starts, so the forked Python
+    workers inherit it; see vendor/README.md), so the batch-parity
+    test executes for real here. Raises a clear error when no
+    protobuf runtime is reachable.
     """
     if not _tws_available():
         raise RuntimeError(
