@@ -24,6 +24,19 @@ Methodology (fixed in round 4 after two phantom regressions):
   is the number that scales. The full per-rep spread is recorded so
   order/warm-up effects stay visible instead of silently shifting the
   headline.
+* **Cross-machine variance** — committed detail files may come from
+  a DIFFERENT VM than the one re-running the bench; round-7 A/B runs
+  showed the same plan at the same sf spreading 2.9–16 s across
+  machines/sessions (``entity_resolution_customers``: 4.0/9.7/12.2 s
+  on three identical back-to-back reps, both before and after a
+  suspected commit — exonerating the code), and the two r6-flagged
+  "regressions" resolved the same way: ``tfidf_documents`` restored
+  to 0.82 s on a quiet machine (contention noise), while
+  ``cluster_profile_embeddings`` runs 0.6 s warm in a fresh session
+  vs ~7 s late in a 213-query session (session-age effect in the
+  long-lived local JVM, not a plan change — its shuffle bytes are
+  flat, 2.7 KB). Treat a flag as a LEAD, not a verdict: confirm with
+  an isolated fresh-session rerun before attributing it to code.
 * **Committed detail artifact** — the full per-query detail is
   written to ``BENCH_DETAIL.json`` next to this file (the driver
   keeps only ~2 KB of stdout tail, which truncated 23/72 per-query
