@@ -43,7 +43,43 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
     # ------------------------------------------------------------------
-    # Round-7 WINDOW ROTATION: six never-windowed oracles rotate IN
+    # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
+    # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,
+    # ewma_value_events, ks_drift_orders, substring_dedup_documents,
+    # bm25_search_documents, streaming_dedup_events,
+    # incremental_join_agg_orders — their demotion entries are removed
+    # below). Eight stable, multi-round-windowed entries rotate OUT
+    # (all remain mirror-checked by tests/test_oracle_parity.py):
+    # ------------------------------------------------------------------
+    # Windowed r6+r7; the time-join family stays driver-visible via
+    # range_join_events_within_hour.
+    "asof_join_events_orders",
+    # Windowed r6+r7; the CDC merge path stays driver-visible via
+    # lakehouse_roundtrip_orders (CHECK create -> CDC merge -> compact
+    # -> time travel).
+    "cdc_apply_orders",
+    # Windowed r6+r7; export composition — md5 fingerprint + chunk +
+    # split primitives each stay visible elsewhere in the window.
+    "training_export_documents",
+    # Windowed r6+r7; the regex-cleaning family is mirror-checked and
+    # the corpus_prep pipeline exercises redaction in the bench.
+    "pii_redact_documents",
+    # Windowed r6+r7; BMP byte-level decode stays driver-visible via
+    # resize_images_documents (decode -> resize -> re-encode) and
+    # video_demux_documents (per-frame header decode).
+    "image_decode_documents",
+    # Windowed r5–r7; media struct family stays visible via
+    # media_metadata_documents + video_demux_documents.
+    "frame_sample_documents",
+    # Windowed r5–r7; pairwise-stats family, mirror-checked; numeric
+    # profiling stays visible via quantiles/summary_stats.
+    "corr_matrix_lineitem",
+    # Windowed r5–r7; semi-structured extraction, mirror-checked; the
+    # VARIANT twin (sql_variant_props) covers the same surface.
+    "json_props_extract",
+    # ------------------------------------------------------------------
+    # Round-7 rotation notes (historical): six never-windowed oracles
+    # rotated IN that round
     # (holt_winters_daily_revenue, lakehouse_roundtrip_orders,
     # dsir_sample_documents, allpairs_jaccard_documents,
     # entity_resolution_customers, winnow_candidates_documents), plus
@@ -146,9 +182,9 @@ _DEMOTED_ORACLES = (
     "funnel_conversion_events",
     "retention_cohorts_events",
     "global_ids_documents",
-    "bm25_search_documents",
+    # (bm25_search_documents and streaming_dedup_events rotated into
+    # the window round 8)
     "compact_roundtrip_orders",
-    "streaming_dedup_events",
     "streaming_interval_join_events",
     "transitions_events",
     "fuzzy_join_nation_names",
@@ -183,23 +219,16 @@ _DEMOTED_ORACLES = (
     # mirror-checked; the BMP half (image_decode_documents) rotated
     # into the driver window.
     "audio_features_documents",
-    # Round-6: blocked big-big fuzzy join vs DuckDB's unblocked
-    # quadratic levenshtein join — mirror-checked.
-    "fuzzy_join_big_customers",
+    # (fuzzy_join_big_customers rotated into the window round 8)
     # Round-6: stream-stream LEFT OUTER interval join (null-padding at
     # watermark expiry) vs DuckDB's batch LEFT JOIN on the
     # provably-closed region — mirror-checked.
     "streaming_interval_join_outer_events",
-    # Round-6: exact heavy hitters via Misra–Gries partial summaries —
-    # the sketch is internal, the answer exact; mirror-checked.
-    "heavy_hitters_bigrams_documents",
+    # (heavy_hitters_bigrams_documents rotated into the window round 8)
     # Round-6: state(base) ⊕ state(delta) == full recompute — the
     # partial-aggregate merge identity; mirror-checked.
     "incremental_agg_orders",
-    # Round-7: the JOINED-aggregate extension (delta fact rows
-    # broadcast-joined to the dim before partial aggregation);
-    # mirror-checked.
-    "incremental_join_agg_orders",
+    # (incremental_join_agg_orders rotated into the window round 8)
     # Round-6: gap-and-islands consecutive-day streaks; mirror-checked.
     "activity_streaks_events",
     # Round-6: Efraimidis–Spirakis weighted draw (md5-derived
@@ -236,7 +265,7 @@ _DEMOTED_ORACLES = (
     # 30-char windows merged to spans, then cut with in-order
     # reassembly; both stages mirror-checked byte-for-byte.
     "duplicate_spans_documents",
-    "substring_dedup_documents",
+    # (substring_dedup_documents rotated into the window round 8)
     # Round-6: CCNet stupid-backoff LM cross-entropy + head/middle/
     # tail tertile buckets; all three scoring branches mirrored.
     "lm_quality_buckets_documents",
@@ -256,9 +285,7 @@ _DEMOTED_ORACLES = (
     "attribution_events",
     "active_users_7d_events",
     "interpolate_linear_events",
-    # Round-6: per-key EWMA recursion vs the closed-form oracle —
-    # mirror-checked.
-    "ewma_value_events",
+    # (ewma_value_events rotated into the window round 8)
     # Round-6: hybrid BM25+dense reciprocal-rank fusion — both
     # branches and the fusion replayed in one oracle; mirror-checked.
     "hybrid_rrf_search_documents",
@@ -281,9 +308,7 @@ _DEMOTED_ORACLES = (
     # Round-6: Holt level+trend recursion vs a recursive-CTE replay —
     # mirror-checked, bit-equal.
     "holt_trend_events",
-    # Round-6: exact two-sample KS drift via two-phase CDF prefix
-    # sums — mirror-checked, bit-equal.
-    "ks_drift_orders",
+    # (ks_drift_orders rotated into the window round 8)
     # Round-6: classic decision-support shapes (TPC-H Q3/Q6/Q7/Q8/
     # Q14/Q15/Q17/Q18/Q19 adapted to the synthetic schema) — the
     # star-join family stays driver-visible via pricing_summary and

@@ -1922,6 +1922,22 @@ WITH RECURSIVE reg AS (
          concat(substring(c_name, 1, 3), substring(c_name, 5, length(c_name))),
          c_acctbal, c_nationkey
   FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  -- NULL-attribute twins: every fifth customer re-entered TWICE with
+  -- the acctbal lost (NULL) — once with a dropped character, once
+  -- verbatim. The two re-entries pair with each other (edit distance
+  -- 1, same nation) and BOTH have NULL acctbal, so the scoring branch
+  -- where the attribute comparison sees NULL on both sides is
+  -- exercised: NULL anywhere = disagreement (-8) = score 8 < 28 = NO
+  -- match. An engine that treated NULL<=>NULL as agreement (+16)
+  -- would match them (score 32) and diverge from this oracle.
+  SELECT c_custkey + 20000000,
+         concat(substring(c_name, 1, 3), substring(c_name, 5, length(c_name))),
+         CAST(NULL AS DOUBLE), c_nationkey
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 30000000, c_name, CAST(NULL AS DOUBLE), c_nationkey
+  FROM customer WHERE c_custkey % 5 = 0
 ), pairs AS (
   SELECT a.id AS ida, b.id AS idb,
          CASE WHEN a.name = b.name THEN 24 ELSE 12 END
@@ -1967,7 +1983,10 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL connected components over the matched pairs with a recursive
     transitive-closure CTE (min-reachable-id labeling) — structurally
     safe even if an accidental same-nation/equal-acctbal name pair
-    chains clusters together, which grows likelier with sf."""
+    chains clusters together, which grows likelier with sf. Round 8
+    plants NULL-acctbal twin pairs (both sides NULL) so the
+    NULL-attribute scoring branch is exercised against the oracle:
+    NULL = disagreement, the pair must NOT match."""
     from workshoop2_etl_spark.operators.entity import resolve_entities
 
     cust = _t(spark, sf_dir, "customer")
@@ -1986,7 +2005,30 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_nationkey",
     )
-    reg = base.unionByName(typos)
+    # NULL-attribute twins (round 8): every fifth customer re-entered
+    # twice with NULL acctbal — a dropped-char copy and a verbatim
+    # copy — so a candidate pair whose attribute comparison sees NULL
+    # on BOTH sides is actually generated and scored. Under the locked
+    # semantics (entity.py: plain `==`, NULL anywhere = disagreement)
+    # the pair scores 12-8+4 = 8 < 28 and must NOT match; an
+    # eqNullSafe regression would score it 32 and diverge from the
+    # oracle hash.
+    null_a = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 20_000_000).cast("long").alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 3),
+            F.expr("substring(c_name, 5, length(c_name))"),
+        ).alias("name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        "c_nationkey",
+    )
+    null_b = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 30_000_000).cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        "c_nationkey",
+    )
+    reg = base.unionByName(typos).unionByName(null_a).unionByName(null_b)
     out = resolve_entities(
         reg, "id", "name",
         agree_weights={"c_acctbal": (16, -8), "c_nationkey": (4, -4)},
