@@ -255,14 +255,22 @@ def test_scd2_single_exchange_on_key(spark):
 
 
 def test_line_dedup_shuffles_narrow_keys_only(spark):
-    # Two hash exchanges (unit-hash window, per-doc reassembly) plus
-    # the ensure_parallelism round-robin; never a global sort funnel.
+    # Two hash exchanges (unit-hash first-occurrence aggregate,
+    # per-doc reassembly) plus the ensure_parallelism round-robin;
+    # never a global sort funnel.
     plan = _physical(q("line_dedup_documents")(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "SinglePartition" not in plan
-    # the first-occurrence window keys on the 64-bit unit hash, not
-    # the unit text
+    # the first-occurrence selection keys on the 64-bit unit hash,
+    # not the unit text
     assert "xxhash64" in plan
+    # round 8: first occurrence is a partial-aggregable
+    # min(struct(id, pos, unit)) — map-side combine collapses
+    # duplicate units before the shuffle and no per-key sort runs
+    # (the row_number window formulation it replaced sorted each
+    # unit's occurrence list on a single task).
+    assert "partial_min" in plan or "min(__m" in plan or "min(struct" in plan
+    assert "row_number" not in plan
 
 
 def test_dq_report_broadcasts_ref_checks(spark):
