@@ -77,6 +77,11 @@ _DEMOTED_ORACLES = (
     # Windowed r5–r7; semi-structured extraction, mirror-checked; the
     # VARIANT twin (sql_variant_props) covers the same surface.
     "json_props_extract",
+    # Windowed r6+r7; demoted to make window room for the round-8
+    # dim-change refresh proof (incremental_join_agg_dimchange_orders)
+    # — the exact-dedup family stays driver-visible via
+    # exact_dedup_documents.
+    "duplicate_groups_documents",
     # ------------------------------------------------------------------
     # Round-7 rotation notes (historical): six never-windowed oracles
     # rotated IN that round

@@ -80,6 +80,134 @@ def join_agg_state(
     return aggregate_state(enriched, keys, value_cols)
 
 
+def dim_changed_keys(
+    old_dim: DataFrame, new_dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """Dim keys whose row changed between two dim snapshots —
+    UPDATEd attributes (row digest differs), DELETEd keys (present
+    only in old) and INSERTed keys (present only in new). One
+    full-outer join of 8-byte digests keyed by the dim key; at scale
+    both sides are dim-sized (small by definition) and the output is
+    the usually-tiny changed-key set, broadcast downstream.
+
+    The digest coalesces each attribute through a NUL sentinel so a
+    NULL attribute differs from the string 'null' and from an absent
+    column, and attribute order is fixed by sorted column name on
+    BOTH snapshots (schemas must match)."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    if sorted(old_dim.columns) != sorted(new_dim.columns):
+        raise ValueError(
+            f"dim schemas differ: {sorted(old_dim.columns)} vs "
+            f"{sorted(new_dim.columns)}"
+        )
+    attrs = sorted(set(old_dim.columns) - set(on_list))
+
+    def dig(df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+            for c in attrs
+        ]
+        return df.select(
+            *on_list, F.xxhash64(*parts).alias("__dig")
+        )
+
+    o = dig(old_dim).withColumnRenamed("__dig", "__dig_old")
+    n = dig(new_dim).withColumnRenamed("__dig", "__dig_new")
+    return (
+        o.join(n, on_list, "full_outer")
+        .where(
+            F.col("__dig_old").isNull()
+            | F.col("__dig_new").isNull()
+            | (F.col("__dig_old") != F.col("__dig_new"))
+        )
+        .select(*on_list)
+    )
+
+
+def refresh_join_agg_dim_change(
+    base_state: DataFrame,
+    fact: DataFrame,
+    old_dim: DataFrame,
+    new_dim: DataFrame,
+    on: str | list[str],
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Refresh a persisted :func:`join_agg_state` after the DIM
+    changed between loads — the production path the round-7 operator
+    documented and stopped at. ``base_state`` must be the state of
+    ``fact ⋈ old_dim``; the result equals
+    ``join_agg_state(fact, new_dim, ...)`` exactly (the registered
+    query proves it against a full-recompute DuckDB oracle) without
+    rebuilding the untouched groups.
+
+    Because min/max are monoidal but NOT invertible, a changed dim
+    row cannot be subtracted out of its old group — instead the
+    AFFECTED GROUPS are recomputed whole and everything else is kept:
+
+    1. ``dim_changed_keys(old, new)`` — the changed-key set, tiny.
+    2. Affected groups = group tuples that changed-key fact rows map
+       to under EITHER snapshot (old: contributions to retract; new:
+       contributions to add). Only fact rows with changed keys are
+       scanned here (semi-join on the broadcast changed set).
+    3. Untouched = ``base_state`` ANTI-JOIN affected groups; correct
+       because unchanged-key fact rows enrich identically under both
+       snapshots, so a group containing no changed-key row under
+       either snapshot has an identical state.
+    4. Re-derive affected groups from the fact under ``new_dim``
+       (inner join — deleted keys drop their fact rows, exactly as a
+       full recompute would) and UNION with the untouched state.
+
+    Scale: steps 1–2 touch dim-sized and changed-fk-sized data; step
+    4 is the one fact pass, and when every group key is a dim
+    attribute (the dashboard shape) it first prunes the fact to the
+    keys of affected-group dim rows by broadcast semi-join, so the
+    shuffle — and with fact bucketing/partitioning on the fk, the
+    scan — is proportional to the affected groups' membership, not
+    the fact. Join semantics are inner-only, matching
+    :func:`join_agg_state`'s default."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    changed = dim_changed_keys(old_dim, new_dim, on_list)
+
+    fact_changed = fact.join(F.broadcast(changed), on_list, "semi")
+    groups_old = (
+        fact_changed.join(F.broadcast(old_dim), on_list)
+        .select(*keys)
+        .distinct()
+    )
+    groups_new = (
+        fact_changed.join(F.broadcast(new_dim), on_list)
+        .select(*keys)
+        .distinct()
+    )
+    affected = groups_old.unionByName(groups_new).distinct()
+
+    untouched = base_state.join(F.broadcast(affected), keys, "anti")
+
+    dim_side = set(new_dim.columns)
+    if set(keys) <= dim_side:
+        # Dashboard shape: group keys live entirely on the dim, so
+        # the affected groups' full membership is exactly the fact
+        # rows referencing an affected-group dim key — prune before
+        # the join instead of filtering after it.
+        affected_fks = (
+            new_dim.join(F.broadcast(affected), keys, "semi")
+            .select(*on_list)
+        )
+        member_rows = fact.join(F.broadcast(affected_fks), on_list, "semi")
+        rederived = aggregate_state(
+            member_rows.join(F.broadcast(new_dim), on_list), keys, value_cols
+        )
+    else:
+        enriched = fact.join(F.broadcast(new_dim), on_list)
+        rederived = aggregate_state(
+            enriched.join(F.broadcast(affected), keys, "semi"),
+            keys,
+            value_cols,
+        )
+    return untouched.unionByName(rederived)
+
+
 def merge_states(
     keys: list[str], value_cols: list[str], *states: DataFrame
 ) -> DataFrame:

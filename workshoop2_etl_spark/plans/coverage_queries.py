@@ -1249,6 +1249,87 @@ def incremental_join_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_state(merge_states(keys, vals, base, delta), keys, vals)
 
 
+_INCR_DIMCHANGE_SQL = """
+WITH new_dim AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  WHERE c_custkey % 113 <> 5
+)
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total_o_totalprice,
+       min(o_totalprice) AS lo_o_totalprice,
+       max(o_totalprice) AS hi_o_totalprice,
+       round(sum(o_totalprice) / count(*), 4) AS avg_o_totalprice
+FROM orders JOIN new_dim ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+@_register("incremental_join_agg_dimchange_orders", _INCR_DIMCHANGE_SQL)
+def incremental_join_agg_dimchange_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOINED-aggregate refresh when the DIM ITSELF
+    changed between loads — the production path the round-7 operator
+    only documented (VERDICT r7 item 5). Scenario: the segment
+    dashboard state is maintained across a base + delta fact load
+    against the OLD customer snapshot; then the dim takes an UPDATE
+    (every 7th customer migrates to segment 'MIGRATED') and a DELETE
+    (every 113th ≡ 5 customer is dropped). Because min/max are
+    monoidal but not invertible, changed rows cannot be subtracted —
+    refresh_join_agg_dim_change (operators/incremental.py) instead
+    digest-diffs the two dim snapshots (8-byte xxhash64 full-outer
+    join), finds the group tuples touched by changed-key fact rows
+    under EITHER snapshot, keeps every other group's state untouched
+    (anti-join), and re-derives only the affected groups from the
+    fact under the new snapshot. The oracle recomputes everything
+    from scratch against the new dim — refresh must equal full
+    recompute exactly, including the brand-new 'MIGRATED' group and
+    the deleted customers' vanished orders."""
+    from workshoop2_etl_spark.operators.incremental import (
+        finalize_state,
+        join_agg_state,
+        merge_states,
+        refresh_join_agg_dim_change,
+    )
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+    vals = ["o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    old_dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    new_dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 113 != 5)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MIGRATED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    cut = F.lit("1997-01-01").cast("date")
+    base = join_agg_state(
+        orders.filter(F.col("o_orderdate") < cut), old_dim, "c_custkey",
+        keys, vals,
+    )
+    delta = join_agg_state(
+        orders.filter(F.col("o_orderdate") >= cut), old_dim, "c_custkey",
+        keys, vals,
+    )
+    state = merge_states(keys, vals, base, delta)
+    refreshed = refresh_join_agg_dim_change(
+        state, orders, old_dim, new_dim, "c_custkey", keys, vals
+    )
+    return finalize_state(refreshed, keys, vals)
+
+
 _TOPK_PARTIAL_SQL = """
 SELECT l_suppkey, l_partkey, l_extendedprice, l_orderkey,
        CAST(rank AS BIGINT) AS rank
