@@ -82,6 +82,11 @@ _DEMOTED_ORACLES = (
     # — the exact-dedup family stays driver-visible via
     # exact_dedup_documents.
     "duplicate_groups_documents",
+    # Windowed r5–r7; demoted to make window room for the round-8
+    # compressed-codec proof (resize_images_png_documents) — the
+    # media-struct family stays driver-visible via that entry plus
+    # resize_images_documents and video_demux_documents.
+    "media_metadata_documents",
     # ------------------------------------------------------------------
     # Round-7 rotation notes (historical): six never-windowed oracles
     # rotated IN that round
