@@ -219,6 +219,47 @@ def _superlinear_flags(
     return flags
 
 
+def _regression_flags(
+    times: dict,
+    previous: dict,
+    sf: float | None,
+    machine_factor: float,
+) -> dict:
+    """Per-query wall-time regression flags vs the previous detail
+    artifact — only comparable at the same scale factor, and both
+    sides normalized by their run's machine factor so a uniformly
+    slow VM/session doesn't flag unchanged code (r7: 17 false
+    flags, all noise). A previous artifact without calibration
+    (pre-round-8) normalizes by 1.0."""
+    comparable = isinstance(previous, dict) and previous.get("sf") == sf
+    prev_q = previous.get("queries", {}) if comparable else {}
+    prev_factor = 1.0
+    if comparable:
+        pf = previous.get("calibration", {}).get("machine_factor")
+        if isinstance(pf, (int, float)) and pf > 0:
+            prev_factor = float(pf)
+    regressions: dict[str, dict] = {}
+    for name, cur in times.items():
+        prev = prev_q.get(name, {})
+        prev_sec = prev.get("sec") if isinstance(prev, dict) else None
+        if cur is None or prev_sec is None or prev_sec <= 0:
+            continue
+        cur_n = cur / machine_factor
+        prev_n = prev_sec / prev_factor
+        if (
+            cur_n >= prev_n * REGRESSION_RATIO
+            and cur_n - prev_n >= REGRESSION_ABS_FLOOR_SEC
+        ):
+            regressions[name] = {
+                "prev_sec": prev_sec,
+                "sec": cur,
+                "prev_sec_normalized": round(prev_n, 3),
+                "sec_normalized": round(cur_n, 3),
+                "ratio": round(cur_n / prev_n, 2),
+            }
+    return regressions
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -372,36 +413,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Regression check against the previous committed detail file —
-    # per-sf history (see above), both sides normalized by their
-    # run's machine factor so a uniformly slow VM/session doesn't
-    # flag unchanged code (r7: 17 false flags, all noise).
-    comparable = isinstance(previous, dict) and previous.get("sf") == sf
-    prev_q = previous.get("queries", {}) if comparable else {}
-    prev_factor = 1.0
-    if comparable:
-        pf = previous.get("calibration", {}).get("machine_factor")
-        if isinstance(pf, (int, float)) and pf > 0:
-            prev_factor = float(pf)
-    regressions: dict[str, dict] = {}
-    for name, cur in times.items():
-        prev = prev_q.get(name, {})
-        prev_sec = prev.get("sec") if isinstance(prev, dict) else None
-        if cur is None or prev_sec is None or prev_sec <= 0:
-            continue
-        cur_n = cur / machine_factor
-        prev_n = prev_sec / prev_factor
-        if (
-            cur_n >= prev_n * REGRESSION_RATIO
-            and cur_n - prev_n >= REGRESSION_ABS_FLOOR_SEC
-        ):
-            regressions[name] = {
-                "prev_sec": prev_sec,
-                "sec": cur,
-                "prev_sec_normalized": round(prev_n, 3),
-                "sec_normalized": round(cur_n, 3),
-                "ratio": round(cur_n / prev_n, 2),
-            }
+    regressions = _regression_flags(times, previous, sf, machine_factor)
     for name, r in regressions.items():
         print(
             f"REGRESSION {name}: {r['prev_sec']}s -> {r['sec']}s"

@@ -1,0 +1,107 @@
+"""bench.py's pure decision logic: machine-factor-normalized
+regression flags and the superlinear-shuffle gate — no Spark
+needed (the bench CLI itself is exercised by the driver and the
+round's smoke runs)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from bench import (  # noqa: E402
+    CALIBRATION_FACTOR_MAX,
+    CALIBRATION_FACTOR_MIN,
+    _regression_flags,
+    _superlinear_flags,
+)
+
+
+def _prev(sf=0.1, factor=None, **queries):
+    out = {
+        "sf": sf,
+        "queries": {k: {"sec": v} for k, v in queries.items()},
+    }
+    if factor is not None:
+        out["calibration"] = {"machine_factor": factor}
+    return out
+
+
+def test_uniform_slowdown_not_flagged():
+    """The r7 failure mode: every query 2x slower because the VM is
+    2x slower. With the probe showing factor 2.0, nothing flags."""
+    prev = _prev(factor=1.0, q1=1.0, q2=2.0, q3=0.5)
+    times = {"q1": 2.0, "q2": 4.0, "q3": 1.0}
+    assert _regression_flags(times, prev, 0.1, machine_factor=2.0) == {}
+
+
+def test_real_single_query_regression_still_flags():
+    """One query 3x slower on a machine the probe says is at speed
+    — that's code, and it must flag."""
+    prev = _prev(factor=1.0, q1=1.0, q2=2.0)
+    times = {"q1": 3.0, "q2": 2.1}
+    flags = _regression_flags(times, prev, 0.1, machine_factor=1.0)
+    assert list(flags) == ["q1"]
+    assert flags["q1"]["ratio"] == 3.0
+
+
+def test_regression_on_slow_machine_normalizes_both_sides():
+    """Previous run on a 2x-slow machine, current on a fast one:
+    equal normalized times, no flag — raw comparison would have
+    called the fast run a 'speedup' and a truly-regressed query's
+    ratio would be understated."""
+    prev = _prev(factor=2.0, q1=4.0)
+    # normalized prev = 2.0; current 2.0 at factor 1.0 -> equal
+    assert _regression_flags({"q1": 2.0}, prev, 0.1, 1.0) == {}
+    # current 4.0 at factor 1.0 -> 2x normalized regression
+    flags = _regression_flags({"q1": 4.0}, prev, 0.1, 1.0)
+    assert flags["q1"]["ratio"] == 2.0
+
+
+def test_cross_sf_never_compared():
+    prev = _prev(sf=0.01, factor=1.0, q1=0.1)
+    assert _regression_flags({"q1": 10.0}, prev, 0.1, 1.0) == {}
+
+
+def test_absolute_floor_suppresses_tiny_queries():
+    prev = _prev(factor=1.0, q1=0.05)
+    # 3x ratio but only +0.1s absolute — noise, not a flag
+    assert _regression_flags({"q1": 0.15}, prev, 0.1, 1.0) == {}
+
+
+def test_factor_clamps_exist():
+    assert 0 < CALIBRATION_FACTOR_MIN < 1 < CALIBRATION_FACTOR_MAX
+
+
+def test_superlinear_gate_flags_quadratic(tmp_path):
+    """3x data, 9x bytes (a quadratic term) flags; 3x bytes
+    (linear) and 5x-but-tiny do not. The artifact gains the new
+    scale point either way."""
+    hist = {
+        "0.1": {
+            "quad": 50 * 1024 * 1024,
+            "lin": 50 * 1024 * 1024,
+            "tiny": 1024,
+        }
+    }
+    (tmp_path / "BENCH_SHUFFLE.json").write_text(json.dumps(hist))
+    cur = {
+        "quad": 9 * 50 * 1024 * 1024,
+        "lin": 3 * 50 * 1024 * 1024,
+        "tiny": 5 * 1024,
+    }
+    flags = _superlinear_flags(str(tmp_path), 0.3, cur)
+    assert list(flags) == ["quad"]
+    assert flags["quad"]["ratio_vs_linear"] == 3.0
+    merged = json.loads((tmp_path / "BENCH_SHUFFLE.json").read_text())
+    assert merged["0.3"] == cur and "0.1" in merged
+
+
+def test_superlinear_gate_uses_nearest_smaller_sf(tmp_path):
+    hist = {"0.01": {"q": 1024 * 1024}, "0.1": {"q": 60 * 1024 * 1024}}
+    (tmp_path / "BENCH_SHUFFLE.json").write_text(json.dumps(hist))
+    # vs 0.1 (nearest smaller): 3x scale, 3x bytes -> linear, clean.
+    # (vs 0.01 it would be 180x for 30x — the gate must pick 0.1.)
+    flags = _superlinear_flags(str(tmp_path), 0.3, {"q": 180 * 1024 * 1024})
+    assert flags == {}
