@@ -42,6 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
+    # NEW in round 8 (post-rotation): bloom-filter semi-join — exact
+    # big-big semi-join with the fact exchange pruned by a bitmap of
+    # the build keys (operators/bloomjoin.py). Mirror-checked this
+    # round; rotate into the driver window next round.
+    "bloom_semijoin_lineitem",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -2279,3 +2279,52 @@ def dynamic_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("bloom_semijoin_lineitem", _BLOOM_SEMI_SQL)
+def bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (operators/bloomjoin.py): lineitem
+    restricted to high-value orders, with the fact-side exchange
+    pruned by a ~10-bit-per-key bitmap of the qualifying order keys
+    BEFORE the confirming left-semi join. The regime this targets is
+    the middle of the join spectrum — a build side too big to
+    broadcast as rows but whose bloom filter fits (100 M keys ≈
+    15 MB) — where it removes (1 - selectivity - fpp) of the fact
+    shuffle; exactness is the confirming join's, not the filter's
+    (no-false-negative invariant + FP-tolerance proven in
+    tests/test_bloomjoin.py, shuffle pruning asserted there with
+    broadcast disabled). Oracle: the plain IN-subquery twin."""
+    from workshoop2_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    return (
+        bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
