@@ -47,6 +47,11 @@ _DEMOTED_ORACLES = (
     # the build keys (operators/bloomjoin.py). Mirror-checked this
     # round; rotate into the driver window next round.
     "bloom_semijoin_lineitem",
+    # NEW in round 8 (post-rotation): IMA ADPCM compressed-audio
+    # decode — the audio twin of the pure-zlib PNG leg (real 4-bit
+    # step-table recurrence, closed-form warmup oracle). Mirror-
+    # checked this round; rotate into the driver window next round.
+    "audio_adpcm_features_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -512,3 +512,94 @@ def test_probe_pixels_out_of_bounds_null(spark):
     ).collect()[0]
     assert row["px_y0x0"] is not None
     assert row["px_y7x0"] is None
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (compressed audio, format tag 0x11)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_step_known_vectors():
+    """Hand-computed first steps of the public IMA recurrence from
+    (pred=0, idx=0, step=7)."""
+    from workshoop2_etl_spark.operators.multimodal import _adpcm_step
+
+    # nibble 0: diff = 7>>3 = 0, idx 0-1 clamps to 0
+    assert _adpcm_step(0, 0, 0) == (0, 0)
+    # nibble 7: diff = 0 + 1 + 3 + 7 = 11, idx += 8
+    assert _adpcm_step(0, 0, 7) == (11, 8)
+    # nibble 15: same magnitude, negative, idx += 8
+    assert _adpcm_step(0, 0, 15) == (-11, 8)
+    # clamping at int16 bounds
+    assert _adpcm_step(32760, 88, 7)[0] == 32767
+    assert _adpcm_step(-32760, 88, 15)[0] == -32768
+
+
+def test_adpcm_fixture_decodes_to_closed_form():
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _parse_wav,
+        _synth_adpcm_wav,
+    )
+
+    for doc_id, textlen in [(7, 123), (42, 700), (901, 0)]:
+        b = _synth_adpcm_wav(doc_id, "x" * textlen)
+        rate, ch, bits, s = _parse_wav(b)
+        n = 1600 + textlen % 800
+        amp = 100 + doc_id % 900
+        assert (rate, ch, bits, len(s)) == (16000, 1, 16, n)
+        exp = np.full(n, amp + 7)
+        exp[0], exp[1], exp[2] = amp, amp + 7, amp + 6
+        assert (s == exp).all()
+
+
+def test_adpcm_encoder_roundtrip_tracks_waveform():
+    """The real greedy encoder: decode(encode(x)) follows x with
+    error bounded by the adaptive step size (textbook ADPCM SNR),
+    and is bit-exact on signals the quantizer can represent."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _adpcm_decode,
+        _adpcm_encode,
+    )
+
+    t = np.arange(3000)
+    wave = (3000 * np.sin(t / 40)).astype(np.int16)
+    dec = _adpcm_decode(_adpcm_encode(wave, 256), 256, len(wave))
+    err = dec.astype(int) - wave.astype(int)
+    snr = 10 * np.log10((wave.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 25, snr  # typical IMA ADPCM sine SNR is ~30 dB
+    # constant signal encodes losslessly after the first sample
+    const = np.full(1200, 555, dtype=np.int16)
+    dec2 = _adpcm_decode(_adpcm_encode(const, 256), 256, 1200)
+    assert (dec2 == const).all()
+
+
+def test_adpcm_fact_truncation_and_multiblock():
+    """fact-chunk frame count truncates the padded final block; block
+    boundaries re-seed the predictor from each 4-byte header."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        _parse_wav,
+        _synth_adpcm_wav,
+    )
+
+    # 505 samples/block at block_align=256: n=2399 needs 5 blocks
+    b = _synth_adpcm_wav(5, "x" * 799)
+    n = 1600 + 799 % 800
+    _, _, _, s = _parse_wav(b)
+    assert len(s) == n  # not a multiple of 505: fact truncated
+    amp = 100 + 5 % 900
+    assert s[504] == amp + 7 and s[505] == amp + 7  # boundary seam
+
+
+def test_parse_wav_still_handles_pcm(spark):
+    from workshoop2_etl_spark.operators.multimodal import (
+        _parse_wav,
+        _synth_wav,
+    )
+
+    rate, ch, bits, s = _parse_wav(_synth_wav(3, "abc"))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert len(s) == 1600 + 3 % 800

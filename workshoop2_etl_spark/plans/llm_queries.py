@@ -915,6 +915,69 @@ def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "audio_adpcm_features_documents",
+    """
+WITH p AS (
+  SELECT doc_id,
+         CAST(1600 + length(text) % 800 AS BIGINT) AS n,
+         CAST(100 + doc_id % 900 AS DOUBLE) AS amp
+  FROM documents
+), c AS (
+  SELECT doc_id, n, amp, least(n, 2048) AS n1 FROM p
+)
+SELECT doc_id,
+       n AS n_frames,
+       CAST(ceil(n / 2048.0) AS BIGINT) AS n_chunks,
+       floor(sqrt((amp*amp + (amp+6)*(amp+6) + (n1-2)*(amp+7)*(amp+7))
+                  / n1) * 1000000 + 0.5) / 1000000 AS rms0,
+       CASE WHEN n > 2048 THEN amp + 7 END AS rms_tail
+FROM c
+""",
+)
+def audio_adpcm_features_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL compressed-audio decode, no codec library — the audio twin
+    of the pure-zlib PNG path: the generator emits genuine IMA ADPCM
+    WAVs (format tag 0x11: 4-byte block headers + 4-bit nibble codes,
+    a fact chunk carrying the true frame count) and the decode ladder
+    runs the real public IMA recurrence (step/index tables, clamping)
+    to int16 samples before the same RMS kernel as the PCM path. The
+    fixture's first block opens with a warmup nibble trace (4, 8, 0)
+    whose decoded offsets are precomputed through the REAL tables
+    (+7, -1, +1 → hold), so every decoded sample is closed-form:
+    amp, amp+7, amp+6, then amp+7 — the oracle replays duration and
+    exact chunk RMS from that form. floor(x·10⁶+½)/10⁶ on both sides
+    (engine round() builtins disagree at half boundaries); the sum of
+    squares is integer-exact in double (≤2×10¹² < 2⁵³), so sqrt sees
+    bit-identical input in both engines."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        extract_audio_features,
+        synthesize_media_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="adpcm").drop("text"),
+        "payload",
+        media_type="audio",
+        fmt="adpcm",
+    ).drop("payload")
+    out = extract_audio_features(media, "media")
+    return out.select(
+        "doc_id",
+        F.round(F.col("duration_sec") * 16000).cast("long").alias("n_frames"),
+        F.size("rms_profile").cast("long").alias("n_chunks"),
+        (
+            F.floor(F.element_at("rms_profile", 1) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("rms0"),
+        F.try_element_at("rms_profile", F.lit(2)).alias("rms_tail"),
+    )
+
+
 _NGRAM_JACCARD_SQL = r"""
 WITH fp AS (
   SELECT doc_id, list_slice(list_sort(list_distinct(
