@@ -52,6 +52,12 @@ _DEMOTED_ORACLES = (
     # step-table recurrence, closed-form warmup oracle). Mirror-
     # checked this round; rotate into the driver window next round.
     "audio_adpcm_features_documents",
+    # NEW in round 8 (post-rotation): streaming Misra-Gries heavy
+    # hitters — sharded bounded-memory sketch as a custom stateful
+    # operator (TWS/applyInPandasWithState ladder), exact under
+    # capacity so the GROUP BY oracle hash-matches. Mirror-checked
+    # this round; rotate into the driver window next round.
+    "streaming_heavy_hitters_events",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -509,3 +509,179 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def mg_fold(summary: dict, item: str, c: int, k: int) -> None:
+    """One batched Misra–Gries update: absorb ``c`` occurrences of
+    ``item`` into a ≤``k``-counter summary, in place. Equivalent to
+    ``c`` unit MG steps: increment if present, insert while room,
+    else subtract ``min(pending, min(counters))`` from every counter
+    and drop zeroed ones, repeating until absorbed. Shared by both
+    streaming state APIs and by the pure-Python test replay."""
+    while c > 0:
+        if item in summary:
+            summary[item] += c
+            return
+        if len(summary) < k:
+            summary[item] = c
+            return
+        d = min(min(summary.values()), c)
+        for i in list(summary):
+            summary[i] -= d
+            if summary[i] <= 0:
+                del summary[i]
+        c -= d
+
+
+def _mg_batch(summary: dict, series, k: int) -> None:
+    """Fold one micro-batch column into the summary, deterministically
+    (count desc, item asc) so a pure-Python replay of the same batch
+    split is bit-equal."""
+    vc = series.value_counts()
+    for item in sorted(vc.index, key=lambda i: (-vc[i], i)):
+        mg_fold(summary, item, int(vc[item]), k)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str,
+    *,
+    k: int = 32,
+    n_shards: int = 4,
+    api: str = "auto",
+) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters — the classic
+    bounded-memory frequency sketch as a custom stateful operator:
+    items are hash-partitioned into ``n_shards`` summaries (no single
+    state row ever sees the full stream) and each shard folds its
+    micro-batches into AT MOST ``k`` counters held in ONE state
+    struct (arrays — one state round trip per shard per batch, not
+    per item, which is why the summary is not a MapState).
+
+    Guarantees, independent of arrival order: every item with true
+    per-shard frequency > n/(k+1) holds a counter, and a counter
+    underestimates its item by at most the shard's total decrement.
+    When a shard's distinct-item count never exceeds ``k`` the
+    summary is EXACT — the property the oracle-backed registry entry
+    pins (5 event types against k=8); the decrement path is
+    pytest-proven on a planted skewed stream.
+
+    API ladder (the codec-ladder pattern): ``transformWithStateInPandas``
+    (Spark 4 arbitrary state; needs a protobuf runtime and the
+    RocksDB state provider) when available, else the same fold via
+    ``applyInPandasWithState`` — both are real incremental state
+    machines, and the emitted rows are identical under either.
+
+    Emits one row per (shard, micro-batch): ``shard, version, items,
+    counts`` with ``version`` increasing — downstream takes the max
+    version per shard (a single-activation drain emits once, but the
+    contract survives multi-batch activations and resumes).
+    """
+    out_schema = (
+        "shard int, version long, items array<string>, "
+        "counts array<long>"
+    )
+    shards = events.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("mg_item"),
+    )
+    # auto needs BOTH prerequisites: a protobuf runtime for the TWS
+    # Python worker AND the RocksDB state provider (TWS state lives in
+    # column families, which the default HDFS-backed store rejects at
+    # activation time). Explicit api="tws" trusts the caller.
+    rocksdb = "RocksDB" in (
+        events.sparkSession.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        or ""
+    )
+    use_tws = api == "tws" or (
+        api == "auto" and _tws_available() and rocksdb
+    )
+    if api not in ("auto", "tws", "apws"):
+        raise ValueError(f"unknown api {api!r}")
+
+    if use_tws:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+        )
+
+        class MGShard(StatefulProcessor):
+            def init(self, handle):  # noqa: ANN001 — API contract
+                self._st = handle.getValueState(
+                    "mg",
+                    "items array<string>, counts array<long>, "
+                    "version long",
+                )
+
+            def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+                summary: dict[str, int] = {}
+                version = 0
+                if self._st.exists():
+                    prev = self._st.get()
+                    summary = dict(
+                        zip(list(prev[0]), [int(c) for c in prev[1]])
+                    )
+                    version = int(prev[2])
+                for pdf in rows:
+                    _mg_batch(summary, pdf["mg_item"], k)
+                version += 1
+                items = sorted(summary)
+                counts = [summary[i] for i in items]
+                self._st.update((items, counts, version))
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(key[0])],
+                        "version": [version],
+                        "items": [items],
+                        "counts": [counts],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return shards.groupBy("shard").transformWithStateInPandas(
+            statefulProcessor=MGShard(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        summary: dict[str, int] = {}
+        version = 0
+        if state.exists:
+            items_prev, counts_prev, version = state.get
+            summary = dict(
+                zip(list(items_prev), [int(c) for c in counts_prev])
+            )
+            version = int(version)
+        for pdf in pdfs:
+            _mg_batch(summary, pdf["mg_item"], k)
+        version += 1
+        items = sorted(summary)
+        counts = [summary[i] for i in items]
+        state.update((items, counts, version))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "version": [version],
+                "items": [items],
+                "counts": [counts],
+            }
+        )
+
+    return shards.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "items array<string>, counts array<long>, version long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
