@@ -58,6 +58,13 @@ _DEMOTED_ORACLES = (
     # capacity so the GROUP BY oracle hash-matches. Mirror-checked
     # this round; rotate into the driver window next round.
     "streaming_heavy_hitters_events",
+    # NEW in round 8 (post-rotation): key-skew diagnostics — exact
+    # rank-based key-size quantiles via the size-of-sizes histogram
+    # plus the integer-exact salt recommendation the salted-join
+    # branch consumes (operators/skew.py). Mirror-checked this round;
+    # rotate into the driver window next round.
+    "skew_profile_events",
+    "heavy_keys_orders_custkey",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -1,0 +1,125 @@
+"""Key-skew profiling: the measurement half of the engine's skew
+story. ``merge.py`` routes hot keys through a salted branch and AQE
+splits skewed partitions at runtime — but both need to know WHICH
+keys are hot and HOW hot; this operator answers that with exact
+numbers, scale-correctly.
+
+Design for 100 TB:
+
+- The only data-sized shuffle is the per-key count aggregate.
+- Exact quantiles of the KEY-SIZE DISTRIBUTION come from the
+  size-of-sizes histogram (``groupBy(count).count()``) — its row
+  count is the number of DISTINCT group sizes, bounded and tiny next
+  to the key count (hundreds at any corpus size we've measured), so
+  the cumulative-rank walk runs on a deliberately small frame. No
+  global sort of per-key counts, no ``collect()`` of key counts.
+- The quantile rule is spelled out (smallest size with cumulative
+  key-rank ≥ ``ceil(q·n_keys)``) so the DuckDB oracle replays it
+  verbatim — no reliance on engine percentile builtins, whose
+  interpolation conventions differ.
+- ``recommended_salt = ceil(max_key_rows / avg_key_rows)`` — the
+  split factor that brings the hottest group down to an average-sized
+  task — in exact integer arithmetic
+  (``(max·n_keys + total − 1) div total``); 1 means "don't salt".
+
+Reference parity: the reference engine (eager pandas, SURVEY.md §2)
+never needs this — every join fits one process. This is 100 TB
+extension surface, the diagnostic producing the ``hot_keys`` argument
+``full_outer_with_indicator`` consumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_counts(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Per-key row counts — the data-sized aggregate every profile
+    question reduces to."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def heavy_keys(
+    df: DataFrame, keys: Sequence[str], *, top_n: int = 10
+) -> DataFrame:
+    """The ``top_n`` heaviest keys (count desc, then keys asc — a
+    total order, so ties are deterministic), via
+    TakeOrderedAndProject: no global sort materializes."""
+    counts = key_counts(df, keys)
+    return counts.orderBy(
+        F.desc("cnt"), *[F.asc(k) for k in keys]
+    ).limit(top_n)
+
+
+def skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """ONE summary row describing how skewed ``keys`` is:
+
+    ``total_rows, n_keys, max_key_rows``, one ``p*_key_rows`` column
+    per requested quantile (exact, rank-based: the smallest group
+    size such that at least ``ceil(q·n_keys)`` keys are that size or
+    smaller), ``avg_key_rows`` (the double division of two exact
+    longs — bit-identical across engines), ``skew_ratio``
+    (``max / (total/n)``, same parenthesization in the oracle) and
+    integer ``recommended_salt``.
+    """
+    counts = key_counts(df, keys)
+    # size-of-sizes histogram: tiny by construction (distinct sizes;
+    # see module docstring) — the single-partition window is safe here
+    hist = counts.groupBy(F.col("cnt").alias("size")).agg(
+        F.count(F.lit(1)).alias("n_at_size")
+    )
+    w = Window.orderBy("size").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.withColumn("cum_keys", F.sum("n_at_size").over(w))
+
+    scalars = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    out = scalars.crossJoin(
+        F.broadcast(
+            ranked.agg(
+                F.sort_array(
+                    F.collect_list(F.struct("size", "cum_keys"))
+                ).alias("__h")
+            )
+        )
+    )
+    def _at_least(rank):
+        # one-arg lambda built per quantile: a default-argument capture
+        # (lambda s, r=rank) would make pyspark's HOF introspection
+        # read TWO parameters and bind r to the (element, index) form
+        return lambda s: s["cum_keys"] >= rank
+
+    qcols = []
+    for q in quantiles:
+        num, den = int(round(q * 10000)), 10000
+        rank = F.expr(f"(n_keys * {num} + {den - 1}) div {den}")
+        name = f"p{int(round(q * 100))}_key_rows"
+        qcols.append(
+            F.array_min(
+                F.filter("__h", _at_least(rank)).getField("size")
+            ).alias(name)
+        )
+    avg = F.col("total_rows") / F.col("n_keys")
+    return out.select(
+        "total_rows",
+        "n_keys",
+        "max_key_rows",
+        *qcols,
+        avg.alias("avg_key_rows"),
+        (F.col("max_key_rows") / avg).alias("skew_ratio"),
+        F.expr(
+            "(max_key_rows * n_keys + total_rows - 1) div total_rows"
+        ).alias("recommended_salt"),
+    )

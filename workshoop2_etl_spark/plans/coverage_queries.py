@@ -2328,3 +2328,67 @@ def bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_SKEW_PROFILE_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+h AS (SELECT cnt AS size, count(*) AS n_at_size FROM c GROUP BY cnt),
+r AS (SELECT size, sum(n_at_size) OVER (ORDER BY size) AS cum_keys FROM h),
+s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_key_rows
+      FROM c)
+SELECT total_rows, n_keys, max_key_rows,
+       (SELECT CAST(min(size) AS BIGINT) FROM r
+         WHERE cum_keys >= (n_keys * 5000 + 9999) // 10000) AS p50_key_rows,
+       (SELECT CAST(min(size) AS BIGINT) FROM r
+         WHERE cum_keys >= (n_keys * 9000 + 9999) // 10000) AS p90_key_rows,
+       (SELECT CAST(min(size) AS BIGINT) FROM r
+         WHERE cum_keys >= (n_keys * 9900 + 9999) // 10000) AS p99_key_rows,
+       total_rows / n_keys AS avg_key_rows,
+       max_key_rows / (total_rows / n_keys) AS skew_ratio,
+       (max_key_rows * n_keys + total_rows - 1) // total_rows
+         AS recommended_salt
+FROM s
+"""
+
+
+@_register("skew_profile_events", _SKEW_PROFILE_SQL)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile (operators/skew.py): exact rank-based
+    quantiles of the per-user event-count distribution via the
+    size-of-sizes histogram (the only data-sized shuffle is the key
+    count; the quantile walk runs on the distinct-sizes frame, which
+    is bounded and tiny), plus the integer-exact recommended salt
+    factor the salted-join branch consumes. The quantile rule —
+    smallest size with cumulative key-rank ≥ ceil(q·n_keys), integer
+    arithmetic — is spelled out identically in engine and oracle, no
+    percentile builtins (whose interpolation conventions differ)."""
+    from workshoop2_etl_spark.operators.skew import skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_profile(ev, ["user_id"])
+
+
+_HEAVY_KEYS_SQL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY o_custkey
+ORDER BY cnt DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+@_register("heavy_keys_orders_custkey", _HEAVY_KEYS_SQL)
+def heavy_keys_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 heaviest join keys (operators/skew.py heavy_keys):
+    count desc then key asc — a TOTAL order, so boundary ties are
+    engine-deterministic — through TakeOrderedAndProject (no global
+    sort materializes). The companion to skew_profile: these are the
+    keys a hot_keys salted branch would route."""
+    from workshoop2_etl_spark.operators.skew import heavy_keys
+
+    orders = _t(spark, sf_dir, "orders")
+    return heavy_keys(orders, ["o_custkey"], top_n=10).select(
+        "o_custkey", F.col("cnt").cast("long").alias("cnt")
+    )
