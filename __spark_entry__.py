@@ -65,6 +65,11 @@ _DEMOTED_ORACLES = (
     # rotate into the driver window next round.
     "skew_profile_events",
     "heavy_keys_orders_custkey",
+    # NEW in round 8 (post-rotation): stream-stream LEFT SEMI interval
+    # join — completes the inner/left/full-outer family; matched-only
+    # emission needs no closed-region filter, oracle is the DuckDB
+    # EXISTS twin. Mirror-checked this round; rotate in next round.
+    "streaming_interval_join_semi_events",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -733,3 +733,83 @@ def streaming_heavy_hitters_events(
         )
     )
     return last.orderBy("event_type")
+
+
+@_register(
+    "streaming_interval_join_semi_events",
+    """
+SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events e1
+WHERE EXISTS (
+  SELECT 1 FROM events e2
+   WHERE e2.user_id = e1.user_id
+     AND e2.event_id <> e1.event_id
+     AND epoch_us(e1.ts) >= epoch_us(e2.ts)
+     AND epoch_us(e1.ts) <= epoch_us(e2.ts) + 3600000000
+)
+GROUP BY e1.user_id
+""",
+)
+def streaming_interval_join_semi_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI interval join — completes the
+    inner/left-outer/full-outer family: each left event emits AT MOST
+    ONCE, as soon as any right-side event by the same user within the
+    preceding hour arrives (no pair multiplication, no null padding —
+    so unlike the outer variants no closed-region filter is needed
+    for bounded-input parity; matched-only emission has inner
+    timing). State stays watermark-bounded on both sides; the right
+    buffer can evict a row once the left watermark passes its join
+    window even if it matched nothing. Oracle: the DuckDB EXISTS
+    twin — the textbook batch semantics the streaming semi join must
+    reproduce exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.streaming import run_available_now_to_parquet
+
+    left = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid1"),
+            F.col("event_id").alias("e1"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", "2 hours")
+    )
+    right = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("uid2"),
+            F.col("event_id").alias("e2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", "2 hours")
+    )
+    survivors = left.join(
+        right,
+        F.expr(
+            "uid1 = uid2 AND e1 <> e2 "
+            "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
+        ),
+        "left_semi",
+    ).select(F.col("uid1").alias("user_id"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_stream_ij_semi_{_run_token(sf_dir)}",
+    )
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    run_available_now_to_parquet(
+        survivors, out_dir, ckpt, shuffle_partitions=8
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
