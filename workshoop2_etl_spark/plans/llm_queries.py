@@ -121,6 +121,41 @@ def neardup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("incremental_lsh_index_documents")  # rows-only: xxhash64 sketch
+def incremental_lsh_index_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental LSH index maintenance (operators/dedup.py
+    ``lsh_index_refresh``): the corpus splits md5-deterministically
+    into a persisted base (~80%) and an arriving delta (~20%);
+    signatures are computed for the DELTA ONLY and its banded rows
+    probe the union index — emitting exactly the candidate pairs the
+    delta introduces, at delta-sized cost. The maintenance identity
+    pairs(base∪delta) = pairs(base) ∪ new_pairs is pytest-proven
+    (tests/test_dedup_incr.py); rows-only here because the sketch
+    hash (xxhash64) has no DuckDB twin."""
+    from workshoop2_etl_spark.operators.dedup import (
+        lsh_banded,
+        lsh_index_refresh,
+        minhash_signatures,
+    )
+
+    docs = _tp(spark, sf_dir, "documents")
+    is_delta = F.pmod(
+        F.abs(F.xxhash64(F.col("doc_id").cast("string"))), F.lit(5)
+    ) == 0
+    base = docs.filter(~is_delta)
+    delta = docs.filter(is_delta)
+    banded_base = lsh_banded(
+        minhash_signatures(base, "doc_id", "text"), "doc_id"
+    )
+    banded_delta = lsh_banded(
+        minhash_signatures(delta, "doc_id", "text"), "doc_id"
+    )
+    _, new_pairs = lsh_index_refresh(banded_base, banded_delta, "doc_id")
+    return new_pairs.orderBy("doc_id_a", "doc_id_b")
+
+
 @_register("near_dedup_corpus_filter")  # rows-only: iterative CC algorithm
 def near_dedup_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dedup product: LSH pairs → connected-component
