@@ -70,6 +70,11 @@ _DEMOTED_ORACLES = (
     # emission needs no closed-region filter, oracle is the DuckDB
     # EXISTS twin. Mirror-checked this round; rotate in next round.
     "streaming_interval_join_semi_events",
+    # NEW in round 8 (post-rotation): change-data-feed read out of a
+    # versioned table — snapshot diff via exceptAll, classified into
+    # insert/delete/update_pre/postimage (Delta table_changes
+    # analog). Mirror-checked this round; rotate in next round.
+    "cdc_read_changes_orders",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

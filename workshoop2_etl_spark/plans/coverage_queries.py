@@ -2392,3 +2392,103 @@ def heavy_keys_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_keys(orders, ["o_custkey"], top_n=10).select(
         "o_custkey", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+_CDC_READ_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents
+  FROM orders
+), newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         tp_cents + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END
+           AS tp_cents
+  FROM base WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'NEW', tp_cents
+  FROM base WHERE o_orderkey % 101 = 0
+), gone AS (SELECT * FROM base EXCEPT ALL SELECT * FROM newt),
+came AS (SELECT * FROM newt EXCEPT ALL SELECT * FROM base)
+SELECT o_orderkey, o_orderstatus, tp_cents, 'delete' AS _change_type,
+       CAST(1 AS INTEGER) AS _commit_version
+FROM gone WHERE o_orderkey NOT IN (SELECT o_orderkey FROM newt)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, tp_cents, 'update_preimage',
+       CAST(1 AS INTEGER)
+FROM gone WHERE o_orderkey IN (SELECT o_orderkey FROM newt)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, tp_cents, 'insert', CAST(1 AS INTEGER)
+FROM came WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, tp_cents, 'update_postimage',
+       CAST(1 AS INTEGER)
+FROM came WHERE o_orderkey IN (SELECT o_orderkey FROM base)
+"""
+
+
+@_register("cdc_read_changes_orders", _CDC_READ_SQL)
+def cdc_read_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed OUT of a versioned table (sources/versioned.py
+    ``read_changes`` — Delta's table_changes verb): v0 is the orders
+    snapshot in integer cents, v1 applies a CDC merge (updates for
+    keys %97 at seq 2, deletes for %89 at seq 3 — delete outranks
+    update on overlap keys by max-seq — inserts as key+1e8 for %101),
+    and the feed is derived by SNAPSHOT DIFF: exceptAll both ways,
+    classified against the key into insert / delete /
+    update_preimage / update_postimage. Oracle replays the same
+    modular transformation and the same multiset diff with EXCEPT ALL
+    — any drift in the merge precedence, the time-travel reads, or
+    the diff classification breaks the hash."""
+    import shutil
+
+    from workshoop2_etl_spark.sources.versioned import (
+        create_table,
+        merge_cdc,
+        read_changes,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("tp_cents"),
+    )
+    table_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_cdc_read_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    create_table(base, table_dir)
+    upd = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("tp_cents") + 1000).alias("tp_cents"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "tp_cents",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        "tp_cents",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    merge_cdc(
+        spark,
+        table_dir,
+        upd.unionByName(dele).unionByName(ins),
+        ["o_orderkey"],
+    )
+    return read_changes(
+        spark, table_dir, 0, 1, key_cols=["o_orderkey"]
+    ).orderBy("o_orderkey", "_change_type")
