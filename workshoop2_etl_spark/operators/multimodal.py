@@ -416,17 +416,43 @@ def _adpcm_decode(data: bytes, block_align: int, n_samples: int | None):
 
     import numpy as np
 
-    out: list[int] = []
+    chunks: list = []
+    buf: list[int] = []
     for pos in range(0, len(data) - 3, block_align):
         block = data[pos : pos + block_align]
         pred = struct.unpack_from("<h", block, 0)[0]
         idx = min(88, block[2])
-        out.append(pred)
-        for byte in block[4:]:
+        buf.append(pred)
+        body = block[4:]
+        i, n_b = 0, len(body)
+        while i < n_b:
+            byte = body[i]
+            if byte == 0 and idx == 0:
+                # Decoder FIXPOINT: nibble 0 at step index 0 has
+                # diff = step_table[0] >> 3 = 7 >> 3 = 0 and the
+                # index clamps at 0 — the state cannot change, so a
+                # run of zero bytes emits the held predictor run*2
+                # times, as one np.full chunk instead of per-byte
+                # Python steps (silence-heavy audio decodes ~50×
+                # faster, identical output).
+                run = len(body) - i - len(body[i:].lstrip(b"\x00"))
+                if buf:
+                    chunks.append(np.array(buf, dtype="<i2"))
+                    buf = []
+                chunks.append(np.full(2 * run, pred, dtype="<i2"))
+                i += run
+                continue
             for nib in (byte & 0xF, byte >> 4):
                 pred, idx = _adpcm_step(pred, idx, nib)
-                out.append(pred)
-    arr = np.array(out, dtype="<i2")
+                buf.append(pred)
+            i += 1
+    if buf:
+        chunks.append(np.array(buf, dtype="<i2"))
+    arr = (
+        np.concatenate(chunks)
+        if chunks
+        else np.array([], dtype="<i2")
+    )
     return arr[:n_samples] if n_samples is not None else arr
 
 
@@ -514,18 +540,16 @@ def _synth_adpcm_wav(doc_id: int, text: str) -> bytes:
     block_align = 256
     spb = (block_align - 4) * 2 + 1  # 505 samples per block
     n_blocks = -(-n // spb)
-    nibs_per_block = (block_align - 4) * 2
-    blocks = []
-    for b in range(n_blocks):
-        nibs = list(_ADPCM_WARMUP) if b == 0 else [0]
-        nibs += [0] * (nibs_per_block - len(nibs))
-        pred = amp if b == 0 else amp + _ADPCM_OFFSETS[-1]
-        packed = bytes(
-            (nibs[j] | (nibs[j + 1] << 4))
-            for j in range(0, nibs_per_block, 2)
-        )
-        blocks.append(struct.pack("<hBB", pred, 0, 0) + packed)
-    data = b"".join(blocks)
+    body_bytes = block_align - 4
+    # first block: warmup nibbles (4, 8) then (0, 0)... — packed
+    # low-nibble-first: byte0 = 4 | 8<<4 = 0x84, byte1 = 0, rest zeros
+    first = struct.pack("<hBB", amp, 0, 0) + bytes([0x84]) + b"\x00" * (
+        body_bytes - 1
+    )
+    hold = struct.pack(
+        "<hBB", amp + _ADPCM_OFFSETS[-1], 0, 0
+    ) + b"\x00" * body_bytes
+    data = first + hold * (n_blocks - 1)
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb,
         block_align, 4, 2, spb,
