@@ -75,6 +75,12 @@ _DEMOTED_ORACLES = (
     # insert/delete/update_pre/postimage (Delta table_changes
     # analog). Mirror-checked this round; rotate in next round.
     "cdc_read_changes_orders",
+    # ORACLE-CONVERTED in round 8: the applyInPandasWithState
+    # sessionizer was rows-only since round 3; its bounded drain in
+    # fact equals the lag->gap->cumsum SQL sessionization exactly
+    # (session_no 0-based, session_end = last event ts), so it now
+    # hash-checks. Mirror-checked this round; rotate in next round.
+    "streaming_user_sessions",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -97,12 +97,42 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("streaming_user_sessions")  # rows-only: stateful, not SQL-shaped
+@_register(
+    "streaming_user_sessions",
+    """
+WITH m AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       CAST(sid - 1 AS INTEGER) AS session_no,
+       CAST(count(*) AS INTEGER) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s GROUP BY user_id, sid
+""",
+)
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user via
     applyInPandasWithState — the custom stateful operator class.
-    Rows-only: session assignment is an iterative per-group scan, not
-    a grouping DuckDB can express directly."""
+    ORACLE-BACKED since round 8: a bounded single-activation drain
+    emits every session exactly once (closed sessions at their gap,
+    the open session's final upsert), with session_no 0-based per
+    user in time order and session_end = the last event's timestamp —
+    precisely the lag → gap-start → cumulative-sum sessionization in
+    ANSI SQL, so the custom state machine hash-matches the relational
+    formulation (the same pairing session_window_events proves for
+    the built-in operator)."""
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     sessions = sessionize(stream, gap_minutes=30)
     return run_available_now(sessions, "q_stream_sessions")
