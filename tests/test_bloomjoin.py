@@ -4,8 +4,6 @@ reason to exist (operators/bloomjoin.py)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -136,3 +134,34 @@ def test_probe_shuffle_pruned(spark):
     # the (tiny) bitmap aggregate; anything under half the plain run
     # proves the pruning (measured ~10x in practice).
     assert bloom_bytes < plain_bytes / 2, (plain_bytes, bloom_bytes)
+
+
+def test_arrow_tier_matches_expression_tier(spark):
+    """Above _EXPR_WORDS the probe switches to the Arrow-vectorized
+    numpy bit test — same positions, same survivors, same final
+    result as the pure-expression tier (and as the plain join)."""
+    from workshoop2_etl_spark.operators.bloomjoin import (
+        _EXPR_WORDS,
+        bloom_params,
+    )
+
+    probe = spark.range(30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    build = spark.range(0, 30_000, 13).select(F.col("id").alias("k"))
+    expected = sorted(
+        map(tuple, probe.join(build, "k", "left_semi").collect())
+    )
+    # force the big-bitmap tier: est items sized so m/64 > _EXPR_WORDS
+    big_est = (_EXPR_WORDS * 64 * 2) // 10  # ~10 bits/key at fpp 0.01
+    m, _ = bloom_params(big_est, 0.01)
+    assert m // 64 > _EXPR_WORDS  # the tier switch actually triggers
+    got = sorted(
+        map(
+            tuple,
+            bloom_semi_join(
+                probe, build, "k", est_build_items=big_est
+            ).collect(),
+        )
+    )
+    assert got == expected

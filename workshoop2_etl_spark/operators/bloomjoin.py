@@ -38,15 +38,23 @@ Construction (all JVM-side, whole-stage-codegen-friendly):
   ``bit_or`` — the build-side shuffle is AT MOST ``m/64`` rows of
   (word_idx, word) regardless of build cardinality, and map-side
   partial ``bit_or`` makes it usually far less.
-- The bitmap rides to the probe side as ONE ``array<long>`` literal
-  (a single folded Literal node, not a 2M-child CreateArray), so the
-  membership test is a plain ``Filter`` over the probe scan that
-  STAYS BELOW the join's exchange. The scalar-hop alternative
-  (``crossJoin(broadcast(one_row))``) is exactly wrong here: Catalyst
-  treats the filter as a join condition and reorders the
-  nested-loop join ABOVE the semi-join, applying the bloom test
-  after the shuffle it was built to prune (observed in the r8 plan
-  audit of the first draft).
+- The probe is a plain ``Filter`` over the scan that STAYS BELOW the
+  join's exchange. How the bitmap reaches it is sized in two tiers,
+  both measured (r8, 600 k probe rows): small bitmaps
+  (≤ ``_EXPR_WORDS`` words) ride as an ``array<long>`` literal inside
+  pure column expressions; big bitmaps switch to ONE Arrow-vectorized
+  ``mapInPandas`` bit test over a numpy ``uint64`` view — because a
+  multi-thousand-element array literal breaks whole-stage codegen
+  (JVM method limits) and every per-row access runs interpreted at
+  3–10 µs/row (measured 4.7–33 s over 600 k rows), while the numpy
+  test is a few ms per batch. The two hash columns are ALWAYS
+  computed JVM-side (xxhash64), so both tiers test identical
+  positions and the Arrow batch carries two extra longs, nothing
+  else. Two designs that look cleaner are exactly wrong here:
+  ``crossJoin(broadcast(one_row))`` — Catalyst treats the filter as
+  a join condition and reorders the nested-loop join ABOVE the
+  semi-join it was built to prune; and a scalar subquery — the
+  unfoldable expression blocks codegen the same way (measured 3.5 s).
 
 Reference parity: the reference engine (575 lines of eager pandas,
 see SURVEY.md §2.4) has no big-big join story at all — every join is
@@ -140,6 +148,54 @@ def bloom_might_contain(bf: Column, key: Column, m_bits: int, k: int) -> Column:
     return cond
 
 
+#: Array-literal size up to which the pure-expression probe keeps
+#: whole-stage codegen (measured: fine at 512 words, interpreted and
+#: 3-10 µs/row by 4509).
+_EXPR_WORDS = 512
+
+
+def _bloom_prune_arrow(
+    probe: DataFrame, bitmap: list[int], key: str, m_bits: int, k: int
+) -> DataFrame:
+    """The big-bitmap probe tier: JVM-computed hash columns + ONE
+    Arrow-vectorized bit test per batch against a numpy ``uint64``
+    view of the bitmap (closure-captured — at the 16 MiB cap this is
+    an ordinary task-broadcast payload). Tests the same positions as
+    :func:`bloom_might_contain` bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    bm = np.array(bitmap, dtype=np.int64).view(np.uint64)
+    with_h = probe.withColumn(
+        "__bloom_h1", F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits))
+    ).withColumn(
+        "__bloom_h2",
+        F.pmod(F.xxhash64(F.col(key), F.lit(_H2_SALT)), F.lit(m_bits)),
+    )
+    schema = T.StructType(
+        [f for f in with_h.schema if f.name not in ("__bloom_h1", "__bloom_h2")]
+    )
+
+    def batches(it):
+        one = np.uint64(1)
+        for pdf in it:
+            h1 = pdf["__bloom_h1"].to_numpy(np.int64)
+            h2 = pdf["__bloom_h2"].to_numpy(np.int64)
+            mask = np.ones(len(pdf), dtype=bool)
+            for i in range(k):
+                pos = (h1 + i * h2) % m_bits
+                word = bm[pos >> 6]
+                bit = (word >> (pos % 64).astype(np.uint64)) & one
+                mask &= bit.astype(bool)
+            out = pdf.loc[mask].drop(columns=["__bloom_h1", "__bloom_h2"])
+            if len(out):
+                yield out
+
+    return with_h.mapInPandas(batches, schema)
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -165,10 +221,13 @@ def bloom_semi_join(
     m_bits, k = bloom_params(n, fpp)
     bitmap = bloom_build(keys, build_key, m_bits, k)
 
-    bf = F.lit(bitmap).cast("array<bigint>")
-    pruned = probe.filter(
-        bloom_might_contain(bf, F.col(probe_key), m_bits, k)
-    )
+    if len(bitmap) <= _EXPR_WORDS:
+        bf = F.lit(bitmap).cast("array<bigint>")
+        pruned = probe.filter(
+            bloom_might_contain(bf, F.col(probe_key), m_bits, k)
+        )
+    else:
+        pruned = _bloom_prune_arrow(probe, bitmap, probe_key, m_bits, k)
     if probe_key == build_key:
         return pruned.join(keys, on=probe_key, how="left_semi")
     return pruned.join(
