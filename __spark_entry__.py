@@ -81,6 +81,14 @@ _DEMOTED_ORACLES = (
     # (session_no 0-based, session_end = last event ts), so it now
     # hash-checks. Mirror-checked this round; rotate in next round.
     "streaming_user_sessions",
+    # ORACLE-CONVERTED in round 8: the two fixed/fixpoint iterative
+    # graph algorithms — synchronous LPA (4 rounds unrolled, one CTE
+    # per round, pure integer arithmetic) and the k-core peel (30
+    # rounds unrolled AS MATERIALIZED; idempotent at fixpoint, so
+    # over-unrolling is exact). "Iterative has no SQL twin" was
+    # true only for convergence-detected float recursions.
+    "label_propagation_copurchase",
+    "kcore_word_cooccurrence",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

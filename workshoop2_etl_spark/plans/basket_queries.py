@@ -98,17 +98,66 @@ def triangles_copurchase_lineitem(
     return triangle_count(edges)
 
 
-@_register("label_propagation_copurchase")  # rows-only: iterative
+def _lpa_sql(iterations: int) -> str:
+    """UNROLLED label-propagation oracle: synchronous LPA with a
+    fixed round count is a chain of identical (join → count → ranked
+    argmax) blocks, and every quantity is an INTEGER (neighbor-label
+    counts, smallest-label tie-break) — so unrolling one CTE per
+    round gives DuckDB the exact computation, no recursion, no float
+    order-dependence. This is what makes a 'no SQL twin' iterative
+    algorithm oracle-checkable when the round count is fixed."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT n, l FROM (
+    SELECT s.u AS n, lab.l AS l,
+           row_number() OVER (
+             PARTITION BY s.u ORDER BY count(*) DESC, lab.l ASC
+           ) AS rn
+    FROM sym s JOIN l{i - 1} lab ON s.v = lab.n
+    GROUP BY s.u, lab.l
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), p AS (
+  SELECT x.it AS a, y.it AS bb
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), sym AS (
+  SELECT a AS u, bb AS v FROM p UNION SELECT bb, a FROM p
+), l0 AS (
+  SELECT DISTINCT u AS n, u AS l FROM sym
+), """
+        + ",\n".join(rounds)
+        + f"""
+SELECT l AS label, CAST(count(*) AS BIGINT) AS n_members
+FROM l{iterations}
+GROUP BY l HAVING count(*) >= 2
+ORDER BY n_members DESC, label ASC
+LIMIT 50
+"""
+    )
+
+
+@_register("label_propagation_copurchase", _lpa_sql(4))
 def label_propagation_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Product communities by synchronous label propagation over the
-    co-purchase graph (parts co-ordered ≥3 times). Rows-only like
-    pagerank: a fixed-round iterative algorithm has no SQL twin; the
-    deterministic tie-break (most frequent neighbor label, then
-    smallest) is property-tested against a Python reference in
-    tests/test_graph.py. Community sizes summarize the result so the
-    output is stable and small."""
+    co-purchase graph (parts co-ordered ≥3 times). ORACLE-BACKED
+    since round 8: a fixed-round synchronous LPA is a chain of
+    identical integer-arithmetic blocks (neighbor-label counts,
+    smallest-label ties), so the DuckDB twin UNROLLS one CTE per
+    round (``_lpa_sql``) and hash-matches the engine's
+    join→count→min_by rounds exactly — no float order-dependence
+    anywhere. The deterministic tie-break remains property-tested
+    against a Python reference in tests/test_graph.py. Community
+    sizes summarize the result so the output is stable and small."""
     from workshoop2_etl_spark.operators.basket import copurchase_pairs
     from workshoop2_etl_spark.operators.graph import label_propagation
 
@@ -128,7 +177,54 @@ def label_propagation_copurchase(
     )
 
 
-@_register("kcore_word_cooccurrence")  # rows-only: iterative peel
+def _kcore_sql(k: int, rounds: int) -> str:
+    """UNROLLED k-core oracle (same idea as ``_lpa_sql``, different
+    convergence shape): Seidman's peel is pure integer arithmetic
+    (degree counts) AND idempotent at its fixpoint — peeling an
+    already-peeled core changes nothing — so unrolling MORE rounds
+    than the peel needs is harmless and exact. ``rounds`` is a
+    generous static bound; if a graph ever needed more, the engine
+    side raises on non-convergence first (graph.py k_core), and a
+    divergent pair would fail the hash — no silent drift possible."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and each peel round references its predecessor three
+    # times — 3^rounds re-evaluations of the base scan without it
+    # (observed as a too-many-open-files blowup at 30 rounds).
+    blocks = []
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT u FROM e{i - 1} GROUP BY u HAVING count(*) >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN s{i} a ON e.u = a.u JOIN s{i} b ON e.v = b.u
+)"""
+        )
+    return (
+        r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x != '')))
+         AS word
+  FROM documents
+), p AS MATERIALIZED (
+  SELECT x.word AS a, y.word AS bb
+  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.word < y.word
+  GROUP BY 1, 2 HAVING count(*) >= 20
+), e0 AS MATERIALIZED (
+  SELECT a AS u, bb AS v FROM p UNION ALL SELECT bb, a FROM p
+), """
+        + ",\n".join(blocks)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds}
+GROUP BY u ORDER BY degree DESC, node ASC
+LIMIT 50
+"""
+    )
+
+
+@_register("kcore_word_cooccurrence", _kcore_sql(8, 30))
 def kcore_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 8-core of the word co-occurrence graph (Seidman 1983):
     vocabulary that survives iterated deletion of low-degree nodes —
@@ -136,10 +232,13 @@ def kcore_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from. The substrate is words co-occurring in ≥ 20 documents
     (vocabulary-bounded at ANY corpus scale, unlike the co-purchase
     graph, which thins out as the catalog grows — measured: its
-    4-core is empty at sf0.1). Rows-only like the other iterative
-    graph entries (the peel's fixpoint loop has no SQL twin;
-    order-independence is property-tested against a Python peel in
-    tests/test_graph.py). Output: surviving nodes with in-core
+    4-core is empty at sf0.1). ORACLE-BACKED since round 8: the peel
+    is integer arithmetic and idempotent at its fixpoint, so the
+    DuckDB twin UNROLLS a generous 30 peel rounds (``_kcore_sql``) —
+    extra rounds past convergence are no-ops, and the engine side
+    raises on non-convergence, so the pair cannot silently diverge.
+    Order-independence stays property-tested against a Python peel in
+    tests/test_graph.py. Output: surviving nodes with in-core
     degrees, top 50."""
     from workshoop2_etl_spark.operators.basket import copurchase_pairs
     from workshoop2_etl_spark.operators.graph import k_core
