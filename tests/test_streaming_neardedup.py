@@ -1,0 +1,118 @@
+"""Streaming near-dedup-on-arrival (streaming/neardedup.py): the
+multi-batch union equals the from-scratch batch pair set, each pair
+emits exactly once, and the index accumulates to the full banded
+frame."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.dedup import (
+    lsh_banded,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from workshoop2_etl_spark.streaming.neardedup import near_dedup_on_arrival
+
+
+def _docs(spark, n=48):
+    rows = []
+    for i in range(n):
+        base = f"the quick brown fox {i // 4} jumps over the lazy dog " * 3
+        rows.append((i, base + f" tail{min(i % 4, 2)}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_multibatch_union_equals_batch_pairs(spark):
+    base = os.path.join(
+        tempfile.gettempdir(), f"ndoa_{uuid.uuid4().hex[:8]}"
+    )
+    src = f"{base}/src"
+    docs = _docs(spark)
+    # four source files -> four micro-batches with maxFilesPerTrigger=1
+    for part in range(4):
+        docs.filter(F.col("doc_id") % 4 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    near_dedup_on_arrival(
+        stream,
+        f"{base}/index",
+        f"{base}/pairs",
+        f"{base}/ckpt",
+    )
+    got = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(f"{base}/pairs").collect()
+    ]
+    # exactly-once emission: no duplicate pairs across batches
+    assert len(got) == len(set(got))
+    expected = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, "doc_id", "text"),
+            "doc_id",
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert set(got) == expected
+    assert expected, "fixture produced no pairs"
+    # and the accumulated index equals the from-scratch banded frame
+    idx = spark.read.parquet(f"{base}/index")
+    direct = lsh_banded(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    )
+    key = ["doc_id", "band", "bh"]
+    assert sorted(map(tuple, idx.select(key).collect())) == sorted(
+        map(tuple, direct.select(key).collect())
+    )
+
+
+def test_resume_from_checkpoint_continues_index(spark):
+    """A second activation over new files resumes from the checkpoint:
+    only the new files process, and their pairs land against the
+    existing index (no re-emission of old pairs)."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"ndoa2_{uuid.uuid4().hex[:8]}"
+    )
+    src = f"{base}/src"
+    docs = _docs(spark, n=40)
+    first = docs.filter("doc_id < 32")
+    second = docs.filter("doc_id >= 32")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        near_dedup_on_arrival(
+            stream, f"{base}/index", f"{base}/pairs", f"{base}/ckpt"
+        )
+
+    run()
+    n_pairs_1 = spark.read.parquet(f"{base}/pairs").count()
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(f"{base}/pairs").collect()
+    ]
+    assert len(got) == len(set(got))  # still exactly-once
+    expected = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, "doc_id", "text"),
+            "doc_id",
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert set(got) == expected
+    assert len(got) > n_pairs_1  # the second activation added pairs

@@ -156,6 +156,46 @@ def incremental_lsh_index_documents(
     return new_pairs.orderBy("doc_id_a", "doc_id_b")
 
 
+@_register("streaming_neardedup_on_arrival")  # rows-only: xxhash64 sketch
+def streaming_neardedup_on_arrival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dedup ON ARRIVAL (streaming/neardedup.py): the documents
+    feed drains through foreachBatch, each micro-batch signed, banded,
+    probed against the persisted LSH index and folded into it —
+    candidate pairs surface WITH the data, at delta-sized per-batch
+    cost, each pair exactly once (in the batch its later member
+    arrives). Multi-batch union ≡ from-scratch batch pairs and
+    checkpoint resume are pytest-proven
+    (tests/test_streaming_neardedup.py); rows-only here (xxhash64
+    sketch, no DuckDB twin)."""
+    import os
+    import shutil
+    import tempfile
+
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.streaming.neardedup import (
+        near_dedup_on_arrival,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_ndoa_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    near_dedup_on_arrival(
+        stream, f"{base}/index", f"{base}/pairs", f"{base}/ckpt"
+    )
+    return spark.read.parquet(f"{base}/pairs").orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
 @_register("near_dedup_corpus_filter")  # rows-only: iterative CC algorithm
 def near_dedup_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dedup product: LSH pairs → connected-component

@@ -1,0 +1,103 @@
+"""Near-dedup ON ARRIVAL: the streaming composition of the
+incremental LSH index (operators/dedup.py ``lsh_index_refresh``) —
+every micro-batch of arriving documents is signed, banded, probed
+against the persisted index, and folded into it, so candidate pairs
+surface WITH the data instead of in a nightly recompute.
+
+This is the production ingestion story at 100 TB: the corpus index
+(the ``(id, band, bh)`` banded frame, parquet) grows append-only;
+per batch the work is delta-sized (signatures for the batch alone,
+Σ (delta-in-bucket · bucket) candidate probing); and the emission
+contract is exact and non-duplicating:
+
+    every candidate pair is emitted EXACTLY ONCE — in the batch where
+    its LATER member arrives —
+
+because a pair needs ≥1 member in the probing delta, and once both
+members are in the index neither is ever a delta again. Union over
+batches therefore equals the from-scratch batch pair set (the
+maintenance identity of ``lsh_index_refresh``, applied inductively;
+proven over a multi-batch stream in tests/test_streaming_neardedup.py).
+
+Crash semantics: the pairs/index appends here are plain parquet
+appends — at-least-once under a mid-batch crash replay. The
+exactly-once production variant routes both writes through
+``sources.versioned.foreach_batch_versioned_sink`` (batch id recorded
+in the manifest, replays become no-ops); this module keeps the
+data-path logic separate from the commit protocol deliberately.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def near_dedup_on_arrival(
+    stream_docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the document stream with ``Trigger.AvailableNow``,
+    folding each micro-batch into the persisted LSH index and
+    appending the delta-introduced candidate pairs.
+
+    ``index_dir`` holds the banded index (append-only parquet);
+    ``pairs_dir`` accumulates one row per emitted candidate pair.
+    Both start empty on first activation; a later activation resumes
+    from the checkpoint and the index picks up where it left off.
+    """
+    from workshoop2_etl_spark.operators.dedup import (
+        lsh_banded,
+        lsh_index_refresh,
+        minhash_signatures,
+    )
+
+    spark = stream_docs.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        banded_delta = lsh_banded(
+            minhash_signatures(
+                batch_df.select(id_col, text_col),
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+            ),
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        ).localCheckpoint(eager=True)
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            banded_base = spark.read.parquet(index_dir)
+        else:
+            banded_base = spark.createDataFrame(
+                [], banded_delta.schema
+            )
+        _, new_pairs = lsh_index_refresh(
+            banded_base, banded_delta, id_col
+        )
+        new_pairs.write.mode("append").parquet(pairs_dir)
+        banded_delta.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"near-dedup-on-arrival activation exceeded {timeout_sec}s"
+        )
