@@ -146,12 +146,19 @@ def incremental_lsh_index_documents(
     ) == 0
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
+    # Eager checkpoints mirror production, where banded_base IS a
+    # materialized parquet index (that's the operator's point) and
+    # banded_delta is written back to it: the refresh join references
+    # the delta twice and the union once, and exchange reuse does not
+    # fire across differently-pruned branches — lazy frames would
+    # recompute the expensive shingle+minhash subtree per reference
+    # (measured 7× the materialized cost at sf0.1).
     banded_base = lsh_banded(
         minhash_signatures(base, "doc_id", "text"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     banded_delta = lsh_banded(
         minhash_signatures(delta, "doc_id", "text"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     _, new_pairs = lsh_index_refresh(banded_base, banded_delta, "doc_id")
     return new_pairs.orderBy("doc_id_a", "doc_id_b")
 
