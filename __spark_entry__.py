@@ -89,6 +89,11 @@ _DEMOTED_ORACLES = (
     # true only for convergence-detected float recursions.
     "label_propagation_copurchase",
     "kcore_word_cooccurrence",
+    # NEW in round 8 (post-rotation): Unicode NFC canonicalization —
+    # Arrow-batched unicodedata kernel vs DuckDB's nfc_normalize
+    # (same UAX #15), planted decomposed suffixes prove it fires.
+    # Mirror-checked this round; rotate in next round.
+    "unicode_nfc_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -1427,3 +1427,48 @@ def test_allpairs_jaccard_guards(spark):
         hot, "id", "text", tau=0.4, max_bucket_size=2
     ).count()
     assert capped <= open_pairs
+
+
+def test_unicode_normalize_forms(spark):
+    """UAX #15 forms via the Arrow-batched kernel: NFC composes, NFD
+    decomposes, NFKC folds compatibility forms; NULLs pass through;
+    unknown forms refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.redaction import unicode_normalize
+
+    rows = [
+        (0, "caf" + "é"),       # decomposed acute
+        (1, "ﬁle"),               # fi ligature (NFKC folds)
+        (2, "ＡBC"),               # full-width A (NFKC folds)
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    nfc = {
+        r["i"]: r["t"]
+        for r in unicode_normalize(df, "t", form="NFC").collect()
+    }
+    assert nfc[0] == "café"
+    assert nfc[1] == "ﬁle"  # NFC leaves compatibility forms
+    assert nfc[3] is None
+    nfkc = {
+        r["i"]: r["t"]
+        for r in unicode_normalize(df, "t", form="NFKC").collect()
+    }
+    assert nfkc[1] == "file" and nfkc[2] == "ABC"
+    nfd = {
+        r["i"]: r["t"]
+        for r in unicode_normalize(df, "t", form="NFD").collect()
+    }
+    assert nfd[0] == "café"
+    # NFC(NFD(x)) == NFC(x): round-trip idempotence
+    back = {
+        r["i"]: r["t"]
+        for r in unicode_normalize(
+            unicode_normalize(df, "t", form="NFD"), "t", form="NFC"
+        ).collect()
+    }
+    assert back[0] == "café"
+    with _pytest.raises(ValueError, match="unknown normalization"):
+        unicode_normalize(df, "t", form="NFX")

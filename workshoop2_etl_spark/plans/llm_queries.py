@@ -2817,3 +2817,52 @@ def allpairs_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_union").cast("long").alias("n_union"),
         "jaccard",
     )
+
+
+_NFC_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % 3
+           WHEN 0 THEN 'e' || chr(769)
+           WHEN 1 THEN 'o' || chr(776)
+           ELSE 'a' || chr(778) END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+       md5(nfc_normalize(t)) AS digest
+FROM planted
+"""
+
+
+@_register("unicode_nfc_documents", _NFC_SQL)
+def unicode_nfc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/redaction.py
+    ``unicode_normalize``): every document gets a planted DECOMPOSED
+    suffix (combining acute/diaeresis/ring chosen by doc_id % 3), the
+    Arrow-batched unicodedata kernel composes it, and the oracle
+    replays the identical planting through DuckDB's ``nfc_normalize``
+    — same UAX #15 algorithm, so codepoint counts before/after AND
+    the md5 of the normalized bytes hash-match. The length drop
+    (n_before > n_after on every row) proves the normalization
+    actually fired rather than passing ASCII through."""
+    from workshoop2_etl_spark.operators.redaction import unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("é"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ö"))
+        .otherwise(F.lit("å"))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), suffix).alias("t"),
+    )
+    out = unicode_normalize(planted, "t", form="NFC", out_col="t_nfc")
+    return out.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_before"),
+        F.length("t_nfc").cast("long").alias("n_after"),
+        F.md5(F.encode(F.col("t_nfc"), "UTF-8")).alias("digest"),
+    )
