@@ -94,6 +94,12 @@ _DEMOTED_ORACLES = (
     # (same UAX #15), planted decomposed suffixes prove it fires.
     # Mirror-checked this round; rotate in next round.
     "unicode_nfc_documents",
+    # NEW in round 8 (post-rotation): bit-reproducible fixed-point
+    # PageRank — int64 micro-units make the sums order-independent,
+    # which is exactly what lets the 5-round unrolled DuckDB twin
+    # hash-match (the float variant's ulp-order-dependence keeps
+    # textrank rows-only). Mirror-checked; rotate in next round.
+    "pagerank_fixed_point_copurchase",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

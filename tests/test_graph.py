@@ -269,3 +269,69 @@ def test_k_core_raises_on_iteration_exhaustion(spark):
         k_core(chain, k=2, max_iterations=2)
     # enough rounds: the chain has no 2-core at all
     assert k_core(chain, k=2, max_iterations=10).count() == 0
+
+
+def test_pagerank_fixed_point_python_replay(spark):
+    """The int64 recurrence replays exactly in pure Python (the
+    cross-engine determinism the float variant cannot offer)."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+    # pure-Python replay of the documented recurrence
+    scale = 10**9
+    sym = set(edges)
+    nodes = sorted({u for u, _ in sym} | {v for _, v in sym})
+    deg = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    n = len(nodes)
+    tele = ((1000 - 850) * scale) // (1000 * n)
+    r = {u: scale // n for u in nodes}
+    for _ in range(4):
+        contrib = {u: 0 for u in nodes}
+        for u, v in sym:
+            contrib[v] += r[u] // deg[u]
+        r = {u: tele + (850 * contrib[u]) // 1000 for u in nodes}
+    assert got == r
+    # mass approximately conserved (floor losses only)
+    assert abs(sum(got.values()) - scale) < scale * 1e-4
+
+
+def test_pagerank_fixed_point_ranks_track_float(spark):
+    """Ordering agrees with float pagerank on a star graph (hub
+    clearly dominates): the fixed-point trade changes ulps, not
+    structure."""
+    from workshoop2_etl_spark.operators.graph import (
+        pagerank,
+        pagerank_fixed_point,
+    )
+
+    edges = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fp = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=6).collect()
+    }
+    fl = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    assert max(fp, key=fp.get) == max(fl, key=fl.get) == 0
+    assert fp[0] > 3 * fp[1]
+
+
+def test_pagerank_fixed_point_guards(spark):
+    import pytest as _pytest
+
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+
+    dangling = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="dangling"):
+        pagerank_fixed_point(dangling)
+    sym = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank_fixed_point(sym, iterations=0)
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank_fixed_point(sym, damping_permille=0)

@@ -268,3 +268,80 @@ def kcore_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.orderBy(F.desc("degree"), F.asc("node")).limit(50)
+
+
+def _pagerank_fp_sql(iterations: int, scale: int = 10**9) -> str:
+    """Unrolled fixed-point PageRank oracle — the third iterative
+    family member to get the unrolled-CTE treatment (after _lpa_sql
+    and _kcore_sql), and the one that needed an OPERATOR designed for
+    it: float PageRank's per-node sums are order-dependent in the
+    last ulp, so only the integer-micro-unit variant
+    (graph.pagerank_fixed_point) has a cross-engine-exact twin."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT e.v AS n,
+         (150 * CAST({scale} AS BIGINT)) // (1000 * (SELECT c FROM nn))
+         + (850 * sum(r.r // d.deg)) // 1000 AS r
+  FROM sym e JOIN r{i - 1} r ON e.u = r.n JOIN deg d ON e.u = d.u
+  GROUP BY e.v
+)"""
+        )
+    return (
+        """
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), p AS MATERIALIZED (
+  SELECT x.it AS a, y.it AS bb
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), sym AS MATERIALIZED (
+  SELECT a AS u, bb AS v FROM p UNION SELECT bb, a FROM p
+), deg AS MATERIALIZED (
+  SELECT u, count(*) AS deg FROM sym GROUP BY u
+), nn AS MATERIALIZED (
+  SELECT count(DISTINCT u) AS c FROM sym
+), r0 AS MATERIALIZED (
+  SELECT DISTINCT u AS n, """
+        + f"CAST({scale} AS BIGINT) // (SELECT c FROM nn) AS r FROM sym\n), "
+        + ",\n".join(rounds)
+        + f"""
+SELECT n AS node, CAST(r AS BIGINT) AS pr FROM r{iterations}
+ORDER BY pr DESC, node ASC LIMIT 20
+"""
+    )
+
+
+@_register("pagerank_fixed_point_copurchase", _pagerank_fp_sql(5))
+def pagerank_fixed_point_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bit-reproducible PageRank over the co-purchase graph
+    (operators/graph.py ``pagerank_fixed_point``): the power
+    iteration in pure int64 micro-units — floor-divided
+    contributions, exact order-independent sums — so the 5-round
+    unrolled DuckDB twin hash-matches EXACTLY, which float PageRank's
+    ulp-order-dependent sums never could (that boundary keeps
+    textrank rows-only). Symmetrized edges → no dangling mass; top-20
+    by (rank desc, node asc), a total order."""
+    from workshoop2_etl_spark.operators.basket import copurchase_pairs
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=3
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+        )
+    )
+    ranks = pagerank_fixed_point(sym, iterations=5)
+    return (
+        ranks.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
