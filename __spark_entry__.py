@@ -100,6 +100,11 @@ _DEMOTED_ORACLES = (
     # hash-match (the float variant's ulp-order-dependence keeps
     # textrank rows-only). Mirror-checked; rotate in next round.
     "pagerank_fixed_point_copurchase",
+    # NEW in round 8 (post-rotation): fixed-point TextRank — corpus
+    # keywords by integer PageRank over the word co-occurrence graph,
+    # the oracle-backed twin of the rows-only float textrank entry.
+    # Mirror-checked; rotate in next round.
+    "textrank_fixed_point_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -345,3 +345,92 @@ def pagerank_fixed_point_copurchase(
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
+
+
+def _textrank_fp_sql(iterations: int, scale: int = 10**9) -> str:
+    """Fixed-point TextRank oracle: the word co-occurrence substrate
+    (same tokenization pairing as ``_kcore_sql``) under the unrolled
+    integer PageRank of ``_pagerank_fp_sql`` — giving the rows-only
+    float textrank an oracle-backed twin ranked by the same graph."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT e.v AS n,
+         (150 * CAST({scale} AS BIGINT)) // (1000 * (SELECT c FROM nn))
+         + (850 * sum(r.r // d.deg)) // 1000 AS r
+  FROM sym e JOIN r{i - 1} r ON e.u = r.n JOIN deg d ON e.u = d.u
+  GROUP BY e.v
+)"""
+        )
+    return (
+        r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x != '')))
+         AS word
+  FROM documents
+), p AS MATERIALIZED (
+  SELECT x.word AS a, y.word AS bb
+  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.word < y.word
+  GROUP BY 1, 2 HAVING count(*) >= 20
+), sym AS MATERIALIZED (
+  SELECT a AS u, bb AS v FROM p UNION SELECT bb, a FROM p
+), deg AS MATERIALIZED (
+  SELECT u, count(*) AS deg FROM sym GROUP BY u
+), nn AS MATERIALIZED (
+  SELECT count(DISTINCT u) AS c FROM sym
+), r0 AS MATERIALIZED (
+  SELECT DISTINCT u AS n, """
+        + f"CAST({scale} AS BIGINT) // (SELECT c FROM nn) AS r FROM sym\n), "
+        + ",\n".join(rounds)
+        + f"""
+SELECT n AS word, CAST(r AS BIGINT) AS pr FROM r{iterations}
+ORDER BY pr DESC, word ASC LIMIT 20
+"""
+    )
+
+
+@_register("textrank_fixed_point_documents", _textrank_fp_sql(5))
+def textrank_fixed_point_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-point TextRank: corpus keywords as the top-20
+    integer-PageRank words of the co-occurrence graph (words sharing
+    ≥20 documents — the vocabulary-bounded substrate kcore uses).
+    The oracle-backed twin of the rows-only float
+    ``textrank_keywords_documents``: int64 micro-unit ranks make the
+    5-round unrolled DuckDB replay hash-exact."""
+    from workshoop2_etl_spark.operators.basket import copurchase_pairs
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("word"),
+    )
+    pairs = copurchase_pairs(
+        words, basket_col="doc_id", item_col="word", min_count=20
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+        )
+    )
+    ranks = pagerank_fixed_point(sym, iterations=5)
+    return (
+        ranks.select(
+            F.col("node").alias("word"), F.col("rank").alias("pr")
+        )
+        .orderBy(F.desc("pr"), F.asc("word"))
+        .limit(20)
+    )
