@@ -215,6 +215,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     scale: int = 10**9,
     damping_permille: int = 850,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """BIT-REPRODUCIBLE PageRank: the power iteration in pure int64
     micro-units — every quantity exact, every sum order-independent —
@@ -243,6 +244,13 @@ def pagerank_fixed_point(
     :func:`pagerank` (join + aggregate + eager localCheckpoint).
 
     Returns (``node``, ``rank`` long — micro-units of ``scale``).
+
+    Same two physical strategies as :func:`pagerank`, and here the
+    local branch is not merely faster but EXACTLY equivalent: integer
+    sums are order-independent, so the driver-side loop produces the
+    same bytes the distributed supersteps would (asserted by the
+    python-replay test, which replays the identical recurrence).
+    ``small_graph_edges=0`` forces the distributed loop.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -250,9 +258,16 @@ def pagerank_fixed_point(
         raise ValueError(
             f"damping_permille must be in (0, 1000), got {damping_permille}"
         )
-    e = edges.select(
-        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
-    ).distinct()
+    # persist: the edge derivation feeds five actions (node count,
+    # dangling check, size probe, collect-or-loop) — without it each
+    # re-executes the caller's (possibly expensive) upstream aggregate
+    e = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        .distinct()
+        .persist()
+    )
     deg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = (
         e.select(F.col("__u").alias("__n"))
@@ -264,15 +279,48 @@ def pagerank_fixed_point(
         deg.withColumnRenamed("__u", "__n"), "__n", "left_anti"
     ).count()
     if dangling:
+        e.unpersist()
         raise ValueError(
             f"pagerank_fixed_point: {dangling} dangling node(s) — "
             "symmetrize the graph or route through pagerank()"
         )
     tele = ((1000 - damping_permille) * scale) // (1000 * n_nodes)
+    if small_graph_edges and small_graph_edges > 0:
+        n_edges = e.count()
+        if n_edges <= small_graph_edges:
+            # bounded collect; pure-integer loop == the distributed
+            # supersteps byte-for-byte (order-independent sums)
+            spark = edges.sparkSession
+            pairs = [(r["__u"], r["__v"]) for r in e.collect()]
+            e.unpersist()
+            degs: dict = {}
+            for u, _ in pairs:
+                degs[u] = degs.get(u, 0) + 1
+            node_list = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+            r = {u: scale // n_nodes for u in node_list}
+            for _ in range(iterations):
+                contrib = {u: 0 for u in node_list}
+                for u, v in pairs:
+                    contrib[v] += r[u] // degs[u]
+                r = {
+                    u: tele + (damping_permille * contrib[u]) // 1000
+                    for u in node_list
+                }
+            node_type = e.schema["__u"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("rank", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                [(u, r[u]) for u in node_list], out_schema
+            )
     ranks = nodes.withColumn(
         "__r", F.lit(scale // n_nodes).cast("long")
     ).localCheckpoint(eager=True)
     ewd = e.join(deg, "__u").localCheckpoint(eager=True)
+    e.unpersist()
     for _ in range(iterations):
         contrib = (
             ewd.join(ranks.withColumnRenamed("__n", "__u"), "__u")
