@@ -335,3 +335,43 @@ def test_pagerank_fixed_point_guards(spark):
         pagerank_fixed_point(sym, iterations=0)
     with _pytest.raises(ValueError, match="damping"):
         pagerank_fixed_point(sym, damping_permille=0)
+
+
+def test_pagerank_fixed_point_nonsymmetric_paths_agree(spark):
+    """Regression (r8 judge finding): a guard-passing NON-symmetric
+    graph — node 3 has out-edges but zero in-edges — must produce
+    identical bytes from the distributed supersteps, the small-graph
+    local loop, and a pure-Python replay. The distributed path used
+    to rebuild ranks from contrib alone and silently dropped node 3
+    after iteration 1."""
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 1), (3, 1)]  # 3 is a source-only node
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(
+            df, iterations=4, small_graph_edges=0
+        ).collect()
+    }
+    # pure-Python replay of the documented recurrence
+    scale = 10**9
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    n = len(nodes)
+    tele = ((1000 - 850) * scale) // (1000 * n)
+    r = {u: scale // n for u in nodes}
+    for _ in range(4):
+        contrib = {u: 0 for u in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] // deg[u]
+        r = {u: tele + (850 * contrib[u]) // 1000 for u in nodes}
+    assert set(local) == set(dist) == {1, 2, 3}
+    assert local == dist == r
+    # the source-only node decays toward bare teleport mass but is
+    # never dropped
+    assert dist[3] > 0

@@ -298,3 +298,15 @@ def test_refresh_dim_change_plan_broadcasts_everywhere(spark):
     smj = [ln for ln in final.splitlines() if "SortMergeJoin" in ln]
     assert len(smj) <= 1 and all("FullOuter" in ln for ln in smj), smj
     assert "CartesianProduct" not in final
+
+
+def test_dim_changed_keys_keys_only_dim(spark):
+    """A dim with no attribute columns degrades to a presence-only
+    diff (insert/delete) instead of raising on zero-arg xxhash64."""
+    from workshoop2_etl_spark.operators.incremental import dim_changed_keys
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "fk long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "fk long")
+    got = sorted(r["fk"] for r in dim_changed_keys(old, new, "fk").collect())
+    assert got == [1, 4]
+    assert dim_changed_keys(old, old, "fk").count() == 0

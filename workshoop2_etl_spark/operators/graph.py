@@ -237,11 +237,15 @@ def pagerank_fixed_point(
     by ≤ (N + in-edges) units per round — at scale 10⁹ a relative
     error < 10⁻⁴ for any graph this engine feeds it, stated rather
     than hidden). Input edges are treated as DIRECTED and must have
-    no dangling nodes (every src also appears as a dst — symmetrized
-    graphs satisfy this trivially); dangling srcs raise, because
-    silently dropping their mass would diverge from the documented
-    recurrence. Same per-superstep lineage discipline as
-    :func:`pagerank` (join + aggregate + eager localCheckpoint).
+    no SINK nodes (every dst also appears as a src, i.e. every node
+    has out-degree ≥ 1 — symmetrized graphs satisfy this trivially);
+    sinks raise, because silently dropping their mass would diverge
+    from the documented recurrence. Nodes with no IN-edges are fine:
+    each superstep re-anchors on the full node set (left join +
+    coalesce-to-0, exactly like :func:`pagerank`), so a source-only
+    node keeps its teleport mass and keeps contributing. Same
+    per-superstep lineage discipline as :func:`pagerank`
+    (join + aggregate + eager localCheckpoint).
 
     Returns (``node``, ``rank`` long — micro-units of ``scale``).
 
@@ -316,7 +320,11 @@ def pagerank_fixed_point(
             return spark.createDataFrame(
                 [(u, r[u]) for u in node_list], out_schema
             )
-    ranks = nodes.withColumn(
+    # Anchor frame for every superstep: re-deriving ranks from
+    # contrib alone would drop nodes with zero in-edges (source-only
+    # nodes pass the sink guard but receive no contributions).
+    node_frame = nodes.localCheckpoint(eager=True)
+    ranks = node_frame.withColumn(
         "__r", F.lit(scale // n_nodes).cast("long")
     ).localCheckpoint(eager=True)
     ewd = e.join(deg, "__u").localCheckpoint(eager=True)
@@ -331,16 +339,19 @@ def pagerank_fixed_point(
             .groupBy("__n")
             .agg(F.sum("__c").alias("__s"))
         )
-        new_ranks = contrib.select(
+        new_ranks = node_frame.join(contrib, "__n", "left").select(
             "__n",
             (
                 F.lit(tele)
-                + F.expr(f"({damping_permille} * __s) div 1000")
+                + F.expr(
+                    f"({damping_permille} * coalesce(__s, 0L)) div 1000"
+                )
             ).cast("long").alias("__r"),
         )
         old = ranks
         ranks = new_ranks.localCheckpoint(eager=True)
         old.unpersist()
+    node_frame.unpersist()
     return ranks.select(
         F.col("__n").alias("node"), F.col("__r").alias("rank")
     )

@@ -101,6 +101,17 @@ def dim_changed_keys(
             f"{sorted(new_dim.columns)}"
         )
     attrs = sorted(set(old_dim.columns) - set(on_list))
+    if not attrs:
+        # keys-only dim: no attributes to digest (xxhash64 needs ≥1
+        # arg) — the only possible changes are INSERT/DELETE, so
+        # classify by key presence alone
+        o = old_dim.select(*on_list).withColumn("__old", F.lit(1))
+        n = new_dim.select(*on_list).withColumn("__new", F.lit(1))
+        return (
+            o.join(n, on_list, "full_outer")
+            .where(F.col("__old").isNull() | F.col("__new").isNull())
+            .select(*on_list)
+        )
 
     def dig(df: DataFrame) -> DataFrame:
         parts = [

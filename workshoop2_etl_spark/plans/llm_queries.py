@@ -141,8 +141,10 @@ def incremental_lsh_index_documents(
     )
 
     docs = _tp(spark, sf_dir, "documents")
+    # pmod is already non-negative; wrapping the hash in F.abs would
+    # add an ANSI overflow path at Long.MIN_VALUE for no benefit
     is_delta = F.pmod(
-        F.abs(F.xxhash64(F.col("doc_id").cast("string"))), F.lit(5)
+        F.xxhash64(F.col("doc_id").cast("string")), F.lit(5)
     ) == 0
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
