@@ -42,69 +42,58 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
-    # NEW in round 8 (post-rotation): bloom-filter semi-join — exact
-    # big-big semi-join with the fact exchange pruned by a bitmap of
-    # the build keys (operators/bloomjoin.py). Mirror-checked this
-    # round; rotate into the driver window next round.
-    "bloom_semijoin_lineitem",
-    # NEW in round 8 (post-rotation): IMA ADPCM compressed-audio
-    # decode — the audio twin of the pure-zlib PNG leg (real 4-bit
-    # step-table recurrence, closed-form warmup oracle). Mirror-
-    # checked this round; rotate into the driver window next round.
-    "audio_adpcm_features_documents",
-    # NEW in round 8 (post-rotation): streaming Misra-Gries heavy
-    # hitters — sharded bounded-memory sketch as a custom stateful
-    # operator (TWS/applyInPandasWithState ladder), exact under
-    # capacity so the GROUP BY oracle hash-matches. Mirror-checked
-    # this round; rotate into the driver window next round.
-    "streaming_heavy_hitters_events",
-    # NEW in round 8 (post-rotation): key-skew diagnostics — exact
-    # rank-based key-size quantiles via the size-of-sizes histogram
-    # plus the integer-exact salt recommendation the salted-join
-    # branch consumes (operators/skew.py). Mirror-checked this round;
-    # rotate into the driver window next round.
-    "skew_profile_events",
-    "heavy_keys_orders_custkey",
-    # NEW in round 8 (post-rotation): stream-stream LEFT SEMI interval
-    # join — completes the inner/left/full-outer family; matched-only
-    # emission needs no closed-region filter, oracle is the DuckDB
-    # EXISTS twin. Mirror-checked this round; rotate in next round.
-    "streaming_interval_join_semi_events",
-    # NEW in round 8 (post-rotation): change-data-feed read out of a
-    # versioned table — snapshot diff via exceptAll, classified into
-    # insert/delete/update_pre/postimage (Delta table_changes
-    # analog). Mirror-checked this round; rotate in next round.
-    "cdc_read_changes_orders",
-    # ORACLE-CONVERTED in round 8: the applyInPandasWithState
-    # sessionizer was rows-only since round 3; its bounded drain in
-    # fact equals the lag->gap->cumsum SQL sessionization exactly
-    # (session_no 0-based, session_end = last event ts), so it now
-    # hash-checks. Mirror-checked this round; rotate in next round.
-    "streaming_user_sessions",
-    # ORACLE-CONVERTED in round 8: the two fixed/fixpoint iterative
-    # graph algorithms — synchronous LPA (4 rounds unrolled, one CTE
-    # per round, pure integer arithmetic) and the k-core peel (30
-    # rounds unrolled AS MATERIALIZED; idempotent at fixpoint, so
-    # over-unrolling is exact). "Iterative has no SQL twin" was
-    # true only for convergence-detected float recursions.
-    "label_propagation_copurchase",
-    "kcore_word_cooccurrence",
-    # NEW in round 8 (post-rotation): Unicode NFC canonicalization —
-    # Arrow-batched unicodedata kernel vs DuckDB's nfc_normalize
-    # (same UAX #15), planted decomposed suffixes prove it fires.
-    # Mirror-checked this round; rotate in next round.
-    "unicode_nfc_documents",
-    # NEW in round 8 (post-rotation): bit-reproducible fixed-point
-    # PageRank — int64 micro-units make the sums order-independent,
-    # which is exactly what lets the 5-round unrolled DuckDB twin
-    # hash-match (the float variant's ulp-order-dependence keeps
-    # textrank rows-only). Mirror-checked; rotate in next round.
-    "pagerank_fixed_point_copurchase",
-    # NEW in round 8 (post-rotation): fixed-point TextRank — corpus
-    # keywords by integer PageRank over the word co-occurrence graph,
-    # the oracle-backed twin of the rows-only float textrank entry.
-    # Mirror-checked; rotate in next round.
-    "textrank_fixed_point_documents",
+    # ------------------------------------------------------------------
+    # Round-9 WINDOW ROTATION: the THIRTEEN round-8 newcomers rotate IN
+    # exactly as their round-8 demotion comments promised
+    # (bloom_semijoin_lineitem, audio_adpcm_features_documents,
+    # streaming_heavy_hitters_events, skew_profile_events,
+    # heavy_keys_orders_custkey, streaming_interval_join_semi_events,
+    # cdc_read_changes_orders, streaming_user_sessions,
+    # label_propagation_copurchase, kcore_word_cooccurrence,
+    # unicode_nfc_documents, pagerank_fixed_point_copurchase,
+    # textrank_fixed_point_documents — demotion entries removed).
+    # Thirteen long-stable entries rotate OUT below — each windowed for
+    # multiple consecutive rounds with hash-green evidence, each family
+    # still driver-visible elsewhere, and all remain mirror-checked by
+    # tests/test_oracle_parity.py every pytest run:
+    # ------------------------------------------------------------------
+    # Windowed r1–r8; TPC-H Q1 shape — the scan-agg family stays
+    # driver-visible via sql_revenue_by_nation + top_customers.
+    "pricing_summary",
+    # Windowed r1–r8; grouped means (A4/A12) stay visible via
+    # top_customers_by_revenue's agg+rank shape; mirror-checked.
+    "avg_price_by_segment",
+    # Windowed r1–r8; count-distinct (A6/A11) mirror-checked; the HLL
+    # shard-union twin stays rows-only-checked.
+    "filtered_count_distinct",
+    # Windowed r1–r8; A5/A8/A9 numeric profiling stays driver-visible
+    # via quantiles_totalprice.
+    "summary_stats_lineitem",
+    # Windowed r1–r8; broadcast-lookup recode (P4) stays visible via
+    # from_records_lookup_join.
+    "recode_event_types",
+    # Windowed r1–r8; A1 mode-or-first dedup, mirror-checked; the
+    # dedup family stays visible via exact_dedup_documents.
+    "mode_or_first_lineitem",
+    # Windowed r1–r8; A2 distinct rows, subsumed by
+    # exact_dedup_documents in the window.
+    "dedup_rows_order_flags",
+    # Windowed r1–r8; P6 coercing cast, mirror-checked; the cleaning
+    # family stays visible via ensure-columns' sibling entries.
+    "coerce_numeric_events_props",
+    # Windowed r1–r8; P8 conditional defaults, mirror-checked.
+    "ensure_columns_conform",
+    # Windowed r7+r8; grouped KLL quantiles — the quantile family
+    # stays driver-visible via quantiles_totalprice.
+    "grouped_quantiles_by_status",
+    # Windowed r3–r8; session windows stay driver-visible via
+    # streaming_user_sessions (the stateful sessionizer, rotating in).
+    "session_window_events",
+    # Windowed r1–r8; running totals stay driver-visible via
+    # holt_winters_daily_revenue's windowed time axis; mirror-checked.
+    "cumulative_monthly_revenue",
+    # Windowed r1–r8; A3/A14 pivot counts, mirror-checked.
+    "pivot_status_by_priority",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,
