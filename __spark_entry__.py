@@ -94,6 +94,12 @@ _DEMOTED_ORACLES = (
     "cumulative_monthly_revenue",
     # Windowed r1–r8; A3/A14 pivot counts, mirror-checked.
     "pivot_status_by_priority",
+    # Windowed r4–r8; demoted to make window room for the round-9
+    # measured-skew auto-salted join (auto_salt_join_orders) — the
+    # token/text family stays driver-visible via tfidf_documents,
+    # language_id_documents, quality_score_documents,
+    # heavy_hitters_bigrams_documents and bm25_search_documents.
+    "token_stats_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -113,9 +113,74 @@ SUPERLINEAR_RATIO = 2.0
 SUPERLINEAR_ABS_FLOOR_BYTES = 10 * 1024 * 1024
 
 
+#: Quiet-session re-pin of the slowest tail (round-8 VERDICT task 8):
+#: manual 3-rep fresh-session reruns proved decisive twice (r7
+#: line_dedup 5.3->0.9 s, r8 sf0.3 outliers) — session-age drift in
+#: the long-lived local JVM inflates late-running queries. After the
+#: sweep, the N slowest queries re-run 3x in a FRESH session and the
+#: minimum is recorded as ``pinned_min`` beside ``sec``; the
+#: regression comparison prefers pinned minima on both sides.
+PIN_SLOWEST_DEFAULT = 10
+PIN_REPS = 3
+
+
 def _materialize(df) -> None:
     """Execute the full plan via the noop sink."""
     df.write.mode("overwrite").format("noop").save()
+
+
+def _commit_evidence(repo_dir: str, label: str) -> None:
+    """Stage-and-commit the bench/correctness evidence artifacts
+    (round-8 VERDICT task 3: three consecutive rounds ended with the
+    round-close evidence sitting uncommitted in the working tree).
+    Pathspec-limited commit — never sweeps source changes. The
+    pre-run call catches the PREVIOUS round's driver-written
+    artifacts; the post-run call catches this run's detail/shuffle
+    refresh. ``SPARK_GRAFT_NO_EVIDENCE_COMMIT=1`` disables."""
+    if os.environ.get("SPARK_GRAFT_NO_EVIDENCE_COMMIT"):
+        return
+    import glob
+    import subprocess
+
+    pats = (
+        "BENCH_r*.json",
+        "CORRECTNESS_r*.json",
+        "BENCH_DETAIL*.json",
+        "BENCH_SHUFFLE.json",
+        "SCALE_NOTES.md",
+    )
+    files = sorted(
+        {p for pat in pats for p in glob.glob(os.path.join(repo_dir, pat))}
+    )
+    if not files:
+        return
+    try:
+        subprocess.run(
+            ["git", "add", "--"] + files,
+            cwd=repo_dir, check=True, capture_output=True, timeout=30,
+        )
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + files,
+            cwd=repo_dir, check=True, capture_output=True,
+            text=True, timeout=30,
+        )
+        staged = [ln for ln in st.stdout.splitlines() if ln[:1] in "MARC"]
+        if not staged:
+            return
+        subprocess.run(
+            [
+                "git", "commit", "-q",
+                "-m", f"Bench evidence refresh ({label})",
+                "--",
+            ] + files,
+            cwd=repo_dir, check=True, capture_output=True, timeout=30,
+        )
+        print(
+            f"evidence committed ({label}): {len(staged)} file(s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"evidence commit skipped ({label}): {exc}", file=sys.stderr)
 
 
 def _calibration_probe_sec(spark) -> float:
@@ -224,13 +289,18 @@ def _regression_flags(
     previous: dict,
     sf: float | None,
     machine_factor: float,
+    pinned: dict | None = None,
 ) -> dict:
     """Per-query wall-time regression flags vs the previous detail
     artifact — only comparable at the same scale factor, and both
     sides normalized by their run's machine factor so a uniformly
     slow VM/session doesn't flag unchanged code (r7: 17 false
     flags, all noise). A previous artifact without calibration
-    (pre-round-8) normalizes by 1.0."""
+    (pre-round-8) normalizes by 1.0. Quiet-session ``pinned_min``
+    values are preferred on BOTH sides when present: a pinned
+    minimum already strips the session-age noise the machine factor
+    can only approximate, so it is NOT re-normalized."""
+    pinned = pinned or {}
     comparable = isinstance(previous, dict) and previous.get("sf") == sf
     prev_q = previous.get("queries", {}) if comparable else {}
     prev_factor = 1.0
@@ -242,10 +312,19 @@ def _regression_flags(
     for name, cur in times.items():
         prev = prev_q.get(name, {})
         prev_sec = prev.get("sec") if isinstance(prev, dict) else None
-        if cur is None or prev_sec is None or prev_sec <= 0:
+        prev_pin = (
+            prev.get("pinned_min") if isinstance(prev, dict) else None
+        )
+        if cur is None or (prev_sec is None and prev_pin is None):
             continue
-        cur_n = cur / machine_factor
-        prev_n = prev_sec / prev_factor
+        cur_pin = pinned.get(name)
+        cur_n = cur_pin if cur_pin is not None else cur / machine_factor
+        if prev_pin is not None and prev_pin > 0:
+            prev_n = prev_pin
+        elif prev_sec is not None and prev_sec > 0:
+            prev_n = prev_sec / prev_factor
+        else:
+            continue
         if (
             cur_n >= prev_n * REGRESSION_RATIO
             and cur_n - prev_n >= REGRESSION_ABS_FLOOR_SEC
@@ -255,6 +334,7 @@ def _regression_flags(
                 "sec": cur,
                 "prev_sec_normalized": round(prev_n, 3),
                 "sec_normalized": round(cur_n, 3),
+                "pinned": cur_pin is not None or prev_pin is not None,
                 "ratio": round(cur_n / prev_n, 2),
             }
     return regressions
@@ -268,6 +348,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # Catch the PREVIOUS round's driver-written artifacts before this
+    # run refreshes anything (VERDICT r8 task 3).
+    _commit_evidence(repo_dir, "pre-run leftovers")
     detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
     # Per-sf detail history (ADVICE r7): the latest-run file is
     # overwritten in place across scale factors, so an sf0.01 smoke
@@ -319,6 +402,22 @@ def main() -> None:
     _calibration_probe_sec(spark)
     cal_samples: list[float] = [_calibration_probe_sec(spark)]
 
+    def relaunch(s):
+        """Tear the current session/JVM down and start a fresh one."""
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        try:
+            s.stop()
+        except Exception:
+            pass
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return get_session(app_name="bench", master=f"local[{cpus}]")
+
     def revive_if_dead(s):
         """A query OOM-killing the local JVM must not void the rest of
         the run: detect a dead gateway and relaunch a fresh session."""
@@ -327,19 +426,7 @@ def main() -> None:
             return s
         except Exception:
             print("session dead — relaunching JVM", file=sys.stderr)
-            from pyspark import SparkContext
-            from pyspark.sql import SparkSession
-
-            try:
-                s.stop()
-            except Exception:
-                pass
-            SparkContext._active_spark_context = None
-            SparkContext._gateway = None
-            SparkContext._jvm = None
-            SparkSession._instantiatedSession = None
-            SparkSession._activeSession = None
-            return get_session(app_name="bench", master=f"local[{cpus}]")
+            return relaunch(s)
 
     times: dict[str, float | None] = {}
     rep_times: dict[str, list[float]] = {}
@@ -413,7 +500,51 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    regressions = _regression_flags(times, previous, sf, machine_factor)
+    # Quiet-session re-pin of the slowest tail (see PIN_SLOWEST_DEFAULT
+    # note): fresh JVM, PIN_REPS reps each, record the minimum.
+    pin_n = int(
+        os.environ.get("SPARK_GRAFT_PIN_SLOWEST", str(PIN_SLOWEST_DEFAULT))
+    )
+    pinned: dict[str, float] = {}
+    ok_times = {k: v for k, v in times.items() if v is not None}
+    pin_names = [
+        k for k, _ in sorted(ok_times.items(), key=lambda kv: -kv[1])[:pin_n]
+    ]
+    if pin_names:
+        print(
+            f"pinning {len(pin_names)} slowest in a fresh session: "
+            f"{pin_names}",
+            file=sys.stderr,
+        )
+        spark = relaunch(spark)
+        try:
+            spark.range(1_000_000).selectExpr("sum(id)").collect()
+        except Exception:  # pragma: no cover
+            pass
+        for name in pin_names:
+            samples = []
+            for _ in range(PIN_REPS):
+                t0 = time.perf_counter()
+                try:
+                    _materialize(qs[name](spark, sf_dir))
+                except Exception as exc:
+                    print(f"pin {name}: FAILED {exc}", file=sys.stderr)
+                    spark = revive_if_dead(spark)
+                    break
+                samples.append(time.perf_counter() - t0)
+                try:
+                    spark.catalog.clearCache()
+                except Exception:  # pragma: no cover
+                    pass
+            if samples:
+                pinned[name] = round(min(samples), 3)
+                print(
+                    f"pinned {name}: {pinned[name]}s "
+                    f"(sweep {times[name]}s)",
+                    file=sys.stderr,
+                )
+
+    regressions = _regression_flags(times, previous, sf, machine_factor, pinned)
     for name, r in regressions.items():
         print(
             f"REGRESSION {name}: {r['prev_sec']}s -> {r['sec']}s"
@@ -439,6 +570,11 @@ def main() -> None:
                 "sec": times[name],
                 "reps": rep_times[name],
                 "shuffle_bytes": shuffle_bytes.get(name),
+                **(
+                    {"pinned_min": pinned[name]}
+                    if name in pinned
+                    else {}
+                ),
             }
             for name in times
         },
@@ -454,6 +590,9 @@ def main() -> None:
             print(f"detail written to {path}", file=sys.stderr)
         except Exception as exc:  # pragma: no cover
             print(f"detail write failed ({path}): {exc}", file=sys.stderr)
+
+    # Catch this run's detail/shuffle refresh (VERDICT r8 task 3).
+    _commit_evidence(repo_dir, "post-run")
 
     # Full per-query detail first; then a SHORT headline as the very
     # last line. The driver keeps only the tail of stdout (~2 KB), so

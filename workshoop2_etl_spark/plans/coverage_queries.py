@@ -2492,3 +2492,85 @@ def cdc_read_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(
         spark, table_dir, 0, 1, key_cols=["o_orderkey"]
     ).orderBy("o_orderkey", "_change_type")
+
+
+_AUTO_SALT_SQL = """
+WITH l AS (
+  SELECT 100000 // (o_orderkey + 1) AS zkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents
+  FROM orders
+), r AS (
+  SELECT zkey, CAST(count(*) AS BIGINT) AS n_cust
+  FROM (SELECT 100000 // (c_custkey + 1) AS zkey FROM customer)
+  GROUP BY zkey
+), m AS (
+  SELECT COALESCE(l.zkey, r.zkey) AS zkey,
+         l.tp_cents,
+         r.n_cust,
+         CASE WHEN r.zkey IS NULL THEN 'left_only'
+              WHEN l.zkey IS NULL THEN 'right_only'
+              ELSE 'both' END AS provenance
+  FROM l FULL OUTER JOIN r ON l.zkey = r.zkey
+)
+SELECT zkey,
+       provenance,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(sum(tp_cents), 0) AS BIGINT) AS tp_cents,
+       CAST(COALESCE(max(n_cust), 0) AS BIGINT) AS n_cust
+FROM m
+GROUP BY zkey, provenance
+ORDER BY zkey, provenance
+"""
+
+
+@_register("auto_salt_join_orders", _AUTO_SALT_SQL)
+def auto_salt_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-skew auto-salted join (operators/skew.py
+    auto_salted_full_outer — round-8 VERDICT task 4): the join key is
+    a deterministic Zipf-style map ``zkey = 100000 div (o_orderkey+1)``
+    (key v covers shifted orderkeys in (100000/(v+1), 100000/v], so key 1
+    holds ~half the fact rows — a power-law head by construction, no
+    RNG). The operator profiles the left side (ONE collected summary
+    row + ≤10 heavy-key rows — never a key-sized collect), measures
+    skew_ratio >> threshold, and routes the measured hot keys through
+    the salted inner ∪ anti ∪ anti decomposition with the measured
+    split factor. Result rows are IDENTICAL to the plain full outer
+    join — the oracle is exactly that plain join — which is the
+    operator's contract: salting changes task layout, not answers.
+    tests/test_skew.py asserts the salted branch actually fired with
+    the measured factor on this same shape."""
+    from workshoop2_etl_spark.operators.skew import auto_salted_full_outer
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    left = orders.select(
+        F.expr("100000 div (o_orderkey + 1)").alias("zkey"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "tp_cents"
+        ),
+    )
+    right = (
+        customer.select(F.expr("100000 div (c_custkey + 1)").alias("zkey"))
+        .groupBy("zkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    merged = auto_salted_full_outer(
+        left,
+        right,
+        ["zkey"],
+        indicator_col="provenance",
+        normalize_keys=False,
+    )
+    return (
+        merged.groupBy("zkey", "provenance")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("tp_cents"), F.lit(0))
+            .cast("long")
+            .alias("tp_cents"),
+            F.coalesce(F.max("n_cust"), F.lit(0))
+            .cast("long")
+            .alias("n_cust"),
+        )
+        .orderBy("zkey", "provenance")
+    )
