@@ -116,3 +116,54 @@ def test_resume_from_checkpoint_continues_index(spark):
     }
     assert set(got) == expected
     assert len(got) > n_pairs_1  # the second activation added pairs
+
+
+def test_first_activation_missing_index_dir_no_local_fs(spark):
+    """Index discovery is a schema-pinned Spark read, not an os.path
+    walk (r8 VERDICT: a driver-local isdir/listdir silently sees
+    nothing on HDFS/S3). First activation against a MISSING index dir
+    must bootstrap an empty index via the AnalysisException branch and
+    still emit the batch's pairs — and the handler source contains no
+    os.path call to regress to."""
+    import inspect
+
+    import workshoop2_etl_spark.streaming.neardedup as nd
+
+    src_text = inspect.getsource(nd)
+    assert "import os" not in src_text  # no local-FS API available at all
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"ndoa_nofs_{uuid.uuid4().hex[:8]}"
+    )
+    src = f"{base}/src"
+    docs = _docs(spark, n=16)
+    docs.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    # index/pairs/checkpoint dirs all nonexistent: the first handle()
+    # call exercises the missing-path read probe
+    near_dedup_on_arrival(
+        stream,
+        f"{base}/index",
+        f"{base}/pairs",
+        f"{base}/ckpt",
+        timeout_sec=120,
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in spark.read.parquet(f"{base}/pairs").collect()
+    }
+    expected = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, "doc_id", "text"),
+            "doc_id",
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert got == expected and got
+    # the index accumulated the full banded frame
+    assert spark.read.parquet(f"{base}/index").count() == lsh_banded(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    ).count()

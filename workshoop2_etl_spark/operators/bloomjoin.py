@@ -159,15 +159,20 @@ def _bloom_prune_arrow(
 ) -> DataFrame:
     """The big-bitmap probe tier: JVM-computed hash columns + ONE
     Arrow-vectorized bit test per batch against a numpy ``uint64``
-    view of the bitmap (closure-captured — at the 16 MiB cap this is
-    an ordinary task-broadcast payload). Tests the same positions as
+    view of the bitmap, shipped via ``SparkContext.broadcast`` so a
+    16 MiB bitmap crosses the wire ONCE PER EXECUTOR, not once per
+    task (closure capture serializes the array into every task's
+    closure — at 100 TB task counts that is bitmap × tasks of
+    redundant transfer). Tests the same positions as
     :func:`bloom_might_contain` bit-for-bit."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    bm = np.array(bitmap, dtype=np.int64).view(np.uint64)
+    bm_bc = probe.sparkSession.sparkContext.broadcast(
+        np.array(bitmap, dtype=np.int64)
+    )
     with_h = probe.withColumn(
         "__bloom_h1", F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits))
     ).withColumn(
@@ -180,6 +185,7 @@ def _bloom_prune_arrow(
 
     def batches(it):
         one = np.uint64(1)
+        bm = bm_bc.value.view(np.uint64)
         for pdf in it:
             h1 = pdf["__bloom_h1"].to_numpy(np.int64)
             h2 = pdf["__bloom_h2"].to_numpy(np.int64)

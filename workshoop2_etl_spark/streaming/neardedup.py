@@ -29,9 +29,8 @@ data-path logic separate from the commit protocol deliberately.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 def near_dedup_on_arrival(
@@ -75,11 +74,20 @@ def near_dedup_on_arrival(
             num_hashes=num_hashes,
             bands=bands,
         ).localCheckpoint(eager=True)
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            banded_base = spark.read.parquet(index_dir)
-        else:
+        # Index discovery must work on ANY Hadoop-compatible store
+        # (HDFS/S3/local), so probe with a schema-pinned read and
+        # catch PATH_NOT_FOUND instead of walking the driver's local
+        # filesystem (a local listdir silently sees nothing on an
+        # object store). The explicit schema makes an
+        # existing-but-empty dir read as an empty frame (no footer
+        # inference) and skips a second footer read on the hot path.
+        try:
+            # load() resolves the path eagerly — a missing dir raises
+            # PATH_NOT_FOUND right here, on any filesystem scheme
+            banded_base = spark.read.schema(banded_delta.schema).parquet(
+                index_dir
+            )
+        except AnalysisException:
             banded_base = spark.createDataFrame(
                 [], banded_delta.schema
             )
