@@ -740,3 +740,23 @@ def test_jpeg_in_spark_decode_ladder(spark):
         3: (32, 16, "RGB"),
         4: (16, 32, "RGB"),
     }
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn path: a stream with restart markers every 4 MCUs
+    (DC predictors reset, bit alignment dropped) decodes to exactly
+    the same pixels as the marker-free stream."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_planes,
+    )
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    plain = _encode_jpeg_planes([y], [(1, 1)], 40, 24)
+    dri = _encode_jpeg_planes([y], [(1, 1)], 40, 24, restart_interval=4)
+    assert b"\xff\xdd" in dri and b"\xff\xd0" in dri
+    a, b = _decode_jpeg_pixels(plain), _decode_jpeg_pixels(dri)
+    assert a is not None and b is not None and (a == b).all()

@@ -412,14 +412,18 @@ def _jpeg_mag(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def _encode_jpeg_planes(planes, sampling, w: int, h: int) -> bytes:
+def _encode_jpeg_planes(
+    planes, sampling, w: int, h: int, *, restart_interval: int = 0
+) -> bytes:
     """Assemble a baseline-sequential JFIF byte stream from component
     planes (numpy 2-D uint8 arrays, one per component at ITS OWN
     resolution) with per-component (h, v) ``sampling`` factors.
     Quantization tables are all-ones, so the only loss is the
     FDCT→round→IDCT round trip (≤1 code value; EXACTLY zero for
     per-block-constant planes — the synthetic fixture's closed-form
-    hook). Edge blocks replicate-pad."""
+    hook). Edge blocks replicate-pad. ``restart_interval`` > 0 emits
+    a DRI segment and RSTn markers every that-many MCUs (resetting DC
+    prediction), exercising the decoder's restart path."""
     import struct
 
     import numpy as np
@@ -458,6 +462,8 @@ def _encode_jpeg_planes(planes, sampling, w: int, h: int) -> bytes:
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
@@ -478,8 +484,17 @@ def _encode_jpeg_planes(planes, sampling, w: int, h: int) -> bytes:
         )
     bw = _JpegBitWriter()
     pred = [0] * ncomp
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                out += bw.flush()
+                bw = _JpegBitWriter()
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                )
+                pred = [0] * ncomp
+            mcu_i += 1
             for ci, (hc, vc) in enumerate(sampling):
                 for by in range(vc):
                     for bx in range(hc):
