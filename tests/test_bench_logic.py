@@ -105,3 +105,44 @@ def test_superlinear_gate_uses_nearest_smaller_sf(tmp_path):
     # (vs 0.01 it would be 180x for 30x — the gate must pick 0.1.)
     flags = _superlinear_flags(str(tmp_path), 0.3, {"q": 180 * 1024 * 1024})
     assert flags == {}
+
+
+def test_pinned_min_preferred_on_both_sides():
+    """Quiet-session pinned minima beat machine-factor normalization:
+    a pinned current value suppresses a sweep-time blip, and a pinned
+    previous value catches a real regression the noisy sweep base
+    would have hidden."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {
+            "a": {"sec": 1.0, "pinned_min": 1.0},
+            "b": {"sec": 9.0, "pinned_min": 1.0},
+        },
+        "calibration": {"machine_factor": 1.0},
+    }
+    # a: sweep says 5s (blip) but pin says 1.0 -> no flag
+    # b: sweep base was a noisy 9s; pinned base 1.0 and current
+    #    pinned 2.6 -> real 2.6x regression flagged
+    flags = bench._regression_flags(
+        {"a": 5.0, "b": 2.8},
+        prev,
+        0.1,
+        1.0,
+        pinned={"a": 1.0, "b": 2.6},
+    )
+    assert "a" not in flags
+    assert flags["b"]["pinned"] and flags["b"]["ratio"] == 2.6
+
+
+def test_pinned_absent_falls_back_to_normalized():
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {"a": {"sec": 1.0}},
+        "calibration": {"machine_factor": 1.0},
+    }
+    flags = bench._regression_flags({"a": 3.0}, prev, 0.1, 1.0)
+    assert flags["a"]["ratio"] == 3.0 and not flags["a"]["pinned"]
