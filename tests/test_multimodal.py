@@ -760,3 +760,47 @@ def test_jpeg_restart_interval_roundtrip():
     assert b"\xff\xdd" in dri and b"\xff\xd0" in dri
     a, b = _decode_jpeg_pixels(plain), _decode_jpeg_pixels(dri)
     assert a is not None and b is not None and (a == b).all()
+
+
+def test_jpeg_png_decoders_fuzz_no_crash():
+    """Foreign-crawl robustness: random byte mutations of valid
+    streams must decode-or-None, never raise — and hostile headers
+    (gigapixel dims, deflate bombs, truncated component lists)
+    refuse before allocating."""
+    import random
+    import struct
+    import zlib
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _decode_png_pixels,
+        _png_chunk,
+        _synth_jpeg,
+        _synth_png,
+    )
+
+    rng = random.Random(99)
+    jb, pb = _synth_jpeg(7, "fuzz"), _synth_png(7, "fuzz")
+    for base, dec in ((jb, _decode_jpeg_pixels), (pb, _decode_png_pixels)):
+        for _ in range(800):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            dec(bytes(b))  # must not raise
+    # PNG decode bomb: tiny IDAT declaring a gigapixel grid
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png_pixels(bomb) is None
+    # JPEG gigapixel SOF refuses (doc_id 7 -> 32x32; SOF packs h, w)
+    assert struct.pack(">HH", 32, 32) in jb
+    big = jb.replace(
+        struct.pack(">HH", 32, 32),
+        struct.pack(">HH", 60000, 60000),
+        1,
+    )
+    assert _decode_jpeg_pixels(big) is None

@@ -231,6 +231,10 @@ def _decode_png_pixels(b: bytes):
             )
             if depth != 8 or color != 2 or interlace != 0:
                 return None
+            # decode-bomb guard: 4-byte dim fields can declare
+            # gigapixel grids; refuse before allocating anything
+            if w == 0 or h == 0 or w * h > (1 << 24):
+                return None
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -238,12 +242,16 @@ def _decode_png_pixels(b: bytes):
         pos += 12 + ln  # len + tag + body + crc
     if w is None or not idat:
         return None
+    stride = 3 * w
+    expected = h * (1 + stride)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: a deflate bomb must not expand past the
+        # raw size the declared (already-capped) geometry implies
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    stride = 3 * w
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected or d.unconsumed_tail:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -695,13 +703,28 @@ def _decode_jpeg_pixels(b: bytes):
                     huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
                     o += 17 + nv
             elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline huffman)
+                if len(seg) < 6:
+                    return None
                 prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
-                if prec != 8:
+                # guards against malformed/hostile frames: truncated
+                # component list, zero dims, decode-bomb dims (a
+                # 2-byte field can declare 65535x65535 = 12 GB of
+                # planes), out-of-range sampling factors
+                if (
+                    prec != 8
+                    or len(seg) < 6 + 3 * nc
+                    or hh == 0
+                    or ww == 0
+                    or hh * ww > (1 << 24)
+                ):
                     return None
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    comps.append((cid, hv >> 4, hv & 15, tq))
+                    hc, vc = hv >> 4, hv & 15
+                    if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                        return None
+                    comps.append((cid, hc, vc, tq))
                 sof = (hh, ww, comps)
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
@@ -716,13 +739,15 @@ def _decode_jpeg_pixels(b: bytes):
                 for si in range(ns):
                     cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                     scan.append((cs, tt >> 4, tt & 15))
+                if len(seg) < 1 + 2 * ns:
+                    return None
                 return _jpeg_scan(
                     b, pos + 2 + ln, sof, scan, qt, huff, dri
                 )
             elif marker == 0xD9:  # EOI before SOS
                 return None
             pos += 2 + ln
-    except (IndexError, struct.error):
+    except (IndexError, ValueError, struct.error):
         return None
     return None
 
@@ -743,7 +768,10 @@ def _jpeg_scan(b, pos, sof, scan, qt, huff, dri):
         if cs not in by_id or (0, td) not in huff or (1, ta) not in huff:
             return None
         hc, vc, tq = by_id[cs]
-        if tq not in qt:
+        # replication upsampling requires the max factors to be
+        # integer multiples of each component's (true for every
+        # standard subsampling: 4:4:4, 4:2:2, 4:2:0, 4:1:1)
+        if tq not in qt or hmax % hc or vmax % vc:
             return None
         planes.append(
             np.zeros((mcuy * vc * 8, mcux * hc * 8), dtype=np.float64)
