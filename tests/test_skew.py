@@ -200,3 +200,23 @@ def test_auto_salt_plan_flat_distribution_declines(spark):
         df._jdf.queryExecution().optimizedPlan().toString()
     )
     assert df.count() == 1_000
+
+
+def test_auto_salt_plan_empty_frame_declines(spark):
+    """An empty left side profiles to all-NULL scalars — the decision
+    must be 'don't salt', not a TypeError on int(None)."""
+    from workshoop2_etl_spark.operators.skew import (
+        auto_salt_plan,
+        auto_salted_full_outer,
+    )
+
+    empty = spark.createDataFrame([], "k long, lval long")
+    right = spark.range(3).select(
+        F.col("id").alias("k"), F.col("id").alias("rval")
+    )
+    d = auto_salt_plan(empty, ["k"])
+    assert d["salt"] == 1 and d["hot_keys"] == []
+    out = auto_salted_full_outer(
+        empty, right, ["k"], normalize_keys=False, decision=d
+    )
+    assert out.count() == 3  # right_only rows survive

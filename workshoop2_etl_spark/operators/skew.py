@@ -153,6 +153,10 @@ def auto_salt_plan(
     key-sized collect, so the decision path itself scales.
     """
     prof = skew_profile(df, keys).collect()[0].asDict()
+    # an empty frame profiles to all-NULL scalars (n_keys = 0):
+    # nothing to salt
+    if not prof["n_keys"] or prof["recommended_salt"] is None:
+        return {"salt": 1, "hot_keys": [], "profile": prof}
     salt = int(prof["recommended_salt"])
     if prof["skew_ratio"] < skew_threshold or salt <= 1:
         return {"salt": 1, "hot_keys": [], "profile": prof}
