@@ -107,6 +107,11 @@ _DEMOTED_ORACLES = (
     # compressed legs via resize_images_png_documents + the new JPEG
     # entry.
     "resize_images_documents",
+    # NEW in round 9 (post-rotation): HTML main-text extraction —
+    # stdlib-HTMLParser kernel with structural boilerplate removal,
+    # closed-form fixture oracle (operators/htmlextract.py). Mirror-
+    # checked this round; rotate into the driver window next round.
+    "html_extract_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

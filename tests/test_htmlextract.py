@@ -1,0 +1,114 @@
+"""HTML main-text extraction (operators/htmlextract.py): structural
+boilerplate removal, block/inline semantics, entity decoding, fixture
+closed form, malformed-markup tolerance, Spark plumbing."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.htmlextract import (
+    extract_text,
+    html_to_text,
+    synthesize_html,
+)
+
+_WS = re.compile(r"[ \t\r\n\f]+")
+
+
+def test_structural_drop_vs_inline_keep():
+    html = (
+        "<body><nav><a href='/'>home</a><p>menu</p></nav>"
+        "<p>Keep <b>bold</b> and <a href='x'>anchor</a> text.</p>"
+        "<script>var s = '<p>fake</p>';</script>"
+        "<footer>legal</footer></body>"
+    )
+    title, text, n_links = extract_text(html)
+    # dropped containers vanish WITH contents (incl. their links and
+    # any markup-looking strings inside script)
+    assert text == "Keep bold and anchor text."
+    assert n_links == 1  # only the kept region's link counts
+    assert title == ""
+
+
+def test_blocks_join_with_newlines_and_entities_decode():
+    html = (
+        "<h1>T&amp;A</h1><p>first&nbsp;block</p><p></p>"
+        "<div>second &lt;tag&gt;</div>"
+    )
+    _, text, _ = extract_text(html)
+    lines = text.split("\n")
+    assert lines[0] == "T&A"
+    assert lines[-1] == "second <tag>"
+    # the empty <p></p> produced no block
+    assert len(lines) == 3
+
+
+def test_title_routes_to_title_not_body():
+    html = "<head><title>  My   Page </title></head><body><h1>My Page</h1></body>"
+    title, text, _ = extract_text(html)
+    assert title == "My Page"
+    # an h1 repeating the title is BODY text and stays
+    assert text == "My Page"
+
+
+def test_malformed_markup_never_raises():
+    for bad in (
+        "<p>unclosed <b>nested",
+        "<<<>>>",
+        "<script>never ends",
+        "",
+        None,
+        "<a href=x>y</a></nav></nav></footer>",
+        "&#x0; &bogus; <p attr='>broken</p>",
+    ):
+        title, text, n_links = extract_text(bad)
+        assert isinstance(title, str) and isinstance(text, str)
+        assert n_links >= 0
+
+
+def test_fixture_closed_form(spark):
+    """The registered query's oracle contract, checked row-by-row in
+    Python: extracted text == 'Doc {id}' NL norm(text) NL link
+    sentence, title == 'Doc {id}', n_links == 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world"),
+            (2, "a < b & c > d"),
+            (3, ""),
+            (4, " \t\n "),
+            (5, "café naïve"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in html_to_text(
+            synthesize_html(docs).drop("text"), "html", id_cols=["doc_id"]
+        ).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, r in out.items():
+        norm = _WS.sub(" ", src[did] or "").strip()
+        parts = [f"Doc {did}"] + ([norm] if norm else []) + [
+            f"See ref {did} for details."
+        ]
+        assert r["title"] == f"Doc {did}"
+        assert r["text"] == "\n".join(parts)
+        assert r["n_links"] == 1
+        assert r["text_chars"] == len(r["text"])
+
+
+def test_spark_plumbing_prunes_and_scales(spark):
+    """html_to_text is a pure map: no Exchange in the plan, and the
+    markup column prunes away for downstream projections."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = html_to_text(
+        synthesize_html(docs).drop("text"), "html", id_cols=["doc_id"]
+    ).select("doc_id", "n_links")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("+- == Initial Plan ==")[0]
+    assert out.count() == 20

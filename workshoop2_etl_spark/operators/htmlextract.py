@@ -1,0 +1,256 @@
+"""HTML → text extraction: the step before every text operator in a
+crawled-corpus pipeline (CommonCrawl-style WARC payloads arrive as
+markup; token stats / dedup / quality scoring all want main text).
+
+Design (the codec-ladder pattern from ``multimodal.py``, applied to
+markup):
+
+- The kernel is a REAL parse — stdlib ``html.parser.HTMLParser``
+  (tolerant by construction: malformed markup never raises), run as
+  an Arrow-batched ``mapInPandas``. No lxml/bs4/trafilatura
+  dependency; swapping a heavier extractor in touches one function.
+- Boilerplate removal is structural: configurable container tags
+  (``script``/``style``/``nav``/``footer``/…) are dropped WITH their
+  contents; block-level tags split text into blocks; inline tags
+  (``a``/``b``/``span``/…) do not break text, so anchor text stays in
+  its sentence. Character/entity references decode to text
+  (``&amp;`` → ``&``).
+- Whitespace inside a block normalizes through the EXPLICIT class
+  ``[ \\t\\r\\n\\f]+`` → one space — spelled identically in the DuckDB
+  oracle (engine ``\\s`` classes differ between re/RE2/ICU, an
+  explicit class does not).
+- The synthetic fixture (:func:`synthesize_html`) wraps each
+  document's text in a deterministic page — title, nav boilerplate,
+  script/style junk, an inline link, entity-escaped body — so the
+  extracted output has a CLOSED FORM in (doc_id, text) the oracle
+  replays verbatim: escape→decode is the identity, dropped regions
+  vanish, kept blocks join with newlines.
+
+The reference has no markup handling; this is 100 TB extension
+surface beside the media codecs (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: Containers whose CONTENTS are boilerplate/non-text — dropped whole.
+DEFAULT_DROP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "nav",
+        "footer",
+        "header",
+        "aside",
+        "iframe",
+        "svg",
+    }
+)
+
+#: Tags that terminate a text block (their boundaries become newline
+#: joints). Inline tags — everything else — do not split text.
+BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "div",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "li",
+        "ul",
+        "ol",
+        "table",
+        "tr",
+        "td",
+        "th",
+        "blockquote",
+        "pre",
+        "article",
+        "section",
+        "main",
+        "body",
+        "br",
+        "hr",
+        "title",
+    }
+)
+
+_WS = re.compile(r"[ \t\r\n\f]+")
+
+
+def _norm(s: str) -> str:
+    """The oracle-matched whitespace collapse: explicit ASCII class,
+    single spaces, trimmed."""
+    return _WS.sub(" ", s).strip()
+
+
+def extract_text(html: str, drop_tags: frozenset = DEFAULT_DROP_TAGS):
+    """Parse one HTML string → (title, text, n_links).
+
+    ``text`` is the kept blocks joined with ``\\n`` (empty blocks
+    skipped), ``title`` the first ``<title>``'s normalized content,
+    ``n_links`` the count of ``<a href=...>`` in KEPT regions (links
+    inside dropped boilerplate don't count). Never raises: stdlib
+    HTMLParser recovers from malformed markup, and a None/empty input
+    yields ('', '', 0)."""
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[str] = []
+            self.buf: list[str] = []
+            self.title_parts: list[str] = []
+            self.n_links = 0
+            self.drop_depth = 0
+            self.in_title = False
+
+        def _flush(self) -> None:
+            block = _norm("".join(self.buf))
+            self.buf.clear()
+            if block:
+                self.blocks.append(block)
+
+        def handle_starttag(self, tag, attrs):
+            if tag in drop_tags:
+                self.drop_depth += 1
+                return
+            if self.drop_depth:
+                return
+            if tag == "title":
+                self.in_title = True
+            if tag == "a" and any(k == "href" for k, _ in attrs):
+                self.n_links += 1
+            if tag in BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in drop_tags:
+                self.drop_depth = max(0, self.drop_depth - 1)
+                return
+            if self.drop_depth:
+                return
+            if tag == "title":
+                self.in_title = False
+            if tag in BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, data):
+            if self.drop_depth:
+                return
+            if self.in_title:
+                self.title_parts.append(data)
+            else:
+                self.buf.append(data)
+
+    p = _Extractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:  # pragma: no cover — HTMLParser shouldn't raise
+        pass
+    p._flush()
+    # title data routes to title_parts only (never the block buffer),
+    # so body blocks are body text — an <h1> that repeats the title
+    # stays
+    title = _norm("".join(p.title_parts))
+    return title, "\n".join(p.blocks), p.n_links
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    drop_tags: frozenset = DEFAULT_DROP_TAGS,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Arrow-batched main-text extraction: per row, (``title``,
+    ``text``, ``n_links``, ``text_chars``) from the real stdlib
+    parse. Scales as a pure map — no shuffle, no driver
+    involvement; the markup column prunes away for any downstream
+    query that only touches the extracted columns."""
+    ids = id_cols or [c for c in df.columns if c != html_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_links", T.IntegerType()),
+            T.StructField("text_chars", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                extract_text(h, drop_tags) for h in pdf[html_col]
+            ]
+            out = pdf[ids].copy()
+            out["title"] = [p[0] for p in parsed]
+            out["text"] = [p[1] for p in parsed]
+            out["n_links"] = [p[2] for p in parsed]
+            out["text_chars"] = [len(p[1]) for p in parsed]
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def synthesize_html(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "html",
+) -> DataFrame:
+    """Emit a real HTML page per row with the extraction's closed
+    form: title ``Doc {id}``, script/style/nav/footer boilerplate
+    (dropped by extraction), an ``<h1>``, the entity-escaped document
+    text in a ``<p>``, and an inline link sentence. Extracted text is
+    EXACTLY ``'Doc {id}' ⏎ norm(text) ⏎ 'See ref {id} for details.'``
+    (empty-normalizing texts skip their block), n_links is exactly 1
+    (the nav's two links are inside dropped boilerplate), and the
+    escape→decode round trip is the identity — all replayable in SQL
+    from (doc_id, text) alone."""
+    import html as _html
+
+    schema = T.StructType(
+        list(df.schema) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def _page(doc_id: int, text: str) -> str:
+        body = _html.escape(text or "")
+        return (
+            "<html><head><title>Doc {i}</title>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<style>p {{ color: red }}</style></head>\n"
+            "<body><nav><a href=\"/\">home</a> "
+            "<a href=\"/about\">about</a></nav>\n"
+            "<h1>Doc {i}</h1>\n"
+            "<p>{b}</p>\n"
+            "<p>See <a href=\"https://example.com/{i}\">ref {i}</a> "
+            "for details.</p>\n"
+            "<footer>&copy; 2024 Example &amp; Co.</footer>"
+            "</body></html>"
+        ).format(i=doc_id, b=body)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out[out_col] = [
+                _page(int(i), t)
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield out
+
+    return df.mapInPandas(batches, schema)

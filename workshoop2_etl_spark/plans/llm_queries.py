@@ -2940,3 +2940,62 @@ def unicode_nfc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("t_nfc").cast("long").alias("n_after"),
         F.md5(F.encode(F.col("t_nfc"), "UTF-8")).alias("digest"),
     )
+
+
+_HTML_EXTRACT_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+)
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       CAST(1 AS INTEGER) AS n_links,
+       md5(body) AS text_md5,
+       CAST(length(body) AS INTEGER) AS text_chars
+FROM x
+ORDER BY doc_id
+"""
+
+
+@_register("html_extract_documents", _HTML_EXTRACT_SQL)
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML main-text extraction (operators/htmlextract.py —
+    round 9): each document's text is wrapped in a deterministic page
+    (title, script/style/nav/footer boilerplate, entity-escaped body,
+    an inline link), then the stdlib-HTMLParser kernel extracts —
+    dropping boilerplate containers WITH contents, splitting on block
+    tags, keeping inline anchor text in its sentence, decoding
+    entities, collapsing whitespace through the explicit ASCII class
+    spelled identically in the oracle. The closed form: extracted
+    text is exactly 'Doc {id}' ⏎ norm(text) ⏎ 'See ref {id} for
+    details.' (escape→decode is the identity; empty-normalizing
+    texts skip their block via the same NULLIF/skip rule on both
+    engines), the title is 'Doc {id}', and n_links counts ONLY the
+    kept region's link — the nav's two links are inside dropped
+    boilerplate, proving structural removal rather than tag
+    stripping. md5 + length of the text cross-check the full string
+    without hashing megabytes of markup into the result."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).drop("text")
+    out = html_to_text(pages, "html", id_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "title",
+        "n_links",
+        F.md5(F.col("text")).alias("text_md5"),
+        "text_chars",
+    ).orderBy("doc_id")
