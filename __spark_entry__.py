@@ -112,6 +112,11 @@ _DEMOTED_ORACLES = (
     # closed-form fixture oracle (operators/htmlextract.py). Mirror-
     # checked this round; rotate into the driver window next round.
     "html_extract_documents",
+    # NEW in round 9 (post-rotation): URL canonicalization +
+    # registrable-domain extraction as pure column expressions
+    # (functions/urls.py, WholeStageCodegen end to end). Mirror-
+    # checked this round; rotate into the driver window next round.
+    "url_normalize_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

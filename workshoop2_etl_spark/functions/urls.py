@@ -1,0 +1,151 @@
+"""URL canonicalization as PURE COLUMN EXPRESSIONS — the crawl-prep
+companion to HTML extraction: crawled corpora dedupe/group/blocklist
+by URL and domain, and two spellings of one address (case, default
+port, trailing slash, tracker params, fragment) must canonicalize to
+one key BEFORE any of that works.
+
+Design: every transform here is built from `pyspark.sql.functions`
+string/array builtins — no UDF, no Python worker, the whole chain
+stays inside WholeStageCodegen — and every step is a well-defined
+string/list operation DuckDB replays verbatim (regexp_replace /
+string_split / list_filter / list_sort / list_aggregate), which is
+what makes the registered query oracle-backed rather than rows-only.
+
+Canonicalization rules (the conservative, loss-less subset every
+crawler agrees on — applied in this order):
+
+1. trim; scheme and host lowercase (path/query stay case-sensitive).
+2. default ports drop (``:80`` for http, ``:443`` for https).
+3. duplicate slashes in the path collapse; a trailing slash drops
+   (the bare-host root keeps its canonical no-path form).
+4. tracking parameters drop (``utm_*``, ``gclid``, ``fbclid``,
+   ``ref``); remaining query params SORT byte-wise so param order
+   stops mattering; an emptied query drops its ``?``.
+5. the fragment drops (never sent to the server).
+
+``registrable_domain`` extracts the owner domain (last two labels,
+or three under common multi-label public suffixes — the embedded set
+covers the high-volume crawl suffixes; a full public-suffix-list
+integration swaps one membership test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tracking params stripped during canonicalization (exact names plus
+#: the utm_ prefix family).
+TRACKER_PARAMS = ("gclid", "fbclid", "ref", "mc_eid", "igshid")
+
+#: Multi-label public suffixes where the registrable domain is THREE
+#: labels (high-volume crawl subset; extend from the public suffix
+#: list as needed).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk",
+    "ac.uk",
+    "gov.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "or.jp",
+    "ne.jp",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "co.in",
+    "co.za",
+    "com.tr",
+    "com.ar",
+)
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def _hostport(url: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+
+
+def _path(url: Column) -> Column:
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+
+
+def _query(url: Column) -> Column:
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL string per the module rules — one pure-builtin
+    expression tree (codegen-friendly), NULL-safe (NULL in → NULL
+    out, non-URL strings come back trimmed-lowercase-scheme-less
+    unchanged)."""
+    u = F.trim(url)
+    scheme = _scheme(u)
+    hostport = _hostport(u)
+    # default-port drop
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).otherwise(
+        F.when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        ).otherwise(hostport)
+    )
+    # path: collapse duplicate slashes, drop trailing slash
+    path = F.regexp_replace(_path(u), "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    # query: split, drop trackers, sort, rejoin
+    q = _query(u)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKER_PARAMS),
+    )
+    qnorm = F.array_join(F.sort_array(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+    # non-URL strings (no scheme) pass through trimmed
+    return F.when(scheme != "", rebuilt).otherwise(u)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host without port — the join/blocklist key."""
+    hp = _hostport(normalize_url(url))
+    return F.regexp_extract(hp, r"^([^:@]*@)?([^:]*)", 2)
+
+
+def registrable_domain(url: Column) -> Column:
+    """Owner domain: last two host labels, or three when the last two
+    form a known multi-label public suffix (``bbc.co.uk`` → that, not
+    ``co.uk``)."""
+    host = host_of(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*MULTI_LABEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )

@@ -2999,3 +2999,70 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "text_chars",
     ).orderBy("doc_id")
+
+
+_URL_NORM_SQL = """
+SELECT doc_id,
+       (CASE doc_id % 2 WHEN 0 THEN 'http' ELSE 'https' END)
+       || '://www.site' || (doc_id % 7)
+       || (CASE doc_id % 3 WHEN 0 THEN '.com'
+                           WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END)
+       || '/a/b/page' || doc_id
+       || '?a=1&b=' || (doc_id % 5) AS url_norm,
+       'site' || (doc_id % 7)
+       || (CASE doc_id % 3 WHEN 0 THEN '.com'
+                           WHEN 1 THEN '.co.uk'
+                           ELSE '.org' END) AS domain
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("url_normalize_documents", _URL_NORM_SQL)
+def url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (functions/urls.py — round 9): crawl URLs synthesized closed-form
+    in doc_id with every mess the canonicalizer exists for — uppercase
+    scheme and host, default ports (:80/:443), duplicate path slashes,
+    trailing slash, utm_* tracker params, unsorted query params, a
+    fragment — then normalized by the PURE COLUMN-EXPRESSION chain
+    (no UDF, no Python worker; the plan stays in WholeStageCodegen)
+    and reduced to the owner domain, exercising the multi-label
+    public-suffix branch (www.siteN.co.uk → siteN.co.uk, not co.uk).
+    The oracle computes the EXPECTED canonical form directly from the
+    closed form — an independent check of the rules, not a replay of
+    the mechanics."""
+    from workshoop2_etl_spark.functions.urls import (
+        normalize_url,
+        registrable_domain,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".org")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+            F.lit(":443")
+        ),
+        F.lit("/a//b/page"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    return (
+        docs.withColumn("url", url)
+        .select(
+            "doc_id",
+            normalize_url(F.col("url")).alias("url_norm"),
+            registrable_domain(F.col("url")).alias("domain"),
+        )
+        .orderBy("doc_id")
+    )
