@@ -117,6 +117,12 @@ _DEMOTED_ORACLES = (
     # (functions/urls.py, WholeStageCodegen end to end). Mirror-
     # checked this round; rotate into the driver window next round.
     "url_normalize_documents",
+    # NEW in round 9 (post-rotation): WARC crawl ingest end-to-end —
+    # spec-framed record synthesis, multi-record file-blob split,
+    # WARC+HTTP header parse, HTML extraction, doc ids recovered from
+    # the parsed URIs (operators/warc.py). Mirror-checked this round;
+    # rotate into the driver window next round.
+    "warc_ingest_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -1,0 +1,107 @@
+"""WARC record framing/parse (operators/warc.py): spec byte framing,
+multi-record split, HTTP envelope extraction, truncation tolerance,
+the Spark blob fan-out, and the full WARC -> HTML -> text composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.warc import (
+    parse_warc_blobs,
+    parse_warc_record,
+    split_warc,
+    synthesize_warc_record,
+)
+
+
+def _blob(n=5, host="www.h.com"):
+    return b"".join(
+        synthesize_warc_record(
+            i, f"<html><body><p>doc {i} body</p></body></html>", host=host
+        )
+        for i in range(n)
+    )
+
+
+def test_split_and_parse_roundtrip():
+    parts = split_warc(_blob(5))
+    assert len(parts) == 5
+    for i, rec in enumerate(parts):
+        wt, uri, st, ct, payload = parse_warc_record(rec)
+        assert wt == "response" and st == 200
+        assert uri == f"http://www.h.com/page{i}"
+        assert ct.startswith("text/html")
+        assert payload.decode() == (
+            f"<html><body><p>doc {i} body</p></body></html>"
+        )
+
+
+def test_framing_tolerance():
+    blob = _blob(2)
+    first_len = len(split_warc(blob)[0])
+    assert split_warc(b"") == []
+    assert split_warc(None) == []
+    assert split_warc(b"garbage") == []
+    # truncated mid-second-record: first record still recovered
+    assert len(split_warc(blob[: first_len + 40])) == 1
+    assert parse_warc_record(b"nope") is None
+
+
+def test_non_http_record():
+    wi = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    wt, uri, st, ct, payload = parse_warc_record(split_warc(wi)[0])
+    assert wt == "warcinfo" and uri is None and st is None
+    assert payload == b"robots: x"
+
+
+def test_spark_blob_fanout_no_shuffle(spark):
+    """One file row -> N record rows, as a pure map (no Exchange)."""
+    blobs = spark.createDataFrame(
+        [(1, _blob(3)), (2, _blob(4, host="www.i.org"))],
+        "file_id long, content binary",
+    )
+    out = parse_warc_blobs(blobs, "content", id_cols=["file_id"])
+    rows = out.collect()
+    assert len(rows) == 7
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r["target_uri"])
+    assert len(by_file[1]) == 3 and len(by_file[2]) == 4
+    assert all("www.i.org" in u for u in by_file[2])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("+- == Initial Plan ==")[0]
+
+
+def test_warc_html_composition(spark):
+    """The registered pipeline in miniature: records -> blob -> parse
+    -> html_to_text, ids recovered from the parsed URIs."""
+    from workshoop2_etl_spark.operators.htmlextract import html_to_text
+
+    blob = b"".join(
+        synthesize_warc_record(
+            i,
+            f"<html><head><title>T{i}</title></head>"
+            f"<body><p>body {i}</p></body></html>",
+            host="www.h.com",
+        )
+        for i in range(4)
+    )
+    blobs = spark.createDataFrame([(blob,)], "content binary")
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    out = {
+        r["doc_id"]: (r["title"], r["text"])
+        for r in html_to_text(
+            parsed.select(
+                F.regexp_extract("target_uri", r"page(\d+)$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("payload").cast("string").alias("html"),
+            ),
+            "html",
+            id_cols=["doc_id"],
+        ).collect()
+    }
+    assert out == {i: (f"T{i}", f"body {i}") for i in range(4)}

@@ -1,0 +1,185 @@
+"""WARC (Web ARChive, ISO 28500) record parsing — the container
+format crawled corpora actually arrive in (CommonCrawl ships
+petabytes of ``.warc`` files): length-framed records, each a WARC
+header block + an HTTP envelope + the payload. This module completes
+the crawl-ingest story: WARC bytes → HTTP payload →
+:mod:`operators.htmlextract` → text → every downstream text operator.
+
+Design (the codec-ladder pattern):
+
+- **Real parse, stdlib only.** ``split_warc`` walks a file blob by
+  the spec's framing — header block to the first CRLFCRLF,
+  ``Content-Length`` bytes of body, CRLFCRLF record separator — and
+  ``parse_warc_record`` reads the WARC headers plus the nested HTTP
+  status line/headers. Tolerant: malformed framing stops the walk or
+  yields a None field, never raises.
+- **At-scale shape.** A 100 TB crawl reads whole ``.warc`` files
+  (Spark ``binaryFile`` source: one row per file, payload in the
+  ``content`` column) and fans records out per file — embarrassingly
+  parallel, no shuffle. ``parse_warc_blobs`` is that kernel
+  (Arrow-batched ``mapInPandas``, one input row → N record rows).
+- **Closed-form fixture.** ``synthesize_warc_record`` wraps a page in
+  a deterministic WARC/1.0 response record (URI carries the doc id),
+  so the registered query recovers doc_id FROM the parsed record and
+  the whole pipeline — frame → HTTP → HTML → text — oracle-checks
+  against the same closed form as ``html_extract_documents``.
+
+The reference has no crawl handling; §2.9 extension surface.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def synthesize_warc_record(doc_id: int, html: str, *, host: str) -> bytes:
+    """One valid WARC/1.0 ``response`` record: WARC headers (target
+    URI ``http://{host}/page{doc_id}``, deterministic record id),
+    HTTP/1.1 200 envelope, HTML payload. Byte framing follows the
+    spec exactly (Content-Length counts the HTTP envelope + payload;
+    records separated by CRLFCRLF)."""
+    payload = html.encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    ) + payload
+    warc_headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:doc-{doc_id:012d}>\r\n"
+        f"WARC-Target-URI: http://{host}/page{doc_id}\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode("ascii")
+    return warc_headers + http + _CRLF2
+
+
+def split_warc(blob: bytes) -> list[bytes]:
+    """Walk a ``.warc`` file blob into record byte slices by the
+    spec's Content-Length framing. Stops (returning what it has) at
+    the first malformed frame rather than guessing."""
+    out: list[bytes] = []
+    pos = 0
+    blob = blob or b""
+    while pos < len(blob):
+        if not blob.startswith(b"WARC/", pos):
+            break
+        hdr_end = blob.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        m = re.search(
+            rb"^Content-Length:[ \t]*(\d+)[ \t]*$",
+            blob[pos:hdr_end],
+            re.M | re.I,
+        )
+        if not m:
+            break
+        body_end = hdr_end + 4 + int(m.group(1))
+        if body_end > len(blob):
+            break
+        out.append(blob[pos:body_end])
+        pos = body_end
+        # skip the record separator (tolerate missing/short on tail)
+        while blob.startswith(b"\r\n", pos):
+            pos += 2
+    return out
+
+
+def _headers(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            out[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+    return out
+
+
+def parse_warc_record(rec: bytes):
+    """(warc_type, target_uri, http_status, content_type, payload)
+    from one record's bytes, or None if it isn't a WARC record.
+    Non-HTTP records (warcinfo, metadata) come back with NULL status
+    and their raw body as payload."""
+    rec = rec or b""
+    if not rec.startswith(b"WARC/"):
+        return None
+    hdr_end = rec.find(_CRLF2)
+    if hdr_end < 0:
+        return None
+    wh = _headers(rec[:hdr_end])
+    body = rec[hdr_end + 4 :]
+    warc_type = wh.get("warc-type", "")
+    uri = wh.get("warc-target-uri")
+    status = None
+    ctype = None
+    payload = body
+    if body.startswith(b"HTTP/"):
+        http_end = body.find(_CRLF2)
+        if http_end >= 0:
+            status_line = body[: body.find(b"\r\n")]
+            parts = status_line.split(b" ")
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            hh = _headers(body[:http_end])
+            ctype = hh.get("content-type")
+            payload = body[http_end + 4 :]
+    return warc_type, uri, status, ctype, payload
+
+
+def parse_warc_blobs(
+    df: DataFrame,
+    blob_col: str = "content",
+    *,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """One input row (a ``.warc`` file blob) → one output row per
+    contained record: ``warc_type``, ``target_uri``, ``http_status``,
+    ``content_type``, ``payload`` (binary). Pure map — records fan
+    out inside the task, no shuffle, no driver involvement."""
+    ids = id_cols or [c for c in df.columns if c != blob_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("warc_type", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for rec in split_warc(r[blob_col]):
+                    parsed = parse_warc_record(rec)
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        tuple(r[c] for c in ids) + parsed
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=ids
+                + [
+                    "warc_type",
+                    "target_uri",
+                    "http_status",
+                    "content_type",
+                    "payload",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema)

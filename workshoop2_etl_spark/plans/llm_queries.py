@@ -3066,3 +3066,113 @@ def url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_WARC_INGEST_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+)
+SELECT doc_id,
+       'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+         AS target_uri,
+       CAST(200 AS INTEGER) AS http_status,
+       'Doc ' || doc_id AS title,
+       CAST(1 AS INTEGER) AS n_links,
+       md5(body) AS text_md5
+FROM x
+ORDER BY doc_id
+"""
+
+
+@_register("warc_ingest_documents", _WARC_INGEST_SQL)
+def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingest pipeline END TO END (operators/warc.py +
+    operators/htmlextract.py — round 9): each document's fixture page
+    is wrapped in a valid WARC/1.0 response record (spec byte
+    framing: WARC headers, Content-Length, HTTP/1.1 envelope),
+    records concatenate into multi-record FILE BLOBS of 8 (binary
+    fold inside an aggregate — the .warc-file shape a binaryFile
+    source delivers at 100 TB), and the blob kernel then does the
+    real work: Content-Length frame walk → per-record WARC + HTTP
+    header parse → payload out → stdlib HTML extraction. doc_id is
+    RECOVERED from the parsed WARC-Target-URI rather than carried
+    beside the bytes, so every join key in the output passed through
+    the full byte round trip. The oracle replays the html_extract
+    closed form plus the record's literal envelope fields (status
+    200, the URI template). Record fan-out is a pure map — the only
+    shuffle is the fixture's own blob-building aggregate."""
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_blobs,
+        synthesize_warc_record,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+
+    rec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rec", T.BinaryType()),
+        ]
+    )
+
+    def to_records(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["rec"] = [
+                synthesize_warc_record(
+                    int(i), h, host=f"www.site{int(i) % 7}.com"
+                )
+                for i, h in zip(pdf["doc_id"], pdf["html"])
+            ]
+            yield out
+
+    recs = pages.mapInPandas(to_records, rec_schema)
+    blobs = (
+        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["rec"]),
+            ).alias("content")
+        )
+        .select("content")
+    )
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    extracted = html_to_text(
+        parsed.select(
+            F.regexp_extract("target_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "target_uri",
+            "http_status",
+            F.col("payload").cast("string").alias("html"),
+        ),
+        "html",
+        id_cols=["doc_id", "target_uri", "http_status"],
+    )
+    return extracted.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        "title",
+        "n_links",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
