@@ -123,6 +123,12 @@ _DEMOTED_ORACLES = (
     # the parsed URIs (operators/warc.py). Mirror-checked this round;
     # rotate into the driver window next round.
     "warc_ingest_documents",
+    # NEW in round 9 (post-rotation): ftfy-style mojibake repair —
+    # cp1252/latin-1 re-encode + UTF-8 re-decode with iterative
+    # unwind, planted corrupted tails, byte-exact restoration oracle
+    # (operators/redaction.py). Mirror-checked this round; rotate
+    # into the driver window next round.
+    "fix_mojibake_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

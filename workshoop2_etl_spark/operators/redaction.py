@@ -137,3 +137,83 @@ def unicode_normalize(
         )
 
     return df.withColumn(out, _norm(F.col(text_col)))
+
+
+def _demojibake_once(t: str) -> str | None:
+    """One repair pass: re-encode through cp1252 (falling back to
+    latin-1 for the five 0x8x codepoints cp1252 doesn't map) and
+    re-decode as UTF-8. Returns the repaired string, or None when the
+    text doesn't round-trip (i.e. is not mojibake) or is unchanged."""
+    try:
+        b = t.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            b = t.encode("latin-1")
+        except UnicodeEncodeError:
+            return None
+    try:
+        fixed = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return fixed if fixed != t else None
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str | None = None,
+    flag_col: str | None = None,
+    max_passes: int = 3,
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-Latin-1/Windows-1252 mojibake
+    ("Ã©" → "é", "â€™" → "’") — the ftfy-style fix every crawled
+    corpus needs: a double-encoded page hashes differently, BPE-splits
+    into garbage, and defeats dedup against its clean twin.
+
+    The decision rule is the core public ftfy insight, applied
+    deterministically: if re-encoding the text through
+    cp1252-with-latin-1-fallback yields bytes that DECODE AS VALID
+    UTF-8 to a different (shorter) string, that is overwhelming
+    evidence the text was mojibake — genuine text whose codepoints
+    happen to spell valid multi-byte UTF-8 is vanishingly rare, and
+    that residual ambiguity is inherent to the problem, not this
+    implementation. Repairs iterate up to ``max_passes`` so
+    double-encoded text ("Ã©" encoded again → "ÃƒÂ©") unwinds fully;
+    pure-ASCII and already-clean text pass through untouched. Runs as
+    one Arrow-batched kernel (stdlib codecs only), a pure map.
+
+    ``flag_col`` (optional) records whether any pass fired — the
+    corpus-quality signal (fraction of mojibake pages per source is a
+    standard crawl-health metric).
+    """
+    out = out_col or text_col
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("repaired string, fixed boolean")
+    def _fix(s: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None:
+                return None, False
+            cur, fired = t, False
+            for _ in range(max_passes):
+                nxt = _demojibake_once(cur)
+                if nxt is None:
+                    break
+                cur, fired = nxt, True
+            return cur, fired
+
+        pairs = s.map(one)
+        return pd.DataFrame(
+            {
+                "repaired": pairs.map(lambda p: p[0]),
+                "fixed": pairs.map(lambda p: p[1]),
+            }
+        )
+
+    tmp = "__mojibake_struct"
+    res = df.withColumn(tmp, _fix(F.col(text_col)))
+    res = res.withColumn(out, F.col(f"{tmp}.repaired"))
+    if flag_col:
+        res = res.withColumn(flag_col, F.col(f"{tmp}.fixed"))
+    return res.drop(tmp)

@@ -3176,3 +3176,69 @@ def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_links",
         F.md5(F.col("text")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+_MOJIBAKE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE doc_id % 3 WHEN 0 THEN ' plain tail'
+                            ELSE ' caf\u00e9 \u2014 \u201ctail\u201d' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(t) AS text_md5,
+       doc_id % 3 <> 0 AS was_fixed
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_register("fix_mojibake_documents", _MOJIBAKE_SQL)
+def fix_mojibake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/redaction.py fix_mojibake — round
+    9, the ftfy-style fix): every document's text is CORRUPTED the
+    way real crawl mojibake happens (UTF-8 bytes mis-decoded as
+    Latin-1: 'café' → 'cafÃ©'), then the repair kernel re-encodes
+    through cp1252-with-latin-1-fallback and re-decodes as UTF-8,
+    iterating so double-encoding unwinds too. Because the raw synthetic
+    corpus is pure ASCII (where corruption is the identity), every
+    third document keeps an ASCII tail and the rest get an
+    accented/em-dash/curly-quote tail — the characters real mojibake
+    mangles, including the 0x80–0x9F cp1252 page the latin-1
+    fallback exists for. The oracle is the identity the repair must
+    restore — md5(original+tail), byte-exact — and the fixed flag is
+    exactly 'this row got the non-ASCII tail'. Both kernels are pure maps (stdlib codecs, Arrow
+    batches); the only plan cost is the output sort."""
+    from workshoop2_etl_spark.operators.redaction import fix_mojibake
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" plain tail")
+            ).otherwise(
+                F.lit(" caf\u00e9 \u2014 \u201ctail\u201d")
+            ),
+        ).alias("text"),
+    )
+
+    def corrupt(it):
+        for pdf in it:
+            out = pdf.copy()
+            out["text"] = [
+                t.encode("utf-8").decode("latin-1")
+                if t is not None
+                else None
+                for t in pdf["text"]
+            ]
+            yield out
+
+    mangled = docs.mapInPandas(corrupt, docs.schema)
+    repaired = fix_mojibake(mangled, "text", flag_col="was_fixed")
+    return repaired.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        "was_fixed",
+    ).orderBy("doc_id")
