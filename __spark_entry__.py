@@ -129,6 +129,11 @@ _DEMOTED_ORACLES = (
     # (operators/redaction.py). Mirror-checked this round; rotate
     # into the driver window next round.
     "fix_mojibake_documents",
+    # NEW in round 9 (post-rotation): robots.txt crawl admission —
+    # RFC 9309 parser + relational longest-match-then-Allow decision
+    # via broadcast join + one window (operators/robots.py). Mirror-
+    # checked this round; rotate into the driver window next round.
+    "robots_filter_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

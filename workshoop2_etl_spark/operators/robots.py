@@ -1,0 +1,158 @@
+"""robots.txt parsing and URL admission — crawl governance as a
+RELATIONAL operator, completing the crawl family (WARC ingest → HTML
+extraction → URL canonicalization → *may we even keep this URL?*).
+
+Two halves:
+
+- :func:`parse_robots` — a real RFC 9309 parser (stdlib only,
+  Arrow-batched): user-agent groups, Allow/Disallow directives,
+  comments, blank-line tolerance; a crawler-agent lookup picks the
+  most-specific matching group (exact agent name, else ``*``), and
+  each kept directive becomes ONE RULE ROW ``(…, rule_path, allow)``.
+- :func:`robots_filter` — the admission decision as a JOIN, not a
+  per-row loop: URLs left-join the rule rows on the grouping key,
+  prefix-matching rules survive, and ONE window picks the winner by
+  RFC 9309 precedence — longest rule path wins, ties go to Allow —
+  with no-rule URLs admitted by default. Everything after the parse
+  is relational (join + filter + window), so it scales like any
+  other join (rules tables are tiny — broadcast — and the decision
+  is SQL, which is what lets the registered query oracle-check the
+  precedence logic in DuckDB verbatim).
+
+Only prefix rules are implemented (the original robots.txt grammar);
+``*``/``$`` wildcard extensions are rejected at parse time into an
+explicit ``unsupported`` bucket rather than silently mis-matched —
+at crawl scale a silently wrong admission is a compliance bug.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_robots_text(
+    text: str, agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """Parse one robots.txt body → [(rule_path, allow)] for
+    ``agent``: directives from the group whose User-agent line
+    matches ``agent`` exactly (case-insensitive), else the ``*``
+    group. Wildcard rules (``*`` or ``$`` in the path) are skipped —
+    see module docstring. Malformed lines are ignored (RFC 9309
+    tolerance); an empty/None body yields no rules (allow all)."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current = []
+            name = val.lower()
+            current.append(name)
+            groups.setdefault(name, [])
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if key in ("allow", "disallow") and current:
+            if val == "" and key == "disallow":
+                continue  # "Disallow:" (empty) = allow all, no rule
+            if "*" in val or "$" in val:
+                continue  # wildcard extension: explicit unsupported
+            for name in current:
+                groups[name].append((val, key == "allow"))
+    want = agent.lower()
+    if want in groups:
+        return groups[want]
+    return groups.get("*", [])
+
+
+def parse_robots(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    *,
+    agent: str = "*",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """One input row (a fetched robots.txt) → one output row per
+    kept rule: ``key_cols…, rule_path, allow``. Pure map; robots
+    files are KB-sized so the output rules frame is tiny (broadcast
+    it into :func:`robots_filter`)."""
+    ids = key_cols or [c for c in df.columns if c != text_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("rule_path", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for path, allow in parse_robots_text(r[text_col], agent):
+                    rows.append(tuple(r[c] for c in ids) + (path, allow))
+            yield pd.DataFrame(
+                rows, columns=ids + ["rule_path", "allow"]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_key: str,
+    path_col: str,
+    join_on: str,
+    keep_denied: bool = False,
+) -> DataFrame:
+    """Admission decision per URL row: join ``rules`` on ``join_on``
+    (usually the registrable domain or host), keep prefix-matching
+    rules, pick the winner per RFC 9309 — longest ``rule_path``
+    first, ``allow`` wins ties — and default-allow URLs with no
+    matching rule. Returns the URL rows plus an ``allowed`` flag
+    (filtered to allowed unless ``keep_denied``).
+
+    Scale shape: rules frames are tiny (robots files are KB-sized) —
+    broadcast join; the window partitions by ``url_key`` over at most
+    the handful of matching rules per URL."""
+    joined = urls.join(F.broadcast(rules), join_on, "left")
+    # a non-matching rule row must NOT eliminate its URL: rank
+    # matches above non-matches so a URL whose domain has rules but
+    # none matching still surfaces (as its default-allow winner row)
+    is_match = (
+        F.col("rule_path").isNotNull()
+        & F.col(path_col).startswith(F.col("rule_path"))
+    ).cast("int")
+    w = Window.partitionBy(url_key).orderBy(
+        is_match.desc(),
+        F.length(F.col("rule_path")).desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
+    decided = (
+        joined.withColumn("__m", is_match)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumn(
+            "allowed",
+            F.when(F.col("__m") == 0, F.lit(True)).otherwise(
+                F.col("allow")
+            ),
+        )
+        .drop("__rn", "__m", "rule_path", "allow")
+    )
+    return decided if keep_denied else decided.where(F.col("allowed"))

@@ -3242,3 +3242,95 @@ def fix_mojibake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
         "was_fixed",
     ).orderBy("doc_id")
+
+
+_ROBOTS_SQL = """
+SELECT doc_id,
+       'site' || (doc_id % 7) || '.com' AS domain,
+       CASE doc_id % 5
+         WHEN 0 THEN '/pub/p' || doc_id
+         WHEN 1 THEN '/private/p' || doc_id
+         WHEN 2 THEN '/private/pub/p' || doc_id
+         WHEN 3 THEN '/tmp/p' || doc_id
+         ELSE '/blog/p' || doc_id END AS path,
+       CASE doc_id % 5
+         WHEN 0 THEN TRUE
+         WHEN 1 THEN FALSE
+         WHEN 2 THEN TRUE
+         WHEN 3 THEN FALSE
+         ELSE (doc_id % 7) % 2 = 0 END AS allowed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("robots_filter_documents", _ROBOTS_SQL)
+def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl admission (operators/robots.py — round 9):
+    seven synthetic domains each publish a real robots.txt body
+    (comments, a BadBot group the '*' lookup must skip past,
+    Disallow/Allow directives; odd domains add a /blog/ ban), the
+    RFC 9309 parser explodes them into rule rows, and the admission
+    decision runs RELATIONALLY — URLs broadcast-join their domain's
+    rules, prefix matches survive, one window picks the winner by
+    longest-rule-path-then-Allow precedence, and no-rule/no-match
+    URLs default-allow. Every branch is exercised: plain allow
+    (/pub), prefix deny (/private), the longer-Allow-overrides-deny
+    case (/private/pub), a no-trailing-slash rule (/tmp), and a
+    per-domain-policy split (/blog denied only on odd domains). The
+    oracle states the expected decision independently as a closed
+    form — not a replay of the window mechanics."""
+    from workshoop2_etl_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    base = (
+        "# crawl policy\n"
+        "User-agent: BadBot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/pub/\n"
+        "Disallow: /tmp\n"
+    )
+    robots = spark.range(7).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.when(
+            F.col("id") % 2 == 1,
+            F.lit(base + "Disallow: /blog/\n"),
+        )
+        .otherwise(F.lit(base))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7), F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/pub/p"),
+                    F.lit("/private/p"),
+                    F.lit("/private/pub/p"),
+                    F.lit("/tmp/p"),
+                    F.lit("/blog/p"),
+                ),
+                (F.col("doc_id") % 5).cast("int") + 1,
+            ),
+            F.col("doc_id"),
+        ).alias("path"),
+    )
+    return robots_filter(
+        urls,
+        rules,
+        url_key="doc_id",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+    ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
