@@ -134,6 +134,12 @@ _DEMOTED_ORACLES = (
     # via broadcast join + one window (operators/robots.py). Mirror-
     # checked this round; rotate into the driver window next round.
     "robots_filter_documents",
+    # NEW in round 9 (post-rotation): charset-sniffed byte decoding —
+    # BOM sniff / strict-UTF-8 verify / cp1252 / latin-1 ladder with
+    # per-row encoding labels, four-branch planted fixture
+    # (operators/charset.py). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "charset_decode_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

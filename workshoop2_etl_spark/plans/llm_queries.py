@@ -3334,3 +3334,100 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_on="domain",
         keep_denied=True,
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
+
+
+_CHARSET_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE doc_id % 4
+              WHEN 0 THEN ' ü tail'
+              WHEN 1 THEN ' bom tail'
+              WHEN 2 THEN ' utf16 é tail'
+              ELSE ' legacy é — “tail”' END AS t,
+         CASE doc_id % 4
+              WHEN 0 THEN 'utf-8'
+              WHEN 1 THEN 'utf-8-sig'
+              WHEN 2 THEN 'utf-16'
+              ELSE 'cp1252' END AS enc
+  FROM documents
+)
+SELECT doc_id, md5(t) AS text_md5, enc AS encoding
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_register("charset_decode_documents", _CHARSET_SQL)
+def charset_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniffed byte decoding (operators/charset.py — round
+    9): each document's text gets a branch-specific non-ASCII tail
+    and is ENCODED the way origin servers actually serve pages —
+    plain UTF-8, UTF-8 with BOM, UTF-16-LE with BOM, and cp1252
+    including its 0x80-0x9F page (em-dash, curly quotes — exactly
+    the bytes latin-1 mislabels) — then the ladder decodes: BOM
+    sniff, strict-UTF-8 verify, cp1252, latin-1 last resort. The
+    oracle is byte-exact restoration (md5 of the original text+tail)
+    plus the exact ladder rung per row; the cp1252 rows prove the
+    strict-UTF-8 step REJECTED them (0xE9/0x97 are invalid UTF-8)
+    rather than mangling, and the BOM rows prove the mark is
+    consumed, not leaked into the text."""
+    from workshoop2_etl_spark.operators.charset import decode_bytes
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(
+                F.array(
+                    F.lit(" ü tail"),
+                    F.lit(" bom tail"),
+                    F.lit(" utf16 é tail"),
+                    F.lit(" legacy é — “tail”"),
+                ),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+        ).alias("text"),
+    )
+
+    def encode(it):
+        import codecs
+
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                branch = int(i) % 4
+                if branch == 0:
+                    payloads.append(t.encode("utf-8"))
+                elif branch == 1:
+                    payloads.append(codecs.BOM_UTF8 + t.encode("utf-8"))
+                elif branch == 2:
+                    payloads.append(
+                        codecs.BOM_UTF16_LE + t.encode("utf-16-le")
+                    )
+                else:
+                    payloads.append(t.encode("cp1252"))
+            out["payload"] = payloads
+            yield out
+
+    import pyspark.sql.types as T2
+
+    raw = docs.mapInPandas(
+        encode,
+        T2.StructType(
+            [
+                T2.StructField("doc_id", T2.LongType()),
+                T2.StructField("payload", T2.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        decode_bytes(raw, "payload", id_cols=["doc_id"])
+        .select(
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            "encoding",
+        )
+        .orderBy("doc_id")
+    )
