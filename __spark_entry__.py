@@ -140,6 +140,12 @@ _DEMOTED_ORACLES = (
     # (operators/charset.py). Mirror-checked this round; rotate into
     # the driver window next round.
     "charset_decode_documents",
+    # NEW in round 9 (post-rotation): the crawl chapter composed
+    # end-to-end — WARC blobs -> frame/parse -> charset decode ->
+    # HTML extract -> URL domain -> robots admission, doc ids
+    # recovered from parsed URIs, one composed oracle. Mirror-checked
+    # this round; rotate into the driver window next round.
+    "crawl_prep_documents",
     # ------------------------------------------------------------------
     # Round-8 WINDOW ROTATION: eight never-windowed oracles rotate IN
     # (fuzzy_join_big_customers, heavy_hitters_bigrams_documents,

@@ -3431,3 +3431,141 @@ def charset_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CRAWL_PREP_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+)
+SELECT doc_id,
+       'site' || (doc_id % 7) || '.com' AS domain,
+       'utf-8' AS encoding,
+       (doc_id % 7) % 2 = 0 AS allowed,
+       'Doc ' || doc_id AS title,
+       md5(body) AS text_md5
+FROM x
+ORDER BY doc_id
+"""
+
+
+@_register("crawl_prep_documents", _CRAWL_PREP_SQL)
+def crawl_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL CHAPTER composed end-to-end — every round-9 ingest
+    operator in one pipeline, each feeding the next the way a real
+    CommonCrawl-scale prep job would: fixture pages → spec-framed
+    WARC records folded into multi-record file blobs → frame walk +
+    WARC/HTTP header parse → charset-sniffed payload decode (labels
+    on the hash path) → stdlib HTML extraction (boilerplate dropped
+    structurally) → registrable-domain extraction from the parsed
+    URI via the pure-expression URL tools → robots.txt admission
+    (odd domains publish 'Disallow: /page', so the decision splits
+    the corpus by domain parity). Every output column crossed at
+    least two operator boundaries; doc_id itself is recovered from
+    the parsed WARC-Target-URI. The oracle replays the composed
+    closed form. Per-record fan-out, decode, extraction and the
+    domain map are all pure maps; the shuffles are the fixture's
+    blob-build, the tiny broadcast rules join's window, and the
+    output sort."""
+    from workshoop2_etl_spark.operators.charset import decode_bytes
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_blobs,
+        synthesize_warc_record,
+    )
+    from workshoop2_etl_spark.functions.urls import registrable_domain
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+
+    rec_schema = "doc_id long, rec binary"
+
+    def to_records(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["rec"] = [
+                synthesize_warc_record(
+                    int(i), h, host=f"www.site{int(i) % 7}.com"
+                )
+                for i, h in zip(pdf["doc_id"], pdf["html"])
+            ]
+            yield out
+
+    recs = pages.mapInPandas(to_records, rec_schema)
+    blobs = (
+        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["rec"]),
+            ).alias("content")
+        )
+        .select("content")
+    )
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    decoded = decode_bytes(
+        parsed.select("target_uri", "payload"),
+        "payload",
+        out_col="html",
+        id_cols=["target_uri"],
+    )
+    extracted = html_to_text(
+        decoded.select(
+            F.regexp_extract("target_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            registrable_domain(F.col("target_uri")).alias("domain"),
+            F.regexp_extract("target_uri", r"(/page\d+)$", 1).alias(
+                "path"
+            ),
+            "encoding",
+            "html",
+        ),
+        "html",
+        id_cols=["doc_id", "domain", "path", "encoding"],
+    )
+    robots = spark.range(7).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.when(
+            F.col("id") % 2 == 1,
+            F.lit("User-agent: *\nDisallow: /page\n"),
+        )
+        .otherwise(F.lit("User-agent: *\n"))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
+    admitted = robots_filter(
+        extracted,
+        rules,
+        url_key="doc_id",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+    )
+    return admitted.select(
+        "doc_id",
+        "domain",
+        "encoding",
+        "allowed",
+        "title",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
