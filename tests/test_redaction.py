@@ -10,6 +10,25 @@ def test_mojibake_single_and_double_unwind():
         assert _demojibake_once(_demojibake_once(double)) == clean
 
 
+def test_mojibake_mixed_cp1252_and_c1_fallback():
+    """Regression (r9 ADVICE): mojibake mixing cp1252-plane
+    codepoints (â€™ from ’) with the five latin-1-only C1 codepoints
+    (U+0081 etc., produced by most Cyrillic UTF-8 continuation
+    bytes) fails BOTH whole-string strict encodes — the fallback
+    must be per character (sloppy-windows-1252)."""
+    from workshoop2_etl_spark.operators.redaction import _demojibake_once
+
+    for clean in ["’ с", "курс", "€Ђ", "déjà — Москва"]:
+        # build the mixed form the way crawls actually produce it:
+        # cp1252 decode where mapped, C1 passthrough where not
+        moji = "".join(
+            b.to_bytes(1, "big").decode("cp1252", errors="ignore")
+            or chr(b)
+            for b in clean.encode("utf-8")
+        )
+        assert _demojibake_once(moji) == clean, clean
+
+
 def test_mojibake_no_false_repair():
     from workshoop2_etl_spark.operators.redaction import _demojibake_once
 

@@ -87,22 +87,46 @@ def test_relational_admission_decision(spark):
     assert kept == [2, 3, 5, 6]
 
 
-def test_rules_join_is_broadcast(spark):
+def _tiny_fixture(spark):
     robots = spark.createDataFrame(
         [("d.com", "User-agent: *\nDisallow: /x\n")],
         "domain string, robots_txt string",
     )
     rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
     urls = spark.createDataFrame(
-        [(1, "d.com", "/x/1")], "uid long, domain string, path string"
+        [(1, "d.com", "/x/1"), (2, "d.com", "/ok"), (3, "e.com", "/x/2")],
+        "uid long, domain string, path string",
     )
-    out = robots_filter(
-        urls,
-        rules,
-        url_key="uid",
-        path_col="path",
-        join_on="domain",
-        keep_denied=True,
+    return urls, rules
+
+
+def test_rules_join_broadcast_gate(spark):
+    """broadcast=True hints the join; broadcast=False (the big-rules
+    crawl regime) plans a shuffle join on the domain key and returns
+    IDENTICAL rows; default auto-gates on Catalyst's size estimate —
+    a mapInPandas rules plan has no stats, so auto takes the safe
+    non-broadcast path rather than forcing a whole-crawl broadcast."""
+    urls, rules = _tiny_fixture(spark)
+    kw = dict(
+        url_key="uid", path_col="path", join_on="domain", keep_denied=True
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    forced = robots_filter(urls, rules, broadcast=True, **kw)
+    plan_b = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b or "BroadcastNestedLoop" in plan_b
+
+    shuffled = robots_filter(urls, rules, broadcast=False, **kw)
+    plan_s = shuffled._jdf.queryExecution().executedPlan().toString()
+    head_s = plan_s.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in head_s
+    assert "SortMergeJoin" in head_s or "ShuffledHashJoin" in head_s
+
+    rows_b = sorted(map(tuple, forced.collect()))
+    rows_s = sorted(map(tuple, shuffled.collect()))
+    assert rows_b == rows_s and len(rows_b) == 3
+
+    auto = robots_filter(urls, rules, **kw)
+    plan_a = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_a.split(
+        "+- == Initial Plan =="
+    )[0]
+    assert sorted(map(tuple, auto.collect())) == rows_b

@@ -7,9 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.operators.warc import (
+    gzip_warc_record,
     parse_warc_blobs,
     parse_warc_record,
     split_warc,
+    split_warc_gz,
     synthesize_warc_record,
 )
 
@@ -45,6 +47,67 @@ def test_framing_tolerance():
     # truncated mid-second-record: first record still recovered
     assert len(split_warc(blob[: first_len + 40])) == 1
     assert parse_warc_record(b"nope") is None
+
+
+def test_content_length_not_last_header():
+    """Regression (r9 ADVICE): CRLF-terminated Content-Length followed
+    by more headers (the real CommonCrawl ordering) must still frame —
+    the old ``$``-anchored regex only matched when it was last."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"Content-Length: 5\r\n"
+        b"WARC-Block-Digest: sha1:beef\r\n"
+        b"WARC-IP-Address: 192.0.2.9\r\n"
+        b"\r\nhello\r\n\r\n"
+    )
+    parts = split_warc(rec * 3)
+    assert len(parts) == 3
+    for p in parts:
+        assert parse_warc_record(p)[4] == b"hello"
+
+
+def test_gzip_member_split_roundtrip():
+    """CommonCrawl layout: one gzip member per record, concatenated."""
+    recs = [
+        synthesize_warc_record(i, f"<p>d{i}</p>", host="www.h.com")
+        for i in range(6)
+    ]
+    gz = b"".join(gzip_warc_record(r) for r in recs)
+    parts = split_warc_gz(gz)
+    framed = [r[:-4] for r in recs]  # splitter strips the CRLFCRLF sep
+    assert parts == framed
+    # tolerance: empty / garbage / truncated-final-member
+    assert split_warc_gz(b"") == []
+    assert split_warc_gz(None) == []
+    assert split_warc_gz(b"garbage") == []
+    first = gzip_warc_record(recs[0])
+    assert split_warc_gz(first + gzip_warc_record(recs[1])[:-4]) == framed[:1]
+    # one member holding several records still fans out
+    multi = gzip_warc_record(b"".join(recs[:3]))
+    assert split_warc_gz(multi) == framed[:3]
+
+
+def test_spark_gzip_blob_autodetect(spark):
+    """parse_warc_blobs detects .warc.gz rows by magic and yields the
+    same records as the plain path."""
+    recs = [
+        synthesize_warc_record(i, f"<p>d{i}</p>", host="www.h.com")
+        for i in range(4)
+    ]
+    plain = b"".join(recs)
+    gz = b"".join(gzip_warc_record(r) for r in recs)
+    blobs = spark.createDataFrame(
+        [(1, plain), (2, gz)], "file_id long, content binary"
+    )
+    out = parse_warc_blobs(blobs, "content", id_cols=["file_id"])
+    rows = out.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], set()).add(
+            (r["target_uri"], bytes(r["payload"]))
+        )
+    assert by_file[1] == by_file[2] and len(by_file[1]) == 4
 
 
 def test_non_http_record():

@@ -16,6 +16,8 @@ filter.
 
 from __future__ import annotations
 
+import codecs
+
 import pandas as pd  # module scope: pandas-UDF type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -139,18 +141,34 @@ def unicode_normalize(
     return df.withColumn(out, _norm(F.col(text_col)))
 
 
+def _sloppy_cp1252_errors(exc):
+    """cp1252 encode fallback, PER CHARACTER (ftfy's
+    sloppy-windows-1252): any C1 codepoint (U+0080–U+009F) cp1252
+    can't encode — latin-1 decoding of UTF-8 continuation bytes
+    produces the whole range, cp1252 decoding the five unmapped ones
+    (0x81 8D 8F 90 9D) — becomes its raw byte. Per character matters:
+    mojibake routinely mixes C1 codepoints with cp1252-plane ones
+    (€ from 0x80), and a whole-string latin-1 retry fails then."""
+    if isinstance(exc, UnicodeEncodeError):
+        chunk = exc.object[exc.start : exc.end]
+        if all(0x80 <= ord(c) <= 0x9F for c in chunk):
+            return bytes(ord(c) for c in chunk), exc.end
+    raise exc
+
+
+codecs.register_error("sloppy_cp1252", _sloppy_cp1252_errors)
+
+
 def _demojibake_once(t: str) -> str | None:
-    """One repair pass: re-encode through cp1252 (falling back to
-    latin-1 for the five 0x8x codepoints cp1252 doesn't map) and
-    re-decode as UTF-8. Returns the repaired string, or None when the
-    text doesn't round-trip (i.e. is not mojibake) or is unchanged."""
+    """One repair pass: re-encode through cp1252 with a PER-CHARACTER
+    latin-1 fallback for the five C1 codepoints cp1252 doesn't map,
+    then re-decode as UTF-8. Returns the repaired string, or None
+    when the text doesn't round-trip (i.e. is not mojibake) or is
+    unchanged."""
     try:
-        b = t.encode("cp1252")
+        b = t.encode("cp1252", errors="sloppy_cp1252")
     except UnicodeEncodeError:
-        try:
-            b = t.encode("latin-1")
-        except UnicodeEncodeError:
-            return None
+        return None
     try:
         fixed = b.decode("utf-8")
     except UnicodeDecodeError:

@@ -119,6 +119,7 @@ def robots_filter(
     path_col: str,
     join_on: str,
     keep_denied: bool = False,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Admission decision per URL row: join ``rules`` on ``join_on``
     (usually the registrable domain or host), keep prefix-matching
@@ -127,10 +128,41 @@ def robots_filter(
     matching rule. Returns the URL rows plus an ``allowed`` flag
     (filtered to allowed unless ``keep_denied``).
 
-    Scale shape: rules frames are tiny (robots files are KB-sized) —
-    broadcast join; the window partitions by ``url_key`` over at most
-    the handful of matching rules per URL."""
-    joined = urls.join(F.broadcast(rules), join_on, "left")
+    Scale shape: EACH robots file is KB-sized, but the UNION of rules
+    across a whole crawl's domains (10⁷–10⁸ at CommonCrawl scale)
+    is not broadcastable — a forced broadcast there is a driver OOM.
+    ``broadcast`` gates the hint: ``True``/``False`` force it;
+    ``None`` (default) size-gates — broadcast only when Catalyst's
+    own size estimate for the rules plan is known and under the
+    session's ``autoBroadcastJoinThreshold``, else a plain join on
+    ``join_on`` (Catalyst shuffles both sides on the domain key; the
+    per-URL window below is keyed the same way, so AQE can often
+    reuse the exchange). The big-rules regime is thus a two-shuffle
+    hash join keyed by domain — linear, no single-node collect."""
+    if broadcast is None:
+        try:
+            threshold = int(
+                urls.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+                .lower()
+                .replace("b", "")
+                .replace("k", "000")
+                .replace("m", "000000")
+                .replace("g", "000000000")
+            )
+            size = int(
+                rules._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            broadcast = 0 < threshold and 0 <= size <= threshold
+        except Exception:
+            broadcast = False
+    joined = urls.join(
+        F.broadcast(rules) if broadcast else rules, join_on, "left"
+    )
     # a non-matching rule row must NOT eliminate its URL: rank
     # matches above non-matches so a URL whose domain has rules but
     # none matching still surfaces (as its default-allow winner row)

@@ -30,6 +30,7 @@ The reference has no crawl handling; §2.9 extension surface.
 from __future__ import annotations
 
 import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,6 +52,8 @@ def synthesize_warc_record(doc_id: int, html: str, *, host: str) -> bytes:
         b"Content-Type: text/html; charset=utf-8\r\n"
         b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
     ) + payload
+    # Content-Length deliberately NOT last: CommonCrawl places digest /
+    # IP headers after it, the ordering that exposed the r9 regex bug.
     warc_headers = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -59,9 +62,19 @@ def synthesize_warc_record(doc_id: int, html: str, *, host: str) -> bytes:
         "WARC-Date: 2024-01-01T00:00:00Z\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n"
+        f"WARC-Block-Digest: sha1:{doc_id:040d}\r\n"
+        "WARC-IP-Address: 192.0.2.1\r\n"
         "\r\n"
     ).encode("ascii")
     return warc_headers + http + _CRLF2
+
+
+def gzip_warc_record(rec: bytes, *, level: int = 6) -> bytes:
+    """Compress one record's bytes as a standalone gzip member —
+    CommonCrawl's ``.warc.gz`` convention (one member per record, so
+    readers can seek to any record without decompressing the file)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(rec) + co.flush()
 
 
 def split_warc(blob: bytes) -> list[bytes]:
@@ -77,8 +90,12 @@ def split_warc(blob: bytes) -> list[bytes]:
         hdr_end = blob.find(_CRLF2, pos)
         if hdr_end < 0:
             break
+        # \r? before $: WARC header lines end CRLF, and under re.M the
+        # anchor matches before \n only — without it, Content-Length
+        # matched only as the LAST header (real crawls put digest/IP
+        # headers after it and the walk silently stopped at record 1).
         m = re.search(
-            rb"^Content-Length:[ \t]*(\d+)[ \t]*$",
+            rb"^Content-Length:[ \t]*(\d+)[ \t]*\r?$",
             blob[pos:hdr_end],
             re.M | re.I,
         )
@@ -92,6 +109,35 @@ def split_warc(blob: bytes) -> list[bytes]:
         # skip the record separator (tolerate missing/short on tail)
         while blob.startswith(b"\r\n", pos):
             pos += 2
+    return out
+
+
+def split_warc_gz(blob: bytes) -> list[bytes]:
+    """Walk a ``.warc.gz`` blob — a concatenation of gzip members, one
+    WARC record each (the CommonCrawl layout) — and return the record
+    byte slices. Each member is inflated with its own
+    ``zlib.decompressobj`` (``unused_data`` hands back the next
+    member's offset), then framed through :func:`split_warc` so a
+    member holding several records, or stray inter-record bytes, still
+    parses. Truncated or corrupt members stop the walk with what
+    decoded so far — same tolerance contract as the plain path."""
+    out: list[bytes] = []
+    blob = blob or b""
+    pos = 0
+    while pos < len(blob) and blob.startswith(b"\x1f\x8b", pos):
+        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            member = dec.decompress(blob[pos:])
+            member += dec.flush()
+        except zlib.error:
+            break
+        if not dec.eof:  # truncated final member
+            break
+        out.extend(split_warc(member))
+        consumed = len(blob) - pos - len(dec.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
     return out
 
 
@@ -143,9 +189,11 @@ def parse_warc_blobs(
     *,
     id_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One input row (a ``.warc`` file blob) → one output row per
-    contained record: ``warc_type``, ``target_uri``, ``http_status``,
-    ``content_type``, ``payload`` (binary). Pure map — records fan
+    """One input row (a ``.warc`` or ``.warc.gz`` file blob) → one
+    output row per contained record: ``warc_type``, ``target_uri``,
+    ``http_status``, ``content_type``, ``payload`` (binary). Gzip
+    blobs are detected per row by the ``\\x1f\\x8b`` magic and
+    member-split (:func:`split_warc_gz`). Pure map — records fan
     out inside the task, no shuffle, no driver involvement."""
     ids = id_cols or [c for c in df.columns if c != blob_col]
     schema = T.StructType(
@@ -163,7 +211,13 @@ def parse_warc_blobs(
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                for rec in split_warc(r[blob_col]):
+                blob = r[blob_col] or b""
+                splitter = (
+                    split_warc_gz
+                    if blob.startswith(b"\x1f\x8b")
+                    else split_warc
+                )
+                for rec in splitter(blob):
                     parsed = parse_warc_record(rec)
                     if parsed is None:
                         continue

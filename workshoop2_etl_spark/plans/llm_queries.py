@@ -3094,23 +3094,14 @@ ORDER BY doc_id
 """
 
 
-@_register("warc_ingest_documents", _WARC_INGEST_SQL)
-def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl-ingest pipeline END TO END (operators/warc.py +
-    operators/htmlextract.py — round 9): each document's fixture page
-    is wrapped in a valid WARC/1.0 response record (spec byte
-    framing: WARC headers, Content-Length, HTTP/1.1 envelope),
-    records concatenate into multi-record FILE BLOBS of 8 (binary
-    fold inside an aggregate — the .warc-file shape a binaryFile
-    source delivers at 100 TB), and the blob kernel then does the
-    real work: Content-Length frame walk → per-record WARC + HTTP
-    header parse → payload out → stdlib HTML extraction. doc_id is
-    RECOVERED from the parsed WARC-Target-URI rather than carried
-    beside the bytes, so every join key in the output passed through
-    the full byte round trip. The oracle replays the html_extract
-    closed form plus the record's literal envelope fields (status
-    200, the URI template). Record fan-out is a pure map — the only
-    shuffle is the fixture's own blob-building aggregate."""
+def _warc_ingest_impl(
+    spark: SparkSession, sf_dir: str, *, gzip_members: bool
+) -> DataFrame:
+    """Shared body for the plain-.warc and .warc.gz ingest entries —
+    identical pipeline, differing only in whether each synthesized
+    record is wrapped as its own gzip member (the CommonCrawl
+    .warc.gz layout) before blob concatenation. Output is invariant
+    to compression, so both share one oracle."""
     from pyspark.sql import types as T
 
     from workshoop2_etl_spark.operators.htmlextract import (
@@ -3118,6 +3109,7 @@ def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_html,
     )
     from workshoop2_etl_spark.operators.warc import (
+        gzip_warc_record,
         parse_warc_blobs,
         synthesize_warc_record,
     )
@@ -3135,12 +3127,15 @@ def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     def to_records(it):
         for pdf in it:
             out = pdf[["doc_id"]].copy()
-            out["rec"] = [
+            recs = [
                 synthesize_warc_record(
                     int(i), h, host=f"www.site{int(i) % 7}.com"
                 )
                 for i, h in zip(pdf["doc_id"], pdf["html"])
             ]
+            if gzip_members:
+                recs = [gzip_warc_record(r) for r in recs]
+            out["rec"] = recs
             yield out
 
     recs = pages.mapInPandas(to_records, rec_schema)
@@ -3176,6 +3171,45 @@ def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_links",
         F.md5(F.col("text")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@_register("warc_gzip_ingest_documents", _WARC_INGEST_SQL)
+def warc_gzip_ingest_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """.warc.gz ingest (operators/warc.py ``split_warc_gz`` — round
+    10): the same end-to-end crawl pipeline as
+    ``warc_ingest_documents``, but each synthesized record is
+    compressed as its OWN gzip member and the file blobs are member
+    concatenations — the layout CommonCrawl actually ships (one
+    member per record so readers can seek). ``parse_warc_blobs``
+    detects the gzip magic per row, walks members with
+    ``zlib.decompressobj``/``unused_data``, and frames each inflated
+    member through the same Content-Length walk. Decompression is
+    inside the Arrow kernel — still a pure map, no extra shuffle.
+    Oracle: identical to the plain entry (output is invariant to
+    member compression), which IS the check."""
+    return _warc_ingest_impl(spark, sf_dir, gzip_members=True)
+
+
+@_register("warc_ingest_documents", _WARC_INGEST_SQL)
+def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingest pipeline END TO END (operators/warc.py +
+    operators/htmlextract.py — round 9): each document's fixture page
+    is wrapped in a valid WARC/1.0 response record (spec byte
+    framing: WARC headers, Content-Length, HTTP/1.1 envelope),
+    records concatenate into multi-record FILE BLOBS of 8 (binary
+    fold inside an aggregate — the .warc-file shape a binaryFile
+    source delivers at 100 TB), and the blob kernel then does the
+    real work: Content-Length frame walk → per-record WARC + HTTP
+    header parse → payload out → stdlib HTML extraction. doc_id is
+    RECOVERED from the parsed WARC-Target-URI rather than carried
+    beside the bytes, so every join key in the output passed through
+    the full byte round trip. The oracle replays the html_extract
+    closed form plus the record's literal envelope fields (status
+    200, the URI template). Record fan-out is a pure map — the only
+    shuffle is the fixture's own blob-building aggregate."""
+    return _warc_ingest_impl(spark, sf_dir, gzip_members=False)
 
 
 _MOJIBAKE_SQL = """
@@ -3333,6 +3367,7 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_col="path",
         join_on="domain",
         keep_denied=True,
+        broadcast=True,  # 7-domain fixture: provably tiny
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
 
 
@@ -3560,6 +3595,7 @@ def crawl_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_col="path",
         join_on="domain",
         keep_denied=True,
+        broadcast=True,  # 7-domain fixture: provably tiny
     )
     return admitted.select(
         "doc_id",
