@@ -290,17 +290,28 @@ def _regression_flags(
     sf: float | None,
     machine_factor: float,
     pinned: dict | None = None,
+    stream_split: dict | None = None,
 ) -> dict:
     """Per-query wall-time regression flags vs the previous detail
     artifact — only comparable at the same scale factor, and both
     sides normalized by their run's machine factor so a uniformly
     slow VM/session doesn't flag unchanged code (r7: 17 false
     flags, all noise). A previous artifact without calibration
-    (pre-round-8) normalizes by 1.0. Quiet-session ``pinned_min``
-    values are preferred on BOTH sides when present: a pinned
-    minimum already strips the session-age noise the machine factor
-    can only approximate, so it is NOT re-normalized."""
+    (pre-round-8) normalizes by 1.0.
+
+    Quiet-session ``pinned_min`` values are preferred on BOTH sides
+    when present, and normalized by THEIR run's machine factor too
+    (r9 ADVICE): a fresh pin session strips JVM session-age drift
+    but not machine/VM speed — comparing a raw pin against a
+    normalized sweep time across differently-calibrated machines is
+    apples-to-oranges.
+
+    ``streaming_*`` entries with a recorded activation/processing
+    split compare PROCESSING time when both rounds have it (r9: the
+    streaming family produced the wildest flag noise — 16.6→4.4 s
+    fresh-session spreads — almost entirely start/stop overhead)."""
     pinned = pinned or {}
+    stream_split = stream_split or {}
     comparable = isinstance(previous, dict) and previous.get("sf") == sf
     prev_q = previous.get("queries", {}) if comparable else {}
     prev_factor = 1.0
@@ -311,20 +322,35 @@ def _regression_flags(
     regressions: dict[str, dict] = {}
     for name, cur in times.items():
         prev = prev_q.get(name, {})
-        prev_sec = prev.get("sec") if isinstance(prev, dict) else None
-        prev_pin = (
-            prev.get("pinned_min") if isinstance(prev, dict) else None
-        )
+        if not isinstance(prev, dict):
+            prev = {}
+        prev_sec = prev.get("sec")
+        prev_pin = prev.get("pinned_min")
         if cur is None or (prev_sec is None and prev_pin is None):
             continue
+        basis = "wall"
+        cur_proc = (stream_split.get(name) or {}).get("processing_sec")
+        prev_proc = prev.get("processing_sec")
         cur_pin = pinned.get(name)
-        cur_n = cur_pin if cur_pin is not None else cur / machine_factor
-        if prev_pin is not None and prev_pin > 0:
-            prev_n = prev_pin
-        elif prev_sec is not None and prev_sec > 0:
-            prev_n = prev_sec / prev_factor
+        if (
+            cur_proc is not None
+            and isinstance(prev_proc, (int, float))
+            and prev_proc > 0
+        ):
+            basis = "processing"
+            cur_n = cur_proc / machine_factor
+            prev_n = prev_proc / prev_factor
         else:
-            continue
+            if cur_pin is not None:
+                cur_n = cur_pin / machine_factor
+            else:
+                cur_n = cur / machine_factor
+            if prev_pin is not None and prev_pin > 0:
+                prev_n = prev_pin / prev_factor
+            elif prev_sec is not None and prev_sec > 0:
+                prev_n = prev_sec / prev_factor
+            else:
+                continue
         if (
             cur_n >= prev_n * REGRESSION_RATIO
             and cur_n - prev_n >= REGRESSION_ABS_FLOOR_SEC
@@ -335,6 +361,7 @@ def _regression_flags(
                 "prev_sec_normalized": round(prev_n, 3),
                 "sec_normalized": round(cur_n, 3),
                 "pinned": cur_pin is not None or prev_pin is not None,
+                "basis": basis,
                 "ratio": round(cur_n / prev_n, 2),
             }
     return regressions
@@ -428,9 +455,20 @@ def main() -> None:
             print("session dead — relaunching JVM", file=sys.stderr)
             return relaunch(s)
 
+    def _pop_stream_timings():
+        try:
+            from workshoop2_etl_spark.streaming.events import (
+                pop_stream_timings,
+            )
+
+            return pop_stream_timings()
+        except Exception:  # pragma: no cover
+            return None
+
     times: dict[str, float | None] = {}
     rep_times: dict[str, list[float]] = {}
     shuffle_bytes: dict[str, int | None] = {}
+    stream_split: dict[str, dict] = {}
     total = 0.0
     mid_at = max(1, len(qs) // 2)
     for qi, (name, fn) in enumerate(qs.items()):
@@ -453,6 +491,14 @@ def main() -> None:
                 spark = revive_if_dead(spark)
                 break
             samples.append(round(time.perf_counter() - t0, 3))
+            # activation/processing split for streaming entries —
+            # keep the split of the FASTEST rep (matches `sec`=min)
+            split = _pop_stream_timings()
+            if split is not None and (
+                name not in stream_split
+                or samples[-1] == min(samples)
+            ):
+                stream_split[name] = split
             shuf1 = _shuffle_snapshot(spark)
             if shuf0 is not None and shuf1 is not None:
                 # reps run the same plan cold-cache; keep the last delta
@@ -466,6 +512,16 @@ def main() -> None:
             # under-report. Every rep runs warm-codegen, cold-cache.
             try:
                 spark.catalog.clearCache()
+            except Exception:  # pragma: no cover
+                pass
+            # Reclaim bloom bitmap broadcasts (up to 16 MiB each) —
+            # a 237-query session would otherwise accrete them.
+            try:
+                from workshoop2_etl_spark.operators.bloomjoin import (
+                    release_bloom_broadcasts,
+                )
+
+                release_bloom_broadcasts()
             except Exception:  # pragma: no cover
                 pass
         rep_times[name] = samples
@@ -532,6 +588,15 @@ def main() -> None:
                     spark = revive_if_dead(spark)
                     break
                 samples.append(time.perf_counter() - t0)
+                # fresh-session splits are the quiet measurement —
+                # keep the lowest processing time seen for the entry
+                split = _pop_stream_timings()
+                if split is not None and (
+                    name not in stream_split
+                    or split["processing_sec"]
+                    < stream_split[name]["processing_sec"]
+                ):
+                    stream_split[name] = split
                 try:
                     spark.catalog.clearCache()
                 except Exception:  # pragma: no cover
@@ -544,7 +609,9 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    regressions = _regression_flags(times, previous, sf, machine_factor, pinned)
+    regressions = _regression_flags(
+        times, previous, sf, machine_factor, pinned, stream_split
+    )
     for name, r in regressions.items():
         print(
             f"REGRESSION {name}: {r['prev_sec']}s -> {r['sec']}s"
@@ -575,6 +642,7 @@ def main() -> None:
                     if name in pinned
                     else {}
                 ),
+                **(stream_split.get(name) or {}),
             }
             for name in times
         },

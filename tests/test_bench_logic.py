@@ -146,3 +146,68 @@ def test_pinned_absent_falls_back_to_normalized():
     }
     flags = bench._regression_flags({"a": 3.0}, prev, 0.1, 1.0)
     assert flags["a"]["ratio"] == 3.0 and not flags["a"]["pinned"]
+
+
+def test_pinned_min_normalized_by_machine_factor():
+    """r9 ADVICE: pinned minima strip session-age drift but not
+    machine speed — a pin taken on a 2x-slow VM must be divided by
+    that run's machine factor before comparing against the previous
+    round's pin (taken at factor 1.0), else unchanged code flags."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {"a": {"sec": 1.1, "pinned_min": 1.0}},
+        "calibration": {"machine_factor": 1.0},
+    }
+    # current pin 2.0s, but this run's machine factor is 2.0 ->
+    # normalized 1.0 == previous pin -> no flag
+    flags = bench._regression_flags(
+        {"a": 2.2}, prev, 0.1, 2.0, pinned={"a": 2.0}
+    )
+    assert flags == {}
+    # same raw numbers on an equal-speed machine IS a regression
+    flags = bench._regression_flags(
+        {"a": 2.2}, prev, 0.1, 1.0, pinned={"a": 2.0}
+    )
+    assert flags["a"]["ratio"] == 2.0
+
+
+def test_streaming_entries_compare_processing_time():
+    """Streaming entries with a recorded activation/processing split
+    on both sides compare PROCESSING seconds: a wall-time blip that
+    is all activation overhead must not flag, while a genuine
+    processing regression must."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {
+            "streaming_x": {
+                "sec": 2.0,
+                "processing_sec": 1.0,
+                "activation_sec": 1.0,
+            },
+            "streaming_y": {
+                "sec": 2.0,
+                "processing_sec": 1.0,
+                "activation_sec": 1.0,
+            },
+        },
+        "calibration": {"machine_factor": 1.0},
+    }
+    flags = bench._regression_flags(
+        {"streaming_x": 9.0, "streaming_y": 3.5},
+        prev,
+        0.1,
+        1.0,
+        stream_split={
+            # x: wall 9s but processing still 1.1s -> activation noise
+            "streaming_x": {"processing_sec": 1.1, "activation_sec": 7.9},
+            # y: processing itself tripled -> real flag
+            "streaming_y": {"processing_sec": 3.0, "activation_sec": 0.5},
+        },
+    )
+    assert "streaming_x" not in flags
+    assert flags["streaming_y"]["basis"] == "processing"
+    assert flags["streaming_y"]["ratio"] == 3.0

@@ -165,3 +165,32 @@ def test_arrow_tier_matches_expression_tier(spark):
         )
     )
     assert got == expected
+
+
+def test_broadcast_release_hook(spark):
+    """r9 ADVICE: the big tier's bitmap broadcast is tracked and
+    reclaimable; release keeps already-built frames re-executable
+    (unpersist re-ships lazily from the driver value)."""
+    from workshoop2_etl_spark.operators.bloomjoin import (
+        _EXPR_WORDS,
+        _LIVE_BROADCASTS,
+        bloom_params,
+        release_bloom_broadcasts,
+    )
+
+    release_bloom_broadcasts()  # clean slate
+    probe = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    build = spark.range(0, 10_000, 13).select(F.col("id").alias("k"))
+    big_est = (_EXPR_WORDS * 64 * 2) // 10
+    m, _ = bloom_params(big_est, 0.01)
+    assert m // 64 > _EXPR_WORDS
+    out = bloom_semi_join(probe, build, "k", est_build_items=big_est)
+    n1 = out.count()
+    assert len(_LIVE_BROADCASTS) == 1
+    assert release_bloom_broadcasts() == 1
+    assert not _LIVE_BROADCASTS
+    # the frame still executes after release (lazy re-broadcast)
+    assert out.count() == n1
+    assert release_bloom_broadcasts() == 0  # idempotent

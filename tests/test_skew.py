@@ -220,3 +220,56 @@ def test_auto_salt_plan_empty_frame_declines(spark):
         empty, right, ["k"], normalize_keys=False, decision=d
     )
     assert out.count() == 3  # right_only rows survive
+
+
+def test_auto_salt_plan_sees_normalization_made_skew(spark):
+    """r9 VERDICT item 3: skew that exists ONLY after key
+    normalization (nulls and blank variants collapsing onto "" — the
+    reference's J1/P7 empty-string quirk) must be visible to the
+    profile and fire the salted branch. Raw-key profiling sees a
+    flat distribution here and would decline."""
+    from workshoop2_etl_spark.operators.merge import (
+        full_outer_with_indicator,
+    )
+    from workshoop2_etl_spark.operators.skew import (
+        auto_salt_plan,
+        auto_salted_full_outer,
+    )
+
+    # 4000 rows whose keys are DISTINCT raw whitespace strings (2000
+    # lengths, 2 rows each) that ALL trim to "" — plus 400 singleton
+    # real keys. Raw: max group 2 (flat); normalized: one 4000-row
+    # hot key.
+    blankish = spark.range(4_000).select(
+        F.repeat(F.lit(" "), (F.col("id") % 2000).cast("int") + 1)
+        .alias("k"),
+        F.col("id").alias("lval"),
+    )
+    real = spark.range(400).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+        (F.col("id") + 50_000).alias("lval"),
+    )
+    left = blankish.unionByName(real)
+    right = spark.range(10).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+        (F.col("id") + 90_000).alias("rval"),
+    )
+
+    raw = auto_salt_plan(left, ["k"], normalize_keys=False)
+    assert raw["salt"] == 1 and raw["hot_keys"] == []  # blind
+    norm = auto_salt_plan(left, ["k"], normalize_keys=True)
+    assert norm["hot_keys"] == [("",)]
+    assert norm["salt"] > 1
+    assert norm["profile"]["max_key_rows"] == 4_000
+
+    # auto_salted_full_outer(normalize_keys=True) fires the branch...
+    salted = auto_salted_full_outer(left, right, ["k"], normalize_keys=True)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+    # ...and stays row-identical to the plain normalized join
+    plain = full_outer_with_indicator(
+        left, right, ["k"], normalize_keys=True
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

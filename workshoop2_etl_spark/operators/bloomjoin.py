@@ -153,6 +153,28 @@ def bloom_might_contain(bf: Column, key: Column, m_bits: int, k: int) -> Column:
 #: 3-10 µs/row by 4509).
 _EXPR_WORDS = 512
 
+#: Bitmap broadcasts created by the big tier, awaiting release.
+_LIVE_BROADCASTS: list = []
+
+
+def release_bloom_broadcasts() -> int:
+    """Unpersist every bitmap broadcast the big-bitmap tier has
+    created since the last call, returning how many were released.
+    Safe to call while frames are still alive: ``unpersist`` drops
+    the executor/driver memory blocks but the broadcast re-ships
+    lazily from the driver value if a frame re-executes (only
+    ``destroy`` would invalidate it). Call between jobs in
+    long-lived sessions — e.g. after each bench query."""
+    n = 0
+    while _LIVE_BROADCASTS:
+        bc = _LIVE_BROADCASTS.pop()
+        try:
+            bc.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def _bloom_prune_arrow(
     probe: DataFrame, bitmap: list[int], key: str, m_bits: int, k: int
@@ -173,6 +195,13 @@ def _bloom_prune_arrow(
     bm_bc = probe.sparkSession.sparkContext.broadcast(
         np.array(bitmap, dtype=np.int64)
     )
+    # Long-lived sessions running many bloom joins would otherwise
+    # accumulate up-to-16 MiB broadcast blocks on driver + executors
+    # (r9 ADVICE). The handle is tracked; callers reclaim with
+    # release_bloom_broadcasts() once the returned frame is consumed
+    # — unpersist (not destroy) keeps the frame re-executable: Spark
+    # lazily re-ships from the driver-side value on next use.
+    _LIVE_BROADCASTS.append(bm_bc)
     with_h = probe.withColumn(
         "__bloom_h1", F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits))
     ).withColumn(

@@ -132,6 +132,7 @@ def auto_salt_plan(
     skew_threshold: float = 4.0,
     top_n: int = 10,
     max_salt: int = 32,
+    normalize_keys: bool = False,
 ) -> dict:
     """Measure-then-decide: close the loop between the skew
     diagnostics above and ``merge.full_outer_with_indicator``'s
@@ -151,7 +152,22 @@ def auto_salt_plan(
     Driver-side cost is bounded by construction: ONE collected
     profile row plus at most ``top_n`` heavy-key rows — never a
     key-sized collect, so the decision path itself scales.
+
+    ``normalize_keys`` (r9 VERDICT item 3): when the downstream join
+    normalizes its keys (trim/lower/``fillna("")`` — the reference's
+    J1/P7 semantics, which COLLAPSE every null/blank key onto the
+    empty string, manufacturing a hot key), the profile must measure
+    the NORMALIZED distribution: skew that exists only
+    post-normalization is invisible to a raw-key profile, and hot-key
+    tuples profiled raw would fail to match the normalized rows the
+    salted branch filters on. Pass the same flag the join gets.
     """
+    if normalize_keys:
+        from workshoop2_etl_spark.functions.text import (
+            normalize_join_keys,
+        )
+
+        df = normalize_join_keys(df, list(keys))
     prof = skew_profile(df, keys).collect()[0].asDict()
     # an empty frame profiles to all-NULL scalars (n_keys = 0):
     # nothing to salt
@@ -200,12 +216,17 @@ def auto_salted_full_outer(
     )
 
     if decision is None:
+        # Profile the SAME key space the join will use: with
+        # normalize_keys the join collapses null/blank keys onto ""
+        # (the reference's J1/P7 empty-string quirk) — a hot key the
+        # raw distribution cannot see (r9 VERDICT item 3).
         decision = auto_salt_plan(
             left,
             on,
             skew_threshold=skew_threshold,
             top_n=top_n,
             max_salt=max_salt,
+            normalize_keys=normalize_keys,
         )
     return full_outer_with_indicator(
         left,

@@ -511,9 +511,9 @@ def streaming_versioned_sink_events(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming_versioned_sink_events activation")
+    from workshoop2_etl_spark.streaming.events import await_activation
+
+    await_activation(q, 300, "streaming_versioned_sink_events")
     return (
         read_version(spark, t)
         .groupBy("event_type")

@@ -309,6 +309,74 @@ def _shuffle_partitions_override(spark, n: int | None):
     return cm()
 
 
+#: Accumulated activation-vs-processing split since the last
+#: :func:`pop_stream_timings` call. The streaming bench family
+#: produces the wildest wall-time spreads (r9: 16.6→4.4 s on
+#: unchanged code) because each measurement bundles query START/STOP
+#: overhead (plan analysis, checkpoint setup, thread spin-up) with
+#: the micro-batch work that actually scales with data. The split
+#: lets the regression gate compare PROCESSING time for streaming
+#: entries and charge activation to the harness.
+_STREAM_TIMINGS = {
+    "activation_sec": 0.0,
+    "processing_sec": 0.0,
+    "n_activations": 0,
+}
+
+
+def _record_activation(total_sec: float, q) -> None:
+    """Fold one finished StreamingQuery into the timing accumulator:
+    processing = Σ ``durationMs.triggerExecution`` over its progress
+    events (the per-batch work), activation = the remainder."""
+    proc_ms = 0.0
+    try:
+        import json as _json
+
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = _json.loads(p)
+            d = p.get("durationMs") or {}
+            proc_ms += float(d.get("triggerExecution") or 0)
+    except Exception:
+        pass
+    proc = min(proc_ms / 1000.0, total_sec)
+    _STREAM_TIMINGS["processing_sec"] += proc
+    _STREAM_TIMINGS["activation_sec"] += max(0.0, total_sec - proc)
+    _STREAM_TIMINGS["n_activations"] += 1
+
+
+def pop_stream_timings() -> dict | None:
+    """Return and RESET the activation/processing accumulator —
+    None when no activation ran since the last pop. bench.py calls
+    this after each registry query to attribute the split."""
+    if not _STREAM_TIMINGS["n_activations"]:
+        return None
+    out = {
+        "activation_sec": round(_STREAM_TIMINGS["activation_sec"], 3),
+        "processing_sec": round(_STREAM_TIMINGS["processing_sec"], 3),
+        "n_activations": _STREAM_TIMINGS["n_activations"],
+    }
+    _STREAM_TIMINGS.update(
+        activation_sec=0.0, processing_sec=0.0, n_activations=0
+    )
+    return out
+
+
+def await_activation(q, timeout_sec: int, what: str) -> None:
+    """awaitTermination with the timing split recorded — the one
+    helper every bounded-activation site funnels through. Raises
+    TimeoutError (after stopping the query) on overrun."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    finished = q.awaitTermination(timeout_sec)
+    total = _time.perf_counter() - t0
+    _record_activation(total, q)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"streaming activation {what} exceeded {timeout_sec}s")
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,
@@ -335,14 +403,9 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        # Returning a partially-written table would silently corrupt
-        # downstream comparisons — fail loudly instead.
-        q.stop()
-        raise TimeoutError(
-            f"streaming activation {name!r} exceeded {timeout_sec}s"
-        )
+        # A partially-written table would silently corrupt downstream
+        # comparisons — await_activation fails loudly on overrun.
+        await_activation(q, timeout_sec, repr(name))
     return stream_df.sparkSession.table(name)
 
 
@@ -378,12 +441,7 @@ def run_available_now_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming activation to {out_dir!r} exceeded {timeout_sec}s"
-        )
+        await_activation(q, timeout_sec, f"to {out_dir!r}")
 
 
 def run_stream_upsert(
@@ -429,12 +487,7 @@ def run_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming upsert to {path!r} exceeded {timeout_sec}s"
-        )
+    await_activation(q, timeout_sec, f"upsert to {path!r}")
 
 
 def _tws_available() -> bool:

@@ -103,9 +103,6 @@ def near_dedup_on_arrival(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"near-dedup-on-arrival activation exceeded {timeout_sec}s"
-        )
+    from workshoop2_etl_spark.streaming.events import await_activation
+
+    await_activation(q, timeout_sec, "near-dedup-on-arrival")
