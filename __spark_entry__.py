@@ -42,6 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
+    # NEW in round 10 (post-rotation): RFC 9309 wildcard robots rules
+    # (* spans, $ end-anchor) compiled to Java∩RE2 regexes at parse
+    # time, closed-form decision oracle (operators/robots.py
+    # rule_to_regex). Mirror-checked this round; rotate into the
+    # driver window next round.
+    "robots_wildcard_documents",
     # --------------------------------------------------------------------
     # Round-10 WINDOW ROTATION (the big sweep): the driver window now
     # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)

@@ -17,8 +17,8 @@ _TXT = (
     "Disallow: /private/\n"
     "Allow: /private/pub/\n"
     "Disallow: /tmp\n"
-    "Disallow: /wild/*/no\n"  # wildcard -> refused, not mis-matched
-    "Allow: /end$\n"          # $-anchor -> refused
+    "Disallow: /wild/*/no\n"  # wildcard rule, kept (round 10)
+    "Allow: /end$\n"          # $-anchored rule, kept (round 10)
     "Disallow:\n"             # empty Disallow = allow-all, no rule
 )
 
@@ -28,6 +28,8 @@ def test_parser_groups_and_refusals():
         ("/private/", False),
         ("/private/pub/", True),
         ("/tmp", False),
+        ("/wild/*/no", False),
+        ("/end$", True),
     ]
     assert parse_robots_text(_TXT, "BadBot") == [("/", False)]
     # unknown agent falls back to the * group
@@ -130,3 +132,63 @@ def test_rules_join_broadcast_gate(spark):
         "+- == Initial Plan =="
     )[0]
     assert sorted(map(tuple, auto.collect())) == rows_b
+
+
+def test_rule_to_regex_compilation():
+    from workshoop2_etl_spark.operators.robots import rule_to_regex
+
+    assert rule_to_regex("/plain/prefix") is None  # startswith path
+    assert rule_to_regex("/a/*/b") == r"^/a/.*/b"
+    assert rule_to_regex("/end$") == r"^/end$"
+    assert rule_to_regex("/f*.php$") == r"^/f.*\.php$"
+    # $ not at the end is a literal octet per the RFC
+    assert rule_to_regex("/a$b*") == r"^/a\$b.*"
+
+
+def test_wildcard_rules_admission(spark):
+    """RFC 9309 wildcard semantics end-to-end: * spans path segments,
+    $ anchors the end, precedence still longest-rule-then-Allow, and
+    a wildcard Disallow is no longer silently dropped (the round-9
+    gap: 'Disallow: /private*' used to admit everything)."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "d.com",
+                "User-agent: *\n"
+                "Disallow: /private*\n"
+                "Allow: /private-ok/\n"
+                "Disallow: /*.pdf$\n",
+            )
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
+    urls = spark.createDataFrame(
+        [
+            (1, "d.com", "/private/page"),       # wildcard deny
+            (2, "d.com", "/private-extra/x"),    # /private* spans it
+            (3, "d.com", "/private-ok/x"),       # longer Allow wins
+            (4, "d.com", "/docs/file.pdf"),      # $-anchored deny
+            (5, "d.com", "/docs/file.pdfx"),     # $ fails -> allowed
+            (6, "d.com", "/open/page.html"),     # no rule matches
+        ],
+        "uid long, domain string, path string",
+    )
+    out = robots_filter(
+        urls,
+        rules,
+        url_key="uid",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+        broadcast=True,
+    )
+    got = {r["uid"]: r["allowed"] for r in out.collect()}
+    assert got == {
+        1: False,
+        2: False,
+        3: True,
+        4: False,
+        5: True,
+        6: True,
+    }

@@ -19,14 +19,23 @@ Two halves:
   is SQL, which is what lets the registered query oracle-check the
   precedence logic in DuckDB verbatim).
 
-Only prefix rules are implemented (the original robots.txt grammar);
-``*``/``$`` wildcard extensions are rejected at parse time into an
-explicit ``unsupported`` bucket rather than silently mis-matched —
-at crawl scale a silently wrong admission is a compliance bug.
+Wildcard rules (round 10): RFC 9309 §2.2.3 paths may contain ``*``
+(any char sequence) and a trailing ``$`` (end-of-path anchor).
+Dropping them — round 9's behavior — silently ADMITS pages the site
+forbade ("Disallow: /private*" became no rule at all), the compliance
+bug the module warns about. They are now first-class: each wildcard
+rule is compiled at parse time to an anchored regex over the
+Java∩RE2 shared subset (escaped literals + ``.*`` + optional ``$``),
+so the Spark join matches with ``rlike`` and the DuckDB oracle
+replays the SAME pattern with ``regexp_matches``. Plain prefix rules
+keep the cheaper ``startswith`` path (``rule_regex`` NULL).
+Precedence uses the raw rule-path length including wildcards — the
+documented most-specific-wins convention.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,15 +44,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def rule_to_regex(path: str) -> str | None:
+    """Compile one wildcard rule path to an anchored regex (shared
+    Java/RE2 subset), or None for a plain prefix rule (no ``*``, no
+    trailing ``$``) — those match cheaper via ``startswith``. A ``$``
+    anywhere but the end is a literal octet per the RFC."""
+    if "*" not in path and not path.endswith("$"):
+        return None
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    pattern = ".*".join(re.escape(part) for part in body.split("*"))
+    return "^" + pattern + ("$" if anchored else "")
+
+
 def parse_robots_text(
     text: str, agent: str = "*"
 ) -> list[tuple[str, bool]]:
     """Parse one robots.txt body → [(rule_path, allow)] for
     ``agent``: directives from the group whose User-agent line
     matches ``agent`` exactly (case-insensitive), else the ``*``
-    group. Wildcard rules (``*`` or ``$`` in the path) are skipped —
-    see module docstring. Malformed lines are ignored (RFC 9309
-    tolerance); an empty/None body yields no rules (allow all)."""
+    group. Wildcard rules are kept verbatim (compiled downstream —
+    see :func:`rule_to_regex`). Malformed lines are ignored (RFC
+    9309 tolerance); an empty/None body yields no rules (allow
+    all)."""
     groups: dict[str, list[tuple[str, bool]]] = {}
     current: list[str] = []
     last_was_agent = False
@@ -68,8 +91,6 @@ def parse_robots_text(
         if key in ("allow", "disallow") and current:
             if val == "" and key == "disallow":
                 continue  # "Disallow:" (empty) = allow all, no rule
-            if "*" in val or "$" in val:
-                continue  # wildcard extension: explicit unsupported
             for name in current:
                 groups[name].append((val, key == "allow"))
     want = agent.lower()
@@ -86,15 +107,17 @@ def parse_robots(
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """One input row (a fetched robots.txt) → one output row per
-    kept rule: ``key_cols…, rule_path, allow``. Pure map; robots
-    files are KB-sized so the output rules frame is tiny (broadcast
-    it into :func:`robots_filter`)."""
+    kept rule: ``key_cols…, rule_path, allow, rule_regex`` (the
+    compiled wildcard pattern, NULL for plain prefix rules). Pure
+    map; EACH robots file is KB-sized; whether the union of rules
+    broadcasts is :func:`robots_filter`'s size-gated decision."""
     ids = key_cols or [c for c in df.columns if c != text_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]
         + [
             T.StructField("rule_path", T.StringType()),
             T.StructField("allow", T.BooleanType()),
+            T.StructField("rule_regex", T.StringType()),
         ]
     )
 
@@ -103,9 +126,12 @@ def parse_robots(
             rows = []
             for _, r in pdf.iterrows():
                 for path, allow in parse_robots_text(r[text_col], agent):
-                    rows.append(tuple(r[c] for c in ids) + (path, allow))
+                    rows.append(
+                        tuple(r[c] for c in ids)
+                        + (path, allow, rule_to_regex(path))
+                    )
             yield pd.DataFrame(
-                rows, columns=ids + ["rule_path", "allow"]
+                rows, columns=ids + ["rule_path", "allow", "rule_regex"]
             )
 
     return df.mapInPandas(batches, schema)
@@ -160,15 +186,23 @@ def robots_filter(
             broadcast = 0 < threshold and 0 <= size <= threshold
         except Exception:
             broadcast = False
+    if "rule_regex" not in rules.columns:  # pre-wildcard callers
+        rules = rules.withColumn("rule_regex", F.lit(None).cast("string"))
     joined = urls.join(
         F.broadcast(rules) if broadcast else rules, join_on, "left"
     )
     # a non-matching rule row must NOT eliminate its URL: rank
     # matches above non-matches so a URL whose domain has rules but
-    # none matching still surfaces (as its default-allow winner row)
+    # none matching still surfaces (as its default-allow winner row).
+    # Wildcard rules match via their compiled anchored regex (RLIKE,
+    # same pattern the oracle replays in RE2); plain prefix rules
+    # keep the cheaper startswith.
     is_match = (
         F.col("rule_path").isNotNull()
-        & F.col(path_col).startswith(F.col("rule_path"))
+        & F.when(
+            F.col("rule_regex").isNotNull(),
+            F.expr(f"`{path_col}` RLIKE rule_regex"),
+        ).otherwise(F.col(path_col).startswith(F.col("rule_path")))
     ).cast("int")
     w = Window.partitionBy(url_key).orderBy(
         is_match.desc(),
@@ -185,6 +219,6 @@ def robots_filter(
                 F.col("allow")
             ),
         )
-        .drop("__rn", "__m", "rule_path", "allow")
+        .drop("__rn", "__m", "rule_path", "allow", "rule_regex")
     )
     return decided if keep_denied else decided.where(F.col("allowed"))

@@ -3464,6 +3464,99 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
 
 
+_ROBOTS_WILDCARD_SQL = """
+SELECT doc_id,
+       'site' || (doc_id % 5) || '.com' AS domain,
+       CASE doc_id % 6
+         WHEN 0 THEN '/private/p' || doc_id
+         WHEN 1 THEN '/private-ok/p' || doc_id
+         WHEN 2 THEN '/p' || doc_id || '.pdf'
+         WHEN 3 THEN '/p' || doc_id || '.pdfx'
+         WHEN 4 THEN '/blog/' || doc_id || '/draft'
+         ELSE '/open/p' || doc_id END AS path,
+       CASE doc_id % 6
+         WHEN 0 THEN FALSE
+         WHEN 1 THEN TRUE
+         WHEN 2 THEN FALSE
+         WHEN 3 THEN TRUE
+         WHEN 4 THEN (doc_id % 5) % 2 = 0
+         ELSE TRUE END AS allowed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("robots_wildcard_documents", _ROBOTS_WILDCARD_SQL)
+def robots_wildcard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 WILDCARD rules end-to-end (operators/robots.py
+    ``rule_to_regex`` — round 10; round 9 silently DROPPED wildcard
+    rules, admitting pages a site forbade): five synthetic domains
+    publish robots bodies whose every rule class fires — a spanning
+    ``Disallow: /private*`` (matches across the segment boundary and
+    into ``/private-ok`` unless overridden), a LONGER plain-prefix
+    ``Allow: /private-ok/`` (wildcard-vs-prefix precedence by raw
+    rule length), an end-anchored ``Disallow: /p*.pdf$`` (matches
+    ``.pdf``, must NOT match ``.pdfx``), and a per-domain
+    ``Disallow: /blog/*/draft`` on odd domains only. Wildcards
+    compile at parse time to anchored regexes over the Java∩RE2
+    shared subset; the join matches them with RLIKE while plain
+    rules keep startswith. The oracle states each expected decision
+    as a closed form — an independent check of the RFC semantics,
+    not a replay of the regex mechanics."""
+    from workshoop2_etl_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    base = (
+        "User-agent: *\n"
+        "Disallow: /private*\n"
+        "Allow: /private-ok/\n"
+        "Disallow: /p*.pdf$\n"
+    )
+    robots = spark.range(5).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.when(
+            F.col("id") % 2 == 1,
+            F.lit(base + "Disallow: /blog/*/draft\n"),
+        )
+        .otherwise(F.lit(base))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 5), F.lit(".com")
+        ).alias("domain"),
+        F.element_at(
+            F.array(
+                F.concat(F.lit("/private/p"), d),
+                F.concat(F.lit("/private-ok/p"), d),
+                F.concat(F.lit("/p"), d, F.lit(".pdf")),
+                F.concat(F.lit("/p"), d, F.lit(".pdfx")),
+                F.concat(F.lit("/blog/"), d, F.lit("/draft")),
+                F.concat(F.lit("/open/p"), d),
+            ),
+            (F.col("doc_id") % 6).cast("int") + 1,
+        ).alias("path"),
+    )
+    return robots_filter(
+        urls,
+        rules,
+        url_key="doc_id",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+        broadcast=True,  # 5-domain fixture: provably tiny
+    ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
+
+
 _CHARSET_SQL = """
 WITH g AS (
   SELECT doc_id,
