@@ -53,6 +53,15 @@ Methodology (fixed in round 4 after two phantom regressions):
   times in round 3). The previous round's file is compared on the
   way out: any query ≥1.5× slower (and ≥0.3 s absolute) is flagged
   in the artifact and on stderr.
+* **Streaming activation split (round 10)** — every bounded
+  activation records activation vs processing seconds
+  (``streaming/events.py`` ``await_activation``: processing = Σ
+  ``durationMs.triggerExecution`` over the query's progress events,
+  activation = the remainder — start/plan/checkpoint/stop overhead).
+  ``streaming_*`` detail entries carry both numbers, and the
+  regression gate compares PROCESSING time when both rounds have it:
+  the streaming family's wild wall-time spreads (r9: 16.6→4.4 s on
+  unchanged code) are almost entirely activation noise.
 * **Per-query shuffle bytes** — each query records its shuffle WRITE
   delta (AppStatusStore executor totals), persisted per scale factor
   in ``BENCH_SHUFFLE.json``; a query whose bytes grow more than 2×
@@ -341,16 +350,24 @@ def _regression_flags(
             cur_n = cur_proc / machine_factor
             prev_n = prev_proc / prev_factor
         else:
+            # best-evidence on BOTH sides: the minimum over the
+            # normalized observations available (sweep min-of-reps,
+            # quiet-session pin). A pin session that aged/contended
+            # mid-list (r10: resize_jpeg pinned 8.5 s vs 1.7 s in an
+            # isolated session) must neither flag unchanged code nor
+            # become a masking base next round.
+            cur_cands = [cur / machine_factor]
             if cur_pin is not None:
-                cur_n = cur_pin / machine_factor
-            else:
-                cur_n = cur / machine_factor
-            if prev_pin is not None and prev_pin > 0:
-                prev_n = prev_pin / prev_factor
-            elif prev_sec is not None and prev_sec > 0:
-                prev_n = prev_sec / prev_factor
-            else:
+                cur_cands.append(cur_pin / machine_factor)
+            cur_n = min(cur_cands)
+            prev_cands = [
+                v / prev_factor
+                for v in (prev_sec, prev_pin)
+                if isinstance(v, (int, float)) and v > 0
+            ]
+            if not prev_cands:
                 continue
+            prev_n = min(prev_cands)
         if (
             cur_n >= prev_n * REGRESSION_RATIO
             and cur_n - prev_n >= REGRESSION_ABS_FLOOR_SEC
