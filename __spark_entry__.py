@@ -48,6 +48,18 @@ _DEMOTED_ORACLES = (
     # rule_to_regex). Mirror-checked this round; rotate into the
     # driver window next round.
     "robots_wildcard_documents",
+    # NEW in round 10 (post-rotation): WET conversion-record ingest —
+    # the CommonCrawl plain-text format, warcinfo-headed file blobs,
+    # conversion filter + charset decode + URI-recovered ids
+    # (operators/warc.py synthesize_wet_record). Mirror-checked this
+    # round; rotate into the driver window next round.
+    "wet_ingest_documents",
+    # NEW in round 10 (post-rotation): URL dedup by canonical key —
+    # three messy variants per page collapse through the pure-column
+    # normalizer, exact groupBy keeps min-id + dup count
+    # (functions/urls.py). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "url_dedup_documents",
     # --------------------------------------------------------------------
     # Round-10 WINDOW ROTATION (the big sweep): the driver window now
     # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)

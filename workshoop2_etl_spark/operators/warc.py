@@ -69,6 +69,30 @@ def synthesize_warc_record(doc_id: int, html: str, *, host: str) -> bytes:
     return warc_headers + http + _CRLF2
 
 
+def synthesize_wet_record(doc_id: int, text: str, *, host: str) -> bytes:
+    """One valid WET ``conversion`` record (the CommonCrawl
+    plain-text sibling of the ``.warc`` response file — what most
+    text pipelines actually consume): WARC/1.0 headers with
+    ``WARC-Type: conversion`` and a ``text/plain`` payload holding
+    the extracted text directly, NO HTTP envelope. Same framing walk
+    parses both; ``parse_warc_record`` returns conversion records
+    with NULL http_status and the raw text bytes as payload."""
+    payload = text.encode("utf-8")
+    warc_headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: http://{host}/page{doc_id}\r\n"
+        f"WARC-Record-ID: <urn:uuid:wet-{doc_id:012d}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:doc-{doc_id:012d}>\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "WARC-Block-Digest: sha1:0000\r\n"
+        "\r\n"
+    ).encode("ascii")
+    return warc_headers + payload + _CRLF2
+
+
 def gzip_warc_record(rec: bytes, *, level: int = 6) -> bytes:
     """Compress one record's bytes as a standalone gzip member —
     CommonCrawl's ``.warc.gz`` convention (one member per record, so
@@ -168,7 +192,10 @@ def parse_warc_record(rec: bytes):
     warc_type = wh.get("warc-type", "")
     uri = wh.get("warc-target-uri")
     status = None
-    ctype = None
+    # non-HTTP records (warcinfo, metadata, WET conversion) carry
+    # their payload type in the WARC-level Content-Type header; the
+    # HTTP branch below overrides with the envelope's when present
+    ctype = wh.get("content-type")
     payload = body
     if body.startswith(b"HTTP/"):
         http_end = body.find(_CRLF2)

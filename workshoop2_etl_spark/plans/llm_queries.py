@@ -3464,6 +3464,203 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
 
 
+_WET_INGEST_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'End of extract ' || doc_id || '.') AS body
+  FROM g
+)
+SELECT doc_id,
+       'conversion' AS warc_type,
+       'text/plain' AS content_type,
+       'utf-8' AS encoding,
+       md5(body) AS text_md5
+FROM x
+ORDER BY doc_id
+"""
+
+
+@_register("wet_ingest_documents", _WET_INGEST_SQL)
+def wet_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET ingest (round 10 — the CommonCrawl PLAIN-TEXT sibling of
+    the .warc response files, and what most text pipelines actually
+    consume): each document's normalized text becomes a spec-framed
+    ``WARC-Type: conversion`` record (text/plain payload, NO HTTP
+    envelope), records concatenate into file blobs of 8 — each blob
+    HEADED BY A warcinfo RECORD exactly as real WET files are — and
+    the same Content-Length frame walk parses both record classes;
+    the pipeline must then FILTER to conversion records (dropping the
+    warcinfo rows), charset-sniff-decode the payload bytes (labels
+    'utf-8'), and recover doc_id from the parsed WARC-Target-URI.
+    Oracle replays the body closed form + the literal envelope
+    fields."""
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.charset import decode_bytes
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_blobs,
+        synthesize_wet_record,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    norm = F.trim(
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"[ \t\r\n\f]+", " "
+        )
+    )
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Doc "), d),
+        F.when(norm == "", F.lit(None)).otherwise(norm),
+        F.concat(F.lit("End of extract "), d, F.lit(".")),
+    )
+    texts = docs.select("doc_id", body.alias("body"))
+
+    rec_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rec", T.BinaryType()),
+        ]
+    )
+
+    def to_records(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["rec"] = [
+                synthesize_wet_record(
+                    int(i), t, host=f"www.site{int(i) % 7}.com"
+                )
+                for i, t in zip(pdf["doc_id"], pdf["body"])
+            ]
+            yield out
+
+    recs = texts.mapInPandas(to_records, rec_schema)
+    # real WET files open with a warcinfo record the filter must drop
+    warcinfo = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 14\r\n"
+        b"\r\n"
+        b"format: WARC/1"
+        b"\r\n\r\n"
+    )
+    blobs = (
+        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
+                F.lit(warcinfo),
+                lambda acc, x: F.concat(acc, x["rec"]),
+            ).alias("content")
+        )
+        .select("content")
+    )
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    conv = parsed.where(F.col("warc_type") == "conversion")
+    decoded = decode_bytes(
+        conv.select(
+            F.regexp_extract("target_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "warc_type",
+            "content_type",
+            "payload",
+        ),
+        "payload",
+        out_col="text",
+        id_cols=["doc_id", "warc_type", "content_type"],
+    )
+    return decoded.select(
+        "doc_id",
+        "warc_type",
+        "content_type",
+        "encoding",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+_URL_DEDUP_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         'http://www.site' || ((doc_id // 3) % 7) || '.com/a/b/page'
+           || (doc_id // 3) || '?a=2&b=1' AS url_norm
+  FROM documents
+)
+SELECT url_norm,
+       MIN(doc_id) AS keeper,
+       COUNT(*) AS n_dups
+FROM c
+GROUP BY url_norm
+ORDER BY keeper
+"""
+
+
+@_register("url_dedup_documents", _URL_DEDUP_SQL)
+def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL deduplication by canonical key (round 10 — the crawl-prep
+    composition X184 exists for: a frontier fetches the same page
+    under messy variant addresses, and dedup/blocklist/grouping all
+    need ONE key per address): three raw variants per page —
+    uppercase scheme+host, an explicit default :80 port, a duplicate
+    path slash, an unsorted query with a utm tracker, a fragment —
+    collapse to one canonical URL via the pure-column-expression
+    normalizer (WholeStageCodegen, no UDF), then an exact
+    hash-groupBy keeps the min-doc_id representative with the
+    duplicate count. The oracle computes the EXPECTED canonical form
+    independently from the closed-form fixture — normalization rules
+    checked, not replayed."""
+    from workshoop2_etl_spark.functions.urls import normalize_url
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    gid = F.expr("doc_id div 3")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Site")).otherwise(
+            F.lit("www.site")
+        ),
+        (gid % 7).cast("string"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(":80")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/a//b/page")).otherwise(
+            F.lit("/a/b/page")
+        ),
+        gid.cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=x&b=1&a=2"),
+        ).otherwise(F.lit("?b=1&a=2")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#f")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id", normalize_url(url).alias("url_norm")
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("keeper")
+    )
+
+
 _ROBOTS_WILDCARD_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 5) || '.com' AS domain,
