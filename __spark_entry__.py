@@ -60,6 +60,12 @@ _DEMOTED_ORACLES = (
     # (functions/urls.py). Mirror-checked this round; rotate into
     # the driver window next round.
     "url_dedup_documents",
+    # NEW in round 10 (post-rotation): sitemap discovery — robots
+    # Sitemap: directive -> sitemapindex parse -> child urlset parse,
+    # all three levels relational, closed-form oracle
+    # (operators/sitemap.py). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "sitemap_ingest_documents",
     # --------------------------------------------------------------------
     # Round-10 WINDOW ROTATION (the big sweep): the driver window now
     # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)

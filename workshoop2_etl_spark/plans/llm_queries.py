@@ -15,6 +15,8 @@ double-precision cosine path are fully oracle-checked.
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas-UDF kernels resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3462,6 +3464,165 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_denied=True,
         broadcast=True,  # 7-domain fixture: provably tiny
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
+
+
+_SITEMAP_SQL = """
+SELECT doc_id,
+       'site' || (doc_id % 7) || '.com' AS domain,
+       'http://www.site' || (doc_id % 7) || '.com/page' || doc_id AS loc,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         AS lastmod,
+       CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("sitemap_ingest_documents", _SITEMAP_SQL)
+def sitemap_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery END TO END (operators/sitemap.py — round 10,
+    the discovery half of crawl governance): seven domains each
+    publish a robots.txt whose ``Sitemap:`` directive (outside the
+    user-agent groups, where RFC 9309 puts it) names a
+    ``<sitemapindex>``; the index lists three per-domain child
+    sitemaps; each child is a ``<urlset>`` carrying that domain's
+    pages with closed-form lastmod/priority. The pipeline walks all
+    three levels RELATIONALLY — directive extraction → index parse
+    (``is_index`` rows) → join to the fetched child documents →
+    urlset parse — and recovers doc_id from the listed loc, so every
+    output row crossed the XML round trip twice. Fan-outs are pure
+    maps; the only shuffles are the fixture's own XML-building
+    aggregates and the child join. Oracle states the closed form
+    directly."""
+    from workshoop2_etl_spark.operators.sitemap import (
+        parse_sitemaps,
+        sitemap_urls_from_robots,
+        synthesize_sitemap,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("dom_no"),
+        F.expr("(doc_id div 7) % 3").alias("sub_no"),
+        F.concat(
+            F.lit("http://www.site"),
+            (F.col("doc_id") % 7),
+            F.lit(".com/page"),
+            F.col("doc_id"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        ((F.col("doc_id") % 10).cast("double") / 10).alias("priority"),
+    )
+
+    # child urlsets: one XML per (domain, sub) over its pages
+    def build_urlset(pdf):
+        pdf = pdf.sort_values("doc_id")
+        locs = list(
+            zip(pdf["loc"], pdf["lastmod"], pdf["priority"].astype(float))
+        )
+        return pd.DataFrame(
+            {
+                "dom_no": [int(pdf["dom_no"].iloc[0])],
+                "sub_no": [int(pdf["sub_no"].iloc[0])],
+                "sitemap_xml": [synthesize_sitemap(locs)],
+            }
+        )
+
+    children = keyed.groupBy("dom_no", "sub_no").applyInPandas(
+        build_urlset,
+        "dom_no int, sub_no int, sitemap_xml string",
+    ).withColumn(
+        "child_url",
+        F.concat(
+            F.lit("http://www.site"),
+            F.col("dom_no"),
+            F.lit(".com/sitemap"),
+            F.col("sub_no"),
+            F.lit(".xml"),
+        ),
+    )
+
+    # per-domain sitemapindex listing its child sitemaps
+    def build_index(pdf):
+        pdf = pdf.sort_values("child_url")
+        locs = [(u, None, None) for u in pdf["child_url"]]
+        return pd.DataFrame(
+            {
+                "dom_no": [int(pdf["dom_no"].iloc[0])],
+                "index_xml": [synthesize_sitemap(locs, index=True)],
+            }
+        )
+
+    index = children.groupBy("dom_no").applyInPandas(
+        build_index, "dom_no int, index_xml string"
+    )
+
+    # robots.txt per domain carries the Sitemap: directive
+    robots = index.select(
+        "dom_no",
+        "index_xml",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\nSitemap: "),
+            F.lit("http://www.site"),
+            F.col("dom_no"),
+            F.lit(".com/sitemapindex.xml\n"),
+        ).alias("robots_txt"),
+    )
+
+    def extract_directive(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for u in sitemap_urls_from_robots(r["robots_txt"]):
+                    rows.append((int(r["dom_no"]), r["index_xml"], u))
+            yield pd.DataFrame(
+                rows, columns=["dom_no", "index_xml", "sitemap_url"]
+            )
+
+    from pyspark.sql import types as T
+
+    discovered = robots.mapInPandas(
+        extract_directive,
+        T.StructType(
+            [
+                T.StructField("dom_no", T.IntegerType()),
+                T.StructField("index_xml", T.StringType()),
+                T.StructField("sitemap_url", T.StringType()),
+            ]
+        ),
+    )
+
+    # level 1: parse the discovered index -> child sitemap locs
+    level1 = parse_sitemaps(
+        discovered.select("dom_no", "index_xml"),
+        "index_xml",
+        key_cols=["dom_no"],
+    ).where(F.col("is_index"))
+
+    # level 2: "fetch" the children (join on loc) and parse urlsets
+    fetched = level1.select("loc").join(
+        children.select("child_url", "sitemap_xml"),
+        level1.loc == children.child_url,
+    )
+    pages = parse_sitemaps(
+        fetched.select("sitemap_xml"), "sitemap_xml", key_cols=[]
+    ).where(~F.col("is_index"))
+
+    return pages.select(
+        F.regexp_extract("loc", r"page(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("loc", r"www\.(site\d+\.com)/", 1).alias(
+            "domain"
+        ),
+        "loc",
+        "lastmod",
+        "priority",
+    ).orderBy("doc_id")
 
 
 _WET_INGEST_SQL = r"""
