@@ -66,6 +66,12 @@ _DEMOTED_ORACLES = (
     # (operators/sitemap.py). Mirror-checked this round; rotate into
     # the driver window next round.
     "sitemap_ingest_documents",
+    # NEW in round 10 (post-rotation): frontier politeness striping —
+    # per-domain fetch rank + wave cap via one window over the
+    # domain shuffle, standard-SQL oracle (operators/frontier.py).
+    # Mirror-checked this round; rotate into the driver window next
+    # round.
+    "frontier_waves_documents",
     # --------------------------------------------------------------------
     # Round-10 WINDOW ROTATION (the big sweep): the driver window now
     # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)

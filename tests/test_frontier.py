@@ -1,0 +1,79 @@
+"""Frontier politeness striping (operators/frontier.py): per-domain
+cap holds in every wave, ranks are deterministic, priority ordering
+respected, and the plan is one window over a domain shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.frontier import frontier_waves
+
+
+def _urls(spark, n=200, domains=5):
+    return spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id") % domains).alias("domain"),
+        F.concat(F.lit("http://d"), F.col("id") % domains, F.lit("/p"), F.col("id")).alias("url"),
+        ((F.col("id") * 37) % 10).cast("double").alias("priority"),
+    )
+
+
+def test_wave_cap_holds_everywhere(spark):
+    out = frontier_waves(
+        _urls(spark), domain_col="domain", url_col="url", per_domain=3
+    )
+    per = (
+        out.groupBy("domain", "wave")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per <= 3
+    # every URL is scheduled exactly once
+    assert out.count() == 200
+    # ranks are dense 1..k per domain
+    dense = (
+        out.groupBy("domain")
+        .agg(F.max("fetch_rank").alias("mx"), F.count("*").alias("n"))
+        .where(F.col("mx") != F.col("n"))
+        .count()
+    )
+    assert dense == 0
+
+
+def test_priority_orders_within_domain(spark):
+    out = frontier_waves(
+        _urls(spark, n=50, domains=1),
+        domain_col="domain",
+        url_col="url",
+        per_domain=4,
+        priority_col="priority",
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["fetch_rank"])
+    prios = [r["priority"] for r in by_rank]
+    assert prios == sorted(prios, reverse=True)
+    # wave striping follows the rank
+    assert all(
+        r["wave"] == (r["fetch_rank"] - 1) // 4 for r in by_rank
+    )
+
+
+def test_deterministic_across_runs(spark):
+    kw = dict(domain_col="domain", url_col="url", per_domain=2)
+    a = sorted(map(tuple, frontier_waves(_urls(spark), **kw).collect()))
+    b = sorted(
+        map(
+            tuple,
+            frontier_waves(
+                _urls(spark).repartition(13), **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_per_domain_validation(spark):
+    with pytest.raises(ValueError):
+        frontier_waves(
+            _urls(spark), domain_col="domain", url_col="url", per_domain=0
+        )

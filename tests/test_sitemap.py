@@ -105,3 +105,18 @@ def test_spark_fanout_no_shuffle(spark):
     assert sum(r["is_index"] for r in rows) == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("+- == Initial Plan ==")[0]
+
+
+def test_parse_never_raises_hypothesis():
+    """Totality: arbitrary text never raises — at crawl scale a
+    poison sitemap must not kill the task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def run(s):
+        rows = parse_sitemap_xml(s)
+        assert isinstance(rows, list)
+
+    run()

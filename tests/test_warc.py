@@ -168,3 +168,18 @@ def test_warc_html_composition(spark):
         ).collect()
     }
     assert out == {i: (f"T{i}", f"body {i}") for i in range(4)}
+
+
+def test_gz_split_never_raises_hypothesis():
+    """Totality of the gzip member walk: arbitrary bytes never raise,
+    and whatever decodes is a list of frames."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(b):
+        assert isinstance(split_warc_gz(b), list)
+        assert isinstance(split_warc_gz(b"\x1f\x8b" + b), list)
+
+    run()

@@ -1,0 +1,57 @@
+"""Crawl-frontier politeness scheduling — the LAST step of the crawl
+chapter's front end (robots admits a URL, the sitemap discovered it,
+URL dedup canonicalized it; now WHEN may we fetch it?): a polite
+crawler fetches at most a handful of URLs per origin per scheduling
+wave, so the frontier must be PARTITIONED BY DOMAIN and STRIPED into
+waves — pure relational work, and exactly the kind of thing that
+becomes a driver-side for-loop in naive crawlers.
+
+Design for 100 TB frontiers:
+
+- ONE window per assignment: ``row_number`` over
+  ``(domain, priority desc, url)`` gives each URL a deterministic
+  per-domain fetch rank; ``wave = (rank-1) div per_domain`` stripes
+  them so wave *w* contains at most ``per_domain`` URLs from any
+  origin. A scheduler drains wave 0, then wave 1, … — per-origin
+  politeness holds no matter how many executors fetch concurrently,
+  because the cap is IN THE DATA, not in coordination.
+- The shuffle is hash-partitioned by domain — the frontier's natural
+  key — and the per-domain window state is one counter; hot domains
+  (a crawl's Zipf head) cost seconds of window time, not stragglers,
+  because the window never materializes per-domain lists.
+- Deterministic: ties break on the URL string, so the same frontier
+  always yields the same waves — resumable scheduling without state.
+
+Reference has no crawl surface; §2.9 extension (X194).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frontier_waves(
+    urls: DataFrame,
+    *,
+    domain_col: str,
+    url_col: str,
+    per_domain: int = 4,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Assign each frontier URL a per-domain ``fetch_rank`` (1-based,
+    highest ``priority_col`` first, URL-string tiebreak) and a
+    ``wave`` number such that no wave holds more than ``per_domain``
+    URLs of one domain. Input columns pass through."""
+    if per_domain < 1:
+        raise ValueError(f"per_domain must be >= 1, got {per_domain}")
+    order: list[Column] = []
+    if priority_col is not None:
+        order.append(F.col(priority_col).desc_nulls_last())
+    order.append(F.col(url_col).asc())
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    ranked = urls.withColumn("fetch_rank", F.row_number().over(w))
+    return ranked.withColumn(
+        "wave",
+        ((F.col("fetch_rank") - 1) / per_domain).cast("long"),
+    )

@@ -3466,6 +3466,73 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
 
 
+_FRONTIER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 7) || '.com' AS domain,
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+           AS url,
+         CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY domain ORDER BY priority DESC, url
+         ) AS rn
+  FROM u
+)
+SELECT doc_id, domain, url, priority,
+       CAST(rn AS BIGINT) AS fetch_rank,
+       CAST((rn - 1) // 4 AS BIGINT) AS wave
+FROM r
+ORDER BY doc_id
+"""
+
+
+@_register("frontier_waves_documents", _FRONTIER_SQL)
+def frontier_waves_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness striping (operators/frontier.py —
+    round 10, the scheduling end of the crawl chapter): each URL gets
+    a deterministic per-domain fetch rank (priority desc, URL
+    tiebreak) and a wave number such that NO WAVE holds more than 4
+    URLs of one origin — per-origin politeness enforced IN THE DATA,
+    so any number of executors can drain a wave concurrently without
+    coordination. One window over the domain-hash shuffle; no
+    per-domain lists materialize. The oracle replays the standard-SQL
+    window semantics in DuckDB."""
+    from workshoop2_etl_spark.operators.frontier import frontier_waves
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7), F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("http://www.site"),
+            (F.col("doc_id") % 7),
+            F.lit(".com/page"),
+            F.col("doc_id"),
+        ).alias("url"),
+        ((F.col("doc_id") % 10).cast("double") / 10).alias("priority"),
+    )
+    out = frontier_waves(
+        urls,
+        domain_col="domain",
+        url_col="url",
+        per_domain=4,
+        priority_col="priority",
+    )
+    return out.select(
+        "doc_id",
+        "domain",
+        "url",
+        "priority",
+        F.col("fetch_rank").cast("long").alias("fetch_rank"),
+        "wave",
+    ).orderBy("doc_id")
+
+
 _SITEMAP_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 7) || '.com' AS domain,
