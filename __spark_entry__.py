@@ -72,6 +72,13 @@ _DEMOTED_ORACLES = (
     # Mirror-checked this round; rotate into the driver window next
     # round.
     "frontier_waves_documents",
+    # NEW in round 10 (post-rotation): link-graph extraction — kept
+    # anchors fan out to edge rows (boilerplate links excluded with
+    # their containers), hrefs resolve to target ids, closed-form
+    # edge oracle; extract->PageRank composition pytest-proven
+    # (operators/htmlextract.py extract_links). Mirror-checked this
+    # round; rotate into the driver window next round.
+    "link_graph_documents",
     # --------------------------------------------------------------------
     # Round-10 WINDOW ROTATION (the big sweep): the driver window now
     # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)

@@ -112,3 +112,66 @@ def test_spark_plumbing_prunes_and_scales(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("+- == Initial Plan ==")[0]
     assert out.count() == 20
+
+
+def test_extract_page_links_drops_boilerplate_and_nests():
+    from workshoop2_etl_spark.operators.htmlextract import (
+        extract_page_links,
+    )
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/home'>home</a></nav>"
+        "<p>See <a href='http://a.com/1'>one  link</a> and "
+        "<a href='http://a.com/2'>two</a>.</p>"
+        "<footer><a href='/legal'>legal</a></footer>"
+        "</body></html>"
+    )
+    assert extract_page_links(html) == [
+        ("http://a.com/1", "one link"),
+        ("http://a.com/2", "two"),
+    ]
+    # nested anchor closes the outer capture (HTML's own rule)
+    nested = "<a href='/x'>outer <a href='/y'>inner</a> tail</a>"
+    assert extract_page_links(nested) == [
+        ("/x", "outer"),
+        ("/y", "inner"),
+    ]
+    # anchors without href, malformed markup, empties: tolerated
+    assert extract_page_links("<a name='x'>no href</a>") == []
+    assert extract_page_links("<a href='/z'>unclosed") == [("/z", "unclosed")]
+    assert extract_page_links("") == []
+    assert extract_page_links(None) == []
+
+
+def test_extract_links_to_pagerank_composition(spark):
+    """Crawl chapter meets graph chapter: pages -> extract_links ->
+    edge list -> bit-reproducible PageRank; the hub of each group
+    must outrank its spokes."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
+    from workshoop2_etl_spark.operators.htmlextract import extract_links
+
+    n = 21  # three 7-groups
+    pages = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("<body><nav><a href='/no'>x</a></nav><p>"
+                  "<a href='http://s.com/page"),
+            F.expr("7 * (id div 7)").cast("string"),
+            F.lit("'>hub</a></p></body>"),
+        ).alias("html"),
+    )
+    edges = extract_links(pages, "html", id_cols=["doc_id"]).select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract("href", r"page(\d+)$", 1)
+        .cast("long")
+        .alias("dst"),
+    )
+    assert edges.count() == n  # nav links excluded, one edge per page
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    r = {row[0]: row[1] for row in ranks.collect()}
+    for hub in (0, 7, 14):
+        spokes = [r[i] for i in range(hub + 1, hub + 7) if i in r]
+        assert all(r[hub] > s for s in spokes)

@@ -254,3 +254,104 @@ def synthesize_html(
             yield out
 
     return df.mapInPandas(batches, schema)
+
+
+def extract_page_links(
+    html: str, drop_tags: frozenset = DEFAULT_DROP_TAGS
+) -> list[tuple[str, str]]:
+    """Parse one HTML string → [(href, anchor_text)] for every
+    ``<a href=...>`` in KEPT regions (links inside dropped
+    boilerplate — nav/footer/script — are the noise edges a link
+    graph must not contain, so they are excluded with their
+    containers, same rule as :func:`extract_text`'s ``n_links``).
+    Anchor text is whitespace-normalized; nested anchors close the
+    outer capture (HTML's own rule). Never raises."""
+    from html.parser import HTMLParser
+
+    class _Links(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.out: list[tuple[str, str]] = []
+            self.drop_depth = 0
+            self.href: str | None = None
+            self.buf: list[str] = []
+
+        def _close_anchor(self) -> None:
+            if self.href is not None:
+                self.out.append((self.href, _norm("".join(self.buf))))
+            self.href = None
+            self.buf.clear()
+
+        def handle_starttag(self, tag, attrs):
+            if tag in drop_tags:
+                self.drop_depth += 1
+                return
+            if self.drop_depth:
+                return
+            if tag == "a":
+                self._close_anchor()  # implicit close of a nested <a>
+                for k, v in attrs:
+                    if k == "href" and v is not None:
+                        self.href = v
+                        break
+
+        def handle_endtag(self, tag):
+            if tag in drop_tags:
+                self.drop_depth = max(0, self.drop_depth - 1)
+                return
+            if self.drop_depth:
+                return
+            if tag == "a":
+                self._close_anchor()
+
+        def handle_data(self, data):
+            if self.drop_depth:
+                return
+            if self.href is not None:
+                self.buf.append(data)
+
+    p = _Links()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:  # pragma: no cover
+        pass
+    p._close_anchor()
+    return p.out
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    drop_tags: frozenset = DEFAULT_DROP_TAGS,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """One input page row → one output row per kept link:
+    ``id_cols…, href, anchor_text``. The LINK-GRAPH feeder (round
+    10): crawl pages fan out to edges as a pure Arrow-batched map —
+    the edge list is then ordinary relational data for
+    :mod:`operators.graph`'s PageRank / communities, completing
+    crawl chapter → graph chapter."""
+    ids = id_cols or [c for c in df.columns if c != html_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor_text", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for href, text in extract_page_links(
+                    r[html_col], drop_tags
+                ):
+                    rows.append(tuple(r[c] for c in ids) + (href, text))
+            yield pd.DataFrame(
+                rows, columns=ids + ["href", "anchor_text"]
+            )
+
+    return df.mapInPandas(batches, schema)

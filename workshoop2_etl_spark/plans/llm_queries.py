@@ -3466,6 +3466,68 @@ def robots_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "domain", "path", "allowed").orderBy("doc_id")
 
 
+_LINK_GRAPH_SQL = """
+WITH e AS (
+  SELECT doc_id AS src,
+         7 * (doc_id // 7) AS dst,
+         'hub ' || (7 * (doc_id // 7)) AS anchor_text
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src,
+         7 * (doc_id // 7) + ((doc_id % 7 + 1) % 7) AS dst,
+         'next ' || (7 * (doc_id // 7) + ((doc_id % 7 + 1) % 7))
+           AS anchor_text
+  FROM documents
+)
+SELECT src, dst, anchor_text
+FROM e
+ORDER BY src, dst, anchor_text
+"""
+
+
+@_register("link_graph_documents", _LINK_GRAPH_SQL)
+def link_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (operators/htmlextract.py
+    ``extract_links`` — round 10, crawl chapter → graph chapter):
+    each page's body carries two real anchors (its 7-group hub and
+    the next page in the group) PLUS a nav-boilerplate link that the
+    structural drop must exclude — noise edges are exactly what
+    poisons a web graph. Pages fan out to edge rows as a pure
+    Arrow-batched map; target doc ids are recovered from the hrefs,
+    so every edge crossed the HTML round trip. The resulting edge
+    list is ordinary relational data for operators/graph.py (the
+    extract→PageRank composition is pytest-proven). Oracle states
+    the closed-form edges directly."""
+    from workshoop2_etl_spark.operators.htmlextract import extract_links
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    hub = F.expr("7 * (doc_id div 7)")
+    nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    html = F.concat(
+        F.lit(
+            "<html><body><nav><a href=\"/noise\">skip</a></nav><p>See "
+        ),
+        F.lit("<a href=\"http://www.site.com/page"),
+        hub.cast("string"),
+        F.lit("\">hub "),
+        hub.cast("string"),
+        F.lit("</a> and <a href=\"http://www.site.com/page"),
+        nxt.cast("string"),
+        F.lit("\">next "),
+        nxt.cast("string"),
+        F.lit("</a>.</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    links = extract_links(pages, "html", id_cols=["doc_id"])
+    return links.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract("href", r"page(\d+)$", 1)
+        .cast("long")
+        .alias("dst"),
+        "anchor_text",
+    ).orderBy("src", "dst", "anchor_text")
+
+
 _FRONTIER_SQL = """
 WITH u AS (
   SELECT doc_id,
