@@ -505,6 +505,9 @@ def main() -> None:
                     f"{name}: FAILED {type(exc).__name__}: {exc}",
                     file=sys.stderr,
                 )
+                # drain any partial activation split so it can't be
+                # misattributed to the NEXT query's entry
+                _pop_stream_timings()
                 spark = revive_if_dead(spark)
                 break
             samples.append(round(time.perf_counter() - t0, 3))
@@ -602,6 +605,7 @@ def main() -> None:
                     _materialize(qs[name](spark, sf_dir))
                 except Exception as exc:
                     print(f"pin {name}: FAILED {exc}", file=sys.stderr)
+                    _pop_stream_timings()  # same misattribution guard
                     spark = revive_if_dead(spark)
                     break
                 samples.append(time.perf_counter() - t0)

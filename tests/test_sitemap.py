@@ -120,3 +120,12 @@ def test_parse_never_raises_hypothesis():
         assert isinstance(rows, list)
 
     run()
+
+
+def test_synthesize_escapes_ampersand():
+    """Regression (round-10 self-review): query strings carry '&'
+    routinely — unescaped it is invalid XML the tolerant parser
+    silently zero-rows. ET decodes the entity back on parse."""
+    loc = "http://a.com/?a=1&b=2"
+    rows = parse_sitemap_xml(synthesize_sitemap([(loc, "<2024>", None)]))
+    assert rows == [(loc, "<2024>", None, None, False)]

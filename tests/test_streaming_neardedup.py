@@ -239,3 +239,29 @@ def test_crawl_ingest_multibatch_union_equals_batch(spark):
     }
     assert set(got) == expected
     assert expected, "fixture produced no pairs"
+
+
+def test_crawl_to_docs_poison_tolerance(spark):
+    """Regression (round-10 self-review): real crawl blobs carry
+    warcinfo/request records and responses whose URIs don't match the
+    id pattern — they must be DROPPED, not ANSI-cast-crash the batch
+    or be folded into the index as garbage docs."""
+    from workshoop2_etl_spark.operators.warc import synthesize_warc_record
+    from workshoop2_etl_spark.streaming.neardedup import crawl_to_docs
+
+    good = synthesize_warc_record(
+        7, "<html><body><p>keep me</p></body></html>", host="www.h.com"
+    )
+    # response whose URI does NOT end in pageN
+    odd_uri = good.replace(
+        b"WARC-Target-URI: http://www.h.com/page7",
+        b"WARC-Target-URI: http://www.h.com/index.html",
+    )
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
+    )
+    blob = warcinfo + odd_uri + good
+    blobs = spark.createDataFrame([(blob,)], "content binary")
+    rows = crawl_to_docs(blobs).collect()
+    assert [(r["doc_id"], r["text"]) for r in rows] == [(7, "keep me")]

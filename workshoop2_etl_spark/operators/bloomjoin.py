@@ -66,6 +66,7 @@ with.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -154,7 +155,27 @@ def bloom_might_contain(bf: Column, key: Column, m_bits: int, k: int) -> Column:
 _EXPR_WORDS = 512
 
 #: Bitmap broadcasts created by the big tier, awaiting release.
+#: BOUNDED: beyond _MAX_LIVE_BROADCASTS the oldest handle is
+#: unpersisted and dropped automatically — unpersist is SAFE while
+#: its frame is still alive (Spark lazily re-ships from the
+#: driver-side value on next execution; only destroy() invalidates),
+#: so a long-lived non-bench session running many bloom joins holds
+#: at most the cap's worth of driver/executor blocks instead of
+#: accreting one ≤16 MiB block per join forever.
 _LIVE_BROADCASTS: list = []
+_MAX_LIVE_BROADCASTS = 8
+_BROADCASTS_LOCK = threading.Lock()
+
+
+def _track_broadcast(bc) -> None:
+    with _BROADCASTS_LOCK:
+        _LIVE_BROADCASTS.append(bc)
+        while len(_LIVE_BROADCASTS) > _MAX_LIVE_BROADCASTS:
+            old = _LIVE_BROADCASTS.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
 
 
 def release_bloom_broadcasts() -> int:
@@ -163,16 +184,18 @@ def release_bloom_broadcasts() -> int:
     Safe to call while frames are still alive: ``unpersist`` drops
     the executor/driver memory blocks but the broadcast re-ships
     lazily from the driver value if a frame re-executes (only
-    ``destroy`` would invalidate it). Call between jobs in
-    long-lived sessions — e.g. after each bench query."""
+    ``destroy`` would invalidate it). The registry also self-caps
+    (see above); this hook reclaims eagerly — e.g. after each bench
+    query."""
     n = 0
-    while _LIVE_BROADCASTS:
-        bc = _LIVE_BROADCASTS.pop()
-        try:
-            bc.unpersist()
-            n += 1
-        except Exception:
-            pass
+    with _BROADCASTS_LOCK:
+        while _LIVE_BROADCASTS:
+            bc = _LIVE_BROADCASTS.pop()
+            try:
+                bc.unpersist()
+                n += 1
+            except Exception:
+                pass
     return n
 
 
@@ -197,11 +220,11 @@ def _bloom_prune_arrow(
     )
     # Long-lived sessions running many bloom joins would otherwise
     # accumulate up-to-16 MiB broadcast blocks on driver + executors
-    # (r9 ADVICE). The handle is tracked; callers reclaim with
-    # release_bloom_broadcasts() once the returned frame is consumed
-    # — unpersist (not destroy) keeps the frame re-executable: Spark
-    # lazily re-ships from the driver-side value on next use.
-    _LIVE_BROADCASTS.append(bm_bc)
+    # (r9 ADVICE). The handle is tracked in a SELF-CAPPING registry
+    # (oldest auto-unpersisted past the cap); callers can reclaim
+    # eagerly with release_bloom_broadcasts() — unpersist (not
+    # destroy) keeps frames re-executable either way.
+    _track_broadcast(bm_bc)
     with_h = probe.withColumn(
         "__bloom_h1", F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits))
     ).withColumn(

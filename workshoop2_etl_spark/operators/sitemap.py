@@ -150,6 +150,8 @@ def synthesize_sitemap(
     [(loc, lastmod, priority)]; ``index=True`` emits a
     ``<sitemapindex>`` of ``<sitemap>`` children instead of a
     ``<urlset>`` of ``<url>``."""
+    from xml.sax.saxutils import escape
+
     root = "sitemapindex" if index else "urlset"
     child = "sitemap" if index else "url"
     parts = [
@@ -158,9 +160,11 @@ def synthesize_sitemap(
     ]
     for loc, lastmod, priority in locs:
         parts.append(f"<{child}>")
-        parts.append(f"<loc>{loc}</loc>")
+        # escape: query strings carry '&' routinely — unescaped it is
+        # invalid XML the tolerant parser would silently zero-row
+        parts.append(f"<loc>{escape(loc)}</loc>")
         if lastmod is not None:
-            parts.append(f"<lastmod>{lastmod}</lastmod>")
+            parts.append(f"<lastmod>{escape(lastmod)}</lastmod>")
         if priority is not None:
             parts.append(f"<priority>{priority:.1f}</priority>")
         parts.append(f"</{child}>")

@@ -227,13 +227,7 @@ def streaming_crawl_neardedup_documents(
     import shutil
     import tempfile
 
-    from pyspark.sql import types as T
-
     from workshoop2_etl_spark.operators.htmlextract import synthesize_html
-    from workshoop2_etl_spark.operators.warc import (
-        gzip_warc_record,
-        synthesize_warc_record,
-    )
     from workshoop2_etl_spark.plans.coverage_queries import _run_token
     from workshoop2_etl_spark.streaming.neardedup import (
         crawl_neardedup_on_arrival,
@@ -248,42 +242,11 @@ def streaming_crawl_neardedup_documents(
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     pages = synthesize_html(docs).select("doc_id", "html")
-    rec_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("rec", T.BinaryType()),
-        ]
-    )
-
-    def to_records(it):
-        for pdf in it:
-            out = pdf[["doc_id"]].copy()
-            out["rec"] = [
-                # gzip the odd file blobs: doc_id div 8 is the file no
-                gzip_warc_record(r) if (int(i) // 8) % 2 else r
-                for i, r in (
-                    (
-                        i,
-                        synthesize_warc_record(
-                            int(i), h, host=f"www.site{int(i) % 7}.com"
-                        ),
-                    )
-                    for i, h in zip(pdf["doc_id"], pdf["html"])
-                )
-            ]
-            yield out
-
-    blobs = (
-        pages.mapInPandas(to_records, rec_schema)
-        .groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
-                F.lit(b""),
-                lambda acc, x: F.concat(acc, x["rec"]),
-            ).alias("content")
-        )
-        .select("content")
+    blobs = _warc_file_blobs(
+        pages,
+        "html",
+        _warc_response_record,
+        gzip_when=lambda f: f % 2 == 1,  # every other file is .warc.gz
     )
     # four source files -> four micro-batches with maxFilesPerTrigger
     blobs.repartition(4).write.parquet(src)
@@ -3189,28 +3152,26 @@ ORDER BY doc_id
 """
 
 
-def _warc_ingest_impl(
-    spark: SparkSession, sf_dir: str, *, gzip_members: bool
+def _warc_file_blobs(
+    df: DataFrame,
+    value_col: str,
+    make_record,
+    *,
+    gzip_when=None,
+    head: bytes = b"",
+    per_file: int = 8,
 ) -> DataFrame:
-    """Shared body for the plain-.warc and .warc.gz ingest entries —
-    identical pipeline, differing only in whether each synthesized
-    record is wrapped as its own gzip member (the CommonCrawl
-    .warc.gz layout) before blob concatenation. Output is invariant
-    to compression, so both share one oracle."""
+    """Shared fixture kernel for every WARC-family entry (plain
+    ingest, gzip twin, WET, the streaming composition): synthesize
+    one record per row via ``make_record(doc_id, value) -> bytes``
+    (optionally gzip-membered when ``gzip_when(file_no)`` is true),
+    then fold ``per_file`` records into one file blob per
+    ``doc_id div per_file`` — ``head`` bytes (e.g. a warcinfo
+    record) prepended to each blob. One definition so record framing
+    and the blob fold can never silently diverge across entries."""
     from pyspark.sql import types as T
 
-    from workshoop2_etl_spark.operators.htmlextract import (
-        html_to_text,
-        synthesize_html,
-    )
-    from workshoop2_etl_spark.operators.warc import (
-        gzip_warc_record,
-        parse_warc_blobs,
-        synthesize_warc_record,
-    )
-
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
-    pages = synthesize_html(docs).select("doc_id", "html")
+    from workshoop2_etl_spark.operators.warc import gzip_warc_record
 
     rec_schema = T.StructType(
         [
@@ -3222,28 +3183,64 @@ def _warc_ingest_impl(
     def to_records(it):
         for pdf in it:
             out = pdf[["doc_id"]].copy()
-            recs = [
-                synthesize_warc_record(
-                    int(i), h, host=f"www.site{int(i) % 7}.com"
-                )
-                for i, h in zip(pdf["doc_id"], pdf["html"])
-            ]
-            if gzip_members:
-                recs = [gzip_warc_record(r) for r in recs]
+            recs = []
+            for i, v in zip(pdf["doc_id"], pdf[value_col]):
+                r = make_record(int(i), v)
+                if gzip_when is not None and gzip_when(
+                    int(i) // per_file
+                ):
+                    r = gzip_warc_record(r)
+                recs.append(r)
             out["rec"] = recs
             yield out
 
-    recs = pages.mapInPandas(to_records, rec_schema)
-    blobs = (
-        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
+    recs = df.select("doc_id", value_col).mapInPandas(
+        to_records, rec_schema
+    )
+    return (
+        recs.groupBy(
+            (F.col("doc_id") / per_file).cast("long").alias("file_no")
+        )
         .agg(
             F.aggregate(
                 F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
-                F.lit(b""),
+                F.lit(head),
                 lambda acc, x: F.concat(acc, x["rec"]),
             ).alias("content")
         )
         .select("content")
+    )
+
+
+def _warc_response_record(doc_id: int, html: str) -> bytes:
+    from workshoop2_etl_spark.operators.warc import synthesize_warc_record
+
+    return synthesize_warc_record(
+        doc_id, html, host=f"www.site{doc_id % 7}.com"
+    )
+
+
+def _warc_ingest_impl(
+    spark: SparkSession, sf_dir: str, *, gzip_members: bool
+) -> DataFrame:
+    """Shared body for the plain-.warc and .warc.gz ingest entries —
+    identical pipeline, differing only in whether each synthesized
+    record is wrapped as its own gzip member (the CommonCrawl
+    .warc.gz layout) before blob concatenation. Output is invariant
+    to compression, so both share one oracle."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.warc import parse_warc_blobs
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+    blobs = _warc_file_blobs(
+        pages,
+        "html",
+        _warc_response_record,
+        gzip_when=(lambda f: True) if gzip_members else None,
     )
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     extracted = html_to_text(
@@ -3792,13 +3789,8 @@ def wet_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     'utf-8'), and recover doc_id from the parsed WARC-Target-URI.
     Oracle replays the body closed form + the literal envelope
     fields."""
-    from pyspark.sql import types as T
-
     from workshoop2_etl_spark.operators.charset import decode_bytes
-    from workshoop2_etl_spark.operators.warc import (
-        parse_warc_blobs,
-        synthesize_wet_record,
-    )
+    from workshoop2_etl_spark.operators.warc import parse_warc_blobs
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id").cast("string")
@@ -3815,25 +3807,15 @@ def wet_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     texts = docs.select("doc_id", body.alias("body"))
 
-    rec_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("rec", T.BinaryType()),
-        ]
-    )
+    def wet_record(doc_id: int, text: str) -> bytes:
+        from workshoop2_etl_spark.operators.warc import (
+            synthesize_wet_record,
+        )
 
-    def to_records(it):
-        for pdf in it:
-            out = pdf[["doc_id"]].copy()
-            out["rec"] = [
-                synthesize_wet_record(
-                    int(i), t, host=f"www.site{int(i) % 7}.com"
-                )
-                for i, t in zip(pdf["doc_id"], pdf["body"])
-            ]
-            yield out
+        return synthesize_wet_record(
+            doc_id, text, host=f"www.site{doc_id % 7}.com"
+        )
 
-    recs = texts.mapInPandas(to_records, rec_schema)
     # real WET files open with a warcinfo record the filter must drop
     warcinfo = (
         b"WARC/1.0\r\n"
@@ -3844,17 +3826,7 @@ def wet_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         b"format: WARC/1"
         b"\r\n\r\n"
     )
-    blobs = (
-        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
-                F.lit(warcinfo),
-                lambda acc, x: F.concat(acc, x["rec"]),
-            ).alias("content")
-        )
-        .select("content")
-    )
+    blobs = _warc_file_blobs(texts, "body", wet_record, head=warcinfo)
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     conv = parsed.where(F.col("warc_type") == "conversion")
     decoded = decode_bytes(

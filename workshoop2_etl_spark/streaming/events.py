@@ -324,22 +324,40 @@ _STREAM_TIMINGS = {
 }
 
 
+#: Spark retains only the most recent N progress events
+#: (spark.sql.streaming.numRecentProgressUpdates, default 100); an
+#: activation with more micro-batches than that would UNDER-count
+#: processing if summed naively — masking regressions on one side,
+#: manufacturing flags on the other.
+_PROGRESS_RETENTION_DEFAULT = 100
+
+
 def _record_activation(total_sec: float, q) -> None:
     """Fold one finished StreamingQuery into the timing accumulator:
     processing = Σ ``durationMs.triggerExecution`` over its progress
-    events (the per-batch work), activation = the remainder."""
+    events (the per-batch work), activation = the remainder. When the
+    progress list hits Spark's retention cap (older events dropped),
+    the split is unknowable — the whole wall charges to processing,
+    the conservative side: the regression gate then compares what is
+    effectively wall time instead of trusting an under-count."""
     proc_ms = 0.0
+    n_events = 0
     try:
         import json as _json
 
-        for p in q.recentProgress:
+        progress = q.recentProgress
+        n_events = len(progress)
+        for p in progress:
             if isinstance(p, str):
                 p = _json.loads(p)
             d = p.get("durationMs") or {}
             proc_ms += float(d.get("triggerExecution") or 0)
     except Exception:
         pass
-    proc = min(proc_ms / 1000.0, total_sec)
+    if n_events >= _PROGRESS_RETENTION_DEFAULT:
+        proc = total_sec  # capped list: split unreliable, go conservative
+    else:
+        proc = min(proc_ms / 1000.0, total_sec)
     _STREAM_TIMINGS["processing_sec"] += proc
     _STREAM_TIMINGS["activation_sec"] += max(0.0, total_sec - proc)
     _STREAM_TIMINGS["n_activations"] += 1

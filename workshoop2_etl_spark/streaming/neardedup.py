@@ -142,18 +142,28 @@ def crawl_to_docs(
     from workshoop2_etl_spark.operators.htmlextract import html_to_text
     from workshoop2_etl_spark.operators.warc import parse_warc_blobs
 
-    parsed = parse_warc_blobs(blobs_df, blob_col, id_cols=[])
+    # Poison tolerance (real crawls, not just the fixture): keep only
+    # HTTP response records — warcinfo/request/metadata must not be
+    # HTML-extracted into the index — and derive doc ids with
+    # try_cast over a NULLIF'd extract: a URI that doesn't match
+    # id_pattern yields NULL (row dropped), never an ANSI cast error
+    # that would kill the whole micro-batch.
+    parsed = parse_warc_blobs(blobs_df, blob_col, id_cols=[]).where(
+        F.col("warc_type") == "response"
+    )
     decoded = decode_bytes(
         parsed.select(
-            F.regexp_extract("target_uri", id_pattern, 1)
-            .cast("long")
+            F.nullif(
+                F.regexp_extract("target_uri", id_pattern, 1), F.lit("")
+            )
+            .try_cast("long")
             .alias("doc_id"),
             "payload",
         ),
         "payload",
         out_col="html",
         id_cols=["doc_id"],
-    )
+    ).where(F.col("doc_id").isNotNull())
     return html_to_text(
         decoded.select("doc_id", "html"), "html", id_cols=["doc_id"]
     ).select("doc_id", "text")
