@@ -194,3 +194,28 @@ def test_broadcast_release_hook(spark):
     # the frame still executes after release (lazy re-broadcast)
     assert out.count() == n1
     assert release_bloom_broadcasts() == 0  # idempotent
+
+
+def test_broadcast_registry_self_caps():
+    """The tracked-broadcast registry must not pin handles forever in
+    non-bench sessions: past the cap the OLDEST is unpersisted and
+    dropped (safe: unpersist re-ships lazily)."""
+    from workshoop2_etl_spark.operators import bloomjoin as bj
+
+    class _FakeBC:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    bj.release_bloom_broadcasts()  # clean slate
+    fakes = [_FakeBC() for _ in range(bj._MAX_LIVE_BROADCASTS + 3)]
+    for f in fakes:
+        bj._track_broadcast(f)
+    assert len(bj._LIVE_BROADCASTS) == bj._MAX_LIVE_BROADCASTS
+    assert all(f.unpersisted for f in fakes[:3])  # oldest evicted
+    assert not any(f.unpersisted for f in fakes[3:])
+    n = bj.release_bloom_broadcasts()
+    assert n == bj._MAX_LIVE_BROADCASTS
+    assert all(f.unpersisted for f in fakes)
