@@ -342,10 +342,16 @@ def _regression_flags(
         prev_proc = prev.get("processing_sec")
         cur_pin = pinned.get(name)
         if (
-            cur_proc is not None
+            isinstance(cur_proc, (int, float))
+            and cur_proc > 0
             and isinstance(prev_proc, (int, float))
             and prev_proc > 0
         ):
+            # cur_proc > 0 mirrors the prev-side guard: a failed
+            # recentProgress parse records processing_sec=0.0, and
+            # entering the processing basis with cur_n=0 would
+            # silently disable the gate for that entry this round.
+            # Falling through uses the wall-time best-evidence basis.
             basis = "processing"
             cur_n = cur_proc / machine_factor
             prev_n = prev_proc / prev_factor

@@ -211,3 +211,69 @@ def test_streaming_entries_compare_processing_time():
     assert "streaming_x" not in flags
     assert flags["streaming_y"]["basis"] == "processing"
     assert flags["streaming_y"]["ratio"] == 3.0
+
+
+def test_zero_processing_measurement_falls_back_to_wall():
+    """Regression (r10 ADVICE): a failed recentProgress parse records
+    processing_sec=0.0; the processing basis must NOT be entered with
+    cur_n=0 (which could never flag) — the gate falls back to the
+    wall-time best-evidence basis and still catches the regression."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {
+            "streaming_z": {
+                "sec": 2.0,
+                "processing_sec": 1.0,
+                "activation_sec": 1.0,
+            },
+        },
+        "calibration": {"machine_factor": 1.0},
+    }
+    flags = bench._regression_flags(
+        {"streaming_z": 9.0},
+        prev,
+        0.1,
+        1.0,
+        stream_split={
+            "streaming_z": {"processing_sec": 0.0, "activation_sec": 9.0},
+        },
+    )
+    assert "streaming_z" in flags
+    assert flags["streaming_z"]["basis"] == "wall"
+
+
+def test_record_activation_unknowable_split_charges_wall():
+    """Regression (r10 ADVICE): when recentProgress parsing raises or
+    returns zero events, _record_activation must charge the whole
+    wall to processing (conservative) instead of emitting
+    processing_sec=0 — a zero would both disable this round's gate
+    and poison next round's prev side."""
+    from workshoop2_etl_spark.streaming import events as ev
+
+    class _Boom:
+        @property
+        def recentProgress(self):
+            raise RuntimeError("gateway gone")
+
+    class _Empty:
+        recentProgress = []
+
+    class _Real:
+        recentProgress = [
+            {"durationMs": {"triggerExecution": 500}},
+            {"durationMs": {"triggerExecution": 250}},
+        ]
+
+    def _pop():
+        out = ev.pop_stream_timings()
+        return (out or {}).get("processing_sec")
+
+    ev.pop_stream_timings()  # reset accumulator
+    ev._record_activation(4.0, _Boom())
+    assert _pop() == 4.0
+    ev._record_activation(4.0, _Empty())
+    assert _pop() == 4.0
+    ev._record_activation(4.0, _Real())
+    assert _pop() == 0.75

@@ -192,3 +192,64 @@ def test_wildcard_rules_admission(spark):
         5: True,
         6: True,
     }
+
+
+def test_urls_carrying_rule_named_columns_survive(spark):
+    """Regression (r10 ADVICE): a urls frame that itself carries
+    rule_path / allow / rule_regex columns must neither make the
+    rules join ambiguous nor lose those user columns to the final
+    drop() — the rules side now joins under reserved __rule_*
+    names."""
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots(robots, "robots_txt", key_cols=["domain"])
+    urls = spark.createDataFrame(
+        [
+            (1, "d.com", "/private/x", "user-rp", True, "user-rx"),
+            (2, "d.com", "/open/x", "user-rp2", False, None),
+        ],
+        "uid long, domain string, path string, "
+        "rule_path string, allow boolean, rule_regex string",
+    )
+    out = robots_filter(
+        urls,
+        rules,
+        url_key="uid",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+    )
+    rows = {r["uid"]: r for r in out.collect()}
+    assert rows[1]["allowed"] is False and rows[2]["allowed"] is True
+    # user columns pass through untouched
+    assert rows[1]["rule_path"] == "user-rp"
+    assert rows[1]["allow"] is True
+    assert rows[1]["rule_regex"] == "user-rx"
+    assert rows[2]["rule_path"] == "user-rp2"
+
+
+def test_broadcast_gate_parses_spark_byte_strings(spark):
+    """Regression (r10 ADVICE): the auto-gate threshold is parsed by
+    Spark's own JavaUtils.byteStringAsBytes — '10MB' is 10*1024**2,
+    not 10_000_000, and bare-integer strings still work."""
+    jvm = spark._jvm
+    parse = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    assert int(parse("10MB")) == 10 * 1024 * 1024
+    assert int(parse("10485760")) == 10485760
+    assert int(parse("1g")) == 1024**3
+    # and the gate still broadcasts a tiny rules frame under the
+    # default threshold when stats are available (parquet-backed
+    # frames have size estimates; createDataFrame ones may not, so
+    # this only asserts the no-exception path end-to-end)
+    urls, rules = _tiny_fixture(spark)
+    out = robots_filter(
+        urls,
+        rules,
+        url_key="uid",
+        path_col="path",
+        join_on="domain",
+        keep_denied=True,
+    )
+    assert out.count() == 3

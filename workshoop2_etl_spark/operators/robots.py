@@ -167,15 +167,18 @@ def robots_filter(
     hash join keyed by domain — linear, no single-node collect."""
     if broadcast is None:
         try:
+            conf_val = urls.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+            # Spark's own byte-string parser (handles 10MB = 10*1024²,
+            # bare bytes, k/m/g/t suffixes) — hand-rolled decimal
+            # parsing mis-sizes binary suffixes and any format it
+            # doesn't recognize would force-disable the broadcast.
+            jvm = urls.sparkSession._jvm
             threshold = int(
-                urls.sparkSession.conf.get(
-                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    conf_val
                 )
-                .lower()
-                .replace("b", "")
-                .replace("k", "000")
-                .replace("m", "000000")
-                .replace("g", "000000000")
             )
             size = int(
                 rules._jdf.queryExecution()
@@ -188,6 +191,14 @@ def robots_filter(
             broadcast = False
     if "rule_regex" not in rules.columns:  # pre-wildcard callers
         rules = rules.withColumn("rule_regex", F.lit(None).cast("string"))
+    # Reserved internal names for the rules-side columns: a urls frame
+    # that itself carries rule_path/allow/rule_regex must not make the
+    # join output ambiguous nor lose user columns to the final drop().
+    rules = (
+        rules.withColumnRenamed("rule_path", "__rule_path")
+        .withColumnRenamed("allow", "__rule_allow")
+        .withColumnRenamed("rule_regex", "__rule_regex")
+    )
     joined = urls.join(
         F.broadcast(rules) if broadcast else rules, join_on, "left"
     )
@@ -198,16 +209,16 @@ def robots_filter(
     # same pattern the oracle replays in RE2); plain prefix rules
     # keep the cheaper startswith.
     is_match = (
-        F.col("rule_path").isNotNull()
+        F.col("__rule_path").isNotNull()
         & F.when(
-            F.col("rule_regex").isNotNull(),
-            F.expr(f"`{path_col}` RLIKE rule_regex"),
-        ).otherwise(F.col(path_col).startswith(F.col("rule_path")))
+            F.col("__rule_regex").isNotNull(),
+            F.expr(f"`{path_col}` RLIKE __rule_regex"),
+        ).otherwise(F.col(path_col).startswith(F.col("__rule_path")))
     ).cast("int")
     w = Window.partitionBy(url_key).orderBy(
         is_match.desc(),
-        F.length(F.col("rule_path")).desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
+        F.length(F.col("__rule_path")).desc_nulls_last(),
+        F.col("__rule_allow").desc_nulls_last(),
     )
     decided = (
         joined.withColumn("__m", is_match)
@@ -216,9 +227,9 @@ def robots_filter(
         .withColumn(
             "allowed",
             F.when(F.col("__m") == 0, F.lit(True)).otherwise(
-                F.col("allow")
+                F.col("__rule_allow")
             ),
         )
-        .drop("__rn", "__m", "rule_path", "allow", "rule_regex")
+        .drop("__rn", "__m", "__rule_path", "__rule_allow", "__rule_regex")
     )
     return decided if keep_denied else decided.where(F.col("allowed"))

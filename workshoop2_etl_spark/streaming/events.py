@@ -342,6 +342,7 @@ def _record_activation(total_sec: float, q) -> None:
     effectively wall time instead of trusting an under-count."""
     proc_ms = 0.0
     n_events = 0
+    parse_ok = True
     try:
         import json as _json
 
@@ -353,9 +354,14 @@ def _record_activation(total_sec: float, q) -> None:
             d = p.get("durationMs") or {}
             proc_ms += float(d.get("triggerExecution") or 0)
     except Exception:
-        pass
-    if n_events >= _PROGRESS_RETENTION_DEFAULT:
-        proc = total_sec  # capped list: split unreliable, go conservative
+        parse_ok = False
+    if n_events >= _PROGRESS_RETENTION_DEFAULT or not parse_ok or n_events == 0:
+        # Capped list, failed parse, or no progress events at all:
+        # the split is unknowable. Charge the whole wall to
+        # processing (conservative) rather than emit processing=0 —
+        # a zero here would disable bench's processing-basis gate
+        # for this entry AND poison next round's prev side.
+        proc = total_sec
     else:
         proc = min(proc_ms / 1000.0, total_sec)
     _STREAM_TIMINGS["processing_sec"] += proc
