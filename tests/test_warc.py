@@ -29,7 +29,8 @@ def test_split_and_parse_roundtrip():
     parts = split_warc(_blob(5))
     assert len(parts) == 5
     for i, rec in enumerate(parts):
-        wt, uri, st, ct, payload = parse_warc_record(rec)
+        wt, uri, st, ct, payload, loc = parse_warc_record(rec)
+        assert loc is None
         assert wt == "response" and st == 200
         assert uri == f"http://www.h.com/page{i}"
         assert ct.startswith("text/html")
@@ -115,7 +116,8 @@ def test_non_http_record():
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
         b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
     )
-    wt, uri, st, ct, payload = parse_warc_record(split_warc(wi)[0])
+    wt, uri, st, ct, payload, loc = parse_warc_record(split_warc(wi)[0])
+    assert loc is None
     assert wt == "warcinfo" and uri is None and st is None
     assert payload == b"robots: x"
 
@@ -183,3 +185,80 @@ def test_gz_split_never_raises_hypothesis():
         assert isinstance(split_warc_gz(b"\x1f\x8b" + b), list)
 
     run()
+
+
+def test_http_body_gzip_deflate_chunked_roundtrip():
+    """Round 11: response payloads stored AS FETCHED — gzip/deflate
+    Content-Encoding and chunked Transfer-Encoding (and their stack)
+    all decode back to the document bytes inside parse_warc_record."""
+    html = "<html><body><p>café body</p></body></html>"
+    for kw in (
+        {"content_encoding": "gzip"},
+        {"content_encoding": "deflate"},
+        {"chunked": True},
+        {"chunked": True, "chunk_size": 7},
+        {"content_encoding": "gzip", "chunked": True},
+    ):
+        rec = synthesize_warc_record(3, html, host="www.h.com", **kw)
+        parts = split_warc(rec)
+        assert len(parts) == 1, kw
+        wt, uri, st, ct, payload, loc = parse_warc_record(parts[0])
+        assert st == 200 and loc is None
+        assert payload.decode("utf-8") == html, kw
+
+
+def test_http_body_decode_tolerance():
+    """Truncated chunk framing or a corrupt gzip stream must keep the
+    record alive with the raw payload — never raise."""
+    from workshoop2_etl_spark.operators.warc import (
+        _decode_http_body,
+        _dechunk_http_body,
+    )
+
+    # corrupt gzip: header claims gzip, bytes are not
+    assert _decode_http_body(b"not-gzip", {"content-encoding": "gzip"}) == (
+        b"not-gzip"
+    )
+    assert _decode_http_body(
+        b"not-zlib", {"content-encoding": "deflate"}
+    ) == b"not-zlib"
+    # truncated chunk: size says 20, only 5 bytes follow
+    trunc = b"14\r\nhello"
+    assert _dechunk_http_body(trunc) is None
+    assert _decode_http_body(
+        trunc, {"transfer-encoding": "chunked"}
+    ) == trunc
+    # bad hex size line
+    assert _dechunk_http_body(b"zz\r\nhello\r\n0\r\n\r\n") is None
+    # end-to-end: a record whose gzip body is truncated still parses
+    rec = synthesize_warc_record(
+        1, "<p>x</p>", host="h.com", content_encoding="gzip"
+    )
+    # corrupt the last 4 payload bytes (keeps WARC framing valid)
+    broken = rec[:-8] + b"XXXX" + rec[-4:]
+    parsed = parse_warc_record(split_warc(broken)[0])
+    assert parsed is not None and parsed[2] == 200  # survived
+
+
+def test_redirect_location_surfaced(spark):
+    """3xx records surface their Location header as a column."""
+    rec301 = synthesize_warc_record(
+        1,
+        "",
+        host="old.com",
+        status=301,
+        location="http://new.com/page1",
+    )
+    rec200 = synthesize_warc_record(2, "<p>d2</p>", host="new.com")
+    wt, uri, st, ct, payload, loc = parse_warc_record(
+        split_warc(rec301)[0]
+    )
+    assert st == 301 and loc == "http://new.com/page1"
+    blobs = spark.createDataFrame(
+        [(rec301 + rec200,)], "content binary"
+    )
+    rows = {
+        r["http_status"]: r["location"]
+        for r in parse_warc_blobs(blobs, "content", id_cols=[]).collect()
+    }
+    assert rows == {301: "http://new.com/page1", 200: None}

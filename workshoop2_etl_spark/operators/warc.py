@@ -40,18 +40,65 @@ from pyspark.sql import types as T
 _CRLF2 = b"\r\n\r\n"
 
 
-def synthesize_warc_record(doc_id: int, html: str, *, host: str) -> bytes:
+def chunk_http_body(data: bytes, *, chunk_size: int = 97) -> bytes:
+    """Encode ``data`` as an RFC 9112 chunked transfer body: hex
+    size line + chunk + CRLF per chunk, ``0`` terminator, empty
+    trailer. The odd default size keeps chunk boundaries off any
+    natural token boundary in fixtures."""
+    out = bytearray()
+    for i in range(0, len(data), chunk_size):
+        chunk = data[i : i + chunk_size]
+        out += f"{len(chunk):x}".encode("ascii") + b"\r\n" + chunk + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def synthesize_warc_record(
+    doc_id: int,
+    html: str,
+    *,
+    host: str,
+    status: int = 200,
+    location: str | None = None,
+    content_encoding: str | None = None,
+    chunked: bool = False,
+    chunk_size: int = 97,
+) -> bytes:
     """One valid WARC/1.0 ``response`` record: WARC headers (target
     URI ``http://{host}/page{doc_id}``, deterministic record id),
-    HTTP/1.1 200 envelope, HTML payload. Byte framing follows the
+    HTTP/1.1 envelope, HTML payload. Byte framing follows the
     spec exactly (Content-Length counts the HTTP envelope + payload;
-    records separated by CRLFCRLF)."""
+    records separated by CRLFCRLF).
+
+    Real crawls store response bytes AS FETCHED, so the envelope can
+    carry ``Content-Encoding: gzip|deflate`` (compressed payload)
+    and/or ``Transfer-Encoding: chunked`` (hex-size-framed body) —
+    both synthesizable here to fixture the decode path; ``status`` /
+    ``location`` synthesize redirect records (3xx + Location)."""
     payload = html.encode("utf-8")
-    http = (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
-        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
-    ) + payload
+    if content_encoding == "gzip":
+        payload = gzip_warc_record(payload)  # same gzip-bytes helper
+    elif content_encoding == "deflate":
+        payload = zlib.compress(payload)
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found"}.get(
+        status, "Status"
+    )
+    hdrs = [
+        f"HTTP/1.1 {status} {reason}".encode("ascii"),
+        b"Content-Type: text/html; charset=utf-8",
+    ]
+    if location is not None:
+        hdrs.append(b"Location: " + location.encode("ascii"))
+    if content_encoding:
+        hdrs.append(
+            b"Content-Encoding: " + content_encoding.encode("ascii")
+        )
+    if chunked:
+        payload = chunk_http_body(payload, chunk_size=chunk_size)
+        hdrs.append(b"Transfer-Encoding: chunked")
+    else:
+        hdrs.append(b"Content-Length: " + str(len(payload)).encode())
+    http = b"\r\n".join(hdrs) + b"\r\n\r\n" + payload
     # Content-Length deliberately NOT last: CommonCrawl places digest /
     # IP headers after it, the ordering that exposed the r9 regex bug.
     warc_headers = (
@@ -176,11 +223,74 @@ def _headers(block: bytes) -> dict[str, str]:
     return out
 
 
+def _dechunk_http_body(payload: bytes) -> bytes | None:
+    """Reassemble an RFC 9112 chunked body (hex size line, chunk,
+    CRLF, ..., 0-terminator). Returns None on any malformed framing
+    (bad hex, truncated chunk) — the caller then keeps the raw bytes
+    rather than emitting a half-decoded body or raising."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = payload.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        size_token = payload[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return bytes(out)  # trailer section ignored
+        start = nl + 2
+        end = start + size
+        if end > len(payload):
+            return None  # truncated chunk
+        out += payload[start:end]
+        pos = end
+        if payload.startswith(b"\r\n", pos):
+            pos += 2
+
+
+def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
+    """Undo the HTTP envelope's byte transformations so downstream
+    charset/HTML extraction sees the document bytes, not the wire
+    bytes: ``Transfer-Encoding: chunked`` de-chunking first (the
+    outer framing), then ``Content-Encoding: gzip|x-gzip|deflate``
+    inflation. Every step is tolerant — a malformed chunk frame or a
+    corrupt gzip stream keeps the bytes from the previous step, never
+    raises (a crawl record must survive ingest whatever the server
+    sent)."""
+    if "chunked" in hh.get("transfer-encoding", "").lower():
+        dechunked = _dechunk_http_body(payload)
+        if dechunked is not None:
+            payload = dechunked
+    ce = hh.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            payload = zlib.decompress(payload, 16 + zlib.MAX_WBITS)
+        except zlib.error:
+            pass
+    elif ce == "deflate":
+        # servers historically sent both zlib-wrapped and raw deflate
+        # under this token; try wrapped first, then raw
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return payload
+
+
 def parse_warc_record(rec: bytes):
-    """(warc_type, target_uri, http_status, content_type, payload)
-    from one record's bytes, or None if it isn't a WARC record.
-    Non-HTTP records (warcinfo, metadata) come back with NULL status
-    and their raw body as payload."""
+    """(warc_type, target_uri, http_status, content_type, payload,
+    location) from one record's bytes, or None if it isn't a WARC
+    record. Non-HTTP records (warcinfo, metadata) come back with NULL
+    status and their raw body as payload. HTTP payloads are decoded
+    through :func:`_decode_http_body` (chunked / gzip / deflate), and
+    3xx redirects surface their ``Location`` header so a resolution
+    hop can follow the chain."""
     rec = rec or b""
     if not rec.startswith(b"WARC/"):
         return None
@@ -197,6 +307,7 @@ def parse_warc_record(rec: bytes):
     # HTTP branch below overrides with the envelope's when present
     ctype = wh.get("content-type")
     payload = body
+    location = None
     if body.startswith(b"HTTP/"):
         http_end = body.find(_CRLF2)
         if http_end >= 0:
@@ -206,8 +317,9 @@ def parse_warc_record(rec: bytes):
                 status = int(parts[1])
             hh = _headers(body[:http_end])
             ctype = hh.get("content-type")
-            payload = body[http_end + 4 :]
-    return warc_type, uri, status, ctype, payload
+            location = hh.get("location")
+            payload = _decode_http_body(body[http_end + 4 :], hh)
+    return warc_type, uri, status, ctype, payload, location
 
 
 def parse_warc_blobs(
@@ -218,10 +330,13 @@ def parse_warc_blobs(
 ) -> DataFrame:
     """One input row (a ``.warc`` or ``.warc.gz`` file blob) → one
     output row per contained record: ``warc_type``, ``target_uri``,
-    ``http_status``, ``content_type``, ``payload`` (binary). Gzip
+    ``http_status``, ``content_type``, ``payload`` (binary),
+    ``location`` (3xx redirect target, NULL otherwise). Gzip
     blobs are detected per row by the ``\\x1f\\x8b`` magic and
-    member-split (:func:`split_warc_gz`). Pure map — records fan
-    out inside the task, no shuffle, no driver involvement."""
+    member-split (:func:`split_warc_gz`). HTTP payloads arrive
+    DECODED (chunked/gzip/deflate envelopes undone inside the
+    kernel). Pure map — records fan out inside the task, no shuffle,
+    no driver involvement."""
     ids = id_cols or [c for c in df.columns if c != blob_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]
@@ -231,6 +346,7 @@ def parse_warc_blobs(
             T.StructField("http_status", T.IntegerType()),
             T.StructField("content_type", T.StringType()),
             T.StructField("payload", T.BinaryType()),
+            T.StructField("location", T.StringType()),
         ]
     )
 
@@ -260,6 +376,7 @@ def parse_warc_blobs(
                     "http_status",
                     "content_type",
                     "payload",
+                    "location",
                 ],
             )
 
