@@ -146,10 +146,15 @@ def test_extract_page_links_drops_boilerplate_and_nests():
 
 def test_extract_links_to_pagerank_composition(spark):
     """Crawl chapter meets graph chapter: pages -> extract_links ->
-    edge list -> bit-reproducible PageRank; the hub of each group
-    must outrank its spokes."""
+    RELATIVE hrefs resolved against each page's base URI
+    (resolve_href, round 11) -> edge list -> bit-reproducible
+    PageRank; the hub of each group must outrank its spokes."""
     from pyspark.sql import functions as F
 
+    from workshoop2_etl_spark.functions.urls import (
+        normalize_url,
+        resolve_href,
+    )
     from workshoop2_etl_spark.operators.graph import pagerank_fixed_point
     from workshoop2_etl_spark.operators.htmlextract import extract_links
 
@@ -157,18 +162,27 @@ def test_extract_links_to_pagerank_composition(spark):
     pages = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(
+            F.lit("http://s.com/dir/page"), F.col("id")
+        ).alias("base_uri"),
+        F.concat(
             F.lit("<body><nav><a href='/no'>x</a></nav><p>"
-                  "<a href='http://s.com/page"),
+                  "<a href='../page"),  # relative: needs the base URI
             F.expr("7 * (id div 7)").cast("string"),
-            F.lit("'>hub</a></p></body>"),
+            F.lit("#frag'>hub</a></p></body>"),
         ).alias("html"),
     )
-    edges = extract_links(pages, "html", id_cols=["doc_id"]).select(
+    edges = extract_links(
+        pages, "html", id_cols=["doc_id", "base_uri"]
+    ).select(
         F.col("doc_id").alias("src"),
-        F.regexp_extract("href", r"page(\d+)$", 1)
-        .cast("long")
+        F.regexp_extract(
+            normalize_url(resolve_href(F.col("base_uri"), F.col("href"))),
+            r"^http://s\.com/page(\d+)$",
+            1,
+        )
+        .try_cast("long")
         .alias("dst"),
-    )
+    ).where(F.col("dst").isNotNull())
     assert edges.count() == n  # nav links excluded, one edge per page
     ranks = pagerank_fixed_point(edges, iterations=3)
     r = {row[0]: row[1] for row in ranks.collect()}

@@ -95,3 +95,37 @@ def test_plan_is_pure_jvm(spark):
     assert "Python" not in plan and "Exchange" not in plan.split(
         "+- == Initial Plan =="
     )[0]
+
+
+def test_resolve_href_rfc3986_forms(spark):
+    """RFC 3986 §5 relative resolution (round 11): every href form
+    crawled HTML actually contains, composed with normalize_url to
+    the canonical edge target."""
+    from workshoop2_etl_spark.functions.urls import resolve_href
+
+    cases = [
+        # (base, href, expected canonical)
+        ("http://www.s.com/dir/page5", "../page3", "http://www.s.com/page3"),
+        ("http://www.s.com/dir/page5", "./page3", "http://www.s.com/dir/page3"),
+        ("http://www.s.com/dir/page5", "page3", "http://www.s.com/dir/page3"),
+        ("http://www.s.com/dir/page5", "/page3", "http://www.s.com/page3"),
+        ("http://www.s.com/dir/page5", "/a/../page3", "http://www.s.com/page3"),
+        ("http://www.s.com/page5", "../../x", "http://www.s.com/x"),  # root pop guard
+        ("http://www.s.com/page5", "//cdn.com/x", "http://cdn.com/x"),
+        ("https://s.com/p", "//cdn.com/x", "https://cdn.com/x"),
+        ("http://www.s.com/page5", "?q=1", "http://www.s.com/page5?q=1"),
+        ("http://www.s.com/page5", "#frag", "http://www.s.com/page5"),
+        ("http://www.s.com/page5", "", "http://www.s.com/page5"),
+        ("http://www.s.com/page5", "mailto:a@b.c", "mailto:a@b.c"),
+        ("http://www.s.com/page5", "https://o.com/x?utm_source=z#f", "https://o.com/x"),
+        ("http://www.s.com/a/b/c", "../d/./e", "http://www.s.com/a/d/e"),
+        ("http://www.s.com/a/b/c", "d/e?fbclid=1&q=2", "http://www.s.com/a/b/d/e?q=2"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string, expect string")
+    out = df.select(
+        "expect",
+        normalize_url(resolve_href(F.col("base"), F.col("href"))).alias("got"),
+    )
+    assert all(r["got"] == r["expect"] for r in out.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # pure column expressions, no UDF

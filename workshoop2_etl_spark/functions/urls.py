@@ -149,3 +149,65 @@ def registrable_domain(url: Column) -> Column:
         .when(last2.isin(*MULTI_LABEL_SUFFIXES) & (n >= 3), last3)
         .otherwise(last2)
     )
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as a pure-builtin fold:
+    split on ``/``, then ``.`` segments drop, ``..`` pops the
+    previous segment (never past the leading root segment of an
+    absolute path), everything else appends. A trailing ``/.`` or
+    ``/..`` loses its trailing slash — downstream
+    :func:`normalize_url` drops trailing slashes anyway, so the
+    composed canonical form is unaffected."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(1))),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.array_join(folded, "/")
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an ``<a href>`` against its page's base URI — RFC 3986
+    §5 relative resolution as ONE pure-column expression tree (no
+    UDF, stays in codegen), covering the forms crawled HTML actually
+    contains: absolute URLs (and non-http schemes like ``mailto:``,
+    returned as-is for the caller to filter), protocol-relative
+    ``//host/p``, root-relative ``/p``, query-only ``?q``,
+    fragment-only ``#f`` (→ the base), and path-relative ``p`` /
+    ``./p`` / ``../p`` with dot-segment removal. Fragments are
+    stripped first (never sent to the server). Compose with
+    :func:`normalize_url` to land on the canonical edge target —
+    the link-graph feeder shape (r10 verdict item 3)."""
+    h = F.substring_index(F.trim(href), "#", 1)  # strip fragment
+    b = F.trim(base)
+    scheme = _scheme(b)
+    origin = F.concat(scheme, F.lit("://"), _hostport(b))
+    bpath = _path(b)
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+    hpath = F.regexp_extract(h, r"^([^?]*)", 1)
+    hquery = F.regexp_extract(h, r"(\?[^#]*)", 1)
+    has_scheme = F.regexp_extract(h, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1) != ""
+    return (
+        F.when(h == "", b)
+        .when(has_scheme, h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(
+            h.startswith("/"),
+            F.concat(origin, remove_dot_segments(hpath), hquery),
+        )
+        .when(h.startswith("?"), F.concat(origin, bpath, h))
+        .otherwise(
+            F.concat(
+                origin,
+                remove_dot_segments(F.concat(bdir, hpath)),
+                hquery,
+            )
+        )
+    )

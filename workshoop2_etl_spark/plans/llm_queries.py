@@ -3555,44 +3555,70 @@ ORDER BY src, dst, anchor_text
 @_register("link_graph_documents", _LINK_GRAPH_SQL)
 def link_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph extraction (operators/htmlextract.py
-    ``extract_links`` — round 10, crawl chapter → graph chapter):
-    each page's body carries two real anchors (its 7-group hub and
-    the next page in the group) PLUS a nav-boilerplate link that the
-    structural drop must exclude — noise edges are exactly what
-    poisons a web graph. Pages fan out to edge rows as a pure
-    Arrow-batched map; target doc ids are recovered from the hrefs,
-    so every edge crossed the HTML round trip. The resulting edge
-    list is ordinary relational data for operators/graph.py (the
-    extract→PageRank composition is pytest-proven). Oracle states
-    the closed-form edges directly."""
+    ``extract_links`` + functions/urls.py ``resolve_href`` — rounds
+    10/11, crawl chapter → graph chapter): each page's body carries
+    two real anchors — the 7-group hub as a RELATIVE href with a
+    dot segment (``../page{hub}`` against the page's deep base URI)
+    and the next page as a root-relative href smuggling a dot
+    segment, a tracker param, and a fragment — plus a
+    nav-boilerplate link the structural drop must exclude and a
+    ``mailto:`` link the scheme filter must drop. Every edge target
+    therefore exists ONLY after RFC 3986 resolution against
+    ``WARC-Target-URI`` + canonicalization: the dst extraction is
+    anchored on the full canonical URL (``^http://www.site.com/
+    page(\\d+)$``), so an unresolved relative href, a surviving
+    ``utm_`` param, or an unstripped fragment yields NULL and a
+    row-count mismatch. Pages fan out to edge rows as a pure
+    Arrow-batched map; resolution + canonicalization are pure column
+    expressions (no UDF). Oracle states the closed-form edges
+    directly."""
+    from workshoop2_etl_spark.functions.urls import (
+        normalize_url,
+        resolve_href,
+    )
     from workshoop2_etl_spark.operators.htmlextract import extract_links
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id")
     hub = F.expr("7 * (doc_id div 7)")
     nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    base_uri = F.concat(
+        F.lit("http://www.site.com/dir/page"), F.col("doc_id")
+    )
     html = F.concat(
         F.lit(
             "<html><body><nav><a href=\"/noise\">skip</a></nav><p>See "
         ),
-        F.lit("<a href=\"http://www.site.com/page"),
+        F.lit("<a href=\"../page"),
         hub.cast("string"),
         F.lit("\">hub "),
         hub.cast("string"),
-        F.lit("</a> and <a href=\"http://www.site.com/page"),
+        F.lit("</a> and <a href=\"/x/../page"),
         nxt.cast("string"),
-        F.lit("\">next "),
+        F.lit("?utm_source=news#sec\">next "),
         nxt.cast("string"),
-        F.lit("</a>.</p></body></html>"),
+        F.lit("</a> or <a href=\"mailto:spam@site.com\">mail</a>"),
+        F.lit(".</p></body></html>"),
     )
-    pages = docs.select("doc_id", html.alias("html"))
-    links = extract_links(pages, "html", id_cols=["doc_id"])
-    return links.select(
-        F.col("doc_id").alias("src"),
-        F.regexp_extract("href", r"page(\d+)$", 1)
-        .cast("long")
-        .alias("dst"),
-        "anchor_text",
-    ).orderBy("src", "dst", "anchor_text")
+    pages = docs.select(
+        "doc_id", base_uri.alias("base_uri"), html.alias("html")
+    )
+    links = extract_links(pages, "html", id_cols=["doc_id", "base_uri"])
+    resolved = normalize_url(
+        resolve_href(F.col("base_uri"), F.col("href"))
+    )
+    return (
+        links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract(
+                resolved, r"^http://www\.site\.com/page(\d+)$", 1
+            )
+            .try_cast("long")
+            .alias("dst"),
+            "anchor_text",
+        )
+        .where(F.col("dst").isNotNull())
+        .orderBy("src", "dst", "anchor_text")
+    )
 
 
 _FRONTIER_SQL = """
