@@ -253,3 +253,30 @@ def test_broadcast_gate_parses_spark_byte_strings(spark):
         keep_denied=True,
     )
     assert out.count() == 3
+
+
+def test_crawl_delay_parsing():
+    """Round 11: Crawl-delay per group — integral, fractional,
+    malformed (ignored), negative (ignored), group selection matches
+    the directive rules (exact agent group shadows *)."""
+    from workshoop2_etl_spark.operators.robots import crawl_delay_text
+
+    txt = (
+        "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /y\n"
+    )
+    assert crawl_delay_text(txt, "fastbot") == 0.5
+    assert crawl_delay_text(txt, "*") == 10.0
+    assert crawl_delay_text(txt, "unknown") == 10.0
+    # agent group exists but states no delay: no fallback to *
+    txt2 = (
+        "User-agent: quiet\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 3\n"
+    )
+    assert crawl_delay_text(txt2, "quiet") is None
+    assert crawl_delay_text("User-agent: *\nCrawl-delay: soon\n") is None
+    assert crawl_delay_text("User-agent: *\nCrawl-delay: -2\n") is None
+    assert crawl_delay_text("") is None
+    assert crawl_delay_text(None) is None
+    # delay parsing must not disturb rule parsing (shared walk)
+    assert parse_robots_text(txt, "fastbot") == [("/x", False)]

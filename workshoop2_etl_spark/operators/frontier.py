@@ -31,6 +31,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def delay_to_cap(
+    delay_sec: Column,
+    *,
+    wave_interval_sec: float = 30.0,
+    default_cap: int = 4,
+) -> Column:
+    """Turn a robots ``Crawl-delay`` (seconds between fetches the
+    site asks for) into a per-domain WAVE CAP: if the scheduler
+    drains one wave every ``wave_interval_sec``, a domain asking for
+    ``d`` seconds between fetches can politely serve
+    ``floor(interval / d)`` fetches per wave (never below 1 — a huge
+    delay still progresses, one URL per wave). NULL delay (site
+    didn't ask) keeps ``default_cap`` — the caller's guess, exactly
+    yesterday's behavior."""
+    if default_cap < 1:
+        raise ValueError(f"default_cap must be >= 1, got {default_cap}")
+    cap = F.greatest(
+        F.floor(F.lit(float(wave_interval_sec)) / delay_sec).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    return F.when(
+        delay_sec.isNotNull() & (delay_sec > 0), cap
+    ).otherwise(F.lit(default_cap).cast("long"))
+
+
 def frontier_waves(
     urls: DataFrame,
     *,
@@ -38,11 +63,19 @@ def frontier_waves(
     url_col: str,
     per_domain: int = 4,
     priority_col: str | None = None,
+    per_domain_col: str | None = None,
 ) -> DataFrame:
     """Assign each frontier URL a per-domain ``fetch_rank`` (1-based,
     highest ``priority_col`` first, URL-string tiebreak) and a
     ``wave`` number such that no wave holds more than ``per_domain``
-    URLs of one domain. Input columns pass through."""
+    URLs of one domain. Input columns pass through.
+
+    ``per_domain_col`` (round 11) names a per-ROW cap column — e.g.
+    :func:`delay_to_cap` over the domain's robots ``Crawl-delay``,
+    joined onto the frontier — overriding the scalar ``per_domain``
+    where non-NULL: the politeness data the crawl already fetched
+    drives the schedule instead of a caller guess. Same single
+    window; the divisor just varies per domain."""
     if per_domain < 1:
         raise ValueError(f"per_domain must be >= 1, got {per_domain}")
     order: list[Column] = []
@@ -51,7 +84,12 @@ def frontier_waves(
     order.append(F.col(url_col).asc())
     w = Window.partitionBy(domain_col).orderBy(*order)
     ranked = urls.withColumn("fetch_rank", F.row_number().over(w))
+    cap: Column = F.lit(per_domain).cast("long")
+    if per_domain_col is not None:
+        cap = F.coalesce(
+            F.greatest(F.col(per_domain_col).cast("long"), F.lit(1)), cap
+        )
     return ranked.withColumn(
         "wave",
-        ((F.col("fetch_rank") - 1) / per_domain).cast("long"),
+        ((F.col("fetch_rank") - 1) / cap).cast("long"),
     )

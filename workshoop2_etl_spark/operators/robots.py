@@ -57,17 +57,16 @@ def rule_to_regex(path: str) -> str | None:
     return "^" + pattern + ("$" if anchored else "")
 
 
-def parse_robots_text(
-    text: str, agent: str = "*"
-) -> list[tuple[str, bool]]:
-    """Parse one robots.txt body → [(rule_path, allow)] for
-    ``agent``: directives from the group whose User-agent line
-    matches ``agent`` exactly (case-insensitive), else the ``*``
-    group. Wildcard rules are kept verbatim (compiled downstream —
-    see :func:`rule_to_regex`). Malformed lines are ignored (RFC
-    9309 tolerance); an empty/None body yields no rules (allow
-    all)."""
+def _parse_groups(text: str) -> tuple[dict, dict]:
+    """One walk over a robots.txt body → ``(rules_by_agent,
+    delay_by_agent)``: per user-agent group, the kept Allow/Disallow
+    rule list and the group's ``Crawl-delay`` seconds (float, None if
+    absent/unparseable). Crawl-delay is the de-facto extension most
+    large sites publish (RFC 9309 leaves it out but reserves the
+    extension mechanism); group scoping follows the same rules as
+    directives."""
     groups: dict[str, list[tuple[str, bool]]] = {}
+    delays: dict[str, float] = {}
     current: list[str] = []
     last_was_agent = False
     for raw in (text or "").splitlines():
@@ -93,10 +92,47 @@ def parse_robots_text(
                 continue  # "Disallow:" (empty) = allow all, no rule
             for name in current:
                 groups[name].append((val, key == "allow"))
+        elif key == "crawl-delay" and current:
+            try:
+                delay = float(val)
+            except ValueError:
+                continue  # malformed: ignored, RFC tolerance
+            if delay >= 0:
+                for name in current:
+                    delays[name] = delay
+    return groups, delays
+
+
+def _pick_group(by_agent: dict, agent: str):
+    want = agent.lower()
+    if want in by_agent:
+        return by_agent[want]
+    return by_agent.get("*")
+
+
+def parse_robots_text(
+    text: str, agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """Parse one robots.txt body → [(rule_path, allow)] for
+    ``agent``: directives from the group whose User-agent line
+    matches ``agent`` exactly (case-insensitive), else the ``*``
+    group. Wildcard rules are kept verbatim (compiled downstream —
+    see :func:`rule_to_regex`). Malformed lines are ignored (RFC
+    9309 tolerance); an empty/None body yields no rules (allow
+    all)."""
+    groups, _ = _parse_groups(text)
+    return _pick_group(groups, agent) or []
+
+
+def crawl_delay_text(text: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` seconds the site asks of ``agent`` (its
+    exact group, else the ``*`` group — same selection as the rule
+    directives), or None when unstated/malformed."""
+    groups, delays = _parse_groups(text)
     want = agent.lower()
     if want in groups:
-        return groups[want]
-    return groups.get("*", [])
+        return delays.get(want)
+    return delays.get("*")
 
 
 def parse_robots(
@@ -133,6 +169,36 @@ def parse_robots(
             yield pd.DataFrame(
                 rows, columns=ids + ["rule_path", "allow", "rule_regex"]
             )
+
+    return df.mapInPandas(batches, schema)
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    *,
+    agent: str = "*",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """One input row (a fetched robots.txt) → one output row with the
+    site's ``crawl_delay`` seconds for ``agent`` (double, NULL when
+    unstated) — the politeness datum :func:`operators.frontier.
+    frontier_waves` turns into a per-domain wave cap, closing the
+    robots → frontier edge (r10 verdict item 4). Pure map, same
+    at-scale shape as :func:`parse_robots`."""
+    ids = key_cols or [c for c in df.columns if c != text_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [T.StructField("crawl_delay", T.DoubleType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[ids].copy()
+            out["crawl_delay"] = [
+                crawl_delay_text(t, agent) for t in pdf[text_col]
+            ]
+            yield out
 
     return df.mapInPandas(batches, schema)
 

@@ -3688,6 +3688,116 @@ def frontier_waves_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_FRONTIER_DELAY_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 7) || '.com' AS domain,
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+           AS url,
+         CAST(doc_id % 10 AS DOUBLE) / 10 AS priority,
+         CASE doc_id % 7 WHEN 1 THEN 1.0 WHEN 2 THEN 7.5
+                         WHEN 3 THEN 15.0 WHEN 4 THEN 40.0 END
+           AS crawl_delay,
+         CASE doc_id % 7 WHEN 1 THEN 30 WHEN 3 THEN 2
+                         WHEN 4 THEN 1 ELSE 4 END AS cap
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY domain ORDER BY priority DESC, url
+         ) AS rn
+  FROM u
+)
+SELECT doc_id, domain, url, priority, crawl_delay,
+       CAST(cap AS BIGINT) AS wave_cap,
+       CAST(rn AS BIGINT) AS fetch_rank,
+       CAST((rn - 1) // cap AS BIGINT) AS wave
+FROM r
+ORDER BY doc_id
+"""
+
+
+@_register("frontier_crawl_delay_documents", _FRONTIER_DELAY_SQL)
+def frontier_crawl_delay_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """robots ``Crawl-delay`` driving the frontier schedule
+    (operators/robots.py ``parse_crawl_delays`` + operators/
+    frontier.py ``delay_to_cap``/``per_domain_col`` — round 11, the
+    r10 verdict's missing X187→X194 edge): seven domains publish
+    robots bodies covering the delay space — absent, integral,
+    fractional, huge (cap clamps to 1/wave), malformed (ignored),
+    and delay stated only for ANOTHER agent's group (the ``*`` group
+    has none) — the engine parses the delay per domain, converts it
+    to a wave cap at a 30 s wave interval, and the SAME single
+    frontier window stripes waves with the per-domain divisor;
+    domains that didn't ask keep the caller default of 4, yesterday's
+    behavior exactly. Oracle replays the closed-form caps with
+    standard SQL windows."""
+    from workshoop2_etl_spark.operators.frontier import (
+        delay_to_cap,
+        frontier_waves,
+    )
+    from workshoop2_etl_spark.operators.robots import parse_crawl_delays
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    bodies = [
+        "User-agent: *\nDisallow: /private/\n",  # no delay -> default
+        "User-agent: *\nCrawl-delay: 1\n",  # cap 30
+        "User-agent: *\nCrawl-delay: 7.5\n",  # fractional -> cap 4
+        "User-agent: *\nCrawl-delay: 15\nDisallow: /tmp\n",  # cap 2
+        "User-agent: *\nCrawl-delay: 40\n",  # huge -> clamps to 1
+        "User-agent: *\nCrawl-delay: fast\n",  # malformed -> default
+        # delay stated only for another agent's group: * has none
+        "User-agent: otherbot\nCrawl-delay: 2\n\n"
+        "User-agent: *\nDisallow: /x\n",
+    ]
+    robots = spark.createDataFrame(
+        [(f"site{d}.com", bodies[d]) for d in range(7)],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(
+        robots, "robots_txt", key_cols=["domain"]
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7), F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.lit("http://www.site"),
+            (F.col("doc_id") % 7),
+            F.lit(".com/page"),
+            F.col("doc_id"),
+        ).alias("url"),
+        ((F.col("doc_id") % 10).cast("double") / 10).alias("priority"),
+    )
+    frontier = urls.join(F.broadcast(delays), "domain", "left").withColumn(
+        "wave_cap",
+        delay_to_cap(
+            F.col("crawl_delay"), wave_interval_sec=30.0, default_cap=4
+        ),
+    )
+    out = frontier_waves(
+        frontier,
+        domain_col="domain",
+        url_col="url",
+        per_domain=4,
+        priority_col="priority",
+        per_domain_col="wave_cap",
+    )
+    return out.select(
+        "doc_id",
+        "domain",
+        "url",
+        "priority",
+        "crawl_delay",
+        "wave_cap",
+        F.col("fetch_rank").cast("long").alias("fetch_rank"),
+        "wave",
+    ).orderBy("doc_id")
+
+
 _SITEMAP_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 7) || '.com' AS domain,
