@@ -262,3 +262,39 @@ def test_redirect_location_surfaced(spark):
         for r in parse_warc_blobs(blobs, "content", id_cols=[]).collect()
     }
     assert rows == {301: "http://new.com/page1", 200: None}
+
+
+def test_resolve_redirects_chains(spark):
+    """Chain following: direct 200, one 301 hop, 301->302 with a
+    RELATIVE Location, a dangling redirect (target never fetched),
+    and a 2-cycle that must stop at max_hops with 3xx status."""
+    from workshoop2_etl_spark.operators.warc import resolve_redirects
+
+    rows = [
+        # uri, status, location
+        ("http://s.com/final", 200, None),
+        ("http://s.com/a", 301, "http://s.com/final"),
+        ("http://s.com/b", 301, "http://s.com/mid/x"),
+        ("http://s.com/mid/x", 302, "../final"),  # relative Location
+        ("http://s.com/dangle", 301, "http://gone.com/x"),
+        ("http://s.com/c1", 301, "http://s.com/c2"),  # 2-cycle
+        ("http://s.com/c2", 302, "http://s.com/c1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, http_status int, location string"
+    )
+    out = {
+        r["target_uri"]: (
+            r["final_uri"], r["n_hops"], r["final_status"]
+        )
+        for r in resolve_redirects(df, max_hops=4).collect()
+    }
+    assert out["http://s.com/final"] == ("http://s.com/final", 0, 200)
+    assert out["http://s.com/a"] == ("http://s.com/final", 1, 200)
+    assert out["http://s.com/b"] == ("http://s.com/final", 2, 200)
+    assert out["http://s.com/mid/x"] == ("http://s.com/final", 1, 200)
+    # dangling: we know where it points, but no record there
+    assert out["http://s.com/dangle"] == ("http://gone.com/x", 1, None)
+    # cycle: stops at max_hops, still 3xx -> caller filters
+    c_final, c_hops, c_status = out["http://s.com/c1"]
+    assert c_hops == 4 and c_status in (301, 302)

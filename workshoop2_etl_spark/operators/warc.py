@@ -381,3 +381,83 @@ def parse_warc_blobs(
             )
 
     return df.mapInPandas(batches, schema)
+
+
+def resolve_redirects(
+    records: DataFrame,
+    *,
+    uri_col: str = "target_uri",
+    status_col: str = "http_status",
+    location_col: str = "location",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Follow 3xx redirect chains across a crawl's fetched records:
+    one row per input URI → ``(uri_col, final_uri, n_hops,
+    final_status)`` where ``final_uri`` is the chain's end (the URL
+    the content actually lands under — the id a dedup/merge step must
+    key on), ``n_hops`` how many redirects were followed, and
+    ``final_status`` the status AT the final URI (NULL when the chain
+    dangles off the fetched set). ``Location`` values are resolved
+    against the redirecting URI first (:func:`functions.urls.
+    resolve_href` — real servers send relative Locations), so chains
+    survive ``Location: /new`` and ``Location: ../x``.
+
+    Scale shape: redirect chains in real crawls are shallow (HTTP
+    clients cap at 5–10), so this is ``max_hops`` bounded hash joins
+    on the URI key — each hop advances EVERY unresolved chain one
+    step, never per-chain iteration. A cycle or an over-long chain
+    simply stops advancing (``final_status`` stays 3xx for the caller
+    to filter). Duplicate fetches of one URI collapse to the first.
+    (r10 verdict item 7 — engine extension; reference has no crawl
+    surface.)"""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.functions.urls import resolve_href
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    edges = (
+        records.select(
+            F.col(uri_col).alias("__uri"),
+            F.col(status_col).alias("__st"),
+            F.when(
+                F.col(location_col).isNotNull(),
+                resolve_href(F.col(uri_col), F.col(location_col)),
+            ).alias("__loc"),
+        )
+        .dropDuplicates(["__uri"])
+    )
+    m = edges.select(
+        F.col("__uri").alias(uri_col),
+        F.col("__uri").alias("final_uri"),
+        F.lit(0).cast("long").alias("n_hops"),
+        F.col("__st").alias("final_status"),
+        F.col("__loc").alias("__next"),
+    )
+    is_redirect = (
+        F.col("final_status").isNotNull()
+        & F.col("final_status").between(300, 399)
+        & F.col("__next").isNotNull()
+    )
+    for _ in range(max_hops):
+        stepped = m.join(
+            edges.withColumnRenamed("__uri", "__to"),
+            m["__next"] == F.col("__to"),
+            "left",
+        )
+        m = stepped.select(
+            uri_col,
+            F.when(is_redirect, F.col("__next"))
+            .otherwise(F.col("final_uri"))
+            .alias("final_uri"),
+            F.when(is_redirect, F.col("n_hops") + 1)
+            .otherwise(F.col("n_hops"))
+            .alias("n_hops"),
+            F.when(is_redirect, F.col("__st"))
+            .otherwise(F.col("final_status"))
+            .alias("final_status"),
+            F.when(is_redirect, F.col("__loc"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("__next"),
+        )
+    return m.drop("__next")

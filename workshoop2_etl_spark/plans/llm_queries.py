@@ -3354,6 +3354,146 @@ def warc_http_encoded_ingest_documents(
     ).orderBy("doc_id")
 
 
+_REDIRECT_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body,
+         doc_id % 3 AS m
+  FROM g
+), starts AS (
+  SELECT doc_id, body,
+         'http://www.site.com/final/page' || doc_id AS start_uri,
+         0 AS n_hops
+  FROM x
+  UNION ALL
+  SELECT doc_id, body,
+         'http://old.site.com/page' || doc_id, m
+  FROM x WHERE m >= 1
+  UNION ALL
+  SELECT doc_id, body,
+         'http://www.site.com/mid/page' || doc_id, 1
+  FROM x WHERE m = 2
+)
+SELECT doc_id,
+       start_uri,
+       'http://www.site.com/final/page' || doc_id AS final_uri,
+       CAST(n_hops AS BIGINT) AS n_hops,
+       CAST(200 AS INTEGER) AS final_status,
+       md5(body) AS text_md5
+FROM starts
+ORDER BY doc_id, start_uri
+"""
+
+
+def _warc_redirect_chain_record(doc_id: int, html: str) -> bytes:
+    """1–3 concatenated WARC records per doc: the 200 at the final
+    URI always; doc_id%3>=1 adds a 301 at the old host (absolute
+    Location); doc_id%3==2 routes it through a mid URI whose 302
+    sends a RELATIVE Location (../final/…) — the form real servers
+    emit. synthesize_warc_record's host param carries the extra path
+    segment (the URI is plain string concat)."""
+    from workshoop2_etl_spark.operators.warc import synthesize_warc_record
+
+    m = doc_id % 3
+    final_uri = f"http://www.site.com/final/page{doc_id}"
+    recs = [
+        synthesize_warc_record(doc_id, html, host="www.site.com/final")
+    ]
+    if m == 1:
+        recs.append(
+            synthesize_warc_record(
+                doc_id,
+                "",
+                host="old.site.com",
+                status=301,
+                location=final_uri,
+            )
+        )
+    elif m == 2:
+        recs.append(
+            synthesize_warc_record(
+                doc_id,
+                "",
+                host="old.site.com",
+                status=301,
+                location=f"http://www.site.com/mid/page{doc_id}",
+            )
+        )
+        recs.append(
+            synthesize_warc_record(
+                doc_id,
+                "",
+                host="www.site.com/mid",
+                status=302,
+                location=f"../final/page{doc_id}",
+            )
+        )
+    return b"".join(recs)
+
+
+@_register("redirect_resolve_documents", _REDIRECT_SQL)
+def redirect_resolve_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Redirect-chain resolution (operators/warc.py
+    ``resolve_redirects`` — round 11, r10 verdict item 7): a third of
+    the fixture docs are fetched directly, a third arrive via one 301
+    hop, a third via a 301→302 chain whose second Location is
+    RELATIVE (resolved against the redirecting URI via resolve_href).
+    The entry parses the blobs, follows every chain with bounded
+    hash-join hops, and joins the 200 records' extracted content back
+    by final URI — proving content lands under the FINAL canonical
+    URL for every start URI, with hop counts and final status
+    surfaced. Oracle replays the chain topology and the ingest body
+    closed form."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_blobs,
+        resolve_redirects,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+    blobs = _warc_file_blobs(pages, "html", _warc_redirect_chain_record)
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    resolved = resolve_redirects(parsed, max_hops=4)
+    content = html_to_text(
+        parsed.where(F.col("http_status") == 200).select(
+            F.col("target_uri").alias("content_uri"),
+            F.col("payload").cast("string").alias("html"),
+        ),
+        "html",
+        id_cols=["content_uri"],
+    ).select("content_uri", F.md5(F.col("text")).alias("text_md5"))
+    return (
+        resolved.join(
+            content, resolved["final_uri"] == content["content_uri"]
+        )
+        .select(
+            F.regexp_extract("final_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("start_uri"),
+            "final_uri",
+            "n_hops",
+            "final_status",
+            "text_md5",
+        )
+        .orderBy("doc_id", "start_uri")
+    )
+
+
 @_register("warc_ingest_documents", _WARC_INGEST_SQL)
 def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-ingest pipeline END TO END (operators/warc.py +
