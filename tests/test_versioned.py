@@ -352,3 +352,95 @@ def test_stats_commit_skips_non_json_columns(spark, tmp_path):
     assert len(keep) == total  # ts unpruned
     keep_id, _ = candidate_files(t, "id", 0, 10)
     assert len(keep_id) < total  # id still prunes
+
+
+def test_foreach_batch_upsert_merges_and_replays_noop(spark, tmp_path):
+    """Round 11 (crawl x lakehouse): the streaming UPSERT sink merges
+    by key (re-crawl replaces, never appends), keeps the pre-merge
+    snapshot time-travel readable, dedups within a batch, and treats
+    a replayed batch id as a no-op."""
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_upsert,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = foreach_batch_versioned_upsert(t, ["url"])
+    w1 = spark.createDataFrame(
+        [("u1", "v1-a"), ("u2", "v1-b"), ("u3", "v1-c")],
+        "url string, content string",
+    )
+    sink(w1, 0)
+    # wave 2: u2 re-crawled, u4 new, u4 fetched TWICE in one batch
+    w2 = spark.createDataFrame(
+        [("u2", "v2-b"), ("u4", "v2-d"), ("u4", "v2-d-dup")],
+        "url string, content string",
+    )
+    sink(w2, 1)
+    cur = {
+        r["url"]: r["content"] for r in read_version(spark, t).collect()
+    }
+    assert cur == {
+        "u1": "v1-a",
+        "u2": "v2-b",  # replaced, not duplicated
+        "u3": "v1-c",
+        "u4": "v2-d",  # within-batch dedup keeps the sort-first row
+    }
+    # time travel: pre-recrawl snapshot intact
+    v0 = {
+        r["url"]: r["content"]
+        for r in read_version(spark, t, 0).collect()
+    }
+    assert v0 == {"u1": "v1-a", "u2": "v1-b", "u3": "v1-c"}
+    # crash/restart replay of batch 1: no-op, no third version
+    sink(w2, 1)
+    assert current_version(t) == 1
+    assert {
+        r["url"]: r["content"] for r in read_version(spark, t).collect()
+    } == cur
+
+
+def test_foreach_batch_upsert_through_restarted_stream(spark, tmp_path):
+    """Checkpoint-restart: a second availableNow activation over the
+    same source commits nothing; adding a source file upserts once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("u1", "a"), ("u2", "b")], "url string, content string"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "url string, content string"
+        ).parquet(f"{src}/*")
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_versioned_upsert(t, ["url"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    assert current_version(t) == 0
+    run()  # restart, no new input: nothing commits
+    assert current_version(t) == 0
+    spark.createDataFrame(
+        [("u2", "B2")], "url string, content string"
+    ).coalesce(1).write.parquet(f"{src}/f2")
+    run()  # restart with one new file: exactly one upsert commit
+    assert current_version(t) == 1
+    assert {
+        r["url"]: r["content"] for r in read_version(spark, t).collect()
+    } == {"u1": "a", "u2": "B2"}

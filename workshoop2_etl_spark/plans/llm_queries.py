@@ -3494,6 +3494,171 @@ def redirect_resolve_documents(
     )
 
 
+_CRAWL_UPSERT_SQL = r"""
+WITH b1 AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'Doc ' || doc_id,
+           NULLIF(trim(regexp_replace(COALESCE(text, ''),
+                                      '[ \t\r\n\f]+', ' ', 'g')), ''),
+           'See ref ' || doc_id || ' for details.') AS body
+  FROM documents
+), b2 AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'Doc ' || doc_id,
+           NULLIF(trim(regexp_replace(COALESCE(text, '') || ' v2',
+                                      '[ \t\r\n\f]+', ' ', 'g')), ''),
+           'See ref ' || doc_id || ' for details.') AS body
+  FROM documents
+)
+SELECT 'current' AS snapshot, b1.doc_id,
+       'http://www.site.com/page' || b1.doc_id AS url_norm,
+       md5(CASE WHEN b1.doc_id % 3 = 0 THEN b2.body ELSE b1.body END)
+         AS text_md5
+FROM b1 JOIN b2 ON b1.doc_id = b2.doc_id
+UNION ALL
+SELECT 'v0', doc_id,
+       'http://www.site.com/page' || doc_id,
+       md5(body)
+FROM b1
+ORDER BY snapshot, doc_id
+"""
+
+
+@_register("crawl_upsert_timetravel_documents", _CRAWL_UPSERT_SQL)
+def crawl_upsert_timetravel_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl chapter × lakehouse chapter (round 11, r10 verdict item
+    6): two crawl WAVES stream through ``foreachBatch`` into a
+    versioned table via the exactly-once UPSERT sink
+    (sources/versioned.py ``foreach_batch_versioned_upsert``), keyed
+    on the CANONICAL URL — wave 2 re-crawls every third page with a
+    messily-spelled URL (upper-case host, explicit :80) and updated
+    content, and the merge REPLACES those rows instead of appending,
+    because both spellings canonicalize to one key
+    (functions/urls.py). The result unions the CURRENT snapshot
+    (re-crawled rows carry v2 content) with the TIME-TRAVEL read of
+    version 0 (the pre-recrawl state, intact) — both closed-form.
+    Wave ordering is pinned with explicit file mtimes (the file
+    source orders by modification time); batch replay idempotence is
+    pytest-proven separately."""
+    import os
+    import shutil
+    import tempfile
+
+    from workshoop2_etl_spark.functions.urls import normalize_url
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.warc import parse_warc_blobs
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.versioned import (
+        foreach_batch_versioned_upsert,
+        read_version,
+    )
+    from workshoop2_etl_spark.streaming.events import await_activation
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_crawlups_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    table = f"{base}/table"
+    os.makedirs(src)
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = synthesize_html(docs).select("doc_id", "html")
+
+    def _canonical_record(doc_id: int, html: str) -> bytes:
+        from workshoop2_etl_spark.operators.warc import (
+            synthesize_warc_record,
+        )
+
+        return synthesize_warc_record(doc_id, html, host="www.site.com")
+
+    blobs1 = _warc_file_blobs(wave1, "html", _canonical_record)
+    # wave 2: every third page re-crawled, messy URL spelling +
+    # updated content
+    wave2 = synthesize_html(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2"))
+            .alias("text"),
+        )
+    ).select("doc_id", "html")
+
+    def _messy_record(doc_id: int, html: str) -> bytes:
+        from workshoop2_etl_spark.operators.warc import (
+            synthesize_warc_record,
+        )
+
+        return synthesize_warc_record(
+            doc_id, html, host="WWW.Site.com:80"
+        )
+
+    blobs2 = _warc_file_blobs(wave2, "html", _messy_record)
+    blobs1.coalesce(1).write.parquet(f"{src}/w1")
+    blobs2.coalesce(1).write.parquet(f"{src}/w2")
+    # flatten into one source dir with PINNED mtimes so the file
+    # stream delivers wave 1 strictly before wave 2
+    for i, d in enumerate(("w1", "w2")):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/wave{i}.parquet"
+                os.rename(f"{src}/{d}/{f}", dst)
+                os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        shutil.rmtree(f"{src}/{d}")
+
+    def _extract(batch_df: DataFrame) -> DataFrame:
+        parsed = parse_warc_blobs(batch_df, "content", id_cols=[])
+        ok = parsed.where(F.col("http_status") == 200)
+        ext = html_to_text(
+            ok.select(
+                normalize_url(F.col("target_uri")).alias("url_norm"),
+                F.regexp_extract("target_uri", r"page(\d+)$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("payload").cast("string").alias("html"),
+            ),
+            "html",
+            id_cols=["url_norm", "doc_id"],
+        )
+        return ext.select(
+            "url_norm", "doc_id", F.md5(F.col("text")).alias("text_md5")
+        )
+
+    sink = foreach_batch_versioned_upsert(table, ["url_norm"])
+    stream = (
+        spark.readStream.schema("content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: sink(_extract(bdf), bid)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_activation(q, 300, "crawl_upsert_timetravel_documents")
+
+    cur = read_version(spark, table, None).select(
+        F.lit("current").alias("snapshot"),
+        "doc_id",
+        "url_norm",
+        "text_md5",
+    )
+    v0 = read_version(spark, table, 0).select(
+        F.lit("v0").alias("snapshot"), "doc_id", "url_norm", "text_md5"
+    )
+    return cur.unionByName(v0).orderBy("snapshot", "doc_id")
+
+
 @_register("warc_ingest_documents", _WARC_INGEST_SQL)
 def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-ingest pipeline END TO END (operators/warc.py +

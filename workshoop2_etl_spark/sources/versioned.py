@@ -385,6 +385,81 @@ def foreach_batch_versioned_sink(table_dir: str):
     return _sink
 
 
+def foreach_batch_versioned_upsert(table_dir: str, key_cols: list[str]):
+    """Exactly-once streaming UPSERT sink — the crawl × lakehouse
+    composition (r10 verdict item 6): each micro-batch MERGES into
+    the versioned table by ``key_cols`` (for a crawl, the canonical
+    URL) instead of appending, so a re-crawled page REPLACES its
+    previous row while time travel keeps every pre-recrawl snapshot
+    readable. Idempotent like :func:`foreach_batch_versioned_sink`:
+    the batch id is recorded in the manifest and a replayed batch id
+    (failure/restart re-run) is a no-op, never a double-merge.
+
+    Scale shape: the merge is one left-anti join of the current
+    snapshot against the batch's keys plus a union — set-based,
+    shuffle keyed on the canonical key; the batch side of the join is
+    delta-sized. Within-batch duplicate keys collapse deterministically
+    (first by the full row's sort order) before merging. Each commit
+    is a logical overwrite (new manifest lists the merged file set),
+    identical durability semantics to :func:`merge_cdc`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        latest = current_version(table_dir)
+        if latest is not None:
+            seen = {
+                m.get("batch_id")
+                for m in history(table_dir)
+                if m.get("batch_id") is not None
+            }
+            if batch_id in seen:
+                return  # replayed batch — already merged, skip
+        # deterministic within-batch dedup by key (one crawl wave can
+        # fetch one canonical URL twice)
+        others = [c for c in batch_df.columns if c not in key_cols]
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).asc_nulls_last() for c in others]
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if latest is None:
+            files = _write_data(batch, table_dir)
+            _publish(
+                table_dir,
+                0,
+                {
+                    "version": 0,
+                    "parent": None,
+                    "op": "stream_upsert",
+                    "batch_id": batch_id,
+                    "files": files,
+                },
+            )
+            return
+        base = read_version(batch_df.sparkSession, table_dir, latest)
+        merged = base.join(
+            batch.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(batch)
+        files = _write_data(merged, table_dir)
+        _publish(
+            table_dir,
+            latest + 1,
+            {
+                "version": latest + 1,
+                "parent": latest,
+                "op": "stream_upsert",
+                "batch_id": batch_id,
+                "files": files,
+            },
+        )
+
+    return _sink
+
+
 def _collect_file_stats(
     table_dir: str, rel_paths: list[str], stats_cols: list[str]
 ) -> dict:
