@@ -42,54 +42,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
-    # NEW in round 10 (post-rotation): RFC 9309 wildcard robots rules
-    # (* spans, $ end-anchor) compiled to Java∩RE2 regexes at parse
-    # time, closed-form decision oracle (operators/robots.py
-    # rule_to_regex). Mirror-checked this round; rotate into the
-    # driver window next round.
-    "robots_wildcard_documents",
-    # NEW in round 10 (post-rotation): WET conversion-record ingest —
-    # the CommonCrawl plain-text format, warcinfo-headed file blobs,
-    # conversion filter + charset decode + URI-recovered ids
-    # (operators/warc.py synthesize_wet_record). Mirror-checked this
-    # round; rotate into the driver window next round.
-    "wet_ingest_documents",
-    # NEW in round 10 (post-rotation): URL dedup by canonical key —
-    # three messy variants per page collapse through the pure-column
-    # normalizer, exact groupBy keeps min-id + dup count
-    # (functions/urls.py). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "url_dedup_documents",
-    # NEW in round 10 (post-rotation): sitemap discovery — robots
-    # Sitemap: directive -> sitemapindex parse -> child urlset parse,
-    # all three levels relational, closed-form oracle
-    # (operators/sitemap.py). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "sitemap_ingest_documents",
-    # NEW in round 10 (post-rotation): frontier politeness striping —
-    # per-domain fetch rank + wave cap via one window over the
-    # domain shuffle, standard-SQL oracle (operators/frontier.py).
-    # Mirror-checked this round; rotate into the driver window next
-    # round.
-    "frontier_waves_documents",
-    # NEW in round 10 (post-rotation): link-graph extraction — kept
-    # anchors fan out to edge rows (boilerplate links excluded with
-    # their containers), hrefs resolve to target ids, closed-form
-    # edge oracle; extract->PageRank composition pytest-proven
-    # (operators/htmlextract.py extract_links). Mirror-checked this
-    # round; rotate into the driver window next round.
-    "link_graph_documents",
-    # --------------------------------------------------------------------
-    # Round-10 WINDOW ROTATION (the big sweep): the driver window now
-    # carries 2 anchors (flagship_merge_indicator, sink_roundtrip_orders)
-    # + the full 8-entry crawl-ingest chapter (incl. the new
-    # warc_gzip_ingest_documents) + the 40 OLDEST never-windowed
-    # oracles. Every demoted entry below remains hash-checked against
-    # its DuckDB oracle at sf0.01 by tests/test_oracle_parity.py on
-    # every pytest run; per-entry notes record its driver evidence.
-    # Never-windowed count after this rotation: 77 of 214 oracles
-    # (125 -> 77); the remainder rotates in over rounds 11-12.
-    # --------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Round-11 WINDOW ROTATION (second half of the sweep): the driver
+    # window now carries the 2 anchors (flagship_merge_indicator,
+    # sink_roundtrip_orders) + the 4 round-11 newcomers (HTTP-encoded
+    # WARC ingest, redirect-chain resolution, crawl->lakehouse
+    # canonical-URL upsert, robots Crawl-delay -> frontier caps) + the
+    # 6 round-10 newcomers promised last round (robots_wildcard, WET
+    # ingest, URL dedup, sitemap, frontier waves, link graph) + the 38
+    # OLDEST never-windowed oracles. Every demoted entry below remains
+    # hash-checked against its DuckDB oracle at sf0.01 by
+    # tests/test_oracle_parity.py on every pytest run; per-entry notes
+    # record its driver-window history (from CORRECTNESS_r01-r10).
+    # Never-windowed count after this rotation: 39 of 224 oracles
+    # (87 -> 39); the remainder — all marked "rotate in round 12"
+    # below, mostly the TPC-H chapter — finishes next round.
+    # ------------------------------------------------------------------
     "pricing_summary",  # windowed r1-r8 (8x green)
     "top_customers_by_revenue",  # windowed r1-r9 (9x green)
     "avg_price_by_segment",  # windowed r1-r8 (8x green)
@@ -107,6 +75,8 @@ _DEMOTED_ORACLES = (
     "mode_or_first_lineitem",  # windowed r1-r8 (8x green)
     "dim_build_priority",  # windowed r1-r9 (9x green)
     "star_fact_resolution",  # windowed r1-r9 (9x green)
+    "association_rules_lineitem",  # windowed r10 (1x green)
+    "triangles_copurchase_lineitem",  # windowed r10 (1x green)
     "label_propagation_copurchase",  # windowed r9 (1x green)
     "kcore_word_cooccurrence",  # windowed r9 (1x green)
     "pagerank_fixed_point_copurchase",  # windowed r9 (1x green)
@@ -125,12 +95,43 @@ _DEMOTED_ORACLES = (
     "ensure_columns_conform",  # windowed r2-r8 (7x green)
     "asof_join_events_orders",  # windowed r6-r7 (2x green)
     "range_join_events_within_hour",  # windowed r6-r9 (4x green)
+    "rollup_revenue_year_priority",  # windowed r10 (1x green)
+    "cube_status_priority",  # windowed r10 (1x green)
+    "scd2_customer_status",  # windowed r10 (1x green)
+    "dq_report_orders",  # windowed r10 (1x green)
+    "jdbc_roundtrip_orders",  # windowed r10 (1x green)
+    "jsonl_roundtrip_documents",  # windowed r10 (1x green)
+    "orc_roundtrip_orders",  # windowed r10 (1x green)
+    "fuzzy_join_nation_names",  # windowed r10 (1x green)
     "fuzzy_join_big_customers",  # windowed r8-r9 (2x green)
     "cdc_apply_orders",  # windowed r6-r7 (2x green)
+    "ntile_quartiles_orders",  # windowed r10 (1x green)
+    "unpivot_lineitem_metrics",  # windowed r10 (1x green)
+    "semi_anti_customers",  # windowed r10 (1x green)
+    "grouping_sets_orders",  # windowed r10 (1x green)
+    "percent_rank_customers",  # windowed r10 (1x green)
+    "array_hof_documents",  # windowed r10 (1x green)
+    "incremental_agg_orders",  # windowed r10 (1x green)
     "incremental_join_agg_orders",  # windowed r8-r9 (2x green)
     "incremental_join_agg_dimchange_orders",  # windowed r8-r9 (2x green)
+    "topk_pergroup_partial_lineitem",  # windowed r10 (1x green)
+    "mad_outliers_events",  # windowed r10 (1x green)
+    "psi_drift_orders",  # windowed r10 (1x green)
+    "scd2_pointintime_orders",  # windowed r10 (1x green)
+    "ols_trend_orders",  # windowed r10 (1x green)
+    "chisq_events_weekday",  # windowed r10 (1x green)
+    "join_health_events_customer",  # windowed r10 (1x green)
+    "pandas_api_orders",  # windowed r10 (1x green)
+    "k_anonymity_customers",  # windowed r10 (1x green)
+    "benford_orders_totalprice",  # windowed r10 (1x green)
     "ks_drift_orders",  # windowed r8-r9 (2x green)
+    "moment_stats_orders",  # windowed r10 (1x green)
+    "nested_lineitems_orders",  # windowed r10 (1x green)
+    "geomean_grouped_agg_orders",  # windowed r10 (1x green)
     "entity_resolution_customers",  # windowed r7-r9 (3x green)
+    "dp_counts_orders",  # windowed r10 (1x green)
+    "rfm_segments_orders",  # windowed r10 (1x green)
+    "dynamic_overwrite_orders",  # windowed r10 (1x green)
     "bloom_semijoin_lineitem",  # windowed r9 (1x green)
     "skew_profile_events",  # windowed r9 (1x green)
     "heavy_keys_orders_custkey",  # windowed r9 (1x green)
@@ -139,6 +140,7 @@ _DEMOTED_ORACLES = (
     "exact_dedup_documents",  # windowed r2-r9 (8x green)
     "duplicate_groups_documents",  # windowed r2-r7 (6x green)
     "brute_force_topk_embeddings",  # windowed r2-r9 (8x green)
+    "hard_negatives_embeddings",  # windowed r10 (1x green)
     "token_stats_documents",  # windowed r2-r8 (7x green)
     "word_frequencies_documents",  # windowed r2-r5 (4x green)
     "heavy_hitters_bigrams_documents",  # windowed r8-r9 (2x green)
@@ -147,109 +149,85 @@ _DEMOTED_ORACLES = (
     "media_metadata_documents",  # windowed r2-r7 (6x green)
     "frame_sample_documents",  # windowed r2-r7 (6x green)
     "video_demux_documents",  # windowed r7-r9 (3x green)
-    "image_decode_documents",  # windowed r2-r7 (3x green)
+    "image_decode_documents",  # windowed r2,r6,r7 (3x green)
     "fingerprint_documents",  # windowed r2-r6 (5x green)
     "tfidf_documents",  # windowed r3-r9 (7x green)
     "resize_images_documents",  # windowed r7-r8 (2x green)
     "resize_images_png_documents",  # windowed r8-r9 (2x green)
     "resize_images_jpeg_documents",  # windowed r9 (1x green)
+    "audio_features_documents",  # windowed r10 (1x green)
     "audio_adpcm_features_documents",  # windowed r9 (1x green)
-    "stratified_sample_documents",  # never windowed yet - next rotation
-    "token_budget_sample_documents",  # never windowed yet - next rotation
+    "ngram_jaccard_pairs_documents",  # windowed r10 (1x green)
+    "chunk_documents_128",  # windowed r10 (1x green)
+    "pack_chunks_by_lang",  # windowed r10 (1x green)
+    "repetition_stats_documents",  # windowed r10 (1x green)
+    "hash_split_documents",  # windowed r10 (1x green)
     "pii_redact_documents",  # windowed r6-r7 (2x green)
-    "normalize_text_documents",  # never windowed yet - next rotation
-    "decontaminate_documents",  # never windowed yet - next rotation
-    "line_dedup_documents",  # never windowed yet - next rotation
-    "duplicate_spans_documents",  # never windowed yet - next rotation
     "substring_dedup_documents",  # windowed r8-r9 (2x green)
-    "gopher_rules_documents",  # never windowed yet - next rotation
     "winnow_candidates_documents",  # windowed r7-r9 (3x green)
-    "lm_quality_buckets_documents",  # never windowed yet - next rotation
-    "mixture_sample_documents",  # never windowed yet - next rotation
     "training_export_documents",  # windowed r6-r7 (2x green)
-    "media_payload_dedup",  # never windowed yet - next rotation
-    "weighted_sample_documents",  # never windowed yet - next rotation
-    "char_entropy_documents",  # never windowed yet - next rotation
-    "corpus_diff_documents",  # never windowed yet - next rotation
-    "kfold_split_documents",  # never windowed yet - next rotation
-    "hybrid_rrf_search_documents",  # never windowed yet - next rotation
-    "phrase_search_documents",  # never windowed yet - next rotation
-    "pmi_collocations_documents",  # never windowed yet - next rotation
     "dsir_sample_documents",  # windowed r7-r9 (3x green)
-    "quality_classifier_documents",  # never windowed yet - next rotation
     "allpairs_jaccard_documents",  # windowed r7-r9 (3x green)
     "unicode_nfc_documents",  # windowed r9 (1x green)
+    "html_extract_documents",  # windowed r10 (1x green)
+    "url_normalize_documents",  # windowed r10 (1x green)
+    "warc_gzip_ingest_documents",  # windowed r10 (1x green)
+    "warc_ingest_documents",  # windowed r10 (1x green)
+    "fix_mojibake_documents",  # windowed r10 (1x green)
+    "robots_filter_documents",  # windowed r10 (1x green)
+    "charset_decode_documents",  # windowed r10 (1x green)
+    "crawl_prep_documents",  # windowed r10 (1x green)
     "sql_monthly_order_trend",  # windowed r2-r6 (5x green)
     "sql_revenue_by_nation",  # windowed r3-r9 (7x green)
-    "sql_popularity_correlation",  # never windowed yet - next rotation
-    "sql_variant_props",  # never windowed yet - next rotation
-    "sql_recursive_halving_depth",  # never windowed yet - next rotation
-    "sql_lateral_top2_nations",  # never windowed yet - next rotation
-    "sql_udtf_word_bigrams",  # never windowed yet - next rotation
     "streaming_hourly_event_counts",  # windowed r3-r9 (7x green)
     "session_window_events",  # windowed r3-r8 (6x green)
     "streaming_user_sessions",  # windowed r9 (1x green)
-    "streaming_interval_join_events",  # never windowed yet - next rotation
-    "streaming_interval_join_outer_events",  # never windowed yet - next rotation
     "streaming_dedup_events",  # windowed r8-r9 (2x green)
-    "streaming_sliding_event_counts",  # never windowed yet - next rotation
-    "python_stream_datasource_synthetic",  # never windowed yet - next rotation
-    "streaming_static_join_events",  # never windowed yet - next rotation
-    "streaming_versioned_sink_events",  # never windowed yet - next rotation
-    "streaming_dedup_watermark_events",  # never windowed yet - next rotation
-    "streaming_interval_join_full_outer_events",  # never windowed yet - next rotation
     "streaming_heavy_hitters_events",  # windowed r9 (1x green)
     "streaming_interval_join_semi_events",  # windowed r9 (1x green)
-    "resample_fill_events",  # never windowed yet - next rotation
-    "funnel_conversion_events",  # never windowed yet - next rotation
-    "retention_cohorts_events",  # never windowed yet - next rotation
-    "global_ids_documents",  # never windowed yet - next rotation
     "bm25_search_documents",  # windowed r8-r9 (2x green)
-    "compact_roundtrip_orders",  # never windowed yet - next rotation
-    "transitions_events",  # never windowed yet - next rotation
-    "overlap_join_events",  # never windowed yet - next rotation
-    "mom_revenue_growth",  # never windowed yet - next rotation
-    "python_datasource_synthetic",  # never windowed yet - next rotation
-    "winsorize_orders_totalprice",  # never windowed yet - next rotation
-    "rolling_7d_revenue",  # never windowed yet - next rotation
-    "zscore_lineitem_price",  # never windowed yet - next rotation
-    "activity_streaks_events",  # never windowed yet - next rotation
-    "clustered_scan_events",  # never windowed yet - next rotation
-    "attribution_events",  # never windowed yet - next rotation
-    "active_users_7d_events",  # never windowed yet - next rotation
-    "interpolate_linear_events",  # never windowed yet - next rotation
+    "mom_revenue_growth",  # never windowed yet - rotate in round 12
+    "python_datasource_synthetic",  # never windowed yet - rotate in round 12
+    "winsorize_orders_totalprice",  # never windowed yet - rotate in round 12
+    "rolling_7d_revenue",  # never windowed yet - rotate in round 12
+    "zscore_lineitem_price",  # never windowed yet - rotate in round 12
+    "activity_streaks_events",  # never windowed yet - rotate in round 12
+    "clustered_scan_events",  # never windowed yet - rotate in round 12
+    "attribution_events",  # never windowed yet - rotate in round 12
+    "active_users_7d_events",  # never windowed yet - rotate in round 12
+    "interpolate_linear_events",  # never windowed yet - rotate in round 12
     "ewma_value_events",  # windowed r8-r9 (2x green)
-    "versioned_timetravel_orders",  # never windowed yet - next rotation
-    "holt_trend_events",  # never windowed yet - next rotation
-    "kaplan_meier_customers",  # never windowed yet - next rotation
+    "versioned_timetravel_orders",  # never windowed yet - rotate in round 12
+    "holt_trend_events",  # never windowed yet - rotate in round 12
+    "kaplan_meier_customers",  # never windowed yet - rotate in round 12
     "lakehouse_roundtrip_orders",  # windowed r7-r9 (3x green)
     "holt_winters_daily_revenue",  # windowed r7-r9 (3x green)
-    "session_concurrency_events",  # never windowed yet - next rotation
-    "tpch_q3_unshipped_orders",  # never windowed yet - next rotation
-    "tpch_q6_forecast_revenue",  # never windowed yet - next rotation
-    "tpch_q7_volume_shipping",  # never windowed yet - next rotation
-    "tpch_q8_market_share",  # never windowed yet - next rotation
-    "tpch_q14_promo_revenue",  # never windowed yet - next rotation
-    "tpch_q15_top_supplier",  # never windowed yet - next rotation
-    "tpch_q17_small_quantity_revenue",  # never windowed yet - next rotation
-    "tpch_q18_large_volume_customers",  # never windowed yet - next rotation
-    "tpch_q19_disjunctive_revenue",  # never windowed yet - next rotation
-    "tpch_q13_customer_distribution",  # never windowed yet - next rotation
-    "tpch_q22_prospective_customers",  # never windowed yet - next rotation
-    "tpch_q4_order_priority",  # never windowed yet - next rotation
-    "tpch_q11_important_suppliers",  # never windowed yet - next rotation
-    "abc_pareto_parts",  # never windowed yet - next rotation
-    "cohort_ltv_orders",  # never windowed yet - next rotation
-    "contribution_analysis_orders",  # never windowed yet - next rotation
-    "concentration_metrics_orders",  # never windowed yet - next rotation
-    "tpch_q5_local_supplier_volume",  # never windowed yet - next rotation
-    "tpch_q10_returned_items",  # never windowed yet - next rotation
-    "tpch_q12_shipping_priority_buckets",  # never windowed yet - next rotation
-    "tpch_q21_waiting_suppliers",  # never windowed yet - next rotation
-    "tpch_q16_supplier_part_relationship",  # never windowed yet - next rotation
-    "tpch_q20_part_promotion",  # never windowed yet - next rotation
-    "tpch_q2_min_cost_supplier",  # never windowed yet - next rotation
-    "tpch_q9_product_type_profit",  # never windowed yet - next rotation
+    "session_concurrency_events",  # never windowed yet - rotate in round 12
+    "tpch_q3_unshipped_orders",  # never windowed yet - rotate in round 12
+    "tpch_q6_forecast_revenue",  # never windowed yet - rotate in round 12
+    "tpch_q7_volume_shipping",  # never windowed yet - rotate in round 12
+    "tpch_q8_market_share",  # never windowed yet - rotate in round 12
+    "tpch_q14_promo_revenue",  # never windowed yet - rotate in round 12
+    "tpch_q15_top_supplier",  # never windowed yet - rotate in round 12
+    "tpch_q17_small_quantity_revenue",  # never windowed yet - rotate in round 12
+    "tpch_q18_large_volume_customers",  # never windowed yet - rotate in round 12
+    "tpch_q19_disjunctive_revenue",  # never windowed yet - rotate in round 12
+    "tpch_q13_customer_distribution",  # never windowed yet - rotate in round 12
+    "tpch_q22_prospective_customers",  # never windowed yet - rotate in round 12
+    "tpch_q4_order_priority",  # never windowed yet - rotate in round 12
+    "tpch_q11_important_suppliers",  # never windowed yet - rotate in round 12
+    "abc_pareto_parts",  # never windowed yet - rotate in round 12
+    "cohort_ltv_orders",  # never windowed yet - rotate in round 12
+    "contribution_analysis_orders",  # never windowed yet - rotate in round 12
+    "concentration_metrics_orders",  # never windowed yet - rotate in round 12
+    "tpch_q5_local_supplier_volume",  # never windowed yet - rotate in round 12
+    "tpch_q10_returned_items",  # never windowed yet - rotate in round 12
+    "tpch_q12_shipping_priority_buckets",  # never windowed yet - rotate in round 12
+    "tpch_q21_waiting_suppliers",  # never windowed yet - rotate in round 12
+    "tpch_q16_supplier_part_relationship",  # never windowed yet - rotate in round 12
+    "tpch_q20_part_promotion",  # never windowed yet - rotate in round 12
+    "tpch_q2_min_cost_supplier",  # never windowed yet - rotate in round 12
+    "tpch_q9_product_type_profit",  # never windowed yet - rotate in round 12
     "setops_customer_status",  # windowed r3-r6 (4x green)
     "cumulative_monthly_revenue",  # windowed r3-r8 (6x green)
     "top3_customers_per_segment",  # windowed r3-r6 (4x green)
