@@ -42,6 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
+    # NEW in round 11 (post-rotation): WARC revisit-record dedup —
+    # CommonCrawl's crawl-time duplicate mechanism (identical-payload-
+    # digest profile), content materialized by joining revisits back
+    # to their referent on the record-id key (operators/warc.py
+    # materialize_revisits). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "warc_revisit_dedup_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

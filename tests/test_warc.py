@@ -29,7 +29,7 @@ def test_split_and_parse_roundtrip():
     parts = split_warc(_blob(5))
     assert len(parts) == 5
     for i, rec in enumerate(parts):
-        wt, uri, st, ct, payload, loc = parse_warc_record(rec)
+        wt, uri, st, ct, payload, loc, *_ids = parse_warc_record(rec)
         assert loc is None
         assert wt == "response" and st == 200
         assert uri == f"http://www.h.com/page{i}"
@@ -116,7 +116,7 @@ def test_non_http_record():
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
         b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n"
     )
-    wt, uri, st, ct, payload, loc = parse_warc_record(split_warc(wi)[0])
+    wt, uri, st, ct, payload, loc, *_ids = parse_warc_record(split_warc(wi)[0])
     assert loc is None
     assert wt == "warcinfo" and uri is None and st is None
     assert payload == b"robots: x"
@@ -202,7 +202,7 @@ def test_http_body_gzip_deflate_chunked_roundtrip():
         rec = synthesize_warc_record(3, html, host="www.h.com", **kw)
         parts = split_warc(rec)
         assert len(parts) == 1, kw
-        wt, uri, st, ct, payload, loc = parse_warc_record(parts[0])
+        wt, uri, st, ct, payload, loc, *_ids = parse_warc_record(parts[0])
         assert st == 200 and loc is None
         assert payload.decode("utf-8") == html, kw
 
@@ -250,7 +250,7 @@ def test_redirect_location_surfaced(spark):
         location="http://new.com/page1",
     )
     rec200 = synthesize_warc_record(2, "<p>d2</p>", host="new.com")
-    wt, uri, st, ct, payload, loc = parse_warc_record(
+    wt, uri, st, ct, payload, loc, *_ids = parse_warc_record(
         split_warc(rec301)[0]
     )
     assert st == 301 and loc == "http://new.com/page1"
@@ -298,3 +298,41 @@ def test_resolve_redirects_chains(spark):
     # cycle: stops at max_hops, still 3xx -> caller filters
     c_final, c_hops, c_status = out["http://s.com/c1"]
     assert c_hops == 4 and c_status in (301, 302)
+
+
+def test_materialize_revisits(spark):
+    """Revisit records borrow their referent's payload, keep their
+    own URI, and drop when the referent isn't in the parsed set."""
+    from workshoop2_etl_spark.operators.warc import (
+        materialize_revisits,
+        synthesize_revisit_record,
+    )
+
+    orig = synthesize_warc_record(7, "<p>seven</p>", host="www.h.com")
+    rev = synthesize_revisit_record(
+        7,
+        host="mirror.h.com",
+        refers_to_id="<urn:uuid:doc-000000000007>",
+        refers_to_uri="http://www.h.com/page7",
+        payload_digest="sha1:beef",
+    )
+    dangling = synthesize_revisit_record(
+        8,
+        host="mirror.h.com",
+        refers_to_id="<urn:uuid:doc-999999999999>",  # never fetched
+        refers_to_uri="http://gone.com/page8",
+        payload_digest="sha1:dead",
+    )
+    blobs = spark.createDataFrame(
+        [(orig + rev + dangling,)], "content binary"
+    )
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    assert parsed.count() == 3  # all three records parse
+    out = {
+        (r["fetched_as"], r["target_uri"]): bytes(r["payload"])
+        for r in materialize_revisits(parsed).collect()
+    }
+    body = b"<p>seven</p>"
+    assert out[("response", "http://www.h.com/page7")] == body
+    assert out[("revisit", "http://mirror.h.com/page7")] == body
+    assert len(out) == 2  # dangling revisit dropped

@@ -285,12 +285,16 @@ def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
 
 def parse_warc_record(rec: bytes):
     """(warc_type, target_uri, http_status, content_type, payload,
-    location) from one record's bytes, or None if it isn't a WARC
-    record. Non-HTTP records (warcinfo, metadata) come back with NULL
-    status and their raw body as payload. HTTP payloads are decoded
-    through :func:`_decode_http_body` (chunked / gzip / deflate), and
-    3xx redirects surface their ``Location`` header so a resolution
-    hop can follow the chain."""
+    location, record_id, refers_to, payload_digest) from one record's
+    bytes, or None if it isn't a WARC record. Non-HTTP records
+    (warcinfo, metadata) come back with NULL status and their raw
+    body as payload. HTTP payloads are decoded through
+    :func:`_decode_http_body` (chunked / gzip / deflate); 3xx
+    redirects surface their ``Location`` header so a resolution hop
+    can follow the chain; ``record_id``/``refers_to``/
+    ``payload_digest`` carry the WARC identity headers that
+    ``revisit`` records (crawl-time duplicate detection) point
+    through."""
     rec = rec or b""
     if not rec.startswith(b"WARC/"):
         return None
@@ -319,7 +323,17 @@ def parse_warc_record(rec: bytes):
             ctype = hh.get("content-type")
             location = hh.get("location")
             payload = _decode_http_body(body[http_end + 4 :], hh)
-    return warc_type, uri, status, ctype, payload, location
+    return (
+        warc_type,
+        uri,
+        status,
+        ctype,
+        payload,
+        location,
+        wh.get("warc-record-id"),
+        wh.get("warc-refers-to"),
+        wh.get("warc-payload-digest"),
+    )
 
 
 def parse_warc_blobs(
@@ -347,6 +361,9 @@ def parse_warc_blobs(
             T.StructField("content_type", T.StringType()),
             T.StructField("payload", T.BinaryType()),
             T.StructField("location", T.StringType()),
+            T.StructField("record_id", T.StringType()),
+            T.StructField("refers_to", T.StringType()),
+            T.StructField("payload_digest", T.StringType()),
         ]
     )
 
@@ -377,6 +394,9 @@ def parse_warc_blobs(
                     "content_type",
                     "payload",
                     "location",
+                    "record_id",
+                    "refers_to",
+                    "payload_digest",
                 ],
             )
 
@@ -461,3 +481,81 @@ def resolve_redirects(
             .alias("__next"),
         )
     return m.drop("__next")
+
+
+def synthesize_revisit_record(
+    doc_id: int,
+    *,
+    host: str,
+    refers_to_id: str,
+    refers_to_uri: str,
+    payload_digest: str,
+) -> bytes:
+    """One WARC/1.0 ``revisit`` record — the crawl-time duplicate
+    mechanism CommonCrawl actually ships (identical-payload-digest
+    profile, WARC spec §6.7.2): a re-fetch whose content matched an
+    earlier capture stores NO body, just the WARC identity headers
+    pointing at the original (``WARC-Refers-To`` record id,
+    ``WARC-Refers-To-Target-URI``, the shared
+    ``WARC-Payload-Digest``). Downstream, content materializes by
+    JOINING back to the referred response — never by re-storing
+    bytes."""
+    warc_headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: <urn:uuid:revisit-{doc_id:012d}>\r\n"
+        f"WARC-Target-URI: http://{host}/page{doc_id}\r\n"
+        "WARC-Date: 2024-02-01T00:00:00Z\r\n"
+        f"WARC-Refers-To: {refers_to_id}\r\n"
+        f"WARC-Refers-To-Target-URI: {refers_to_uri}\r\n"
+        f"WARC-Payload-Digest: {payload_digest}\r\n"
+        'WARC-Profile: <http://netpreserve.org/warc/1.0/revisit/'
+        'identical-payload-digest>\r\n'
+        "Content-Type: application/http; msgtype=response\r\n"
+        "Content-Length: 0\r\n"
+        "\r\n"
+    ).encode("ascii")
+    return warc_headers + _CRLF2
+
+
+def materialize_revisits(parsed: DataFrame) -> DataFrame:
+    """Resolve ``revisit`` records to their stored content: response
+    records pass through with their own payload; each revisit record
+    joins the response it refers to (``refers_to`` → ``record_id``)
+    and borrows that record's payload, keeping its OWN target URI and
+    a ``fetched_as='revisit'`` marker. One hash join on the record-id
+    key — the revisit side carries no payload bytes into the shuffle
+    (ids only until the join), which is the point of the format at
+    100 TB: re-fetched duplicates cost header rows, not content
+    copies. Revisits whose referent is outside the parsed set drop
+    (their content genuinely isn't here)."""
+    from pyspark.sql import functions as F
+
+    responses = parsed.where(F.col("warc_type") == "response")
+    revisits = parsed.where(F.col("warc_type") == "revisit").select(
+        F.col("target_uri").alias("revisit_uri"),
+        F.col("refers_to").alias("__ref"),
+    )
+    borrowed = revisits.join(
+        responses.select(
+            F.col("record_id").alias("__ref"),
+            F.col("http_status"),
+            F.col("content_type"),
+            F.col("payload"),
+        ),
+        "__ref",
+    ).select(
+        F.lit("revisit").alias("fetched_as"),
+        F.col("revisit_uri").alias("target_uri"),
+        "http_status",
+        "content_type",
+        "payload",
+    )
+    own = responses.select(
+        F.lit("response").alias("fetched_as"),
+        "target_uri",
+        "http_status",
+        "content_type",
+        "payload",
+    )
+    return own.unionByName(borrowed)

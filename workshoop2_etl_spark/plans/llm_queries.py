@@ -3354,6 +3354,106 @@ def warc_http_encoded_ingest_documents(
     ).orderBy("doc_id")
 
 
+_REVISIT_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+), rows_ AS (
+  SELECT doc_id, 'response' AS fetched_as,
+         'http://www.site.com/page' || doc_id AS target_uri, body
+  FROM x
+  UNION ALL
+  SELECT doc_id, 'revisit',
+         'http://mirror.site.com/page' || doc_id, body
+  FROM x WHERE doc_id % 3 = 0
+)
+SELECT doc_id, fetched_as, target_uri,
+       CAST(200 AS INTEGER) AS http_status,
+       md5(body) AS text_md5
+FROM rows_
+ORDER BY doc_id, fetched_as
+"""
+
+
+def _warc_with_revisit_record(doc_id: int, html: str) -> bytes:
+    from workshoop2_etl_spark.operators.warc import (
+        synthesize_revisit_record,
+        synthesize_warc_record,
+    )
+
+    rec = synthesize_warc_record(doc_id, html, host="www.site.com")
+    if doc_id % 3 == 0:
+        rec += synthesize_revisit_record(
+            doc_id,
+            host="mirror.site.com",
+            refers_to_id=f"<urn:uuid:doc-{doc_id:012d}>",
+            refers_to_uri=f"http://www.site.com/page{doc_id}",
+            payload_digest=f"sha1:{doc_id:040d}",
+        )
+    return rec
+
+
+@_register("warc_revisit_dedup_documents", _REVISIT_SQL)
+def warc_revisit_dedup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WARC ``revisit`` records (operators/warc.py
+    ``materialize_revisits`` — round 11): CommonCrawl's crawl-time
+    duplicate mechanism — a re-fetch whose payload digest matched an
+    earlier capture stores NO body, just ``WARC-Refers-To`` pointing
+    at the original. Every third fixture doc is re-fetched from a
+    mirror host as a revisit record; the pipeline parses the blobs,
+    passes responses through, and JOINS each revisit back to its
+    referent on the record-id key to borrow the stored payload —
+    ids only in the shuffle, no content copies, which is the format's
+    entire point at 100 TB. Output proves the mirror URI carries the
+    ORIGINAL content (same md5 closed form) tagged fetched_as=
+    'revisit'. Oracle replays the topology directly."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.warc import (
+        materialize_revisits,
+        parse_warc_blobs,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+    blobs = _warc_file_blobs(pages, "html", _warc_with_revisit_record)
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    resolved = materialize_revisits(parsed)
+    ext = html_to_text(
+        resolved.select(
+            F.regexp_extract("target_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "fetched_as",
+            "target_uri",
+            "http_status",
+            F.col("payload").cast("string").alias("html"),
+        ),
+        "html",
+        id_cols=["doc_id", "fetched_as", "target_uri", "http_status"],
+    )
+    return ext.select(
+        "doc_id",
+        "fetched_as",
+        "target_uri",
+        "http_status",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id", "fetched_as")
+
+
 _REDIRECT_SQL = r"""
 WITH g AS (
   SELECT doc_id,
