@@ -49,6 +49,13 @@ _DEMOTED_ORACLES = (
     # materialize_revisits). Mirror-checked this round; rotate into
     # the driver window next round.
     "warc_revisit_dedup_documents",
+    # NEW in round 11 (post-rotation): freshness-driven incremental
+    # recrawl — sitemap lastmod (XML round trip) joined against a
+    # real versioned crawl-state table, one hash join classifying
+    # new/stale/fresh (operators/frontier.py recrawl_candidates).
+    # Mirror-checked this round; rotate into the driver window next
+    # round.
+    "recrawl_select_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

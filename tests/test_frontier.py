@@ -132,3 +132,47 @@ def test_delay_to_cap_and_per_domain_col(spark):
     assert [lw[("b.com", f"http://b.com/p{i}")] for i in range(6)] == [
         0, 0, 0, 0, 1, 1,
     ]
+
+
+def test_recrawl_candidates_classification(spark):
+    """new (no state row) / stale (lastmod postdates crawl) / fresh;
+    unparseable lastmod never falsely stale."""
+    from workshoop2_etl_spark.operators.frontier import recrawl_candidates
+
+    disc = spark.createDataFrame(
+        [
+            ("u/new", "2024-01-10"),
+            ("u/stale", "2024-02-01"),
+            ("u/fresh", "2024-01-01"),
+            ("u/garbage", "not-a-date"),
+            ("u/equal", "2024-01-15"),  # same day: not stale
+        ],
+        "loc string, lastmod string",
+    )
+    state = spark.createDataFrame(
+        [
+            ("u/stale", "2024-01-15"),
+            ("u/fresh", "2024-01-15"),
+            ("u/garbage", "2024-01-15"),
+            ("u/equal", "2024-01-15"),
+        ],
+        "url string, crawled string",
+    )
+    out = {
+        r["loc"]: r["recrawl_reason"]
+        for r in recrawl_candidates(
+            disc,
+            state,
+            url_col="loc",
+            lastmod_col="lastmod",
+            state_url_col="url",
+            crawled_col="crawled",
+        ).collect()
+    }
+    assert out == {
+        "u/new": "new",
+        "u/stale": "stale",
+        "u/fresh": "fresh",
+        "u/garbage": "fresh",
+        "u/equal": "fresh",
+    }

@@ -93,3 +93,44 @@ def frontier_waves(
         "wave",
         ((F.col("fetch_rank") - 1) / cap).cast("long"),
     )
+
+
+def recrawl_candidates(
+    discovered: DataFrame,
+    state: DataFrame,
+    *,
+    url_col: str,
+    lastmod_col: str,
+    state_url_col: str,
+    crawled_col: str,
+) -> DataFrame:
+    """Freshness-driven incremental recrawl selection — the edge
+    between sitemap discovery (X193: ``lastmod`` per listed URL) and
+    the crawl store (X138/X199: what we fetched, when): a discovered
+    URL needs fetching when it is NEW (no row in ``state``) or STALE
+    (its published ``lastmod`` postdates our last crawl). Emits the
+    discovered rows plus ``last_crawled`` and ``recrawl_reason``
+    (``new`` / ``stale`` / ``fresh``); callers filter
+    ``!= 'fresh'`` and hand the rest to :func:`frontier_waves`.
+
+    Scale shape: ONE hash join on the canonical URL key — the
+    incremental-crawl planner is a join, not a per-URL loop; at
+    CommonCrawl scale both sides shuffle on the same key the frontier
+    window uses next, so AQE can reuse the exchange. Unparseable
+    lastmod values compare NULL → never falsely stale (a site that
+    publishes garbage dates doesn't trigger a full recrawl)."""
+    st = state.select(
+        F.col(state_url_col).alias(url_col),
+        F.col(crawled_col).cast("date").alias("last_crawled"),
+    )
+    joined = discovered.join(st, url_col, "left")
+    reason = (
+        F.when(F.col("last_crawled").isNull(), F.lit("new"))
+        .when(
+            F.try_to_timestamp(F.col(lastmod_col)).cast("date")
+            > F.col("last_crawled"),
+            F.lit("stale"),
+        )
+        .otherwise(F.lit("fresh"))
+    )
+    return joined.withColumn("recrawl_reason", reason)

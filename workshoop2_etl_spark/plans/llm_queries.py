@@ -4203,6 +4203,111 @@ def frontier_crawl_delay_documents(
     ).orderBy("doc_id")
 
 
+_RECRAWL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+           AS loc,
+         '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           AS lastmod,
+         CASE WHEN doc_id % 4 <> 0 THEN DATE '2024-01-15' END
+           AS last_crawled
+  FROM documents
+)
+SELECT doc_id, loc, lastmod, last_crawled,
+       CASE WHEN last_crawled IS NULL THEN 'new'
+            ELSE 'stale' END AS recrawl_reason
+FROM u
+WHERE last_crawled IS NULL OR CAST(lastmod AS DATE) > last_crawled
+ORDER BY doc_id
+"""
+
+
+@_register("recrawl_select_documents", _RECRAWL_SQL)
+def recrawl_select_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Freshness-driven incremental recrawl (operators/frontier.py
+    ``recrawl_candidates`` — round 11, sitemap × lakehouse): each
+    page's sitemap entry (loc + closed-form lastmod) crosses the XML
+    round trip through the tolerant parser; the crawl STATE is a real
+    versioned table (every fourth page never crawled, the rest
+    last-crawled 2024-01-15) read back through the manifest; one hash
+    join on the URL key classifies every discovered URL as new /
+    stale / fresh, and the recrawl list is the non-fresh rows — the
+    incremental-crawl planner as a join, not a per-URL loop. Oracle
+    replays the date comparison closed-form."""
+    import os
+    import shutil
+    import tempfile
+
+    from workshoop2_etl_spark.operators.frontier import recrawl_candidates
+    from workshoop2_etl_spark.operators.sitemap import parse_sitemaps
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.versioned import (
+        create_table,
+        read_version,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    loc = F.concat(
+        F.lit("http://www.site"),
+        (F.col("doc_id") % 7),
+        F.lit(".com/page"),
+        F.col("doc_id"),
+    )
+    lastmod = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+    )
+    # one tiny single-url urlset per page: the loc/lastmod still
+    # cross the XML round trip through the tolerant parser
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>"
+        ),
+        loc,
+        F.lit("</loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod></url></urlset>"),
+    )
+    discovered = parse_sitemaps(
+        docs.select("doc_id", xml.alias("sitemap_xml")),
+        "sitemap_xml",
+        key_cols=["doc_id"],
+    ).select("doc_id", "loc", "lastmod")
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_recrawl_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    state_rows = docs.where(F.col("doc_id") % 4 != 0).select(
+        loc.alias("url"),
+        F.lit("2024-01-15").cast("date").alias("crawled_on"),
+    )
+    create_table(state_rows, table)
+    state = read_version(spark, table, None)
+
+    out = recrawl_candidates(
+        discovered,
+        state,
+        url_col="loc",
+        lastmod_col="lastmod",
+        state_url_col="url",
+        crawled_col="crawled_on",
+    )
+    return (
+        out.where(F.col("recrawl_reason") != "fresh")
+        .select(
+            "doc_id", "loc", "lastmod", "last_crawled", "recrawl_reason"
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SITEMAP_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 7) || '.com' AS domain,
