@@ -592,6 +592,18 @@ def main() -> None:
     pin_names = [
         k for k, _ in sorted(ok_times.items(), key=lambda kv: -kv[1])[:pin_n]
     ]
+    # Watch-list pins (r10 verdict item 8): entries that flagged in a
+    # previous round but aren't in this run's slowest tail still get
+    # quiet-session minima, so next round's best-evidence gate has
+    # BOTH sides pinned. Comma-separated names in SPARK_GRAFT_PIN_EXTRA.
+    for extra in filter(
+        None,
+        (s.strip() for s in os.environ.get(
+            "SPARK_GRAFT_PIN_EXTRA", ""
+        ).split(",")),
+    ):
+        if extra in ok_times and extra not in pin_names:
+            pin_names.append(extra)
     if pin_names:
         print(
             f"pinning {len(pin_names)} slowest in a fresh session: "

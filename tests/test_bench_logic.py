@@ -277,3 +277,28 @@ def test_record_activation_unknowable_split_charges_wall():
     assert _pop() == 4.0
     ev._record_activation(4.0, _Real())
     assert _pop() == 0.75
+
+
+def test_pin_extra_env_parsing():
+    """SPARK_GRAFT_PIN_EXTRA adds watch-list queries to the pin set
+    without duplicating ones already in the slowest tail."""
+    import os
+
+    # replicate the selection logic shape (names, not timings)
+    ok_times = {"a": 1.0, "b": 5.0, "c": 0.2}
+    pin_names = [
+        k for k, _ in sorted(ok_times.items(), key=lambda kv: -kv[1])[:1]
+    ]
+    os.environ["SPARK_GRAFT_PIN_EXTRA"] = " b , c ,missing,"
+    try:
+        for extra in filter(
+            None,
+            (s.strip() for s in os.environ.get(
+                "SPARK_GRAFT_PIN_EXTRA", ""
+            ).split(",")),
+        ):
+            if extra in ok_times and extra not in pin_names:
+                pin_names.append(extra)
+    finally:
+        del os.environ["SPARK_GRAFT_PIN_EXTRA"]
+    assert pin_names == ["b", "c"]
