@@ -103,7 +103,7 @@ def test_warc_framing_roundtrip_and_truncation(data, cut):
     parts = split_warc(blob)
     assert len(parts) == len(data)
     for i, rec in enumerate(parts):
-        _wt, uri, st_, _ct, payload = parse_warc_record(rec)
+        _wt, uri, st_, _ct, payload, *_rest = parse_warc_record(rec)
         assert uri == f"http://h.com/page{i}" and st_ == 200
         assert payload == data[i].decode("latin-1").encode("utf-8")
     # truncation: a complete prefix, never a mangled record
