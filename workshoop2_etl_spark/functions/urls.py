@@ -194,20 +194,21 @@ def resolve_href(base: Column, href: Column) -> Column:
     hpath = F.regexp_extract(h, r"^([^?]*)", 1)
     hquery = F.regexp_extract(h, r"(\?[^#]*)", 1)
     has_scheme = F.regexp_extract(h, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1) != ""
+    # ONE dot-segment fold shared by the root-relative and
+    # path-relative branches (the fold is the expensive subtree to
+    # compile — duplicating it per CASE branch doubled the plan's
+    # one-time codegen cost, the r11 bench flag): the merged path is
+    # selected first, then cleaned once. Rows taken by an earlier
+    # branch never evaluate it.
+    merged = F.when(h.startswith("/"), hpath).otherwise(
+        F.concat(bdir, hpath)
+    )
     return (
         F.when(h == "", b)
         .when(has_scheme, h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(
-            h.startswith("/"),
-            F.concat(origin, remove_dot_segments(hpath), hquery),
-        )
         .when(h.startswith("?"), F.concat(origin, bpath, h))
         .otherwise(
-            F.concat(
-                origin,
-                remove_dot_segments(F.concat(bdir, hpath)),
-                hquery,
-            )
+            F.concat(origin, remove_dot_segments(merged), hquery)
         )
     )
