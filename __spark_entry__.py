@@ -56,6 +56,14 @@ _DEMOTED_ORACLES = (
     # Mirror-checked this round; rotate into the driver window next
     # round.
     "recrawl_select_documents",
+    # NEW in round 11 (post-rotation): CDXJ capture-index chapter —
+    # cc-index line parse (tolerant Arrow kernel), pure-column SURT
+    # reproducing the index sort key byte-exact, and the per-WARC-file
+    # selective-fetch manifest (operators/cdx.py, functions/urls.py
+    # surt). Mirror-checked this round; rotate into the driver window
+    # next round.
+    "cdx_ingest_documents",
+    "cdx_fetch_plan_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -212,3 +212,26 @@ def resolve_href(base: Column, href: Column) -> Column:
             F.concat(origin, remove_dot_segments(merged), hquery)
         )
     )
+
+
+def surt(url: Column) -> Column:
+    """SURT form (Sort-friendly URI Reordering Transform — the key
+    the web-archive ecosystem's CDX indexes sort by, per the public
+    webarchive-commons convention): host labels reversed and
+    comma-joined, then ``)`` + path + ``?query``. Compose AFTER
+    :func:`normalize_url` so case/port/tracker differences collapse
+    before keying. Pure column expressions — reverse of the
+    dot-split host array, no UDF. NULL/non-URL strings yield NULL
+    (no host to key by)."""
+    host = host_of(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = _path(url)
+    q = _query(url)
+    tail = F.concat(
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(
+        host.isNotNull() & (host != ""),
+        F.concat(rev, F.lit(")"), tail),
+    )

@@ -4308,6 +4308,136 @@ def recrawl_select_documents(
     )
 
 
+_CDX_BASE = r"""
+  SELECT doc_id,
+         'com,site' || (doc_id % 7) || ',www)/page' || doc_id AS surt,
+         '20240101000000' AS ts,
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+           AS url,
+         CAST(CASE doc_id % 5 WHEN 2 THEN 301 WHEN 3 THEN 404
+              ELSE 200 END AS INTEGER) AS status,
+         CASE WHEN doc_id % 7 = 6 THEN 'application/pdf'
+              ELSE 'text/html' END AS mime,
+         'sha1:' || lpad(CAST(doc_id AS VARCHAR), 40, '0') AS digest,
+         'crawl-000' || (doc_id % 4) || '.warc.gz' AS warc_filename,
+         doc_id * 1000 AS "offset",
+         900 + doc_id % 50 AS length
+  FROM documents
+"""
+
+_CDX_INGEST_SQL = (
+    "WITH c AS (" + _CDX_BASE + ")\n"
+    "SELECT *, surt AS surt_engine FROM c ORDER BY doc_id"
+)
+
+_CDX_PLAN_SQL = (
+    "WITH c AS (" + _CDX_BASE + ")\n"
+    """
+SELECT warc_filename,
+       count(*) AS n_records,
+       CAST(sum(length) AS BIGINT) AS bytes_to_read,
+       min("offset") AS first_offset,
+       max("offset" + length) AS last_end
+FROM c
+WHERE status = 200 AND mime = 'text/html'
+GROUP BY warc_filename
+ORDER BY warc_filename
+"""
+)
+
+
+def _cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: one closed-form CDXJ line per document, byte-exact
+    against the public cc-index layout (JSON block with sorted keys,
+    status/offset/length as strings)."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    surt_key = F.concat(
+        F.lit("com,site"), d % 7, F.lit(",www)/page"), d
+    )
+    url = F.concat(
+        F.lit("http://www.site"), d % 7, F.lit(".com/page"), d
+    )
+    status = F.when(d % 5 == 2, 301).when(d % 5 == 3, 404).otherwise(200)
+    mime = F.when(d % 7 == 6, F.lit("application/pdf")).otherwise(
+        F.lit("text/html")
+    )
+    line = F.concat(
+        surt_key,
+        F.lit(" 20240101000000 "),
+        F.lit('{"digest": "sha1:'),
+        F.lpad(d.cast("string"), 40, "0"),
+        F.lit('", "filename": "crawl-000'),
+        d % 4,
+        F.lit('.warc.gz", "length": "'),
+        (900 + d % 50).cast("string"),
+        F.lit('", "mime": "'),
+        mime,
+        F.lit('", "offset": "'),
+        (d * 1000).cast("string"),
+        F.lit('", "status": "'),
+        status.cast("string"),
+        F.lit('", "url": "'),
+        url,
+        F.lit('"}'),
+    )
+    return docs.select("doc_id", line.alias("cdx_line"))
+
+
+@_register("cdx_ingest_documents", _CDX_INGEST_SQL)
+def cdx_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ capture-index ingest (operators/cdx.py + functions/urls
+    ``surt`` — round 11): CommonCrawl's cc-index lines — SURT key,
+    14-digit timestamp, JSON block with status/offset/length as
+    strings — parse relationally through the tolerant Arrow kernel,
+    and the engine's own pure-column SURT (reversed host labels over
+    the canonical URL) must REPRODUCE the index's sort key byte-exact
+    (``surt_engine`` column, oracle-pinned equal to the parsed key).
+    The index is how real pipelines touch a 100 TB crawl: query the
+    index, fetch only named byte ranges. Oracle states every field
+    closed-form."""
+    from workshoop2_etl_spark.functions.urls import normalize_url, surt
+    from workshoop2_etl_spark.operators.cdx import parse_cdxj
+
+    lines = _cdx_lines(spark, sf_dir)
+    parsed = parse_cdxj(lines, "cdx_line", id_cols=["doc_id"])
+    return parsed.select(
+        "doc_id",
+        "surt",
+        "ts",
+        "url",
+        "status",
+        "mime",
+        "digest",
+        "warc_filename",
+        "offset",
+        "length",
+        surt(normalize_url(F.col("url"))).alias("surt_engine"),
+    ).orderBy("doc_id")
+
+
+@_register("cdx_fetch_plan_documents", _CDX_PLAN_SQL)
+def cdx_fetch_plan_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-driven selective fetch (operators/cdx.py ``fetch_plan``
+    — round 11): admit only the captures worth reading (status 200,
+    text/html) and aggregate them into the per-WARC-file manifest a
+    range-fetching reader executes — record count, Σ member lengths
+    (the bytes actually transferred), covering offset span. One hash
+    aggregation on the filename key: planning a 100 TB crawl costs
+    the index's size, not the crawl's. Oracle replays the admission
+    filter + GROUP BY closed-form."""
+    from workshoop2_etl_spark.operators.cdx import fetch_plan, parse_cdxj
+
+    lines = _cdx_lines(spark, sf_dir)
+    parsed = parse_cdxj(lines, "cdx_line", id_cols=["doc_id"])
+    admitted = parsed.where(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    return fetch_plan(admitted).orderBy("warc_filename")
+
+
 _SITEMAP_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 7) || '.com' AS domain,
