@@ -64,6 +64,7 @@ _DEMOTED_ORACLES = (
     # next round.
     "cdx_ingest_documents",
     "cdx_fetch_plan_documents",
+    "cdx_range_fetch_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -113,3 +113,44 @@ def test_surt_reproduces_index_keys(spark):
     assert all(r["got"] == r["expect"] for r in out.collect())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure columns, no UDF
+
+
+def test_fetch_records_by_index_slices_members(spark):
+    """Range fetch inflates ONLY the admitted members; stale ranges
+    (out of bounds) skip; files with no admitted captures drop; the
+    range lists broadcast (no blob-side Exchange)."""
+    from workshoop2_etl_spark.operators.cdx import fetch_records_by_index
+    from workshoop2_etl_spark.operators.warc import (
+        gzip_warc_record,
+        synthesize_warc_record,
+    )
+
+    members = [
+        gzip_warc_record(
+            synthesize_warc_record(i, f"<p>d{i}</p>", host="h.com")
+        )
+        for i in range(4)
+    ]
+    blob_a = members[0] + members[1] + members[2]
+    offs = [0, len(members[0]), len(members[0]) + len(members[1])]
+    files = spark.createDataFrame(
+        [("a.warc.gz", blob_a), ("b.warc.gz", members[3])],
+        "warc_filename string, content binary",
+    )
+    captures = spark.createDataFrame(
+        [
+            ("a.warc.gz", offs[0], len(members[0])),  # doc 0
+            ("a.warc.gz", offs[2], len(members[2])),  # doc 2
+            ("a.warc.gz", 999999, 50),  # stale: out of bounds
+        ],
+        "warc_filename string, offset long, length long",
+    )
+    out = fetch_records_by_index(files, captures)
+    rows = {r["target_uri"]: bytes(r["payload"]) for r in out.collect()}
+    assert rows == {
+        "http://h.com/page0": b"<p>d0</p>",
+        "http://h.com/page2": b"<p>d2</p>",
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in head or "BroadcastNestedLoop" in head
