@@ -65,6 +65,15 @@ _DEMOTED_ORACLES = (
     "cdx_ingest_documents",
     "cdx_fetch_plan_documents",
     "cdx_range_fetch_documents",
+    # NEW in round 11 (post-rotation): perceptual image hashing —
+    # aHash over real decoded pixels (closed-form via block-constant
+    # BMP fixtures + md5 replay) and image near-dup pairs through the
+    # Manku combination-block search at bits=63, oracle an EXACT SQL
+    # self-join on bit_count(xor) (operators/multimodal.py
+    # perceptual_hash_images). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "image_ahash_documents",
+    "image_ahash_pairs_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -804,3 +804,71 @@ def test_jpeg_png_decoders_fuzz_no_crash():
         1,
     )
     assert _decode_jpeg_pixels(big) is None
+
+
+def test_perceptual_hash_known_image_and_tolerance(spark):
+    """aHash closed form on a hand-computed block BMP; undecodable
+    payloads yield NULL hashes; the 63-bit long matches the hex's
+    low 63 bits (cell j at bit j)."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        perceptual_hash_images,
+        synth_block_bmp,
+    )
+    import hashlib
+
+    text = "known fixture text"
+    digest = hashlib.md5(text.encode()).digest()
+    vals = [digest[j % 16] for j in range(64)]
+    mean = sum(vals) // 64
+    bits = [1 if v > mean else 0 for v in vals]
+    want_hex = "".join(
+        "0123456789abcdef"[
+            bits[4 * n] * 8 + bits[4 * n + 1] * 4
+            + bits[4 * n + 2] * 2 + bits[4 * n + 3]
+        ]
+        for n in range(16)
+    )
+    want_long = sum(b << j for j, b in enumerate(bits[:63]))
+    df = spark.createDataFrame(
+        [(1, synth_block_bmp(1, text)), (2, b"not an image")],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perceptual_hash_images(
+            df, "payload", id_cols=["doc_id"]
+        ).collect()
+    }
+    assert rows[1]["ahash_hex"] == want_hex
+    assert rows[1]["ahash"] == want_long
+    assert rows[1]["n_set"] == sum(bits)
+    assert rows[2]["ahash_hex"] is None and rows[2]["ahash"] is None
+
+
+def test_perceptual_hash_identical_images_zero_hamming(spark):
+    """Two pixel-identical images hash identically; one with a very
+    different source text does not collide (sanity, not a guarantee)."""
+    from workshoop2_etl_spark.operators.dedup import simhash_neardup_pairs
+    from workshoop2_etl_spark.operators.multimodal import (
+        perceptual_hash_images,
+        synth_block_bmp,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, synth_block_bmp(1, "same text")),
+            (2, synth_block_bmp(2, "same text")),
+            (3, synth_block_bmp(3, "completely different content !")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = perceptual_hash_images(df, "payload", id_cols=["doc_id"])
+    pairs = simhash_neardup_pairs(
+        hashes.select("doc_id", "ahash"),
+        "doc_id",
+        fp_col="ahash",
+        max_hamming=3,
+        bits=63,
+    ).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0

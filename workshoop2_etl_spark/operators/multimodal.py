@@ -1720,3 +1720,115 @@ def sample_frames(
             yield out
 
     return df.mapInPandas(batches, schema)
+
+
+def perceptual_hash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    id_cols: list[str] | None = None,
+    grid: int = 8,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over REAL decoded
+    pixels — the classic public near-duplicate-image sketch: decode
+    (BMP / PNG / baseline-JPEG ladder, the same real codecs as
+    :func:`resize_images`), integer grayscale ``(r+g+b) // 3``,
+    area-mean downsample to ``grid``×``grid`` (floor-boundary cells,
+    integer cell mean), threshold each cell STRICTLY above the
+    integer mean of the cells. Two output forms per image:
+
+    - ``ahash_hex`` — all ``grid²`` bits as hex (row-major, MSB
+      first), the identity/audit form;
+    - ``ahash`` — bits 0..62 packed into a non-negative 63-bit LONG
+      (cell j at bit j; cell 63 intentionally excluded), which drops
+      straight into :func:`operators.dedup.simhash_neardup_pairs`'s
+      combination-block search — image near-dup pairs reuse the
+      crawl-scale Manku machinery unchanged.
+
+    Undecodable payloads yield NULL hashes (tolerance). All integer
+    arithmetic — every step replays exactly in SQL, which is what
+    makes the registered entries oracle-backed rather than rows-only.
+    Arrow-batched pure map; no shuffle."""
+    if grid < 2 or grid * grid < 64:
+        raise ValueError(f"grid must be >= 8 for the 63-bit form, got {grid}")
+    ids = id_cols or [c for c in df.columns if c != payload_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("ahash_hex", T.StringType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("n_set", T.IntegerType()),
+        ]
+    )
+
+    def _hash_one(b: bytes):
+        import numpy as np
+
+        arr = _decode_bmp_pixels(b or b"")
+        if arr is None:
+            arr = _decode_png_pixels(b or b"")
+        if arr is None:
+            arr = _decode_jpeg_pixels(b or b"")
+        if arr is None:
+            return None, None, None
+        gray = arr.astype(np.int64).sum(axis=-1) // 3
+        h, w = gray.shape
+        cells = np.empty(grid * grid, dtype=np.int64)
+        for i in range(grid):
+            y0, y1 = (i * h) // grid, ((i + 1) * h) // grid
+            for j in range(grid):
+                x0, x1 = (j * w) // grid, ((j + 1) * w) // grid
+                if y1 <= y0 or x1 <= x0:
+                    cells[i * grid + j] = 0
+                    continue
+                block = gray[y0:y1, x0:x1]
+                cells[i * grid + j] = int(block.sum()) // block.size
+        mean = int(cells.sum()) // (grid * grid)
+        bits = (cells > mean).astype(np.int64)
+        n = grid * grid
+        hex_chars = []
+        for nib in range(n // 4):
+            v = (
+                bits[4 * nib] * 8
+                + bits[4 * nib + 1] * 4
+                + bits[4 * nib + 2] * 2
+                + bits[4 * nib + 3]
+            )
+            hex_chars.append("0123456789abcdef"[int(v)])
+        packed = 0
+        for j in range(63):
+            packed |= int(bits[j]) << j
+        return "".join(hex_chars), packed, int(bits.sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[ids].copy()
+            hashed = [_hash_one(b) for b in pdf[payload_col]]
+            out["ahash_hex"] = [t[0] for t in hashed]
+            out["ahash"] = pd.array(
+                [t[1] for t in hashed], dtype="Int64"
+            )
+            out["n_set"] = pd.array(
+                [t[2] for t in hashed], dtype="Int32"
+            )
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def synth_block_bmp(doc_id: int, text: str, *, grid: int = 8, cell: int = 8) -> bytes:
+    """Fixture: a real 24-bpp BMP of (grid·cell)² pixels whose
+    ``grid``×``grid`` blocks are CONSTANT — block j (row-major) holds
+    the text's md5 byte ``j % 16`` on all three channels — so the
+    area-mean cells of :func:`perceptual_hash_images` recover the
+    digest bytes EXACTLY and the whole hash has a closed form the
+    oracle replays from ``md5(text)``."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    digest = _hashlib.md5((text or "").encode()).digest()
+    vals = np.frombuffer(digest, dtype=np.uint8)
+    blocks = vals[np.arange(grid * grid) % 16].reshape(grid, grid)
+    img = np.repeat(np.repeat(blocks, cell, 0), cell, 1)
+    return _encode_bmp(np.stack([img] * 3, axis=-1).astype(np.uint8))

@@ -4557,6 +4557,194 @@ def cdx_range_fetch_documents(
     ).orderBy("doc_id")
 
 
+_AHASH_BITS_CTE = """
+WITH b AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+), v AS (
+  SELECT doc_id,
+         list_transform(range(16), k ->
+           (strpos('0123456789abcdef',
+                   substr(h, CAST(2 * k + 1 AS INTEGER), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * k + 2 AS INTEGER), 1)) - 1)
+         ) AS bytes
+  FROM b
+), m AS (
+  SELECT doc_id, bytes,
+         CAST(list_sum(bytes) // 16 AS BIGINT) AS mean
+  FROM v
+), bt AS (
+  SELECT doc_id,
+         list_transform(range(64), j ->
+           CASE WHEN bytes[CAST(j % 16 AS INTEGER) + 1] > mean
+                THEN 1 ELSE 0 END) AS bb
+  FROM m
+)
+"""
+
+_AHASH_SQL = (
+    _AHASH_BITS_CTE
+    + """
+SELECT doc_id,
+       list_aggregate(list_transform(range(16), n ->
+         substr('0123456789abcdef',
+                CAST(bb[CAST(4 * n + 1 AS INTEGER)] * 8
+                     + bb[CAST(4 * n + 2 AS INTEGER)] * 4
+                     + bb[CAST(4 * n + 3 AS INTEGER)] * 2
+                     + bb[CAST(4 * n + 4 AS INTEGER)] + 1 AS INTEGER),
+                1)), 'string_agg', '') AS ahash_hex,
+       CAST(list_sum(list_transform(range(63), j ->
+         bb[CAST(j + 1 AS INTEGER)] * (CAST(1 AS BIGINT) << j)))
+         AS BIGINT) AS ahash,
+       CAST(list_sum(bb) AS INTEGER) AS n_set
+FROM bt
+ORDER BY doc_id
+"""
+)
+
+
+@_register("image_ahash_documents", _AHASH_SQL)
+def image_ahash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over REAL decoded pixels
+    (operators/multimodal.py ``perceptual_hash_images`` — round 11):
+    each doc's fixture is a real 24-bpp BMP whose 8×8 blocks hold the
+    text's md5 bytes, so the aHash pipeline — BMP decode, integer
+    grayscale, floor-boundary area-mean cells, strict-above-mean
+    threshold — has a CLOSED FORM the oracle replays from
+    ``md5(text)`` alone (nibble-exact hex, the 63-bit packed long,
+    and the popcount). Every arithmetic step is integer, which is
+    what makes a lossy-looking perceptual sketch exactly
+    cross-engine-checkable. Pure Arrow map, no shuffle."""
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        perceptual_hash_images,
+        synth_block_bmp,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def to_bmps(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                synth_block_bmp(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield out
+
+    bmps = docs.mapInPandas(to_bmps, schema)
+    return perceptual_hash_images(
+        bmps, "payload", id_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
+_AHASH_PAIRS_SQL = """
+WITH b AS (
+  SELECT d.doc_id, md5(COALESCE(anchor.text, '')) AS h
+  FROM documents d
+  JOIN documents anchor
+    ON anchor.doc_id = d.doc_id - d.doc_id % 2
+), v AS (
+  SELECT doc_id,
+         list_transform(range(16), k ->
+           (strpos('0123456789abcdef',
+                   substr(h, CAST(2 * k + 1 AS INTEGER), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * k + 2 AS INTEGER), 1)) - 1)
+         ) AS bytes
+  FROM b
+), m AS (
+  SELECT doc_id, bytes,
+         CAST(list_sum(bytes) // 16 AS BIGINT) AS mean
+  FROM v
+), hs AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(63), j ->
+           CASE WHEN bytes[CAST(j % 16 AS INTEGER) + 1] > mean
+                THEN CAST(1 AS BIGINT) << j ELSE 0 END))
+           AS BIGINT) AS ahash
+  FROM m
+)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@_register("image_ahash_pairs_documents", _AHASH_PAIRS_SQL)
+def image_ahash_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs (round 11 — the multimodal chapter
+    reuses the crawl-scale text machinery unchanged): consecutive doc
+    pairs share one source text, so their block BMPs are pixel-
+    identical; aHash fingerprints feed
+    :func:`operators.dedup.simhash_neardup_pairs` (Manku
+    combination-block search, bits=63) for hamming ≤ 3 pairs — never
+    all-pairs on the engine side. The ORACLE is exact, not closed-
+    form-planted: it recomputes every doc's hash from ``md5(text)``
+    and self-joins with ``bit_count(xor(...))``, so accidental
+    cross-pair collisions (if any) are demanded too, and a missed
+    planted twin breaks the count."""
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.dedup import simhash_neardup_pairs
+    from workshoop2_etl_spark.operators.multimodal import (
+        perceptual_hash_images,
+        synth_block_bmp,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = docs.select(
+        F.col("doc_id").alias("anchor_id"), F.col("text").alias("atext")
+    )
+    paired = docs.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("anchor_id"),
+    ).join(anchors, "anchor_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def to_bmps(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                synth_block_bmp(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["atext"])
+            ]
+            yield out
+
+    bmps = paired.select("doc_id", "atext").mapInPandas(to_bmps, schema)
+    hashes = perceptual_hash_images(
+        bmps, "payload", id_cols=["doc_id"]
+    ).select("doc_id", "ahash")
+    pairs = simhash_neardup_pairs(
+        hashes,
+        "doc_id",
+        fp_col="ahash",
+        max_hamming=3,
+        bits=63,
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
 _SITEMAP_SQL = """
 SELECT doc_id,
        'site' || (doc_id % 7) || '.com' AS domain,
