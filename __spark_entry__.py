@@ -74,6 +74,13 @@ _DEMOTED_ORACLES = (
     # the driver window next round.
     "image_ahash_documents",
     "image_ahash_pairs_documents",
+    # NEW in round 11 (post-rotation): WAT metadata-record link graph —
+    # CommonCrawl's JSON sidecar format parsed JVM-side (from_json with
+    # the explicit envelope schema) through the same WARC frame walk,
+    # sharing the HTML link-graph entry's closed-form oracle (output
+    # invariant to provenance — operators/wat.py). Mirror-checked this
+    # round; rotate into the driver window next round.
+    "wat_link_graph_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

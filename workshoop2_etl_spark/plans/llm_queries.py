@@ -4026,6 +4026,100 @@ def link_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("wat_link_graph_documents", _LINK_GRAPH_SQL)
+def wat_link_graph_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WAT metadata-record link graph (operators/wat.py — round 11,
+    X205): the same closed-form edges as ``link_graph_documents``,
+    recovered from CommonCrawl's OTHER link source — per-capture JSON
+    envelopes in WARC ``metadata`` records (``.wat`` files), which
+    real web-graph pipelines read instead of re-parsing 100 TB of
+    HTML. The fixture builds each envelope with
+    ``to_json(struct(...))`` (JVM-side), wraps it in a byte-framed
+    metadata record, concatenates per-file blobs (odd files as
+    ``.wat.gz`` gzip members — the shipped layout), and the pipeline
+    walks back: WARC frame walk → ``from_json`` with the explicit
+    envelope schema (JVM, PERMISSIVE, struct-pruned) → anchor-only
+    link explode (``A@/href``; the planted ``IMG@/src`` must NOT
+    become an edge) → RFC 3986 resolution against the envelope's own
+    page URI → canonicalization. Relative hub hrefs with dot
+    segments, a tracker+fragment next link, and a ``mailto:`` all
+    ride through exactly as in the HTML twin — output invariant to
+    provenance (HTML parse vs WAT JSON) shares the oracle, which IS
+    the check."""
+    from workshoop2_etl_spark.functions.urls import (
+        normalize_url,
+        resolve_href,
+    )
+    from workshoop2_etl_spark.operators.warc import parse_warc_blobs
+    from workshoop2_etl_spark.operators.wat import (
+        synthesize_wat_record,
+        wat_envelope_json,
+        wat_link,
+        wat_links,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    hub = F.expr("7 * (doc_id div 7)")
+    nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    base_uri = F.concat(
+        F.lit("http://www.site.com/dir/page"), F.col("doc_id")
+    )
+    links = F.array(
+        wat_link(
+            "A@/href",
+            F.concat(F.lit("../page"), hub.cast("string")),
+            F.concat(F.lit("hub "), hub.cast("string")),
+        ),
+        wat_link(
+            "A@/href",
+            F.concat(
+                F.lit("/x/../page"),
+                nxt.cast("string"),
+                F.lit("?utm_source=news#sec"),
+            ),
+            F.concat(F.lit("next "), nxt.cast("string")),
+        ),
+        wat_link("A@/href", F.lit("mailto:spam@site.com"), F.lit("mail")),
+        wat_link("IMG@/src", F.lit("/img/logo.png")),
+    )
+    pages = docs.select(
+        "doc_id",
+        wat_envelope_json(
+            base_uri,
+            links,
+            title=F.concat(F.lit("Doc "), F.col("doc_id")),
+        ).alias("wat_json"),
+    )
+    blobs = _warc_file_blobs(
+        pages,
+        "wat_json",
+        synthesize_wat_record,
+        gzip_when=lambda f: f % 2 == 1,
+    )
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[])
+    outlinks = wat_links(parsed, id_cols=[])
+    resolved = normalize_url(
+        resolve_href(F.col("page_uri"), F.col("href"))
+    )
+    return (
+        outlinks.select(
+            F.regexp_extract("page_uri", r"/dir/page(\d+)$", 1)
+            .try_cast("long")
+            .alias("src"),
+            F.regexp_extract(
+                resolved, r"^http://www\.site\.com/page(\d+)$", 1
+            )
+            .try_cast("long")
+            .alias("dst"),
+            "anchor_text",
+        )
+        .where(F.col("dst").isNotNull())
+        .orderBy("src", "dst", "anchor_text")
+    )
+
+
 _FRONTIER_SQL = """
 WITH u AS (
   SELECT doc_id,
