@@ -81,6 +81,13 @@ _DEMOTED_ORACLES = (
     # invariant to provenance — operators/wat.py). Mirror-checked this
     # round; rotate into the driver window next round.
     "wat_link_graph_documents",
+    # NEW in round 11 (post-rotation): UT1-style category-blocklist
+    # URL filtering — domain entries block subdomain subtrees via a
+    # suffix-chain equi-join, URL entries block canonical prefixes at
+    # path/query boundaries, size-gated broadcast
+    # (operators/urlfilter.py). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "url_blocklist_filter_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -4120,6 +4120,85 @@ def wat_link_graph_documents(
     )
 
 
+_URL_BLOCKLIST_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'http://' ||
+         (['www','ads','media'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+         '.site' || (doc_id % 7) || '.com' ||
+         CASE WHEN doc_id % 5 = 0 THEN '/casino/page' ELSE '/page' END ||
+         doc_id AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       CASE WHEN doc_id % 7 = 2 THEN 'ads'
+            WHEN doc_id % 7 = 3 AND doc_id % 3 = 0 AND doc_id % 5 = 0
+              THEN 'gambling'
+            WHEN doc_id % 7 = 5 AND doc_id % 3 = 2 THEN 'tracker'
+            END AS block_category
+FROM u
+ORDER BY doc_id
+"""
+
+
+@_register("url_blocklist_filter_documents", _URL_BLOCKLIST_SQL)
+def url_blocklist_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Category-blocklist URL filtering (operators/urlfilter.py —
+    round 11, X206): the UT1-shaped curation stage public corpus
+    pipelines run before fetching — domain entries block a host's
+    whole subdomain subtree, URL entries block a canonical prefix at
+    path/query boundaries, multi-matches resolve to the smallest
+    category. URLs rotate subdomain (www/ads/media), site (mod 7),
+    and a /casino path (mod 5); the list plants a registrable-domain
+    entry (site2.com — must catch ALL subdomains via the
+    suffix-chain equi-join), an exact-host entry spelled MESSY
+    (' MEDIA.site5.com ' — entry normalization is load-bearing), and
+    a URL-prefix entry (www.site3.com/casino — must hit only that
+    host AND only at the path boundary). No regex scan, no cross
+    join: subtree match is explode-suffixes + equi-join, prefix
+    match equi-joins the entry's host first; the literal list
+    broadcasts through the size gate. Oracle states the expected
+    category closed-form per the mod arithmetic."""
+    from workshoop2_etl_spark.operators.urlfilter import blocklist_filter
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("ads"), F.lit("media")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            sub,
+            F.lit(".site"),
+            F.col("doc_id") % 7,
+            F.lit(".com"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("/casino/page")
+            ).otherwise(F.lit("/page")),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("site2.com", "domain", "ads"),
+            (" MEDIA.site5.com ", "domain", "tracker"),
+            ("http://www.site3.com/casino", "url", "gambling"),
+        ],
+        "entry string, kind string, category string",
+    )
+    return (
+        blocklist_filter(
+            urls, blocklist, url_col="url", keep_blocked=True
+        )
+        .select("doc_id", "url", "block_category")
+        .orderBy("doc_id")
+    )
+
+
 _FRONTIER_SQL = """
 WITH u AS (
   SELECT doc_id,
