@@ -88,6 +88,13 @@ _DEMOTED_ORACLES = (
     # (operators/urlfilter.py). Mirror-checked this round; rotate into
     # the driver window next round.
     "url_blocklist_filter_documents",
+    # NEW in round 11 (post-rotation): web-graph aggregates — per-
+    # target anchor-text profiles (modal anchor, capped distinct list)
+    # and the host-level link-graph projection with countDistinct
+    # source pages (operators/webgraph.py). Mirror-checked this round;
+    # rotate into the driver window next round.
+    "anchor_stats_documents",
+    "host_graph_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

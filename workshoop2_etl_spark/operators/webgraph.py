@@ -1,0 +1,119 @@
+"""Web-graph aggregates over extracted link edges — the signals a
+crawl-scale corpus pipeline derives once the link graph exists
+(X195/X197/X205 feed edges in; :mod:`operators.graph` runs PageRank
+over them): per-target anchor-text profiles (what the web *calls* a
+page — a classic retrieval/quality signal) and the host-level
+projection (the graph CommonCrawl itself publishes as its host-level
+webgraph, input to domain-quality ranking).
+
+Scale shape:
+
+- :func:`anchor_stats` is two aggregations on the SAME dst key — the
+  per-(dst, anchor) mode count and the per-dst totals — so AQE can
+  reuse the exchange; the anchor list in the output is CAPPED
+  (``max_anchors``) and sorted, never an unbounded collect per key.
+- :func:`host_graph` projects URL edges to host pairs with pure
+  column expressions before the one aggregation shuffle — hosts are
+  tiny keys, the page URLs never ride past the projection.
+
+The reference has no graph surface; SURVEY §2.9 X207.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.functions.urls import host_of
+
+
+def anchor_stats(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor_text",
+    max_anchors: int = 16,
+) -> DataFrame:
+    """Per link target: ``indegree`` (edge count), ``n_src``
+    (distinct linking pages), ``top_anchor`` (most frequent anchor
+    text; ties break to the lexicographically smallest — the same
+    count-desc/value-asc convention as the engine's mode-or-first
+    dedup), ``top_anchor_count``, and ``anchors_all`` (the distinct
+    anchor texts, sorted, capped at ``max_anchors``, pipe-joined).
+
+    NULL anchors (image links, empty <a>) are excluded from the
+    anchor profile but still count toward indegree."""
+    d = F.col(dst_col)
+    per_anchor = (
+        edges.where(F.col(anchor_col).isNotNull())
+        .groupBy(d.alias("__dst"), F.col(anchor_col).alias("__anchor"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__dst").orderBy(
+        F.col("__n").desc(), F.col("__anchor")
+    )
+    top = (
+        per_anchor.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__dst",
+            F.col("__anchor").alias("top_anchor"),
+            F.col("__n").alias("top_anchor_count"),
+        )
+    )
+    totals = edges.groupBy(d.alias("__dst")).agg(
+        F.count(F.lit(1)).alias("indegree"),
+        F.countDistinct(F.col(src_col)).alias("n_src"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set(F.col(anchor_col))),
+                1,
+                max_anchors,
+            ),
+            "|",
+        ).alias("anchors_all"),
+    )
+    return (
+        totals.join(top, "__dst", "left")
+        .withColumnRenamed("__dst", dst_col)
+        .select(
+            dst_col,
+            "indegree",
+            "n_src",
+            "top_anchor",
+            "top_anchor_count",
+            "anchors_all",
+        )
+    )
+
+
+def host_graph(
+    edges: DataFrame,
+    *,
+    src_url_col: str = "src_url",
+    dst_url_col: str = "dst_url",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Project page-level URL edges to the host-level graph:
+    ``(src_host, dst_host, n_links, n_src_pages)`` — the aggregate
+    CommonCrawl publishes as its host webgraph and the input to
+    domain-level PageRank/quality ranking. ``drop_self`` removes
+    intra-host edges (navigation within a site, which would dominate
+    and carry no cross-site endorsement signal)."""
+    projected = edges.select(
+        host_of(F.col(src_url_col)).alias("src_host"),
+        host_of(F.col(dst_url_col)).alias("dst_host"),
+        F.col(src_url_col).alias("__src_url"),
+    )
+    if drop_self:
+        projected = projected.where(
+            F.col("src_host") != F.col("dst_host")
+        )
+    return (
+        projected.groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("__src_url").alias("n_src_pages"),
+        )
+    )

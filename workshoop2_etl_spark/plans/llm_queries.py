@@ -4120,6 +4120,128 @@ def wat_link_graph_documents(
     )
 
 
+_ANCHOR_STATS_SQL = """
+WITH e AS (
+  SELECT doc_id AS src, 7 * (doc_id // 7) AS dst,
+         'hub ' || (7 * (doc_id // 7)) AS anchor_text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 7 * (doc_id // 7) + ((doc_id % 7 + 1) % 7),
+         'next ' || (7 * (doc_id // 7) + ((doc_id % 7 + 1) % 7))
+  FROM documents
+), c AS (
+  SELECT dst, anchor_text, count(*) AS n FROM e GROUP BY 1, 2
+), m AS (
+  SELECT dst, anchor_text, n,
+         row_number() OVER (
+           PARTITION BY dst ORDER BY n DESC, anchor_text
+         ) AS rn
+  FROM c
+), a AS (
+  SELECT dst, count(*) AS indegree, count(DISTINCT src) AS n_src,
+         array_to_string(
+           list_sort(list_distinct(list(anchor_text))), '|'
+         ) AS anchors_all
+  FROM e GROUP BY dst
+)
+SELECT a.dst, a.indegree, a.n_src, m.anchor_text AS top_anchor,
+       m.n AS top_anchor_count, a.anchors_all
+FROM a JOIN m ON a.dst = m.dst AND m.rn = 1
+ORDER BY a.dst
+"""
+
+
+@_register("anchor_stats_documents", _ANCHOR_STATS_SQL)
+def anchor_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (operators/webgraph.py
+    ``anchor_stats`` — round 11, X207): what the web CALLS a page —
+    indegree, distinct linking pages, the modal anchor text
+    (count-desc/value-asc tie-break, the engine's mode convention),
+    and the capped sorted distinct-anchor list. Edges are the link
+    graph's closed form (hub + ring anchors per 7-group); hub targets
+    accumulate 7 'hub' anchors against 1 'next' anchor, partial tail
+    groups exercise the tie-break. Two aggregations on the SAME dst
+    key (AQE exchange reuse), anchor list capped — never an unbounded
+    per-key collect. Oracle replays the standard-SQL window."""
+    from workshoop2_etl_spark.operators.webgraph import anchor_stats
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    hub = F.expr("7 * (doc_id div 7)")
+    nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        hub.alias("dst"),
+        F.concat(F.lit("hub "), hub).alias("anchor_text"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        nxt.alias("dst"),
+        F.concat(F.lit("next "), nxt).alias("anchor_text"),
+    )
+    return anchor_stats(e1.unionByName(e2)).orderBy("dst")
+
+
+_HOST_GRAPH_SQL = """
+WITH e AS (
+  SELECT 'www.site' || (doc_id % 7) || '.com' AS src_host,
+         'www.site0.com' AS dst_host,
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+           AS src_url
+  FROM documents
+  UNION ALL
+  SELECT 'www.site' || (doc_id % 7) || '.com',
+         'www.site' || ((doc_id % 7 + 1) % 7) || '.com',
+         'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+  FROM documents
+)
+SELECT src_host, dst_host, count(*) AS n_links,
+       count(DISTINCT src_url) AS n_src_pages
+FROM e
+WHERE src_host <> dst_host
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+
+@_register("host_graph_documents", _HOST_GRAPH_SQL)
+def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (operators/webgraph.py ``host_graph`` —
+    round 11, X207): the projection CommonCrawl publishes as its host
+    webgraph — page-URL edges → (src_host, dst_host) with edge count
+    and DISTINCT source-page count, intra-host navigation edges
+    dropped (no cross-site endorsement signal). Fixture: every page
+    links its 7-group hub (always on site0 — so site0's own hub edges
+    are the planted self-loops that must vanish) and the next site in
+    the mod-7 ring; site6's ring edges land on site0 alongside the
+    hub edges from the same pages, so n_src_pages < n_links there —
+    the countDistinct is load-bearing. Hosts are pure column
+    projections before the single aggregation shuffle."""
+    from workshoop2_etl_spark.operators.webgraph import host_graph
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    hub = F.expr("7 * (doc_id div 7)")
+    nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    src_url = F.concat(
+        F.lit("http://www.site"),
+        F.col("doc_id") % 7,
+        F.lit(".com/page"),
+        F.col("doc_id"),
+    )
+    hub_url = F.concat(F.lit("http://www.site0.com/page"), hub)
+    ring_url = F.concat(
+        F.lit("http://www.site"),
+        (F.col("doc_id") % 7 + 1) % 7,
+        F.lit(".com/page"),
+        nxt,
+    )
+    edges = docs.select(
+        src_url.alias("src_url"), hub_url.alias("dst_url")
+    ).unionByName(
+        docs.select(src_url.alias("src_url"), ring_url.alias("dst_url"))
+    )
+    return host_graph(edges).orderBy("src_host", "dst_host")
+
+
 _URL_BLOCKLIST_SQL = """
 WITH u AS (
   SELECT doc_id,
