@@ -95,6 +95,13 @@ _DEMOTED_ORACLES = (
     # rotate into the driver window next round.
     "anchor_stats_documents",
     "host_graph_documents",
+    # NEW in round 11 (post-rotation): dHash perceptual fingerprints —
+    # aHash's gradient complement over the same real decoded pixels,
+    # row-local brightness invariance pytest-proven, closed-form
+    # oracle replay from md5(text) (operators/multimodal.py
+    # dhash_images). Mirror-checked this round; rotate into the
+    # driver window next round.
+    "image_dhash_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -872,3 +872,99 @@ def test_perceptual_hash_identical_images_zero_hamming(spark):
     ).collect()
     got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
     assert got.get((1, 2)) == 0
+
+
+def test_dhash_known_image_and_tolerance(spark):
+    """dHash closed form on the 8x9 block BMP (hand-computed gradient
+    bits from the md5 bytes); undecodable payloads yield NULLs; an
+    all-ascending-columns image sets every bit."""
+    import hashlib
+
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        dhash_images,
+        synth_block_bmp,
+    )
+
+    text = "known fixture text"
+    digest = hashlib.md5(text.encode()).digest()
+    cells = [digest[(i * 9 + j) % 16] for i in range(8) for j in range(9)]
+    bits = [
+        1 if cells[i * 9 + j + 1] > cells[i * 9 + j] else 0
+        for i in range(8)
+        for j in range(8)
+    ]
+    want_hex = "".join(
+        "0123456789abcdef"[
+            bits[4 * n] * 8 + bits[4 * n + 1] * 4
+            + bits[4 * n + 2] * 2 + bits[4 * n + 3]
+        ]
+        for n in range(16)
+    )
+    want_long = sum(b << j for j, b in enumerate(bits[:63]))
+    ramp = np.tile(
+        np.repeat(np.arange(9, dtype=np.uint8) * 10, 8), (64, 1)
+    )
+    ramp_bmp = _encode_bmp(np.stack([ramp] * 3, axis=-1))
+    df = spark.createDataFrame(
+        [
+            (1, synth_block_bmp(1, text, cols=9)),
+            (2, b"not an image"),
+            (3, ramp_bmp),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dhash_images(df, "payload", id_cols=["doc_id"]).collect()
+    }
+    assert rows[1]["dhash_hex"] == want_hex
+    assert rows[1]["dhash"] == want_long
+    assert rows[1]["n_set"] == sum(bits)
+    assert rows[2]["dhash_hex"] is None and rows[2]["dhash"] is None
+    assert rows[3]["dhash_hex"] == "f" * 16
+    assert rows[3]["n_set"] == 64 and rows[3]["dhash"] == (1 << 63) - 1
+
+
+def test_dhash_row_local_brightness_invariance(spark):
+    """Per-row brightness shifts leave dHash unchanged while aHash
+    (global mean) flips bits in untouched rows — the reason the pair
+    is complementary."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        dhash_images,
+        perceptual_hash_images,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(60, 120, size=(8, 9), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    shifted_cells = base.astype(np.int64) + (
+        np.arange(8)[:, None] * 12
+    )  # row i brightened by 12*i, order within each row preserved
+    shifted = np.repeat(
+        np.repeat(shifted_cells.astype(np.uint8), 8, 0), 8, 1
+    )
+    df = spark.createDataFrame(
+        [
+            (1, _encode_bmp(np.stack([img] * 3, axis=-1))),
+            (2, _encode_bmp(np.stack([shifted] * 3, axis=-1))),
+        ],
+        "doc_id long, payload binary",
+    )
+    d = {
+        r["doc_id"]: r["dhash_hex"]
+        for r in dhash_images(df, "payload", id_cols=["doc_id"]).collect()
+    }
+    assert d[1] == d[2]
+    a = {
+        r["doc_id"]: r["ahash_hex"]
+        for r in perceptual_hash_images(
+            df, "payload", id_cols=["doc_id"]
+        ).collect()
+    }
+    assert a[1] != a[2]

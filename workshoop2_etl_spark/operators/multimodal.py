@@ -1722,6 +1722,36 @@ def sample_frames(
     return df.mapInPandas(batches, schema)
 
 
+def _gray_cells(b: bytes, rows: int, cols: int):
+    """Decode (BMP/PNG/baseline-JPEG ladder) → integer grayscale
+    ``(r+g+b) // 3`` → area-mean downsample to ``rows``×``cols``
+    cells with floor boundaries and integer cell means. Returns a
+    flat int64 array (row-major) or None when undecodable — the
+    shared pixel front half of every perceptual hash."""
+    import numpy as np
+
+    arr = _decode_bmp_pixels(b or b"")
+    if arr is None:
+        arr = _decode_png_pixels(b or b"")
+    if arr is None:
+        arr = _decode_jpeg_pixels(b or b"")
+    if arr is None:
+        return None
+    gray = arr.astype(np.int64).sum(axis=-1) // 3
+    h, w = gray.shape
+    cells = np.empty(rows * cols, dtype=np.int64)
+    for i in range(rows):
+        y0, y1 = (i * h) // rows, ((i + 1) * h) // rows
+        for j in range(cols):
+            x0, x1 = (j * w) // cols, ((j + 1) * w) // cols
+            if y1 <= y0 or x1 <= x0:
+                cells[i * cols + j] = 0
+                continue
+            block = gray[y0:y1, x0:x1]
+            cells[i * cols + j] = int(block.sum()) // block.size
+    return cells
+
+
 def perceptual_hash_images(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1764,25 +1794,9 @@ def perceptual_hash_images(
     def _hash_one(b: bytes):
         import numpy as np
 
-        arr = _decode_bmp_pixels(b or b"")
-        if arr is None:
-            arr = _decode_png_pixels(b or b"")
-        if arr is None:
-            arr = _decode_jpeg_pixels(b or b"")
-        if arr is None:
+        cells = _gray_cells(b, grid, grid)
+        if cells is None:
             return None, None, None
-        gray = arr.astype(np.int64).sum(axis=-1) // 3
-        h, w = gray.shape
-        cells = np.empty(grid * grid, dtype=np.int64)
-        for i in range(grid):
-            y0, y1 = (i * h) // grid, ((i + 1) * h) // grid
-            for j in range(grid):
-                x0, x1 = (j * w) // grid, ((j + 1) * w) // grid
-                if y1 <= y0 or x1 <= x0:
-                    cells[i * grid + j] = 0
-                    continue
-                block = gray[y0:y1, x0:x1]
-                cells[i * grid + j] = int(block.sum()) // block.size
         mean = int(cells.sum()) // (grid * grid)
         bits = (cells > mean).astype(np.int64)
         n = grid * grid
@@ -1816,19 +1830,96 @@ def perceptual_hash_images(
     return df.mapInPandas(batches, schema)
 
 
-def synth_block_bmp(doc_id: int, text: str, *, grid: int = 8, cell: int = 8) -> bytes:
-    """Fixture: a real 24-bpp BMP of (grid·cell)² pixels whose
-    ``grid``×``grid`` blocks are CONSTANT — block j (row-major) holds
-    the text's md5 byte ``j % 16`` on all three channels — so the
-    area-mean cells of :func:`perceptual_hash_images` recover the
-    digest bytes EXACTLY and the whole hash has a closed form the
-    oracle replays from ``md5(text)``."""
+def dhash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    id_cols: list[str] | None = None,
+    grid: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprints — the
+    gradient sibling of :func:`perceptual_hash_images`: the same
+    decode ladder and integer area-mean cells, but sampled to
+    ``grid``×``grid+1`` and thresholded on the HORIZONTAL GRADIENT —
+    bit (i,j) set iff cell (i,j+1) > cell (i,j). Row-local: any
+    per-row brightness change (vignette band, scanline exposure)
+    leaves every bit unchanged, where aHash's GLOBAL mean flips cells
+    in the untouched rows too (pytest-proven; the two are the
+    standard complementary pair). Output
+    mirrors aHash: ``dhash_hex`` (all grid² bits, row-major, MSB
+    first), ``dhash`` (bits 0..62 packed into a non-negative 63-bit
+    LONG, ready for the Manku combination-block pair search), and
+    ``n_set``. Undecodable payloads yield NULLs. All integer — the
+    oracle replays it exactly. Arrow-batched pure map; no shuffle."""
+    if grid < 2 or grid * grid < 64:
+        raise ValueError(f"grid must be >= 8 for the 63-bit form, got {grid}")
+    ids = id_cols or [c for c in df.columns if c != payload_col]
+    schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("dhash_hex", T.StringType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("n_set", T.IntegerType()),
+        ]
+    )
+
+    def _hash_one(b: bytes):
+        import numpy as np
+
+        cells = _gray_cells(b, grid, grid + 1)
+        if cells is None:
+            return None, None, None
+        grid2 = cells.reshape(grid, grid + 1)
+        bits = (grid2[:, 1:] > grid2[:, :-1]).astype(np.int64).ravel()
+        n = grid * grid
+        hex_chars = []
+        for nib in range(n // 4):
+            v = (
+                bits[4 * nib] * 8
+                + bits[4 * nib + 1] * 4
+                + bits[4 * nib + 2] * 2
+                + bits[4 * nib + 3]
+            )
+            hex_chars.append("0123456789abcdef"[int(v)])
+        packed = 0
+        for j in range(63):
+            packed |= int(bits[j]) << j
+        return "".join(hex_chars), packed, int(bits.sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[ids].copy()
+            hashed = [_hash_one(b) for b in pdf[payload_col]]
+            out["dhash_hex"] = [t[0] for t in hashed]
+            out["dhash"] = pd.array([t[1] for t in hashed], dtype="Int64")
+            out["n_set"] = pd.array([t[2] for t in hashed], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def synth_block_bmp(
+    doc_id: int,
+    text: str,
+    *,
+    grid: int = 8,
+    cell: int = 8,
+    cols: int | None = None,
+) -> bytes:
+    """Fixture: a real 24-bpp BMP of (grid·cell)×(cols·cell) pixels
+    whose ``grid``×``cols`` blocks are CONSTANT — block j (row-major)
+    holds the text's md5 byte ``j % 16`` on all three channels — so
+    the area-mean cells of :func:`perceptual_hash_images` (cols =
+    grid, the default) or :func:`dhash_images` (cols = grid+1)
+    recover the digest bytes EXACTLY and the whole hash has a closed
+    form the oracle replays from ``md5(text)``."""
     import hashlib as _hashlib
 
     import numpy as np
 
+    cols = grid if cols is None else cols
     digest = _hashlib.md5((text or "").encode()).digest()
     vals = np.frombuffer(digest, dtype=np.uint8)
-    blocks = vals[np.arange(grid * grid) % 16].reshape(grid, grid)
+    blocks = vals[np.arange(grid * cols) % 16].reshape(grid, cols)
     img = np.repeat(np.repeat(blocks, cell, 0), cell, 1)
     return _encode_bmp(np.stack([img] * 3, axis=-1).astype(np.uint8))

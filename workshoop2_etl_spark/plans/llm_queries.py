@@ -4940,6 +4940,90 @@ def image_ahash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_DHASH_SQL = """
+WITH b AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+), v AS (
+  SELECT doc_id,
+         list_transform(range(16), k ->
+           (strpos('0123456789abcdef',
+                   substr(h, CAST(2 * k + 1 AS INTEGER), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * k + 2 AS INTEGER), 1)) - 1)
+         ) AS bytes
+  FROM b
+), bt AS (
+  SELECT doc_id,
+         list_transform(range(64), n ->
+           CASE WHEN bytes[CAST(((n // 8) * 9 + n % 8 + 1) % 16
+                               AS INTEGER) + 1]
+                   > bytes[CAST(((n // 8) * 9 + n % 8) % 16
+                                AS INTEGER) + 1]
+                THEN 1 ELSE 0 END) AS bb
+  FROM v
+)
+SELECT doc_id,
+       list_aggregate(list_transform(range(16), n ->
+         substr('0123456789abcdef',
+                CAST(bb[CAST(4 * n + 1 AS INTEGER)] * 8
+                     + bb[CAST(4 * n + 2 AS INTEGER)] * 4
+                     + bb[CAST(4 * n + 3 AS INTEGER)] * 2
+                     + bb[CAST(4 * n + 4 AS INTEGER)] + 1 AS INTEGER),
+                1)), 'string_agg', '') AS dhash_hex,
+       CAST(list_sum(list_transform(range(63), j ->
+         bb[CAST(j + 1 AS INTEGER)] * (CAST(1 AS BIGINT) << j)))
+         AS BIGINT) AS dhash,
+       CAST(list_sum(bb) AS INTEGER) AS n_set
+FROM bt
+ORDER BY doc_id
+"""
+
+
+@_register("image_dhash_documents", _DHASH_SQL)
+def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash perceptual fingerprints (operators/
+    multimodal.py ``dhash_images`` — round 11, X208): aHash's
+    standard complement — same real BMP decode and integer area-mean
+    cells, but sampled 8×9 and thresholded on the HORIZONTAL GRADIENT
+    (bit set iff the right cell exceeds the left), so per-row
+    brightness changes flip nothing while aHash's global mean flips
+    cells in untouched rows (pytest-proven). Fixture BMPs carry the
+    md5 bytes in 8×9 constant
+    blocks; every step is integer, so the oracle replays the whole
+    pipeline — gradient bits, nibble-exact hex, the 63-bit packed
+    long, popcount — from ``md5(text)`` alone. Pure Arrow map, no
+    shuffle; the packed long drops into the same Manku pair search
+    as aHash."""
+    from pyspark.sql import types as T
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        dhash_images,
+        synth_block_bmp,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def to_bmps(it):
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [
+                synth_block_bmp(int(i), t, cols=9)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield out
+
+    bmps = docs.mapInPandas(to_bmps, schema)
+    return dhash_images(bmps, "payload", id_cols=["doc_id"]).orderBy(
+        "doc_id"
+    )
+
+
 _AHASH_PAIRS_SQL = """
 WITH b AS (
   SELECT d.doc_id, md5(COALESCE(anchor.text, '')) AS h
