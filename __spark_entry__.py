@@ -102,6 +102,13 @@ _DEMOTED_ORACLES = (
     # dhash_images). Mirror-checked this round; rotate into the
     # driver window next round.
     "image_dhash_documents",
+    # NEW in round 11 (post-rotation): FineWeb-style per-domain corpus
+    # cap — registrable-domain budget shared across subdomains,
+    # selection via the shuffle-bounded exact top-k (map-side prune
+    # then window) (operators/curation.py per_domain_cap).
+    # Mirror-checked this round; rotate into the driver window next
+    # round.
+    "domain_cap_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

@@ -116,3 +116,73 @@ def test_classifier_unknown_buckets_weigh_zero(spark):
         docs, weights, "id", "text", n_buckets=32
     ).head()
     assert row["z"] == 0.0 and row["score"] == 0.5
+
+
+def test_per_domain_cap_shares_budget_across_subdomains(spark):
+    """Subdomains draw from ONE registrable-domain budget; best-first
+    order and the exact-cap guarantee hold."""
+    from workshoop2_etl_spark.operators.curation import per_domain_cap
+
+    rows = [
+        (i, f"http://{sub}.x.com/p{i}", score)
+        for i, (sub, score) in enumerate(
+            [("www", 9), ("blog", 8), ("media", 7), ("www", 6), ("a", 5)]
+        )
+    ] + [(10, "http://only.y.com/p", 1)]
+    df = spark.createDataFrame(rows, "id long, url string, score long")
+    out = per_domain_cap(
+        df,
+        url_col="url",
+        order_by=[("score", False), ("id", True)],
+        k=2,
+    ).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], []).append(r["id"])
+    assert sorted(by_domain["x.com"]) == [0, 1]  # scores 9 and 8 win
+    assert by_domain["y.com"] == [10]  # under-cap domain keeps all
+
+
+def test_per_domain_cap_matches_plain_window(spark):
+    """The shuffle-bounded path is EXACT: identical survivors to a
+    plain row_number window on randomized data."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.curation import per_domain_cap
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            f"http://s{rng.randrange(4)}.d{rng.randrange(6)}.com/p{i}",
+            rng.randrange(100),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, url string, score long"
+    ).repartition(8)
+    got = {
+        r["id"]
+        for r in per_domain_cap(
+            df,
+            url_col="url",
+            order_by=[("score", False), ("id", True)],
+            k=3,
+        ).collect()
+    }
+    from workshoop2_etl_spark.functions.urls import registrable_domain
+
+    w = Window.partitionBy(registrable_domain(F.col("url"))).orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    want = {
+        r["id"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want

@@ -44,6 +44,7 @@ __all__ = [
     "dsir_logweights",
     "dsir_resample",
     "linear_text_classifier",
+    "per_domain_cap",
 ]
 
 #: 2^32 as a double — divisor that turns 32 md5 bits into a uniform.
@@ -253,4 +254,41 @@ def linear_text_classifier(
         "n_feats",
         z.alias("z"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(score_col),
+    )
+
+
+def per_domain_cap(
+    df: DataFrame,
+    *,
+    url_col: str,
+    order_by: list[tuple[str, bool]],
+    k: int,
+    domain_col: str = "domain",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-domain document cap — the corpus-balancing stage FineWeb/
+    RefinedWeb-style pipelines run so a handful of template-heavy
+    mega-sites cannot dominate the training mix: keep at most ``k``
+    documents per REGISTRABLE domain (subdomains share one budget —
+    ``www.x.com`` and ``blog.x.com`` draw from the same ``k``),
+    best-first by ``order_by`` ((column, ascending) pairs; append a
+    unique id for a total order, same contract as
+    :func:`operators.analytics.top_k_per_group_partial`).
+
+    Scale shape: the domain key is a pure column
+    (:func:`functions.urls.registrable_domain`), and selection is the
+    shuffle-bounded EXACT top-k — a lossless map-side per-group prune
+    caps the exchange at ``partitions × domains_per_partition × k``
+    rows before the final window re-ranks, so the Zipf-head domain
+    (the exact thing this operator exists to cap) costs window time
+    over ≤ partitions·k survivor rows, never the whole fact table
+    through one hot partition. (SURVEY §2.9 X209.)"""
+    from workshoop2_etl_spark.functions.urls import registrable_domain
+    from workshoop2_etl_spark.operators.analytics import (
+        top_k_per_group_partial,
+    )
+
+    work = df.withColumn(domain_col, registrable_domain(F.col(url_col)))
+    return top_k_per_group_partial(
+        work, [domain_col], order_by, k, rank_col=rank_col
     )

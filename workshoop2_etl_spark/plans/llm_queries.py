@@ -4242,6 +4242,73 @@ def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(edges).orderBy("src_host", "dst_host")
 
 
+_DOMAIN_CAP_SQL = """
+WITH u AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         'http://' ||
+         (['www','ads','media'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+         '.site' || (doc_id % 7) || '.com/page' || doc_id AS url
+  FROM documents
+), r AS (
+  SELECT *,
+         'site' || (doc_id % 7) || '.com' AS domain,
+         row_number() OVER (
+           PARTITION BY doc_id % 7 ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM u
+)
+SELECT doc_id, url, domain, n_chars, CAST(rnk AS INTEGER) AS rank
+FROM r
+WHERE rnk <= 5
+ORDER BY domain, rank
+"""
+
+
+@_register("domain_cap_documents", _DOMAIN_CAP_SQL)
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap (operators/curation.py ``per_domain_cap``
+    — round 11, X209): the FineWeb/RefinedWeb balancing stage — keep
+    the best k=5 documents per REGISTRABLE domain, longest-first with
+    doc_id as the total-order tiebreak. URLs rotate three subdomains
+    over seven sites, so the cap only comes out right if subdomains
+    SHARE one budget (registrable_domain collapses www/ads/media
+    before ranking — a per-host window would keep 15). Selection is
+    the shuffle-bounded exact top-k (map-side per-group prune, then
+    the window over survivors). Oracle replays the standard-SQL
+    window over the same closed-form URLs."""
+    from workshoop2_etl_spark.operators.curation import per_domain_cap
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("ads"), F.lit("media")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    urls = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("http://"),
+            sub,
+            F.lit(".site"),
+            F.col("doc_id") % 7,
+            F.lit(".com/page"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    return (
+        per_domain_cap(
+            urls,
+            url_col="url",
+            order_by=[("n_chars", False), ("doc_id", True)],
+            k=5,
+        )
+        .select("doc_id", "url", "domain", "n_chars", "rank")
+        .orderBy("domain", "rank")
+    )
+
+
 _URL_BLOCKLIST_SQL = """
 WITH u AS (
   SELECT doc_id,
