@@ -109,6 +109,16 @@ _DEMOTED_ORACLES = (
     # Mirror-checked this round; rotate into the driver window next
     # round.
     "domain_cap_documents",
+    # NEW in round 11 (post-rotation): the crawl chapter's WRITE path
+    # — corpus exported as warcinfo-headed .wet.gz file blobs, read
+    # back through the unchanged ingest stack, byte-level round-trip
+    # identity as the check (operators/warc.py export_wet); and
+    # per-page outlink-shape features (outdegree, external fan-out,
+    # distinct dst hosts) (operators/webgraph.py outlink_stats).
+    # Mirror-checked this round; rotate into the driver window next
+    # round.
+    "wet_export_roundtrip_documents",
+    "outlink_stats_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

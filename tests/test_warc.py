@@ -336,3 +336,63 @@ def test_materialize_revisits(spark):
     assert out[("response", "http://www.h.com/page7")] == body
     assert out[("revisit", "http://mirror.h.com/page7")] == body
     assert len(out) == 2  # dangling revisit dropped
+
+
+def test_export_wet_roundtrip_plain(spark):
+    """export_wet → parse_warc_blobs round trip: warcinfo heads each
+    blob, every doc (including NULL text) survives as a conversion
+    record with its text intact, file assignment is id-range."""
+    from workshoop2_etl_spark.operators.warc import (
+        export_wet,
+        parse_warc_blobs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, None), (2, "gamma"), (5, "zeta")],
+        "doc_id long, text string",
+    )
+    files = export_wet(docs, per_file=4)
+    rows = files.collect()
+    assert {r["file_no"]: r["n_records"] for r in rows} == {0: 3, 1: 1}
+    parsed = parse_warc_blobs(
+        files.select("content"), "content", id_cols=[]
+    ).collect()
+    kinds = [r["warc_type"] for r in parsed]
+    assert kinds.count("warcinfo") == 2  # one head per blob
+    conv = {
+        r["target_uri"]: bytes(r["payload"]).decode()
+        for r in parsed
+        if r["warc_type"] == "conversion"
+    }
+    assert conv == {
+        "http://export.local/page0": "alpha",
+        "http://export.local/page1": "",  # NULL text kept, empty body
+        "http://export.local/page2": "gamma",
+        "http://export.local/page5": "zeta",
+    }
+
+
+def test_export_wet_uri_col_and_gzip(spark):
+    """Explicit per-row URIs ride into the records; gzip_members
+    produces .wet.gz-style member blobs the same ingest splits."""
+    from workshoop2_etl_spark.operators.warc import (
+        export_wet,
+        parse_warc_blobs,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "seven", "http://a.com/x"), (8, "eight", "http://b.com/y")],
+        "doc_id long, text string, uri string",
+    )
+    files = export_wet(docs, uri_col="uri", per_file=16, gzip_members=True)
+    blob = files.collect()[0]["content"]
+    assert bytes(blob).startswith(b"\x1f\x8b")
+    parsed = parse_warc_blobs(
+        files.select("content"), "content", id_cols=[]
+    ).collect()
+    conv = {
+        r["target_uri"]: bytes(r["payload"]).decode()
+        for r in parsed
+        if r["warc_type"] == "conversion"
+    }
+    assert conv == {"http://a.com/x": "seven", "http://b.com/y": "eight"}

@@ -101,3 +101,27 @@ def test_host_pagerank_composition(spark):
     )
     top = ranks.orderBy(F.desc("rank")).first()
     assert top["node"] == "hub.com"
+
+
+def test_outlink_stats(spark):
+    """Outdegree/external split/distinct-host count per source page;
+    internal links count in outdegree but not externals."""
+    from workshoop2_etl_spark.operators.webgraph import outlink_stats
+
+    e = spark.createDataFrame(
+        [
+            ("http://a.com/p", "http://a.com/q"),   # internal
+            ("http://a.com/p", "http://b.com/x"),
+            ("http://a.com/p", "http://b.com/y"),   # same ext host
+            ("http://a.com/p", "http://c.com/z"),
+            ("http://solo.com/p", "http://solo.com/q"),
+        ],
+        "src_url string, dst_url string",
+    )
+    out = {r["src_url"]: r for r in outlink_stats(e).collect()}
+    a = out["http://a.com/p"]
+    assert a["n_outlinks"] == 4 and a["n_external"] == 3
+    assert a["n_dst_hosts"] == 3  # a.com, b.com, c.com
+    assert a["external_ratio"] == 0.75
+    s = out["http://solo.com/p"]
+    assert s["n_external"] == 0 and s["external_ratio"] == 0.0

@@ -116,19 +116,25 @@ def synthesize_warc_record(
     return warc_headers + http + _CRLF2
 
 
-def synthesize_wet_record(doc_id: int, text: str, *, host: str) -> bytes:
+def synthesize_wet_record(
+    doc_id: int, text: str, *, host: str = "", uri: str | None = None
+) -> bytes:
     """One valid WET ``conversion`` record (the CommonCrawl
     plain-text sibling of the ``.warc`` response file — what most
     text pipelines actually consume): WARC/1.0 headers with
     ``WARC-Type: conversion`` and a ``text/plain`` payload holding
     the extracted text directly, NO HTTP envelope. Same framing walk
     parses both; ``parse_warc_record`` returns conversion records
-    with NULL http_status and the raw text bytes as payload."""
-    payload = text.encode("utf-8")
+    with NULL http_status and the raw text bytes as payload. The
+    target URI is ``http://{host}/page{doc_id}`` unless an explicit
+    ``uri`` is given (the export path carries each document's own
+    address)."""
+    payload = (text or "").encode("utf-8")
+    uri = uri if uri is not None else f"http://{host}/page{doc_id}"
     warc_headers = (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
-        f"WARC-Target-URI: http://{host}/page{doc_id}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
         f"WARC-Record-ID: <urn:uuid:wet-{doc_id:012d}>\r\n"
         f"WARC-Refers-To: <urn:uuid:doc-{doc_id:012d}>\r\n"
         "WARC-Date: 2024-01-01T00:00:00Z\r\n"
@@ -559,3 +565,85 @@ def materialize_revisits(parsed: DataFrame) -> DataFrame:
         "payload",
     )
     return own.unionByName(borrowed)
+
+
+#: The warcinfo record real WET files open with — prepended to every
+#: exported file blob so ingest-side filters see the shipped layout.
+WET_WARCINFO = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: warcinfo\r\n"
+    b"Content-Type: application/warc-fields\r\n"
+    b"Content-Length: 14\r\n"
+    b"\r\n"
+    b"format: WARC/1"
+    b"\r\n\r\n"
+)
+
+
+def export_wet(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uri_col: str | None = None,
+    host: str = "export.local",
+    per_file: int = 64,
+    gzip_members: bool = False,
+) -> DataFrame:
+    """The crawl chapter's WRITE path: a cleaned corpus exported as
+    WET files — one output row per file blob (``file_no``,
+    ``content`` binary, ``n_records``), each blob a warcinfo-headed
+    concatenation of spec-framed ``conversion`` records
+    (``.wet.gz``-style one-gzip-member-per-record when
+    ``gzip_members``), byte-compatible with :func:`parse_warc_blobs`
+    and any standard WET reader. Each document's URI is its own
+    ``uri_col`` when given, else ``http://{host}/page{id}``.
+
+    Scale shape: record synthesis is an Arrow-batched pure map; file
+    assignment is ``id div per_file`` — contiguous id ranges, so
+    file sizes are bounded WITHOUT a global sort — and the only
+    shuffle is the per-file fold (sorted by id inside each file for
+    deterministic bytes). NULL text exports as an empty payload
+    rather than dropping the record (the id set is the contract)."""
+    ids_needed = [id_col, text_col] + ([uri_col] if uri_col else [])
+    rec_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("__rec", T.BinaryType()),
+        ]
+    )
+
+    def to_records(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for _, r in pdf.iterrows():
+                rec = synthesize_wet_record(
+                    int(r[id_col]),
+                    r[text_col],
+                    host=host,
+                    uri=str(r[uri_col]) if uri_col else None,
+                )
+                if gzip_members:
+                    rec = gzip_warc_record(rec)
+                recs.append(rec)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].astype("int64"), "__rec": recs}
+            )
+
+    from pyspark.sql import functions as F
+
+    recs = df.select(*ids_needed).mapInPandas(to_records, rec_schema)
+    head = gzip_warc_record(WET_WARCINFO) if gzip_members else WET_WARCINFO
+    return (
+        recs.groupBy(
+            (F.col("__id") / per_file).cast("long").alias("file_no")
+        )
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("__id", "__rec"))),
+                F.lit(head),
+                lambda acc, x: F.concat(acc, x["__rec"]),
+            ).alias("content"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )

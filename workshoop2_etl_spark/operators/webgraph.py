@@ -117,3 +117,34 @@ def host_graph(
             F.countDistinct("__src_url").alias("n_src_pages"),
         )
     )
+
+
+def outlink_stats(
+    edges: DataFrame,
+    *,
+    src_url_col: str = "src_url",
+    dst_url_col: str = "dst_url",
+) -> DataFrame:
+    """Per source page: ``n_outlinks``, ``n_external`` (links leaving
+    the page's host), ``external_ratio``, and ``n_dst_hosts``
+    (distinct target hosts) — the outlink-shape features spam/SEO
+    classifiers and crawl prioritizers consume (link farms: huge
+    external fan-out to many hosts; boilerplate shells: near-zero).
+    One aggregation on the source URL; hosts are pure column
+    projections, and the ratio is one exact division of two counts
+    (deterministic cross-engine)."""
+    src_host = host_of(F.col(src_url_col))
+    dst_host = host_of(F.col(dst_url_col))
+    ext = (src_host != dst_host).cast("long")
+    return (
+        edges.groupBy(F.col(src_url_col).alias("src_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_outlinks"),
+            F.sum(ext).alias("n_external"),
+            F.countDistinct(dst_host).alias("n_dst_hosts"),
+        )
+        .withColumn(
+            "external_ratio",
+            F.col("n_external") / F.col("n_outlinks"),
+        )
+    )

@@ -4242,6 +4242,113 @@ def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(edges).orderBy("src_host", "dst_host")
 
 
+_WET_EXPORT_SQL = """
+SELECT doc_id,
+       'http://export.local/page' || doc_id AS uri,
+       md5(COALESCE(text, '')) AS text_md5,
+       'utf-8' AS enc
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("wet_export_roundtrip_documents", _WET_EXPORT_SQL)
+def wet_export_roundtrip_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WET export round trip (operators/warc.py ``export_wet`` —
+    round 11, X210): the crawl chapter's WRITE path — the corpus
+    exported as warcinfo-headed ``.wet.gz``-style file blobs (one
+    gzip member per conversion record, 8 records per file), then
+    read back through the UNCHANGED ingest stack: gzip member split →
+    Content-Length frame walk → conversion-record filter (warcinfo
+    heads must drop) → charset-sniffed decode → doc id recovered
+    from each record's own target URI. Byte-level round-trip identity
+    (md5 of the decoded text against the source column, 'utf-8' rung
+    labels) IS the check — a framing error, a mis-compressed member,
+    or a dropped NULL-text record breaks the hash or the row count.
+    Record synthesis is a pure Arrow map; file assignment is id-range
+    (bounded file sizes, no global sort); the only shuffle is the
+    per-file fold."""
+    from workshoop2_etl_spark.operators.charset import decode_bytes
+    from workshoop2_etl_spark.operators.warc import (
+        export_wet,
+        parse_warc_blobs,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    files = export_wet(docs, per_file=8, gzip_members=True)
+    parsed = parse_warc_blobs(
+        files.select("content"), "content", id_cols=[]
+    )
+    conv = parsed.where(F.col("warc_type") == "conversion")
+    decoded = decode_bytes(
+        conv.select(
+            F.regexp_extract("target_uri", r"page(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("uri"),
+            F.col("payload"),
+        ),
+        "payload",
+        out_col="text",
+        encoding_col="enc",
+        id_cols=["doc_id", "uri"],
+    )
+    return decoded.select(
+        "doc_id", "uri", F.md5(F.col("text")).alias("text_md5"), "enc"
+    ).orderBy("doc_id")
+
+
+_OUTLINK_SQL = """
+WITH u AS (SELECT doc_id, doc_id % 7 AS k FROM documents)
+SELECT 'http://www.site' || k || '.com/page' || doc_id AS src_url,
+       CAST(2 AS BIGINT) AS n_outlinks,
+       CAST(CASE WHEN k = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_external,
+       CAST(CASE WHEN k = 6 THEN 1 ELSE 2 END AS BIGINT) AS n_dst_hosts,
+       CASE WHEN k = 0 THEN 0.5 ELSE 1.0 END AS external_ratio
+FROM u
+ORDER BY src_url
+"""
+
+
+@_register("outlink_stats_documents", _OUTLINK_SQL)
+def outlink_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink shape (operators/webgraph.py
+    ``outlink_stats`` — round 11, X211): the features spam/SEO
+    classifiers and crawl prioritizers consume — outdegree, external
+    fan-out, distinct target hosts, external ratio. Same hub+ring
+    edge fixture as the host graph: site0 pages' hub link is
+    INTERNAL (ratio 0.5), site6 pages hit site0 twice (1 distinct
+    dst host), everyone else fans out to 2 external hosts. One
+    aggregation on the source URL; hosts are pure projections; the
+    ratio is one exact count division."""
+    from workshoop2_etl_spark.operators.webgraph import outlink_stats
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    hub = F.expr("7 * (doc_id div 7)")
+    nxt = F.expr("7 * (doc_id div 7) + ((doc_id % 7 + 1) % 7)")
+    src_url = F.concat(
+        F.lit("http://www.site"),
+        F.col("doc_id") % 7,
+        F.lit(".com/page"),
+        F.col("doc_id"),
+    )
+    hub_url = F.concat(F.lit("http://www.site0.com/page"), hub)
+    ring_url = F.concat(
+        F.lit("http://www.site"),
+        (F.col("doc_id") % 7 + 1) % 7,
+        F.lit(".com/page"),
+        nxt,
+    )
+    edges = docs.select(
+        src_url.alias("src_url"), hub_url.alias("dst_url")
+    ).unionByName(
+        docs.select(src_url.alias("src_url"), ring_url.alias("dst_url"))
+    )
+    return outlink_stats(edges).orderBy("src_url")
+
+
 _DOMAIN_CAP_SQL = """
 WITH u AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
