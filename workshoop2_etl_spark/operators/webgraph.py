@@ -8,10 +8,13 @@ webgraph, input to domain-quality ranking).
 
 Scale shape:
 
-- :func:`anchor_stats` is two aggregations on the SAME dst key — the
-  per-(dst, anchor) mode count and the per-dst totals — so AQE can
-  reuse the exchange; the anchor list in the output is CAPPED
-  (``max_anchors``) and sorted, never an unbounded collect per key.
+- :func:`anchor_stats` runs two aggregation paths — the per-(dst,
+  anchor) mode count (re-keyed to dst by the ranking window) and the
+  per-dst totals — and joins them on dst; both sides are aggregates
+  (rows ≤ distinct targets), so AQE broadcast-joins the mode side —
+  measured plan: no data-sized exchange after the aggregations. The
+  anchor list in the output is CAPPED (``max_anchors``) and sorted,
+  never an unbounded collect per key.
 - :func:`host_graph` projects URL edges to host pairs with pure
   column expressions before the one aggregation shuffle — hosts are
   tiny keys, the page URLs never ride past the projection.

@@ -4160,9 +4160,11 @@ def anchor_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the capped sorted distinct-anchor list. Edges are the link
     graph's closed form (hub + ring anchors per 7-group); hub targets
     accumulate 7 'hub' anchors against 1 'next' anchor, partial tail
-    groups exercise the tie-break. Two aggregations on the SAME dst
-    key (AQE exchange reuse), anchor list capped — never an unbounded
-    per-key collect. Oracle replays the standard-SQL window."""
+    groups exercise the tie-break. Two aggregation paths joined on
+    dst — both post-aggregate, so AQE broadcast-joins the mode side
+    (no data-sized exchange after the aggregations); anchor list
+    capped — never an unbounded per-key collect. Oracle replays the
+    standard-SQL window."""
     from workshoop2_etl_spark.operators.webgraph import anchor_stats
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id")
