@@ -119,6 +119,12 @@ _DEMOTED_ORACLES = (
     # round.
     "wet_export_roundtrip_documents",
     "outlink_stats_documents",
+    # NEW in round 11 (post-rotation): Unicode script histogram +
+    # dominant script — literal BMP ranges so the identical character
+    # class runs in Java regex and RE2, whole-stage codegen, no UDF
+    # (operators/textstats.py script_profile). Mirror-checked this
+    # round; rotate into the driver window next round.
+    "script_profile_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

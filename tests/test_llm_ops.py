@@ -1472,3 +1472,27 @@ def test_unicode_normalize_forms(spark):
     assert back[0] == "café"
     with _pytest.raises(ValueError, match="unknown normalization"):
         unicode_normalize(df, "t", form="NFX")
+
+
+def test_script_profile_counts_and_tiebreak(spark):
+    """Script histograms count the right blocks; dominant breaks
+    ties by SCRIPT_RANGES priority (empty text -> latin)."""
+    from workshoop2_etl_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc привет"),   # 3 latin vs 6 cyrillic
+            (2, "ab пр"),        # 2 vs 2 tie -> latin by priority
+            (3, ""),             # all zero -> latin
+            (4, "你好世界 ok"),   # 4 cjk vs 2 latin
+            (5, None),           # null-safe
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_profile(df, "text").collect()}
+    assert out[1]["n_latin"] == 3 and out[1]["n_cyrillic"] == 6
+    assert out[1]["dominant_script"] == "cyrillic"
+    assert out[2]["dominant_script"] == "latin"
+    assert out[3]["dominant_script"] == "latin"
+    assert out[4]["n_cjk"] == 4 and out[4]["dominant_script"] == "cjk"
+    assert out[5]["n_latin"] == 0 and out[5]["dominant_script"] == "latin"

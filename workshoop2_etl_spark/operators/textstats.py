@@ -813,3 +813,51 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+#: Unicode script ranges for :func:`script_profile` — literal BMP
+#: character ranges so the SAME class works in Java regex (Spark) and
+#: RE2 (DuckDB/oracle). Order is the dominant-script tie-break
+#: priority.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힯]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script histogram + dominant script — the
+    multilingual-corpus routing signal (which tokenizer, which
+    quality battery, which dedup shingle size) that n-gram language
+    ID can't provide for unseen languages: character counts per
+    major script block (``n_latin``, ``n_cjk``, ``n_cyrillic``,
+    ``n_greek``, ``n_arabic``) and ``dominant_script`` (highest
+    count; ties break by :data:`SCRIPT_RANGES` order, so an
+    all-zero/empty text reports 'latin'). Counts are
+    ``regexp_count`` over literal BMP ranges — whole-stage codegen,
+    no UDF, and the identical character class replays in the RE2
+    oracle. One projection, no shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in SCRIPT_RANGES
+    }
+    names = [n for n, _ in SCRIPT_RANGES]
+    dominant = None
+    for i in range(len(names) - 1, -1, -1):
+        c = F.col(f"n_{names[i]}")
+        if dominant is None:
+            dominant = F.lit(names[i])
+        else:
+            later = [F.col(f"n_{m}") for m in names[i + 1 :]]
+            ge_all = c >= later[0]
+            for o in later[1:]:
+                ge_all = ge_all & (c >= o)
+            dominant = F.when(ge_all, F.lit(names[i])).otherwise(dominant)
+    out = df.select(
+        *df.columns, *[counts[n].alias(f"n_{n}") for n in names]
+    )
+    return out.withColumn("dominant_script", dominant)

@@ -4244,6 +4244,80 @@ def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(edges).orderBy("src_host", "dst_host")
 
 
+_SCRIPT_PROFILE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 10 = 7 THEN ''
+               ELSE COALESCE(text, '') END) ||
+         (['', ' привет мир', ' γειά σου κόσμε', ' 你好世界你好',
+           ' مرحبا بالعالم'])[CAST(doc_id % 5 AS INTEGER) + 1] AS s
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '[A-Za-zÀ-ɏ]')) AS n_latin,
+         len(regexp_extract_all(s, '[一-鿿぀-ヿ가-힯]')) AS n_cjk,
+         len(regexp_extract_all(s, '[Ѐ-ӿ]')) AS n_cyrillic,
+         len(regexp_extract_all(s, '[Ͱ-Ͽ]')) AS n_greek,
+         len(regexp_extract_all(s, '[؀-ۿ]')) AS n_arabic
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_greek AS BIGINT) AS n_greek,
+       CAST(n_arabic AS BIGINT) AS n_arabic,
+       CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+                 AND n_latin >= n_greek AND n_latin >= n_arabic
+              THEN 'latin'
+            WHEN n_cjk >= n_cyrillic AND n_cjk >= n_greek
+                 AND n_cjk >= n_arabic THEN 'cjk'
+            WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+              THEN 'cyrillic'
+            WHEN n_greek >= n_arabic THEN 'greek'
+            ELSE 'arabic' END AS dominant_script
+FROM c
+ORDER BY doc_id
+"""
+
+
+@_register("script_profile_documents", _SCRIPT_PROFILE_SQL)
+def script_profile_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unicode script histogram + dominant script (operators/
+    textstats.py ``script_profile`` — round 11, X212): the
+    multilingual routing signal (which tokenizer, which quality
+    battery, which shingle size) stopword language-ID can't provide
+    for unseen languages. Each doc's text is suffixed with a rotating
+    native-script sample (Cyrillic / Greek / CJK / Arabic), and every
+    tenth doc keeps ONLY the sample — so dominant_script flips away
+    from latin exactly where the closed form says. Counts are
+    ``regexp_count`` over literal BMP ranges — the identical
+    character class runs in Java regex (Spark) and RE2 (oracle);
+    whole-stage codegen, no UDF, no shuffle."""
+    from workshoop2_etl_spark.operators.textstats import script_profile
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit(" привет мир"),
+            F.lit(" γειά σου κόσμε"),
+            F.lit(" 你好世界你好"),
+            F.lit(" مرحبا بالعالم"),
+        ),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    base = F.when(F.col("doc_id") % 10 == 7, F.lit("")).otherwise(
+        F.coalesce(F.col("text"), F.lit(""))
+    )
+    mixed = docs.select(
+        "doc_id", F.concat(base, sample).alias("text")
+    )
+    return script_profile(mixed, "text").drop("text").orderBy("doc_id")
+
+
 _WET_EXPORT_SQL = """
 SELECT doc_id,
        'http://export.local/page' || doc_id AS uri,
