@@ -125,6 +125,12 @@ _DEMOTED_ORACLES = (
     # (operators/textstats.py script_profile). Mirror-checked this
     # round; rotate into the driver window next round.
     "script_profile_documents",
+    # NEW in round 11 (post-rotation): the web-curation composition —
+    # blocklist admission feeding the per-domain cap, so a blocked
+    # page can never consume a domain's budget (plans/llm_queries.py
+    # web_curation_documents). Mirror-checked this round; rotate into
+    # the driver window next round.
+    "web_curation_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,

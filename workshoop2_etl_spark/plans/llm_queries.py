@@ -4244,6 +4244,94 @@ def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(edges).orderBy("src_host", "dst_host")
 
 
+_WEB_CURATION_SQL = """
+WITH u AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         'http://' ||
+         (['www','ads','media'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+         '.site' || (doc_id % 7) || '.com' ||
+         CASE WHEN doc_id % 5 = 0 THEN '/casino/page' ELSE '/page' END ||
+         doc_id AS url
+  FROM documents
+), nb AS (
+  SELECT * FROM u
+  WHERE NOT (doc_id % 7 = 2)
+    AND NOT (doc_id % 7 = 3 AND doc_id % 3 = 0 AND doc_id % 5 = 0)
+    AND NOT (doc_id % 7 = 5 AND doc_id % 3 = 2)
+), r AS (
+  SELECT *,
+         'site' || (doc_id % 7) || '.com' AS domain,
+         row_number() OVER (
+           PARTITION BY doc_id % 7 ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM nb
+)
+SELECT doc_id, url, domain, n_chars, CAST(rnk AS INTEGER) AS rank
+FROM r
+WHERE rnk <= 20
+ORDER BY domain, rank
+"""
+
+
+@_register("web_curation_documents", _WEB_CURATION_SQL)
+def web_curation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation stages COMPOSED (round 11 — X206 feeding X209,
+    the order a real corpus pipeline runs them): category-blocklist
+    admission first (cheap equi-joins drop ads/gambling/tracker URLs
+    — including every subdomain of the banned registrable domain),
+    then the per-domain cap ranks ONLY the survivors (k=20,
+    longest-first), so a blocked page can never consume a domain's
+    budget — the composition's output differs from capping the raw
+    set exactly where a blocked doc would have out-ranked a clean
+    one, which the shared-fixture oracle states closed-form. Both
+    stages keep their scale shapes: suffix-chain equi-join, then the
+    map-side-pruned exact top-k."""
+    from workshoop2_etl_spark.operators.curation import per_domain_cap
+    from workshoop2_etl_spark.operators.urlfilter import blocklist_filter
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("ads"), F.lit("media")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    urls = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("http://"),
+            sub,
+            F.lit(".site"),
+            F.col("doc_id") % 7,
+            F.lit(".com"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("/casino/page")
+            ).otherwise(F.lit("/page")),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("site2.com", "domain", "ads"),
+            (" MEDIA.site5.com ", "domain", "tracker"),
+            ("http://www.site3.com/casino", "url", "gambling"),
+        ],
+        "entry string, kind string, category string",
+    )
+    clean = blocklist_filter(urls, blocklist, url_col="url")
+    return (
+        per_domain_cap(
+            clean,
+            url_col="url",
+            order_by=[("n_chars", False), ("doc_id", True)],
+            k=20,
+        )
+        .select("doc_id", "url", "domain", "n_chars", "rank")
+        .orderBy("domain", "rank")
+    )
+
+
 _SCRIPT_PROFILE_SQL = """
 WITH t AS (
   SELECT doc_id,
