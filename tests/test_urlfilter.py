@@ -165,3 +165,34 @@ def test_broadcast_and_shuffle_agree(spark):
     )
     assert a == b
     assert a["http://www.site2.com/p"] == "ads"
+
+
+def test_allowlist_exceptions_clear_blocks(spark):
+    """allow_domain / allow_url entries match by the same subtree/
+    prefix rules and clear every block on the URLs they hit — the
+    shared-host false-positive escape hatch."""
+    bl = _bl(
+        spark,
+        [
+            ("sites.example.com", "domain", "adult"),
+            ("sites.example.com/good", "allow_url", "ok"),
+            ("bad.net", "domain", "malware"),
+            ("rescued.bad.net", "allow_domain", "ok"),
+        ],
+    )
+    urls = _urls(
+        spark,
+        [
+            "http://sites.example.com/evil/p",      # blocked
+            "http://sites.example.com/good/p",      # url exception
+            "http://bad.net/x",                     # blocked
+            "http://rescued.bad.net/x",             # domain exception
+            "http://www.rescued.bad.net/x",         # exception subtree
+        ],
+    )
+    got = _cats(blocklist_filter(urls, bl, url_col="url", keep_blocked=True))
+    assert got["http://sites.example.com/evil/p"] == "adult"
+    assert got["http://sites.example.com/good/p"] is None
+    assert got["http://bad.net/x"] == "malware"
+    assert got["http://rescued.bad.net/x"] is None
+    assert got["http://www.rescued.bad.net/x"] is None

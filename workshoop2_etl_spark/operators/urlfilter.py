@@ -105,7 +105,14 @@ def blocklist_filter(
     ``kind_col='domain'``) or a URL prefix (``kind_col='url'``),
     ``category_col`` the list's category label. Entries are
     normalized on the way in (lowercased hosts; canonical URL form
-    for prefixes), so raw list files load as-is."""
+    for prefixes), so raw list files load as-is.
+
+    Exception entries (``kind_col='allow_domain'`` /
+    ``'allow_url'``, the UT1 "white"-list shape) match by the SAME
+    domain-subtree / prefix rules and CLEAR every block on the URLs
+    they hit — the false-positive escape hatch for shared hosts
+    (``sites.google.com/goodsite`` under a blocked platform
+    domain)."""
     if broadcast is None:
         broadcast = _should_broadcast(blocklist)
 
@@ -118,42 +125,61 @@ def blocklist_filter(
         F.col("__norm"), host_of(F.col("__norm")).alias("__host")
     ).dropDuplicates(["__norm"])
 
-    dom_entries = blocklist.where(
-        F.col(kind_col) == "domain"
-    ).select(
-        F.lower(F.trim(F.col(entry_col))).alias("__sfx"),
-        F.col(category_col).alias("__cat"),
-    )
-    dmatch = (
-        keyed.select(
-            "__norm",
-            F.explode(host_suffix_chain(F.col("__host"))).alias("__sfx"),
+    def _matches(kinds: tuple[str, str]):
+        """(__norm, __cat) rows for the given (domain-kind,
+        url-kind) pair — one shape for blocks and exceptions."""
+        dom_entries = blocklist.where(
+            F.col(kind_col) == kinds[0]
+        ).select(
+            F.lower(F.trim(F.col(entry_col))).alias("__sfx"),
+            F.col(category_col).alias("__cat"),
         )
-        .join(_maybe_b(dom_entries), "__sfx")
-        .select("__norm", "__cat")
-    )
-
-    url_entries = blocklist.where(F.col(kind_col) == "url").select(
-        normalize_url(F.col(entry_col)).alias("__pfx"),
-        host_of(F.col(entry_col)).alias("__host"),
-        F.col(category_col).alias("__cat"),
-    )
-    pfx = F.col("__pfx")
-    umatch = (
-        keyed.join(_maybe_b(url_entries), "__host")
-        .where(
-            (F.col("__norm") == pfx)
-            | F.col("__norm").startswith(F.concat(pfx, F.lit("/")))
-            | F.col("__norm").startswith(F.concat(pfx, F.lit("?")))
+        dmatch = (
+            keyed.select(
+                "__norm",
+                F.explode(host_suffix_chain(F.col("__host"))).alias(
+                    "__sfx"
+                ),
+            )
+            .join(_maybe_b(dom_entries), "__sfx")
+            .select("__norm", "__cat")
         )
-        .select("__norm", "__cat")
-    )
+        # UT1 url lists are scheme-less ("host/path") — default the
+        # scheme so host extraction and the canonical compare work
+        raw = F.trim(F.col(entry_col))
+        entry_url = F.when(
+            raw.contains("://"), raw
+        ).otherwise(F.concat(F.lit("http://"), raw))
+        url_entries = blocklist.where(
+            F.col(kind_col) == kinds[1]
+        ).select(
+            normalize_url(entry_url).alias("__pfx"),
+            host_of(entry_url).alias("__host"),
+            F.col(category_col).alias("__cat"),
+        )
+        pfx = F.col("__pfx")
+        umatch = (
+            keyed.join(_maybe_b(url_entries), "__host")
+            .where(
+                (F.col("__norm") == pfx)
+                | F.col("__norm").startswith(F.concat(pfx, F.lit("/")))
+                | F.col("__norm").startswith(F.concat(pfx, F.lit("?")))
+            )
+            .select("__norm", "__cat")
+        )
+        return dmatch.unionByName(umatch)
 
-    matches = (
-        dmatch.unionByName(umatch)
+    blocked = (
+        _matches(("domain", "url"))
         .groupBy("__norm")
         .agg(F.min("__cat").alias("block_category"))
     )
+    allowed = (
+        _matches(("allow_domain", "allow_url"))
+        .select("__norm")
+        .dropDuplicates(["__norm"])
+    )
+    matches = blocked.join(allowed, "__norm", "left_anti")
     # matches scales with the number of BLOCKED URLs, not the list —
     # no forced broadcast here; AQE sizes the join at runtime
     out = work.join(matches, "__norm", "left").drop("__norm")
