@@ -396,3 +396,35 @@ def test_export_wet_uri_col_and_gzip(spark):
         if r["warc_type"] == "conversion"
     }
     assert conv == {"http://a.com/x": "seven", "http://b.com/y": "eight"}
+
+
+def test_export_wet_to_files_roundtrip(spark, tmp_path):
+    """export_wet -> write_binary_files -> spark binaryFile source ->
+    parse: the full corpus-to-disk-and-back loop."""
+    from workshoop2_etl_spark.operators.warc import (
+        export_wet,
+        parse_warc_blobs,
+    )
+    from workshoop2_etl_spark.sources.writers import write_binary_files
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    files = export_wet(docs, per_file=4, gzip_members=True)
+    out = str(tmp_path / "wet")
+    n = write_binary_files(
+        files, out, prefix="crawl", ext="warc.wet.gz"
+    )
+    assert n == 3  # ids 0-3, 4-7, 8-9
+    back = spark.read.format("binaryFile").load(out)
+    parsed = parse_warc_blobs(
+        back.select("content"), "content", id_cols=[]
+    )
+    conv = {
+        r["target_uri"]: bytes(r["payload"]).decode()
+        for r in parsed.collect()
+        if r["warc_type"] == "conversion"
+    }
+    assert conv == {
+        f"http://export.local/page{i}": f"text {i}" for i in range(10)
+    }

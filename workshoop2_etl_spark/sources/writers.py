@@ -525,3 +525,39 @@ def overwrite_partitions_dynamic(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_binary_files(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    content_col: str = "content",
+    file_no_col: str = "file_no",
+    prefix: str = "part",
+    ext: str = "bin",
+) -> int:
+    """Write one file per row of a (file_no, content binary) frame —
+    the sink half of blob-producing exports (WET/WARC files, media
+    shards): each task writes its own rows straight to
+    ``{out_dir}/{prefix}-{file_no:05d}.{ext}``, executor-parallel
+    with NO driver collect and no extra shuffle (whatever
+    partitioning the blob fold left is fine — names come from the
+    data, not the task). Returns the number of files written.
+
+    Local-FS implementation (this container's scope); on a cluster
+    the same shape targets shared storage — the per-row write stays
+    a pure foreachPartition."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_rows(rows) -> None:
+        for r in rows:
+            name = f"{prefix}-{int(r[file_no_col]):05d}.{ext}"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(r[content_col]))
+
+    df.select(file_no_col, content_col).foreachPartition(write_rows)
+    return len(
+        [n for n in os.listdir(out_dir) if n.startswith(prefix + "-")]
+    )
