@@ -146,6 +146,15 @@ _DEMOTED_ORACLES = (
     # Never-windowed count after this rotation: 39 of 224 oracles
     # (87 -> 39); the remainder — all marked "rotate in round 12"
     # below, mostly the TPC-H chapter — finishes next round.
+    # UPDATE (late round 11): the session-2 build added 10 more
+    # oracle-backed entries (wat_link_graph, url_blocklist_filter,
+    # anchor_stats, host_graph, image_dhash, domain_cap,
+    # wet_export_roundtrip, outlink_stats, script_profile,
+    # web_curation — each demoted above with its own note), so the
+    # never-windowed pool entering round 12 is 56 of 241 oracles:
+    # the 39 oldest plus this round's 17 newcomers. Round 12 should
+    # window the 17 newcomers + the 31 oldest (48 slots beside the 2
+    # anchors) and finish the tail in round 13.
     # ------------------------------------------------------------------
     "pricing_summary",  # windowed r1-r8 (8x green)
     "top_customers_by_revenue",  # windowed r1-r9 (9x green)
