@@ -131,6 +131,14 @@ _DEMOTED_ORACLES = (
     # web_curation_documents). Mirror-checked this round; rotate into
     # the driver window next round.
     "web_curation_documents",
+    # NEW in round 11 (post-rotation): sliding-window chunking
+    # (stride < max_tokens, the retrieval-indexing overlap shape,
+    # operators/chunking.py) and deterministic sentence segmentation
+    # (the cross-engine-stable sentence key for C4-style sentence
+    # dedup, operators/textstats.py split_sentences). Mirror-checked
+    # this round; rotate into the driver window next round.
+    "chunk_overlap_documents",
+    "split_sentences_documents",
     # ------------------------------------------------------------------
     # Round-11 WINDOW ROTATION (second half of the sweep): the driver
     # window now carries the 2 anchors (flagship_merge_indicator,
@@ -151,9 +159,9 @@ _DEMOTED_ORACLES = (
     # anchor_stats, host_graph, image_dhash, domain_cap,
     # wet_export_roundtrip, outlink_stats, script_profile,
     # web_curation — each demoted above with its own note), so the
-    # never-windowed pool entering round 12 is 56 of 241 oracles:
-    # the 39 oldest plus this round's 17 newcomers. Round 12 should
-    # window the 17 newcomers + the 31 oldest (48 slots beside the 2
+    # never-windowed pool entering round 12 is 58 of 243 oracles:
+    # the 39 oldest plus this round's 19 newcomers. Round 12 should
+    # window the 19 newcomers + the 29 oldest (48 slots beside the 2
     # anchors) and finish the tail in round 13.
     # ------------------------------------------------------------------
     "pricing_summary",  # windowed r1-r8 (8x green)

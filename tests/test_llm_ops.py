@@ -1496,3 +1496,55 @@ def test_script_profile_counts_and_tiebreak(spark):
     assert out[3]["dominant_script"] == "latin"
     assert out[4]["n_cjk"] == 4 and out[4]["dominant_script"] == "cjk"
     assert out[5]["n_latin"] == 0 and out[5]["dominant_script"] == "latin"
+
+
+def test_chunk_documents_stride_overlap(spark):
+    """stride < max_tokens gives overlapping windows: adjacent
+    chunks share max_tokens - stride tokens; default stride keeps
+    the old non-overlapping behavior; stride must be >= 1."""
+    import pytest
+
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["chunk_no"]: r
+        for r in chunk_documents(
+            df, "doc_id", "text", max_tokens=4, stride=2
+        ).collect()
+    }
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t2 t3 t4 t5"  # 2-token overlap
+    assert out[4]["chunk_text"] == "t8 t9" and out[4]["n_tokens"] == 2
+    assert len(out) == 5  # starts 0,2,4,6,8
+    plain = chunk_documents(df, "doc_id", "text", max_tokens=4).collect()
+    assert [r["chunk_text"] for r in sorted(plain, key=lambda r: r["chunk_no"])] == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9",
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, stride=0)
+
+
+def test_split_sentences_rules(spark):
+    """Terminator+whitespace splits; trailing terminator without
+    whitespace does not; empty/None texts yield no rows; sentences
+    are trimmed."""
+    from workshoop2_etl_spark.operators.textstats import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two!  Three? Dr.Smith stays."),
+            (2, ""),
+            (3, None),
+            (4, "No terminator here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = split_sentences(df, "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert by_doc[1] == ["One.", "Two!", "Three?", "Dr.Smith stays."]
+    assert 2 not in by_doc and 3 not in by_doc
+    assert by_doc[4] == ["No terminator here"]

@@ -34,9 +34,17 @@ def chunk_documents(
     text_col: str,
     *,
     max_tokens: int = 128,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Split each document into consecutive whitespace-token chunks of
-    at most ``max_tokens`` tokens.
+    """Split each document into whitespace-token chunks of at most
+    ``max_tokens`` tokens. ``stride`` is the distance between chunk
+    STARTS — the default (``None`` → ``max_tokens``) gives
+    consecutive non-overlapping chunks; ``stride < max_tokens``
+    gives the overlapping sliding windows retrieval indexing uses
+    (adjacent chunks share ``max_tokens - stride`` tokens, so an
+    answer spanning a boundary is wholly inside some window). One
+    window starts at every multiple of ``stride`` below the token
+    count — the trailing windows may be short.
 
     Output: ``{id_col}``, ``chunk_no`` (0-based), ``chunk_text``,
     ``n_tokens``. Documents with no tokens yield no rows (nothing to
@@ -44,6 +52,11 @@ def chunk_documents(
     is a ``slice`` + ``array_join`` over it — the explode multiplies
     rows, not tokenization work.
     """
+    stride = max_tokens if stride is None else stride
+    if stride < 1 or max_tokens < 1:
+        raise ValueError(
+            f"max_tokens and stride must be >= 1, got {max_tokens}, {stride}"
+        )
     toks = df.withColumn(
         "__toks",
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
@@ -52,8 +65,8 @@ def chunk_documents(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(__toks) / {max_tokens}) as int) - 1),"
-                f" i -> slice(__toks, i * {max_tokens} + 1, {max_tokens}))"
+                f"transform(sequence(0, cast(ceil(size(__toks) / {stride}) as int) - 1),"
+                f" i -> slice(__toks, i * {stride} + 1, {max_tokens}))"
             )
         ).alias("chunk_no", "__chunk"),
     )

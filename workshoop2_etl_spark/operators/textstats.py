@@ -861,3 +861,30 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         *df.columns, *[counts[n].alias(f"n_{n}") for n in names]
     )
     return out.withColumn("dominant_script", dominant)
+
+
+def split_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based sentence segmentation as PURE columns: a sentence
+    ends at ``.``/``!``/``?`` followed by whitespace. One row per
+    sentence (``sent_no`` 0-based, ``sentence`` trimmed); documents
+    with no sentences yield no rows. The rule is deliberately the
+    deterministic regex form — it mis-splits abbreviations ("Dr.
+    Smith") but replays EXACTLY in any engine, which is what a
+    sentence-level dedup/decontamination key needs (both sides of a
+    corpus comparison must split identically, or the keys never
+    match). A smarter splitter would be an Arrow kernel; this is the
+    cross-engine-stable default. Split + explode, no UDF, no
+    shuffle."""
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "([.!?])[ \\t\\r\\n\\f]+",
+        "$1\x1e",
+    )
+    sents = F.filter(
+        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    ids = [c for c in df.columns if c != text_col]
+    return df.select(
+        *ids, F.posexplode(sents).alias("sent_no", "sentence")
+    )

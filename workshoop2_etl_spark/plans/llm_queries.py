@@ -4244,6 +4244,97 @@ def host_graph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(edges).orderBy("src_host", "dst_host")
 
 
+_CHUNK_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+  FROM documents
+), t AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_no,
+       array_to_string(tk[i * 96 + 1 : i * 96 + 128], ' ') AS chunk_text,
+       CAST(len(tk[i * 96 + 1 : i * 96 + 128]) AS INTEGER) AS n_tokens
+FROM t, unnest(range(0, CAST(ceil(len(tk) / 96.0) AS BIGINT))) AS u(i)
+"""
+
+
+@_register("chunk_overlap_documents", _CHUNK_OVERLAP_SQL)
+def chunk_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/chunking.py
+    ``chunk_documents(stride=)`` — round 11, X214): the retrieval-
+    indexing shape — windows of ≤128 tokens starting every 96, so
+    adjacent chunks share 32 tokens and an answer spanning a chunk
+    boundary is wholly inside some window. Same one-pass
+    tokenization + slice/explode plan as the non-overlapping entry;
+    the overlap multiplies output rows, never tokenization work.
+    Oracle replays the identical start/width slicing."""
+    from workshoop2_etl_spark.operators.chunking import chunk_documents
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(
+            docs, "doc_id", "text", max_tokens=128, stride=96
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+_SENTENCES_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' Tail ' || doc_id ||
+         ' begins. Does it end? It does! No. ' AS s0
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split(
+               regexp_replace(s0,
+                              '([.!?])[ \t\r\n\f]+',
+                              '\1' || chr(30), 'g'),
+               chr(30)),
+             x -> trim(x)),
+           x -> x != '') AS sents
+  FROM m
+)
+SELECT doc_id, CAST(i AS INTEGER) AS sent_no,
+       sents[CAST(i + 1 AS INTEGER)] AS sentence
+FROM s, unnest(range(0, CAST(len(sents) AS BIGINT))) AS u(i)
+ORDER BY doc_id, sent_no
+"""
+
+
+@_register("split_sentences_documents", _SENTENCES_SQL)
+def split_sentences_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic sentence segmentation (operators/textstats.py
+    ``split_sentences`` — round 11, X214): the cross-engine-stable
+    sentence key C4-style sentence-level dedup and decontamination
+    need — a corpus comparison only works if BOTH sides split
+    identically, so the rule is the exact regex form (terminator +
+    whitespace; mis-splits abbreviations by design) rather than a
+    heuristic kernel. Each doc's text gains a planted four-sentence
+    tail (., ?, !, and a trailing terminator with no following
+    whitespace) so sent_no genuinely fans out and the boundary rules
+    are all exercised. Pure split + posexplode, no UDF; the oracle
+    replays the identical mark-then-split (RE2 has no lookbehind, so
+    both engines insert a US-separator and split on it)."""
+    from workshoop2_etl_spark.operators.textstats import split_sentences
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" Tail "),
+            F.col("doc_id"),
+            F.lit(" begins. Does it end? It does! No. "),
+        ).alias("text"),
+    )
+    return split_sentences(docs, "text").orderBy("doc_id", "sent_no")
+
+
 _WEB_CURATION_SQL = """
 WITH u AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
