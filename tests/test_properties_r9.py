@@ -189,3 +189,61 @@ def test_robots_precedence_contract(spark, rules, path):
         keep_denied=True,
     ).collect()
     assert len(got) == 1 and got[0]["allowed"] == expected
+
+
+def test_split_sentences_totality_and_reconstruction(spark):
+    """Hypothesis: any text splits without raising, sentences are
+    non-empty trimmed strings, and re-joining recovers every
+    non-whitespace character of the input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from workshoop2_etl_spark.operators.textstats import split_sentences
+
+    WS = " \t\r\n\f"  # the operator's (ASCII) whitespace contract
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.text(max_size=120))
+    def check(text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = split_sentences(df, "text").collect()
+        joined = "".join(r["sentence"] for r in rows)
+        strip = lambda s: "".join(c for c in s if c not in WS)
+        assert strip(joined) == strip(text)
+        for r in rows:
+            assert r["sentence"] == r["sentence"].strip(WS) != ""
+
+    check()
+
+
+def test_host_suffix_chain_totality(spark):
+    """Hypothesis: arbitrary host strings produce a chain whose first
+    element is the host itself and whose length equals the label
+    count — no raise, no empty chain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.urlfilter import host_suffix_chain
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), whitelist_characters="."
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def check(host):
+        out = (
+            spark.range(1)
+            .select(host_suffix_chain(F.lit(host)).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert out[0] == host
+        assert len(out) == host.count(".") + 1
+
+    check()

@@ -161,3 +161,52 @@ def test_wat_links_no_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("+- == Initial Plan ==")[0]
+
+
+def test_metas_description_extraction(spark):
+    """Head.Metas surfaces the first name='description' content
+    (case-insensitive name match); absent Metas or no description
+    yields NULL."""
+    from pyspark.sql import functions as F
+
+    def env(metas):
+        return (
+            spark.range(1)
+            .select(
+                wat_envelope_json(
+                    F.lit("http://h/p"),
+                    F.array(wat_link("A@/href", F.lit("/a"), F.lit("t"))),
+                    metas=metas,
+                ).alias("j")
+            )
+            .collect()[0]["j"]
+        )
+
+    with_desc = env(
+        F.array(
+            F.struct(
+                F.lit("keywords").alias("name"),
+                F.lit("k1,k2").alias("content"),
+            ),
+            F.struct(
+                F.lit("Description").alias("name"),
+                F.lit("A fine page").alias("content"),
+            ),
+        )
+    )
+    no_desc = env(
+        F.array(
+            F.struct(
+                F.lit("viewport").alias("name"),
+                F.lit("width=1").alias("content"),
+            )
+        )
+    )
+    no_metas = env(None)
+    parsed = _parsed_fixture(
+        spark, [with_desc.encode(), no_desc.encode(), no_metas.encode()]
+    )
+    out = wat_links(parsed).collect()
+    assert sorted(
+        (r["page_description"] for r in out), key=lambda x: (x is None, x)
+    ) == ["A fine page", None, None]

@@ -880,8 +880,14 @@ def split_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
         "([.!?])[ \\t\\r\\n\\f]+",
         "$1\x1e",
     )
+    # trim the FULL whitespace class on both ends — engine trim()
+    # strips spaces only, which would let a bare "\r" survive as a
+    # "sentence" (hypothesis-found)
+    wtrim = lambda s: F.regexp_replace(  # noqa: E731
+        s, "^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$", ""
+    )
     sents = F.filter(
-        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        F.transform(F.split(marked, "\x1e"), wtrim),
         lambda s: s != "",
     )
     ids = [c for c in df.columns if c != text_col]

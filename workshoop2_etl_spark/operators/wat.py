@@ -89,7 +89,24 @@ WAT_LINK_SCHEMA = T.StructType(
                                                                     T.StructField(
                                                                         "Title",
                                                                         T.StringType(),
-                                                                    )
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "Metas",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField(
+                                                                                        "name",
+                                                                                        T.StringType(),
+                                                                                    ),
+                                                                                    T.StructField(
+                                                                                        "content",
+                                                                                        T.StringType(),
+                                                                                    ),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
                                                                 ]
                                                             ),
                                                         ),
@@ -136,16 +153,24 @@ def wat_envelope_json(
     *,
     title: Column | None = None,
     status: Column | None = None,
+    metas: Column | None = None,
 ) -> Column:
     """Build one WAT Envelope JSON string (the public CommonCrawl
     layout) from columns: ``links`` is an
-    ``array<struct<path,url,text>>``. Pure ``to_json(struct(...))``
-    — the fixture synthesizer for the WAT entries, and the proof the
-    parse schema round-trips the published shape."""
+    ``array<struct<path,url,text>>``; ``metas`` (optional) an
+    ``array<struct<name,content>>`` for ``Head.Metas``. Pure
+    ``to_json(struct(...))`` — the fixture synthesizer for the WAT
+    entries, and the proof the parse schema round-trips the
+    published shape."""
     head = F.struct(
         (title if title is not None else F.lit(None).cast("string")).alias(
             "Title"
-        )
+        ),
+        (
+            metas
+            if metas is not None
+            else F.lit(None).cast("array<struct<name:string,content:string>>")
+        ).alias("Metas"),
     )
     envelope = F.struct(
         F.struct(
@@ -190,8 +215,10 @@ def wat_links(
     """Rows of :func:`operators.warc.parse_warc_blobs` output (a
     ``.wat`` file walks through the SAME WARC framing — metadata
     records with JSON payloads) → one row per outlink:
-    ``id_cols…, page_uri, page_status, page_title, href,
-    anchor_text``.
+    ``id_cols…, page_uri, page_status, page_title,
+    page_description`` (the first ``<meta name="description">``
+    content, NULL when absent — the page-metadata quality signal),
+    ``href, anchor_text``.
 
     ``link_paths`` selects which WAT link provenances count as edges
     (default: anchors only — WAT also lists IMG/LINK/SCRIPT src
@@ -225,6 +252,15 @@ def wat_links(
             .try_cast("int")
             .alias("page_status"),
             http["HTML-Metadata"]["Head"]["Title"].alias("page_title"),
+            # first <meta name="description"> — F.get is NULL-total
+            # out of bounds (element_at raises under ANSI)
+            F.get(
+                F.filter(
+                    http["HTML-Metadata"]["Head"]["Metas"],
+                    lambda m: F.lower(m["name"]) == "description",
+                ),
+                0,
+            )["content"].alias("page_description"),
             F.explode(http["HTML-Metadata"]["Links"]).alias("__l"),
         )
         .where(F.col("__l")["path"].isin(*link_paths))
@@ -234,6 +270,7 @@ def wat_links(
         "page_uri",
         "page_status",
         "page_title",
+        "page_description",
         F.col("__l")["url"].alias("href"),
         F.col("__l")["text"].alias("anchor_text"),
     )

@@ -4294,7 +4294,8 @@ WITH m AS (
                               '([.!?])[ \t\r\n\f]+',
                               '\1' || chr(30), 'g'),
                chr(30)),
-             x -> trim(x)),
+             x -> regexp_replace(x, '^[ \t\r\n\f]+|[ \t\r\n\f]+$',
+                                 '', 'g')),
            x -> x != '') AS sents
   FROM m
 )
