@@ -280,3 +280,28 @@ def test_crawl_delay_parsing():
     assert crawl_delay_text(None) is None
     # delay parsing must not disturb rule parsing (shared walk)
     assert parse_robots_text(txt, "fastbot") == [("/x", False)]
+
+
+def test_request_rate_directive():
+    """Request-rate m/n converts to n/m seconds-between-fetches;
+    Crawl-delay wins when both appear; time windows and malformed
+    forms are tolerated; group shadowing applies."""
+    from workshoop2_etl_spark.operators.robots import crawl_delay_text
+
+    assert crawl_delay_text("User-agent: *\nRequest-rate: 1/5\n") == 5.0
+    assert crawl_delay_text("User-agent: *\nRequest-rate: 2/10\n") == 5.0
+    # Crawl-delay is the more explicit directive
+    both = "User-agent: *\nCrawl-delay: 2\nRequest-rate: 1/9\n"
+    assert crawl_delay_text(both) == 2.0
+    # optional time window ignored
+    win = "User-agent: bot\nRequest-rate: 1/7 0600-1200\n"
+    assert crawl_delay_text(win, "bot") == 7.0
+    # exact group shadows * even when only * has a rate
+    shadow = (
+        "User-agent: bot\nDisallow: /x\n\n"
+        "User-agent: *\nRequest-rate: 1/5\n"
+    )
+    assert crawl_delay_text(shadow, "bot") is None
+    # malformed forms ignored
+    assert crawl_delay_text("User-agent: *\nRequest-rate: 0/5\n") is None
+    assert crawl_delay_text("User-agent: *\nRequest-rate: fast\n") is None

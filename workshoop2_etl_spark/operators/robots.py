@@ -57,16 +57,20 @@ def rule_to_regex(path: str) -> str | None:
     return "^" + pattern + ("$" if anchored else "")
 
 
-def _parse_groups(text: str) -> tuple[dict, dict]:
+def _parse_groups(text: str) -> tuple[dict, dict, dict]:
     """One walk over a robots.txt body → ``(rules_by_agent,
-    delay_by_agent)``: per user-agent group, the kept Allow/Disallow
-    rule list and the group's ``Crawl-delay`` seconds (float, None if
-    absent/unparseable). Crawl-delay is the de-facto extension most
-    large sites publish (RFC 9309 leaves it out but reserves the
-    extension mechanism); group scoping follows the same rules as
+    delay_by_agent, rate_by_agent)``: per user-agent group, the kept
+    Allow/Disallow rule list, the group's ``Crawl-delay`` seconds
+    (float, None if absent/unparseable), and the ``Request-rate``
+    directive converted to seconds-between-fetches (``m/n`` = m
+    requests per n seconds → n/m; an optional trailing time window
+    is ignored). Both are de-facto extensions most large sites
+    publish (RFC 9309 leaves them out but reserves the extension
+    mechanism); group scoping follows the same rules as
     directives."""
     groups: dict[str, list[tuple[str, bool]]] = {}
     delays: dict[str, float] = {}
+    rates: dict[str, float] = {}
     current: list[str] = []
     last_was_agent = False
     for raw in (text or "").splitlines():
@@ -100,7 +104,13 @@ def _parse_groups(text: str) -> tuple[dict, dict]:
             if delay >= 0:
                 for name in current:
                     delays[name] = delay
-    return groups, delays
+        elif key == "request-rate" and current:
+            m = re.match(r"^(\d+)\s*/\s*(\d+)", val)
+            if m and int(m.group(1)) > 0:
+                rate = int(m.group(2)) / int(m.group(1))
+                for name in current:
+                    rates[name] = rate
+    return groups, delays, rates
 
 
 def _pick_group(by_agent: dict, agent: str):
@@ -120,19 +130,23 @@ def parse_robots_text(
     see :func:`rule_to_regex`). Malformed lines are ignored (RFC
     9309 tolerance); an empty/None body yields no rules (allow
     all)."""
-    groups, _ = _parse_groups(text)
+    groups, _, _ = _parse_groups(text)
     return _pick_group(groups, agent) or []
 
 
 def crawl_delay_text(text: str, agent: str = "*") -> float | None:
-    """The ``Crawl-delay`` seconds the site asks of ``agent`` (its
-    exact group, else the ``*`` group — same selection as the rule
-    directives), or None when unstated/malformed."""
-    groups, delays = _parse_groups(text)
+    """The effective seconds-between-fetches the site asks of
+    ``agent``: its group's ``Crawl-delay``, else that group's
+    ``Request-rate`` converted (``1/5`` → 5.0 s) — Crawl-delay wins
+    when both appear (the more explicit directive). Group selection
+    is exact-agent-shadows-``*``, same as the rule directives; None
+    when neither is stated (or malformed)."""
+    groups, delays, rates = _parse_groups(text)
     want = agent.lower()
-    if want in groups:
-        return delays.get(want)
-    return delays.get("*")
+    key = want if want in groups else "*"
+    if delays.get(key) is not None:
+        return delays[key]
+    return rates.get(key)
 
 
 def parse_robots(
