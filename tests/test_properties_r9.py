@@ -200,7 +200,9 @@ def test_split_sentences_totality_and_reconstruction(spark):
 
     from workshoop2_etl_spark.operators.textstats import split_sentences
 
-    WS = " \t\r\n\f"  # the operator's (ASCII) whitespace contract
+    # the operator's contract: ASCII whitespace is boundary fabric,
+    # and the U+001E internal marker is sanitized away
+    WS = " \t\r\n\f\x1e"
 
     @settings(max_examples=20, deadline=None)
     @given(st.text(max_size=120))

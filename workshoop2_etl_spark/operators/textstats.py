@@ -874,9 +874,18 @@ def split_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
     corpus comparison must split identically, or the keys never
     match). A smarter splitter would be an Arrow kernel; this is the
     cross-engine-stable default. Split + explode, no UDF, no
-    shuffle."""
+    shuffle.
+
+    The U+001E unit-separator control char is stripped from the
+    input first — it is the internal split marker (RE2 has no
+    lookbehind, so both engines mark-then-split), and a literal
+    occurrence would forge a sentence boundary (hypothesis-found).
+    Stripping a C0 control char is standard text sanitization,
+    applied identically in the oracle."""
     marked = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")),
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), "\x1e", ""
+        ),
         "([.!?])[ \\t\\r\\n\\f]+",
         "$1\x1e",
     )

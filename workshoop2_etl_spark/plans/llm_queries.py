@@ -4290,7 +4290,7 @@ WITH m AS (
          list_filter(
            list_transform(
              string_split(
-               regexp_replace(s0,
+               regexp_replace(replace(s0, chr(30), ''),
                               '([.!?])[ \t\r\n\f]+',
                               '\1' || chr(30), 'g'),
                chr(30)),
