@@ -1779,8 +1779,11 @@ def perceptual_hash_images(
     arithmetic — every step replays exactly in SQL, which is what
     makes the registered entries oracle-backed rather than rows-only.
     Arrow-batched pure map; no shuffle."""
-    if grid < 2 or grid * grid < 64:
-        raise ValueError(f"grid must be >= 8 for the 63-bit form, got {grid}")
+    if grid < 2 or grid * grid < 64 or grid % 2:
+        raise ValueError(
+            f"grid must be even and >= 8 (63-bit packing + whole-nibble"
+            f" hex), got {grid}"
+        )
     ids = id_cols or [c for c in df.columns if c != payload_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]
@@ -1851,8 +1854,11 @@ def dhash_images(
     LONG, ready for the Manku combination-block pair search), and
     ``n_set``. Undecodable payloads yield NULLs. All integer — the
     oracle replays it exactly. Arrow-batched pure map; no shuffle."""
-    if grid < 2 or grid * grid < 64:
-        raise ValueError(f"grid must be >= 8 for the 63-bit form, got {grid}")
+    if grid < 2 or grid * grid < 64 or grid % 2:
+        raise ValueError(
+            f"grid must be even and >= 8 (63-bit packing + whole-nibble"
+            f" hex), got {grid}"
+        )
     ids = id_cols or [c for c in df.columns if c != payload_col]
     schema = T.StructType(
         [df.schema[c] for c in ids]

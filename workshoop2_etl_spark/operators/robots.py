@@ -217,6 +217,34 @@ def parse_crawl_delays(
     return df.mapInPandas(batches, schema)
 
 
+def should_broadcast(rel: DataFrame) -> bool:
+    """The size-gate policy shared by every relational small-side
+    join in the crawl chapter (robots rules, URL blocklists):
+    broadcast only when Catalyst's own size estimate for the plan is
+    known and under the session's ``autoBroadcastJoinThreshold``
+    (parsed by Spark's OWN byte-string parser — hand-rolled decimal
+    parsing mis-sizes binary suffixes like ``10MB`` = 10·1024², and
+    an unrecognized format would silently force-disable). Anything
+    unknown means no — a forced broadcast of an unexpectedly large
+    side is a driver OOM."""
+    try:
+        conf_val = rel.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        jvm = rel.sparkSession._jvm
+        threshold = int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                conf_val
+            )
+        )
+        size = int(
+            rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return 0 < threshold and 0 <= size <= threshold
+    except Exception:
+        return False
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -246,29 +274,7 @@ def robots_filter(
     reuse the exchange). The big-rules regime is thus a two-shuffle
     hash join keyed by domain — linear, no single-node collect."""
     if broadcast is None:
-        try:
-            conf_val = urls.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-            # Spark's own byte-string parser (handles 10MB = 10*1024²,
-            # bare bytes, k/m/g/t suffixes) — hand-rolled decimal
-            # parsing mis-sizes binary suffixes and any format it
-            # doesn't recognize would force-disable the broadcast.
-            jvm = urls.sparkSession._jvm
-            threshold = int(
-                jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                    conf_val
-                )
-            )
-            size = int(
-                rules._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-            broadcast = 0 < threshold and 0 <= size <= threshold
-        except Exception:
-            broadcast = False
+        broadcast = should_broadcast(rules)
     if "rule_regex" not in rules.columns:  # pre-wildcard callers
         rules = rules.withColumn("rule_regex", F.lit(None).cast("string"))
     # Reserved internal names for the rules-side columns: a urls frame

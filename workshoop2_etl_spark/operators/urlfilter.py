@@ -46,29 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from workshoop2_etl_spark.functions.urls import host_of, normalize_url
-
-
-def _should_broadcast(rel: DataFrame) -> bool:
-    """Size-gate per robots_filter's policy: broadcast only when
-    Catalyst's estimate for the plan is known and under the session's
-    autoBroadcastJoinThreshold (parsed by Spark's own byte-string
-    parser); anything unknown means no."""
-    try:
-        conf_val = rel.sparkSession.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", "10485760"
-        )
-        jvm = rel.sparkSession._jvm
-        threshold = int(
-            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                conf_val
-            )
-        )
-        size = int(
-            rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        return 0 < threshold and 0 <= size <= threshold
-    except Exception:
-        return False
+from workshoop2_etl_spark.operators.robots import should_broadcast
 
 
 def host_suffix_chain(host: Column) -> Column:
@@ -114,7 +92,7 @@ def blocklist_filter(
     (``sites.google.com/goodsite`` under a blocked platform
     domain)."""
     if broadcast is None:
-        broadcast = _should_broadcast(blocklist)
+        broadcast = should_broadcast(blocklist)
 
     def _maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast else df
@@ -125,61 +103,67 @@ def blocklist_filter(
         F.col("__norm"), host_of(F.col("__norm")).alias("__host")
     ).dropDuplicates(["__norm"])
 
-    def _matches(kinds: tuple[str, str]):
-        """(__norm, __cat) rows for the given (domain-kind,
-        url-kind) pair — one shape for blocks and exceptions."""
-        dom_entries = blocklist.where(
-            F.col(kind_col) == kinds[0]
-        ).select(
-            F.lower(F.trim(F.col(entry_col))).alias("__sfx"),
-            F.col(category_col).alias("__cat"),
+    # ONE probe pass over the URL set covers blocks AND exceptions:
+    # both entry classes ride the same two equi-joins (domain
+    # subtree, URL prefix) with an __allow flag, and the per-URL
+    # aggregate resolves them — min blocking category, cleared when
+    # any exception hit. A separate pass for the allow kinds would
+    # re-scan the deduped URL set even for the common all-block list.
+    is_allow = F.col(kind_col).startswith("allow")
+    dom_entries = blocklist.where(
+        F.col(kind_col).isin("domain", "allow_domain")
+    ).select(
+        F.lower(F.trim(F.col(entry_col))).alias("__sfx"),
+        F.col(category_col).alias("__cat"),
+        is_allow.alias("__allow"),
+    )
+    dmatch = (
+        keyed.select(
+            "__norm",
+            F.explode(host_suffix_chain(F.col("__host"))).alias("__sfx"),
         )
-        dmatch = (
-            keyed.select(
-                "__norm",
-                F.explode(host_suffix_chain(F.col("__host"))).alias(
-                    "__sfx"
-                ),
-            )
-            .join(_maybe_b(dom_entries), "__sfx")
-            .select("__norm", "__cat")
+        .join(_maybe_b(dom_entries), "__sfx")
+        .select("__norm", "__cat", "__allow")
+    )
+    # UT1 url lists are scheme-less ("host/path") — default the
+    # scheme so host extraction and the canonical compare work
+    raw = F.trim(F.col(entry_col))
+    entry_url = F.when(raw.contains("://"), raw).otherwise(
+        F.concat(F.lit("http://"), raw)
+    )
+    url_entries = blocklist.where(
+        F.col(kind_col).isin("url", "allow_url")
+    ).select(
+        normalize_url(entry_url).alias("__pfx"),
+        host_of(entry_url).alias("__host"),
+        F.col(category_col).alias("__cat"),
+        is_allow.alias("__allow"),
+    )
+    pfx = F.col("__pfx")
+    umatch = (
+        keyed.join(_maybe_b(url_entries), "__host")
+        .where(
+            (F.col("__norm") == pfx)
+            | F.col("__norm").startswith(F.concat(pfx, F.lit("/")))
+            | F.col("__norm").startswith(F.concat(pfx, F.lit("?")))
         )
-        # UT1 url lists are scheme-less ("host/path") — default the
-        # scheme so host extraction and the canonical compare work
-        raw = F.trim(F.col(entry_col))
-        entry_url = F.when(
-            raw.contains("://"), raw
-        ).otherwise(F.concat(F.lit("http://"), raw))
-        url_entries = blocklist.where(
-            F.col(kind_col) == kinds[1]
-        ).select(
-            normalize_url(entry_url).alias("__pfx"),
-            host_of(entry_url).alias("__host"),
-            F.col(category_col).alias("__cat"),
-        )
-        pfx = F.col("__pfx")
-        umatch = (
-            keyed.join(_maybe_b(url_entries), "__host")
-            .where(
-                (F.col("__norm") == pfx)
-                | F.col("__norm").startswith(F.concat(pfx, F.lit("/")))
-                | F.col("__norm").startswith(F.concat(pfx, F.lit("?")))
-            )
-            .select("__norm", "__cat")
-        )
-        return dmatch.unionByName(umatch)
-
-    blocked = (
-        _matches(("domain", "url"))
+        .select("__norm", "__cat", "__allow")
+    )
+    matches = (
+        dmatch.unionByName(umatch)
         .groupBy("__norm")
-        .agg(F.min("__cat").alias("block_category"))
+        .agg(
+            F.min(F.when(~F.col("__allow"), F.col("__cat"))).alias(
+                "block_category"
+            ),
+            F.max(F.col("__allow").cast("int")).alias("__has_allow"),
+        )
+        .where(
+            F.col("block_category").isNotNull()
+            & (F.col("__has_allow") == 0)
+        )
+        .drop("__has_allow")
     )
-    allowed = (
-        _matches(("allow_domain", "allow_url"))
-        .select("__norm")
-        .dropDuplicates(["__norm"])
-    )
-    matches = blocked.join(allowed, "__norm", "left_anti")
     # matches scales with the number of BLOCKED URLs, not the list —
     # no forced broadcast here; AQE sizes the join at runtime
     out = work.join(matches, "__norm", "left").drop("__norm")

@@ -600,11 +600,14 @@ def export_wet(
     ``uri_col`` when given, else ``http://{host}/page{id}``.
 
     Scale shape: record synthesis is an Arrow-batched pure map; file
-    assignment is ``id div per_file`` — contiguous id ranges, so
-    file sizes are bounded WITHOUT a global sort — and the only
-    shuffle is the per-file fold (sorted by id inside each file for
-    deterministic bytes). NULL text exports as an empty payload
-    rather than dropping the record (the id set is the contract)."""
+    assignment is ``floor(id / per_file)`` — contiguous id ranges
+    (floor, so negative ids bucket consistently), file sizes bounded
+    WITHOUT a global sort — and the only shuffle is the per-file
+    fold (sorted by id inside each file for deterministic bytes).
+    NULL text exports as an empty payload rather than dropping the
+    record (the id set is the contract)."""
+    if per_file < 1:
+        raise ValueError(f"per_file must be >= 1, got {per_file}")
     ids_needed = [id_col, text_col] + ([uri_col] if uri_col else [])
     rec_schema = T.StructType(
         [
@@ -636,7 +639,7 @@ def export_wet(
     head = gzip_warc_record(WET_WARCINFO) if gzip_members else WET_WARCINFO
     return (
         recs.groupBy(
-            (F.col("__id") / per_file).cast("long").alias("file_no")
+            F.floor(F.col("__id") / per_file).cast("long").alias("file_no")
         )
         .agg(
             F.aggregate(

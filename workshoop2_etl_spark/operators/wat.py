@@ -232,8 +232,28 @@ def wat_links(
     JVM-side and PERMISSIVE — malformed JSON, a non-JSON payload, or
     an envelope without ``HTML-Metadata`` yields NULLs and the
     explode drops the row; nothing raises. No shuffle: filter +
-    from_json + explode are all narrow."""
-    ids = id_cols if id_cols is not None else []
+    from_json + explode are all narrow.
+
+    ``id_cols=None`` follows the house convention: every input
+    column that is NOT one of ``parse_warc_blobs``' record fields
+    carries through (file provenance columns survive by default);
+    pass an explicit list (or ``[]``) to override."""
+    record_cols = {
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "payload",
+        "location",
+        "record_id",
+        "refers_to",
+        "payload_digest",
+    }
+    ids = (
+        id_cols
+        if id_cols is not None
+        else [c for c in parsed.columns if c not in record_cols]
+    )
     env = F.from_json(
         F.col("payload").cast("string"), WAT_LINK_SCHEMA
     )["Envelope"]

@@ -65,20 +65,29 @@ def anchor_stats(
             F.col("__n").alias("top_anchor_count"),
         )
     )
+    # anchors_all from the per-(dst, anchor) DISTINCT rows, ranked
+    # and capped BEFORE the collect — the aggregation buffer never
+    # holds more than max_anchors values per key (an unbounded
+    # collect_set over a Zipf-head homepage target would blow the
+    # buffer exactly where this operator must not)
+    wa = Window.partitionBy("__dst").orderBy("__anchor")
+    capped = (
+        per_anchor.withColumn("__ra", F.row_number().over(wa))
+        .where(F.col("__ra") <= max_anchors)
+        .groupBy("__dst")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("__anchor")), "|"
+            ).alias("anchors_all")
+        )
+    )
     totals = edges.groupBy(d.alias("__dst")).agg(
         F.count(F.lit(1)).alias("indegree"),
         F.countDistinct(F.col(src_col)).alias("n_src"),
-        F.array_join(
-            F.slice(
-                F.sort_array(F.collect_set(F.col(anchor_col))),
-                1,
-                max_anchors,
-            ),
-            "|",
-        ).alias("anchors_all"),
     )
     return (
         totals.join(top, "__dst", "left")
+        .join(capped, "__dst", "left")
         .withColumnRenamed("__dst", dst_col)
         .select(
             dst_col,
@@ -86,7 +95,9 @@ def anchor_stats(
             "n_src",
             "top_anchor",
             "top_anchor_count",
-            "anchors_all",
+            F.coalesce(F.col("anchors_all"), F.lit("")).alias(
+                "anchors_all"
+            ),
         )
     )
 

@@ -5779,16 +5779,9 @@ def wet_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # real WET files open with a warcinfo record the filter must drop
-    warcinfo = (
-        b"WARC/1.0\r\n"
-        b"WARC-Type: warcinfo\r\n"
-        b"Content-Type: application/warc-fields\r\n"
-        b"Content-Length: 14\r\n"
-        b"\r\n"
-        b"format: WARC/1"
-        b"\r\n\r\n"
-    )
-    blobs = _warc_file_blobs(texts, "body", wet_record, head=warcinfo)
+    from workshoop2_etl_spark.operators.warc import WET_WARCINFO
+
+    blobs = _warc_file_blobs(texts, "body", wet_record, head=WET_WARCINFO)
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     conv = parsed.where(F.col("warc_type") == "conversion")
     decoded = decode_bytes(

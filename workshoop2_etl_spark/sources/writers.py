@@ -544,12 +544,22 @@ def write_binary_files(
     partitioning the blob fold left is fine — names come from the
     data, not the task). Returns the number of files written.
 
+    Overwrite semantics: files matching ``{prefix}-*.{ext}`` from a
+    previous run are removed first, so the directory holds EXACTLY
+    this export afterwards (a re-export with different bucketing
+    must not leave stale blobs for a later directory scan to
+    re-ingest). Returns the number of files written this run.
+
     Local-FS implementation (this container's scope); on a cluster
     the same shape targets shared storage — the per-row write stays
     a pure foreachPartition."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    suffix = "." + ext
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix + "-") and name.endswith(suffix):
+            os.unlink(os.path.join(out_dir, name))
 
     def write_rows(rows) -> None:
         for r in rows:
@@ -557,7 +567,12 @@ def write_binary_files(
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(bytes(r[content_col]))
 
-    df.select(file_no_col, content_col).foreachPartition(write_rows)
+    files = df.select(file_no_col, content_col)
+    files.foreachPartition(write_rows)
     return len(
-        [n for n in os.listdir(out_dir) if n.startswith(prefix + "-")]
+        [
+            n
+            for n in os.listdir(out_dir)
+            if n.startswith(prefix + "-") and n.endswith(suffix)
+        ]
     )
