@@ -42,128 +42,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries stay fully hash-checked by the local mirror
 #: (tests/test_oracle_parity.py runs every oracle at sf0.01).
 _DEMOTED_ORACLES = (
-    # NEW in round 11 (post-rotation): WARC revisit-record dedup —
-    # CommonCrawl's crawl-time duplicate mechanism (identical-payload-
-    # digest profile), content materialized by joining revisits back
-    # to their referent on the record-id key (operators/warc.py
-    # materialize_revisits). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "warc_revisit_dedup_documents",
-    # NEW in round 11 (post-rotation): freshness-driven incremental
-    # recrawl — sitemap lastmod (XML round trip) joined against a
-    # real versioned crawl-state table, one hash join classifying
-    # new/stale/fresh (operators/frontier.py recrawl_candidates).
-    # Mirror-checked this round; rotate into the driver window next
-    # round.
-    "recrawl_select_documents",
-    # NEW in round 11 (post-rotation): CDXJ capture-index chapter —
-    # cc-index line parse (tolerant Arrow kernel), pure-column SURT
-    # reproducing the index sort key byte-exact, and the per-WARC-file
-    # selective-fetch manifest (operators/cdx.py, functions/urls.py
-    # surt). Mirror-checked this round; rotate into the driver window
-    # next round.
-    "cdx_ingest_documents",
-    "cdx_fetch_plan_documents",
-    "cdx_range_fetch_documents",
-    # NEW in round 11 (post-rotation): perceptual image hashing —
-    # aHash over real decoded pixels (closed-form via block-constant
-    # BMP fixtures + md5 replay) and image near-dup pairs through the
-    # Manku combination-block search at bits=63, oracle an EXACT SQL
-    # self-join on bit_count(xor) (operators/multimodal.py
-    # perceptual_hash_images). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "image_ahash_documents",
-    "image_ahash_pairs_documents",
-    # NEW in round 11 (post-rotation): WAT metadata-record link graph —
-    # CommonCrawl's JSON sidecar format parsed JVM-side (from_json with
-    # the explicit envelope schema) through the same WARC frame walk,
-    # sharing the HTML link-graph entry's closed-form oracle (output
-    # invariant to provenance — operators/wat.py). Mirror-checked this
-    # round; rotate into the driver window next round.
-    "wat_link_graph_documents",
-    # NEW in round 11 (post-rotation): UT1-style category-blocklist
-    # URL filtering — domain entries block subdomain subtrees via a
-    # suffix-chain equi-join, URL entries block canonical prefixes at
-    # path/query boundaries, size-gated broadcast
-    # (operators/urlfilter.py). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "url_blocklist_filter_documents",
-    # NEW in round 11 (post-rotation): web-graph aggregates — per-
-    # target anchor-text profiles (modal anchor, capped distinct list)
-    # and the host-level link-graph projection with countDistinct
-    # source pages (operators/webgraph.py). Mirror-checked this round;
-    # rotate into the driver window next round.
-    "anchor_stats_documents",
-    "host_graph_documents",
-    # NEW in round 11 (post-rotation): dHash perceptual fingerprints —
-    # aHash's gradient complement over the same real decoded pixels,
-    # row-local brightness invariance pytest-proven, closed-form
-    # oracle replay from md5(text) (operators/multimodal.py
-    # dhash_images). Mirror-checked this round; rotate into the
-    # driver window next round.
-    "image_dhash_documents",
-    # NEW in round 11 (post-rotation): FineWeb-style per-domain corpus
-    # cap — registrable-domain budget shared across subdomains,
-    # selection via the shuffle-bounded exact top-k (map-side prune
-    # then window) (operators/curation.py per_domain_cap).
-    # Mirror-checked this round; rotate into the driver window next
-    # round.
-    "domain_cap_documents",
-    # NEW in round 11 (post-rotation): the crawl chapter's WRITE path
-    # — corpus exported as warcinfo-headed .wet.gz file blobs, read
-    # back through the unchanged ingest stack, byte-level round-trip
-    # identity as the check (operators/warc.py export_wet); and
-    # per-page outlink-shape features (outdegree, external fan-out,
-    # distinct dst hosts) (operators/webgraph.py outlink_stats).
-    # Mirror-checked this round; rotate into the driver window next
-    # round.
-    "wet_export_roundtrip_documents",
-    "outlink_stats_documents",
-    # NEW in round 11 (post-rotation): Unicode script histogram +
-    # dominant script — literal BMP ranges so the identical character
-    # class runs in Java regex and RE2, whole-stage codegen, no UDF
-    # (operators/textstats.py script_profile). Mirror-checked this
-    # round; rotate into the driver window next round.
-    "script_profile_documents",
-    # NEW in round 11 (post-rotation): the web-curation composition —
-    # blocklist admission feeding the per-domain cap, so a blocked
-    # page can never consume a domain's budget (plans/llm_queries.py
-    # web_curation_documents). Mirror-checked this round; rotate into
-    # the driver window next round.
-    "web_curation_documents",
-    # NEW in round 11 (post-rotation): sliding-window chunking
-    # (stride < max_tokens, the retrieval-indexing overlap shape,
-    # operators/chunking.py) and deterministic sentence segmentation
-    # (the cross-engine-stable sentence key for C4-style sentence
-    # dedup, operators/textstats.py split_sentences). Mirror-checked
-    # this round; rotate into the driver window next round.
-    "chunk_overlap_documents",
-    "split_sentences_documents",
     # ------------------------------------------------------------------
-    # Round-11 WINDOW ROTATION (second half of the sweep): the driver
-    # window now carries the 2 anchors (flagship_merge_indicator,
-    # sink_roundtrip_orders) + the 4 round-11 newcomers (HTTP-encoded
-    # WARC ingest, redirect-chain resolution, crawl->lakehouse
-    # canonical-URL upsert, robots Crawl-delay -> frontier caps) + the
-    # 6 round-10 newcomers promised last round (robots_wildcard, WET
-    # ingest, URL dedup, sitemap, frontier waves, link graph) + the 38
-    # OLDEST never-windowed oracles. Every demoted entry below remains
-    # hash-checked against its DuckDB oracle at sf0.01 by
-    # tests/test_oracle_parity.py on every pytest run; per-entry notes
-    # record its driver-window history (from CORRECTNESS_r01-r10).
-    # Never-windowed count after this rotation: 39 of 224 oracles
-    # (87 -> 39); the remainder — all marked "rotate in round 12"
-    # below, mostly the TPC-H chapter — finishes next round.
-    # UPDATE (late round 11): the session-2 build added 10 more
-    # oracle-backed entries (wat_link_graph, url_blocklist_filter,
-    # anchor_stats, host_graph, image_dhash, domain_cap,
-    # wet_export_roundtrip, outlink_stats, script_profile,
-    # web_curation — each demoted above with its own note), so the
-    # never-windowed pool entering round 12 is 58 of 243 oracles:
-    # the 39 oldest plus this round's 19 newcomers. Round 12 should
-    # window the 19 newcomers + the 29 oldest (48 slots beside the 2
-    # anchors) and finish the tail in round 13.
+    # Round-12 WINDOW ROTATION (executes the round-11 promise exactly):
+    # the driver window carries the 2 anchors (flagship_merge_indicator,
+    # sink_roundtrip_orders) + the 19 round-11 newcomers (WARC revisit
+    # dedup, recrawl planning, the CDXJ chapter ×3, aHash/dHash
+    # perceptual hashing ×3, WAT link graph, URL blocklists,
+    # anchor/host/outlink web-graph stats, domain cap, WET export
+    # round-trip, script profile, web curation, chunk overlap,
+    # sentence split) + the 29 OLDEST never-windowed oracles — the
+    # whole TPC-H chapter (tpch_q2..q22 + the 4 pareto/cohort/
+    # contribution/concentration analytics, zero window evidence in 11
+    # rounds) plus mom_revenue_growth, python_datasource_synthetic,
+    # winsorize_orders_totalprice, rolling_7d_revenue. Every demoted
+    # entry below remains hash-checked against its DuckDB oracle at
+    # sf0.01 by tests/test_oracle_parity.py on every pytest run;
+    # per-entry notes record its driver-window history
+    # (CORRECTNESS_r01-r11). Never-windowed pool after this rotation:
+    # 10 of the 243 pre-round oracles (58 -> 10), all marked "rotate
+    # in round 13" below; round-12 newcomers are demoted on arrival
+    # with their own notes and join the round-13 rotation.
     # ------------------------------------------------------------------
+    "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
+    "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
+    "normalize_text_documents",  # windowed r6-r7,r11 (3x green)
+    "decontaminate_documents",  # windowed r6-r7,r11 (3x green)
+    "line_dedup_documents",  # windowed r7-r9,r11 (4x green)
+    "duplicate_spans_documents",  # windowed r8-r9,r11 (3x green)
+    "gopher_rules_documents",  # windowed r8-r9,r11 (3x green)
+    "lm_quality_buckets_documents",  # windowed r8-r9,r11 (3x green)
+    "mixture_sample_documents",  # windowed r7-r9,r11 (4x green)
+    "media_payload_dedup",  # windowed r8-r9,r11 (3x green)
+    "weighted_sample_documents",  # windowed r8-r9,r11 (3x green)
+    "char_entropy_documents",  # windowed r8-r9,r11 (3x green)
+    "corpus_diff_documents",  # windowed r8-r9,r11 (3x green)
+    "kfold_split_documents",  # windowed r8-r9,r11 (3x green)
+    "hybrid_rrf_search_documents",  # windowed r9,r11 (2x green)
+    "phrase_search_documents",  # windowed r9,r11 (2x green)
+    "pmi_collocations_documents",  # windowed r9,r11 (2x green)
+    "quality_classifier_documents",  # windowed r9,r11 (2x green)
+    "warc_http_encoded_ingest_documents",  # windowed r11 (1x green)
+    "redirect_resolve_documents",  # windowed r11 (1x green)
+    "crawl_upsert_timetravel_documents",  # windowed r11 (1x green)
+    "link_graph_documents",  # windowed r11 (1x green)
+    "frontier_waves_documents",  # windowed r11 (1x green)
+    "frontier_crawl_delay_documents",  # windowed r11 (1x green)
+    "sitemap_ingest_documents",  # windowed r11 (1x green)
+    "wet_ingest_documents",  # windowed r11 (1x green)
+    "url_dedup_documents",  # windowed r11 (1x green)
+    "robots_wildcard_documents",  # windowed r11 (1x green)
+    "sql_popularity_correlation",  # windowed r4-r9,r11 (7x green)
+    "sql_variant_props",  # windowed r5-r9,r11 (6x green)
+    "sql_recursive_halving_depth",  # windowed r9,r11 (2x green)
+    "sql_lateral_top2_nations",  # windowed r9,r11 (2x green)
+    "sql_udtf_word_bigrams",  # windowed r9,r11 (2x green)
+    "streaming_interval_join_events",  # windowed r8-r9,r11 (3x green)
+    "streaming_interval_join_outer_events",  # windowed r9,r11 (2x)
+    "streaming_sliding_event_counts",  # windowed r4-r9,r11 (7x green)
+    "python_stream_datasource_synthetic",  # windowed r9,r11 (2x green)
+    "streaming_static_join_events",  # windowed r9,r11 (2x green)
+    "streaming_versioned_sink_events",  # windowed r9,r11 (2x green)
+    "streaming_dedup_watermark_events",  # windowed r11 (1x green)
+    "streaming_interval_join_full_outer_events",  # windowed r11 (1x)
+    "resample_fill_events",  # windowed r5-r9,r11 (6x green)
+    "funnel_conversion_events",  # windowed r5-r9,r11 (6x green)
+    "retention_cohorts_events",  # windowed r5-r9,r11 (6x green)
+    "global_ids_documents",  # windowed r7-r9,r11 (4x green)
+    "compact_roundtrip_orders",  # windowed r8-r9,r11 (3x green)
+    "transitions_events",  # windowed r9,r11 (2x green)
+    "overlap_join_events",  # windowed r9,r11 (2x green)
     "pricing_summary",  # windowed r1-r8 (8x green)
     "top_customers_by_revenue",  # windowed r1-r9 (9x green)
     "avg_price_by_segment",  # windowed r1-r8 (8x green)
@@ -292,48 +239,19 @@ _DEMOTED_ORACLES = (
     "streaming_heavy_hitters_events",  # windowed r9 (1x green)
     "streaming_interval_join_semi_events",  # windowed r9 (1x green)
     "bm25_search_documents",  # windowed r8-r9 (2x green)
-    "mom_revenue_growth",  # never windowed yet - rotate in round 12
-    "python_datasource_synthetic",  # never windowed yet - rotate in round 12
-    "winsorize_orders_totalprice",  # never windowed yet - rotate in round 12
-    "rolling_7d_revenue",  # never windowed yet - rotate in round 12
-    "zscore_lineitem_price",  # never windowed yet - rotate in round 12
-    "activity_streaks_events",  # never windowed yet - rotate in round 12
-    "clustered_scan_events",  # never windowed yet - rotate in round 12
-    "attribution_events",  # never windowed yet - rotate in round 12
-    "active_users_7d_events",  # never windowed yet - rotate in round 12
-    "interpolate_linear_events",  # never windowed yet - rotate in round 12
+    "zscore_lineitem_price",  # never windowed yet - rotate in round 13
+    "activity_streaks_events",  # never windowed yet - rotate in round 13
+    "clustered_scan_events",  # never windowed yet - rotate in round 13
+    "attribution_events",  # never windowed yet - rotate in round 13
+    "active_users_7d_events",  # never windowed yet - rotate in round 13
+    "interpolate_linear_events",  # never windowed yet - rotate in round 13
     "ewma_value_events",  # windowed r8-r9 (2x green)
-    "versioned_timetravel_orders",  # never windowed yet - rotate in round 12
-    "holt_trend_events",  # never windowed yet - rotate in round 12
-    "kaplan_meier_customers",  # never windowed yet - rotate in round 12
+    "versioned_timetravel_orders",  # never windowed yet - rotate in round 13
+    "holt_trend_events",  # never windowed yet - rotate in round 13
+    "kaplan_meier_customers",  # never windowed yet - rotate in round 13
     "lakehouse_roundtrip_orders",  # windowed r7-r9 (3x green)
     "holt_winters_daily_revenue",  # windowed r7-r9 (3x green)
-    "session_concurrency_events",  # never windowed yet - rotate in round 12
-    "tpch_q3_unshipped_orders",  # never windowed yet - rotate in round 12
-    "tpch_q6_forecast_revenue",  # never windowed yet - rotate in round 12
-    "tpch_q7_volume_shipping",  # never windowed yet - rotate in round 12
-    "tpch_q8_market_share",  # never windowed yet - rotate in round 12
-    "tpch_q14_promo_revenue",  # never windowed yet - rotate in round 12
-    "tpch_q15_top_supplier",  # never windowed yet - rotate in round 12
-    "tpch_q17_small_quantity_revenue",  # never windowed yet - rotate in round 12
-    "tpch_q18_large_volume_customers",  # never windowed yet - rotate in round 12
-    "tpch_q19_disjunctive_revenue",  # never windowed yet - rotate in round 12
-    "tpch_q13_customer_distribution",  # never windowed yet - rotate in round 12
-    "tpch_q22_prospective_customers",  # never windowed yet - rotate in round 12
-    "tpch_q4_order_priority",  # never windowed yet - rotate in round 12
-    "tpch_q11_important_suppliers",  # never windowed yet - rotate in round 12
-    "abc_pareto_parts",  # never windowed yet - rotate in round 12
-    "cohort_ltv_orders",  # never windowed yet - rotate in round 12
-    "contribution_analysis_orders",  # never windowed yet - rotate in round 12
-    "concentration_metrics_orders",  # never windowed yet - rotate in round 12
-    "tpch_q5_local_supplier_volume",  # never windowed yet - rotate in round 12
-    "tpch_q10_returned_items",  # never windowed yet - rotate in round 12
-    "tpch_q12_shipping_priority_buckets",  # never windowed yet - rotate in round 12
-    "tpch_q21_waiting_suppliers",  # never windowed yet - rotate in round 12
-    "tpch_q16_supplier_part_relationship",  # never windowed yet - rotate in round 12
-    "tpch_q20_part_promotion",  # never windowed yet - rotate in round 12
-    "tpch_q2_min_cost_supplier",  # never windowed yet - rotate in round 12
-    "tpch_q9_product_type_profit",  # never windowed yet - rotate in round 12
+    "session_concurrency_events",  # never windowed yet - rotate in round 13
     "setops_customer_status",  # windowed r3-r6 (4x green)
     "cumulative_monthly_revenue",  # windowed r3-r8 (6x green)
     "top3_customers_per_segment",  # windowed r3-r6 (4x green)

@@ -107,6 +107,70 @@ def test_superlinear_gate_uses_nearest_smaller_sf(tmp_path):
     assert flags == {}
 
 
+def test_superlinear_gate_sees_history_top_pair(tmp_path):
+    """An sf0.1 run must also check the recorded 0.1→0.3 step (r11
+    VERDICT item 3: three >1.5-slope steepeners hid above the run's
+    own sf). History bytes on both sides; 'run-vs-smaller' wins when
+    the same query flags on both pairs."""
+    m = 1024 * 1024
+    hist = {
+        "0.01": {"q": 5 * m, "r": 5 * m},
+        "0.1": {"q": 50 * m, "r": 50 * m},
+        # q grows 9x per 3x above this run's sf: must flag from
+        # history even though the current 0.1 run is linear vs 0.01.
+        "0.3": {"q": 9 * 50 * m, "r": 3 * 50 * m},
+    }
+    (tmp_path / "BENCH_SHUFFLE.json").write_text(json.dumps(hist))
+    flags = _superlinear_flags(
+        str(tmp_path), 0.1, {"q": 50 * m, "r": 50 * m}
+    )
+    assert list(flags) == ["q"]
+    assert flags["q"]["pair"] == "history-top"
+    assert flags["q"]["sf_base"] == 0.1 and flags["q"]["sf_top"] == 0.3
+    # running AT the top sf: no history-top duplicate of the same pair
+    flags_top = _superlinear_flags(
+        str(tmp_path), 0.3, {"q": 9 * 50 * m, "r": 3 * 50 * m}
+    )
+    assert list(flags_top) == ["q"]
+    assert flags_top["q"]["pair"] == "run-vs-smaller"
+
+
+def test_bench_gate_adjudication(tmp_path, monkeypatch):
+    """The close-round gate: byte-identical-shuffle flags and
+    SCALE_NOTES-named flags pass; anything else exits 1."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    gate = importlib.import_module("bench_gate")
+    detail = {
+        "regressions": {
+            "noisy": {"ratio": 2.0, "shuffle_identical": True},
+            "written": {"ratio": 1.8, "shuffle_identical": False},
+        },
+        "shuffle_superlinear": {
+            "steep": {"ratio_vs_linear": 2.2, "pair": "history-top"},
+        },
+    }
+    dp = tmp_path / "BENCH_DETAIL.json"
+    dp.write_text(json.dumps(detail))
+    notes = tmp_path / "SCALE_NOTES.md"
+    notes.write_text("### written — adjudicated\n### steep — adjudicated\n")
+    monkeypatch.setattr(gate, "REPO", str(tmp_path))
+    monkeypatch.setattr(_sys, "argv", ["bench_gate.py", str(dp)])
+    gate.main()  # all adjudicated -> no SystemExit
+
+    # an unadjudicated flag must fail the gate
+    detail["regressions"]["fresh"] = {
+        "ratio": 3.0, "shuffle_identical": False,
+    }
+    dp.write_text(json.dumps(detail))
+    import pytest
+
+    with pytest.raises(SystemExit):
+        gate.main()
+
+
 def test_pinned_min_preferred_on_both_sides():
     """Quiet-session pinned minima beat machine-factor normalization:
     a pinned current value suppresses a sweep-time blip, and a pinned

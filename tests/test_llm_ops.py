@@ -1496,6 +1496,12 @@ def test_script_profile_counts_and_tiebreak(spark):
     assert out[3]["dominant_script"] == "latin"
     assert out[4]["n_cjk"] == 4 and out[4]["dominant_script"] == "cjk"
     assert out[5]["n_latin"] == 0 and out[5]["dominant_script"] == "latin"
+    # reserved output names collide -> raise, never duplicate columns
+    import pytest as _pytest
+
+    clash = df.withColumn("n_latin", df.doc_id)
+    with _pytest.raises(ValueError, match="n_latin"):
+        script_profile(clash, "text")
 
 
 def test_chunk_documents_stride_overlap(spark):
@@ -1524,6 +1530,10 @@ def test_chunk_documents_stride_overlap(spark):
     ]
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", max_tokens=4, stride=0)
+    # stride > max_tokens would leave tokens covered by NO window —
+    # an explicit contract violation, not a silent gap (ADVICE r11)
+    with pytest.raises(ValueError, match="skip"):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, stride=6)
 
 
 def test_split_sentences_rules(spark):

@@ -53,6 +53,7 @@ def _stage_rows(sc, after_stage_id: int):
                 "cpu_ms": s.executorCpuTime() // 1_000_000,
                 "gc_ms": s.jvmGcTime(),
                 "shuf_w": s.shuffleWriteBytes(),
+                "shuf_w_rec": s.shuffleWriteRecords(),
                 "shuf_r": s.shuffleReadBytes(),
                 "spill_mem": s.memoryBytesSpilled(),
                 "spill_disk": s.diskBytesSpilled(),

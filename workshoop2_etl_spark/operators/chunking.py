@@ -57,6 +57,14 @@ def chunk_documents(
         raise ValueError(
             f"max_tokens and stride must be >= 1, got {max_tokens}, {stride}"
         )
+    if stride > max_tokens:
+        # a start-distance beyond the window length would leave
+        # `stride - max_tokens` tokens between windows in NO chunk,
+        # silently contradicting the coverage claim above
+        raise ValueError(
+            f"stride ({stride}) > max_tokens ({max_tokens}) would skip "
+            "tokens between windows; use stride <= max_tokens"
+        )
     toks = df.withColumn(
         "__toks",
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),

@@ -1778,7 +1778,16 @@ def perceptual_hash_images(
     Undecodable payloads yield NULL hashes (tolerance). All integer
     arithmetic — every step replays exactly in SQL, which is what
     makes the registered entries oracle-backed rather than rows-only.
-    Arrow-batched pure map; no shuffle."""
+    Arrow-batched pure map; no shuffle.
+
+    BEHAVIOR CHANGE (round 11): odd grids now raise. Earlier
+    revisions accepted e.g. ``grid=9`` and emitted 20 hex nibbles by
+    silently dropping the 81st bit — a truncated, non-replayable hex
+    form. The contract is now explicit: even ``grid`` and
+    ``grid² >= 64``, so the hex form is whole-nibble exact and the
+    63-bit packing always has a bit to drop by design rather than by
+    accident. Odd-grid callers should move to the nearest even grid
+    (the hashes were never comparable across grid sizes anyway)."""
     if grid < 2 or grid * grid < 64 or grid % 2:
         raise ValueError(
             f"grid must be even and >= 8 (63-bit packing + whole-nibble"
@@ -1853,7 +1862,10 @@ def dhash_images(
     first), ``dhash`` (bits 0..62 packed into a non-negative 63-bit
     LONG, ready for the Manku combination-block pair search), and
     ``n_set``. Undecodable payloads yield NULLs. All integer — the
-    oracle replays it exactly. Arrow-batched pure map; no shuffle."""
+    oracle replays it exactly. Arrow-batched pure map; no shuffle.
+    Grid contract (even, ``grid² >= 64``, odd grids raise) matches
+    :func:`perceptual_hash_images` — see the behavior-change note
+    there."""
     if grid < 2 or grid * grid < 64 or grid % 2:
         raise ValueError(
             f"grid must be even and >= 8 (63-bit packing + whole-nibble"

@@ -839,7 +839,21 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     all-zero/empty text reports 'latin'). Counts are
     ``regexp_count`` over literal BMP ranges — whole-stage codegen,
     no UDF, and the identical character class replays in the RE2
-    oracle. One projection, no shuffle."""
+    oracle. One projection, no shuffle.
+
+    The output names (``n_<script>``, ``dominant_script``) are
+    reserved: an input already carrying one would make the appended
+    select emit duplicate column names and the dominant-script
+    comparison ambiguous at analysis time, so that collision raises
+    up front (the same guard other operators apply to their
+    ``__``-prefixed internals)."""
+    reserved = {f"n_{n}" for n, _ in SCRIPT_RANGES} | {"dominant_script"}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"script_profile output columns {clash} already exist in the "
+            "input; rename or drop them first"
+        )
     text = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         name: F.regexp_count(text, F.lit(pat)).cast("long")

@@ -550,10 +550,32 @@ def write_binary_files(
     must not leave stale blobs for a later directory scan to
     re-ingest). Returns the number of files written this run.
 
+    ``file_no`` must be unique — two rows sharing a number would
+    race on the same path with last-partition-wins silence, so the
+    duplicate case raises up front (one count/countDistinct agg over
+    the key column only). The return value is that counted row
+    number, not a directory re-list, so concurrent unrelated files
+    matching the pattern can't inflate it.
+
     Local-FS implementation (this container's scope); on a cluster
     the same shape targets shared storage — the per-row write stays
     a pure foreachPartition."""
     import os
+
+    from pyspark.sql import functions as F
+
+    files = df.select(file_no_col, content_col)
+    stats = files.agg(
+        F.count(file_no_col).alias("n"),
+        F.countDistinct(file_no_col).alias("nd"),
+    ).first()
+    if stats["n"] != stats["nd"]:
+        raise ValueError(
+            f"write_binary_files: {file_no_col} is not unique "
+            f"({stats['n']} rows, {stats['nd']} distinct) — duplicate "
+            "numbers would silently overwrite each other; groupBy "
+            "upstream first"
+        )
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = "." + ext
@@ -567,12 +589,5 @@ def write_binary_files(
             with open(os.path.join(out_dir, name), "wb") as f:
                 f.write(bytes(r[content_col]))
 
-    files = df.select(file_no_col, content_col)
     files.foreachPartition(write_rows)
-    return len(
-        [
-            n
-            for n in os.listdir(out_dir)
-            if n.startswith(prefix + "-") and n.endswith(suffix)
-        ]
-    )
+    return int(stats["n"])
