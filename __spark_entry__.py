@@ -63,6 +63,13 @@ _DEMOTED_ORACLES = (
     # in round 13" below; round-12 newcomers are demoted on arrival
     # with their own notes and join the round-13 rotation.
     # ------------------------------------------------------------------
+    # NEW in round 12: Avro object-container round trip through the
+    # engine's own pure-Python codec (sources/avro.py — the sandbox
+    # Spark lacks the spark-avro datasource module), multi-file
+    # write via mapInPandas partition folds, binaryFile+Arrow read.
+    # Mirror-checked every pytest run; rotate into the driver window
+    # in round 13.
+    "avro_roundtrip_orders",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

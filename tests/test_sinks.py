@@ -190,3 +190,139 @@ def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
     assert again == got
     with _pt.raises(ValueError):
         overwrite_partitions_dynamic(patch, path, partition_by=[])
+
+
+# ------------------------------------------------------------- Avro
+
+
+def test_avro_full_lattice_roundtrip(spark, tmp_path):
+    """Every supported type — long/int/double/float/bool/string/
+    bytes/date/timestamp_ntz — plus NULLs in each, survives the
+    container round trip value-exact."""
+    from workshoop2_etl_spark.sources.readers import read_avro
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("raw", T.BinaryType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    rows = [
+        (
+            1, 7, 2.5, 1.25, True, "héllo\nworld", b"\x00\xff",
+            dt.date(2024, 2, 29),
+            dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+        ),
+        (-(2**62), None, None, None, None, None, None, None, None),
+        (3, -1, -0.125, 0.5, False, "", b"", dt.date(1969, 12, 31),
+         dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "lattice")
+    n = write_avro(df.coalesce(1), out)
+    assert n == 1
+    back = read_avro(spark, out)
+    assert back.schema == schema
+    got = sorted(back.collect(), key=lambda r: r.k)
+    want = sorted(df.collect(), key=lambda r: r.k)
+    assert got == want
+
+
+def test_avro_codecs_and_determinism(spark, tmp_path):
+    """deflate and null codecs agree; re-writing the same frame is
+    byte-identical (deterministic sync markers)."""
+    from workshoop2_etl_spark.sources.readers import read_avro
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).coalesce(1)
+    for codec in ("deflate", "null"):
+        out = str(tmp_path / codec)
+        write_avro(df, out, codec=codec)
+        back = {(r.k, r.v) for r in read_avro(spark, out).collect()}
+        assert back == {(i, f"v{i}") for i in range(100)}
+    out2 = str(tmp_path / "again")
+    write_avro(df, out2, codec="deflate")
+    a = open(glob.glob(str(tmp_path / "deflate" / "*.avro"))[0], "rb").read()
+    b = open(glob.glob(str(tmp_path / "again" / "*.avro"))[0], "rb").read()
+    assert a == b
+
+
+def test_avro_multifile_and_empty_partitions(spark, tmp_path):
+    """One file per NON-EMPTY partition; empty partitions write
+    nothing; the multi-file read unions every file."""
+    from workshoop2_etl_spark.sources.readers import read_avro
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "k long"
+    ).repartition(16, "k")  # > distinct hash buckets -> empties
+    out = str(tmp_path / "multi")
+    n = write_avro(df, out)
+    files = glob.glob(os.path.join(out, "*.avro"))
+    assert n == len(files) and 1 < n <= 10
+    assert {r.k for r in read_avro(spark, out).collect()} == set(range(10))
+
+
+def test_avro_refusals(spark, tmp_path):
+    """Unsupported Spark types, unsupported codecs, foreign unions,
+    and corrupt sync markers all fail loudly."""
+    import pytest
+
+    from workshoop2_etl_spark.sources.avro import (
+        decode_pandas,
+        encode_pandas,
+        spark_schema_of,
+    )
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    arr = spark.createDataFrame([([1, 2],)], "a array<long>")
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        write_avro(arr, str(tmp_path / "arr"))
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="codec"):
+        write_avro(df, str(tmp_path / "z"), codec="snappy")
+    with pytest.raises(ValueError, match="union"):
+        spark_schema_of(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "x", "type": ["int", "string"]}],
+            }
+        )
+    import pandas as pd
+
+    blob = encode_pandas(
+        pd.DataFrame({"k": [1, 2]}),
+        T.StructType([T.StructField("k", T.LongType())]),
+    )
+    corrupt = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="sync"):
+        decode_pandas(corrupt)
+
+
+def test_avro_schema_enforced_across_files(spark, tmp_path):
+    """A declared read schema naming a column absent from a file's
+    writer schema fails in the kernel instead of silently nulling."""
+    import pytest
+
+    from workshoop2_etl_spark.sources.readers import read_avro
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    out = str(tmp_path / "s")
+    write_avro(df.coalesce(1), out)
+    wrong = T.StructType(
+        [T.StructField("missing", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    with pytest.raises(Exception):
+        read_avro(spark, out, wrong).collect()

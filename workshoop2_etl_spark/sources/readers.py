@@ -184,6 +184,66 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Avro object-container scan (S3 sibling; see
+    ``sources/avro.py`` for why the engine carries its own codec).
+
+    Distributed shape: a ``binaryFile`` scan lists and reads the
+    ``*.avro`` files executor-side, and a per-file Arrow kernel
+    decodes each container where its scan task runs — the file is
+    the unit of parallelism (exactly ``spark-avro``'s split story
+    for non-splittable codecs), and blob bytes never shuffle.
+
+    ``schema=None`` peeks ONE file header driver-side (local
+    filesystem — this container's scope; on shared storage pass the
+    schema, same caveat as every single-file-peek inference). The
+    declared/peeked schema is then enforced on every file: a file
+    whose embedded writer schema names different columns fails
+    loudly in the kernel rather than silently nulling."""
+    import glob as _glob
+    import os as _os
+
+    from workshoop2_etl_spark.sources.avro import (
+        decode_pandas,
+        read_header,
+        spark_schema_of,
+    )
+
+    if schema is None:
+        pattern = (
+            path
+            if _glob.has_magic(path)
+            else _os.path.join(path, "*.avro")
+        )
+        first = sorted(_glob.glob(pattern))
+        if not first:
+            raise ValueError(f"no .avro files under {path!r}")
+        with open(first[0], "rb") as f:
+            head = f.read(1 << 20)  # header is metadata + 16B sync
+        avro_schema, _codec, _sync, _pos = read_header(head)
+        schema = spark_schema_of(avro_schema)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+    target = schema
+
+    def _decode(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                out, _ = decode_pandas(bytes(blob), target)
+                yield out
+
+    return blobs.mapInPandas(_decode, target)
+
+
 def jdbc_read_options(
     url: str,
     table: str,

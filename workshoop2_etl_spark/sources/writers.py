@@ -89,6 +89,64 @@ def write_orc(
     writer.orc(path)
 
 
+def write_avro(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    codec: str = "deflate",
+) -> int:
+    """Avro object-container sink (S6 sibling; see
+    ``sources/avro.py``): one container file per non-empty partition,
+    encoded executor-side in a ``mapInPandas`` fold over the whole
+    partition (the iterator form — batches concatenate into ONE blob,
+    so file count == partition count, not Arrow-batch count) and
+    written through :func:`write_binary_files`. ``file_no`` is the
+    partition id — unique by construction, so the sink's uniqueness
+    guard is a no-op check. Returns the number of files written.
+
+    Deterministic: the sync marker derives from (schema, partition
+    id), never a random value — re-running the same frame writes
+    byte-identical files. Schema validation (the supported type
+    lattice) happens driver-side BEFORE any job starts."""
+    from workshoop2_etl_spark.sources.avro import (
+        avro_schema_json,
+        encode_pandas,
+    )
+
+    from pyspark.sql import functions as F
+
+    avro_schema_json(df.schema)  # validate the lattice up front
+    if codec not in ("null", "deflate"):
+        # refuse driver-side, before any job starts — an executor-side
+        # raise would surface as an opaque PythonException mid-stage
+        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    schema = df.schema
+
+    import pandas as pd
+
+    def _encode(it):
+        parts: list = []
+        file_no = None
+        for pdf in it:
+            if len(pdf):
+                if file_no is None:
+                    file_no = int(pdf["__pid"].iloc[0])
+                parts.append(pdf.drop(columns="__pid"))
+        if file_no is None:
+            return
+        whole = parts[0] if len(parts) == 1 else pd.concat(parts)
+        blob = encode_pandas(
+            whole, schema, codec=codec, file_no=file_no
+        )
+        yield pd.DataFrame({"file_no": [file_no], "content": [blob]})
+
+    blobs = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .mapInPandas(_encode, "file_no long, content binary")
+    )
+    return write_binary_files(blobs, out_dir, ext="avro")
+
+
 def timestamped_path(base: str, run_ts: str, *, ext: str = "parquet") -> str:
     """Run-timestamped artifact path (reference
     dags/merge_to_dw.py:113-114 ``merged_{ts}.parquet``,
@@ -564,30 +622,35 @@ def write_binary_files(
 
     from pyspark.sql import functions as F
 
-    files = df.select(file_no_col, content_col)
-    stats = files.agg(
-        F.count(file_no_col).alias("n"),
-        F.countDistinct(file_no_col).alias("nd"),
-    ).first()
-    if stats["n"] != stats["nd"]:
-        raise ValueError(
-            f"write_binary_files: {file_no_col} is not unique "
-            f"({stats['n']} rows, {stats['nd']} distinct) — duplicate "
-            "numbers would silently overwrite each other; groupBy "
-            "upstream first"
-        )
+    # Persist across the two actions (uniqueness agg + the write):
+    # without it the blob-building upstream would execute twice.
+    files = df.select(file_no_col, content_col).persist()
+    try:
+        stats = files.agg(
+            F.count(file_no_col).alias("n"),
+            F.countDistinct(file_no_col).alias("nd"),
+        ).first()
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"write_binary_files: {file_no_col} is not unique "
+                f"({stats['n']} rows, {stats['nd']} distinct) — "
+                "duplicate numbers would silently overwrite each "
+                "other; groupBy upstream first"
+            )
 
-    os.makedirs(out_dir, exist_ok=True)
-    suffix = "." + ext
-    for name in os.listdir(out_dir):
-        if name.startswith(prefix + "-") and name.endswith(suffix):
-            os.unlink(os.path.join(out_dir, name))
+        os.makedirs(out_dir, exist_ok=True)
+        suffix = "." + ext
+        for name in os.listdir(out_dir):
+            if name.startswith(prefix + "-") and name.endswith(suffix):
+                os.unlink(os.path.join(out_dir, name))
 
-    def write_rows(rows) -> None:
-        for r in rows:
-            name = f"{prefix}-{int(r[file_no_col]):05d}.{ext}"
-            with open(os.path.join(out_dir, name), "wb") as f:
-                f.write(bytes(r[content_col]))
+        def write_rows(rows) -> None:
+            for r in rows:
+                name = f"{prefix}-{int(r[file_no_col]):05d}.{ext}"
+                with open(os.path.join(out_dir, name), "wb") as f:
+                    f.write(bytes(r[content_col]))
 
-    files.foreachPartition(write_rows)
+        files.foreachPartition(write_rows)
+    finally:
+        files.unpersist()
     return int(stats["n"])
