@@ -70,6 +70,16 @@ _DEMOTED_ORACLES = (
     # Mirror-checked every pytest run; rotate into the driver window
     # in round 13.
     "avro_roundtrip_orders",
+    # NEW in round 12: RFC 9110 conditional-fetch recrawl — versioned
+    # crawl state stores payloads + ETag/Last-Modified validators,
+    # the plan join emits If-None-Match/If-Modified-Since, wave-2
+    # 304/200/404 WARC responses classify into borrow/store/error
+    # with 304 content borrowed from state by hash join (the X200
+    # revisit shape), and validator-update rows feed the X199 MERGE
+    # (operators/frontier.py conditional_fetch_plan /
+    # classify_fetch_results / validator_updates). Mirror-checked
+    # every pytest run; rotate into the driver window in round 13.
+    "conditional_fetch_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

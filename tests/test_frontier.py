@@ -176,3 +176,163 @@ def test_recrawl_candidates_classification(spark):
         "u/garbage": "fresh",
         "u/equal": "fresh",
     }
+
+
+def test_conditional_fetch_plan_modes(spark):
+    """Validator presence drives the mode: ETag-only, LM-only, and
+    both → conditional (verbatim echo); absent row or a state row
+    with neither validator → unconditional."""
+    from workshoop2_etl_spark.operators.frontier import (
+        conditional_fetch_plan,
+    )
+
+    disc = spark.createDataFrame(
+        [("u/both",), ("u/etag",), ("u/lm",), ("u/none",), ("u/new",)],
+        "url string",
+    )
+    state = spark.createDataFrame(
+        [
+            ("u/both", '"e1"', "Mon, 15 Jan 2024 00:00:00 GMT"),
+            ("u/etag", '"e2"', None),
+            ("u/lm", None, "Tue, 16 Jan 2024 00:00:00 GMT"),
+            ("u/none", None, None),
+        ],
+        "url string, etag string, last_modified string",
+    )
+    out = {
+        r["url"]: r
+        for r in conditional_fetch_plan(
+            disc, state, url_col="url", state_url_col="url"
+        ).collect()
+    }
+    assert out["u/both"]["fetch_mode"] == "conditional"
+    assert out["u/both"]["if_none_match"] == '"e1"'
+    assert out["u/both"]["if_modified_since"].startswith("Mon")
+    assert out["u/etag"]["fetch_mode"] == "conditional"
+    assert out["u/etag"]["if_modified_since"] is None
+    assert out["u/lm"]["fetch_mode"] == "conditional"
+    assert out["u/lm"]["if_none_match"] is None
+    assert out["u/none"]["fetch_mode"] == "unconditional"
+    assert out["u/new"]["fetch_mode"] == "unconditional"
+    assert out["u/new"]["if_none_match"] is None
+
+
+def test_classify_fetch_results_routing(spark):
+    """200 stores its own payload, 304 borrows the state's, 304
+    against a URL with no stored body surfaces NULL content (visible
+    protocol violation), 5xx/4xx → error."""
+    from workshoop2_etl_spark.operators.frontier import (
+        classify_fetch_results,
+    )
+
+    results = spark.createDataFrame(
+        [
+            ("u/changed", 200, bytearray(b"v2")),
+            ("u/same", 304, None),
+            ("u/phantom304", 304, None),
+            ("u/gone", 404, None),
+            ("u/boom", 503, None),
+        ],
+        "url string, http_status int, payload binary",
+    )
+    state = spark.createDataFrame(
+        [("u/changed", bytearray(b"v1")), ("u/same", bytearray(b"v1"))],
+        "url string, payload binary",
+    )
+    out = {
+        r["url"]: r
+        for r in classify_fetch_results(
+            results, state, url_col="url", state_url_col="url"
+        ).collect()
+    }
+    assert out["u/changed"]["outcome"] == "store"
+    assert bytes(out["u/changed"]["content"]) == b"v2"
+    assert out["u/same"]["outcome"] == "borrow"
+    assert bytes(out["u/same"]["content"]) == b"v1"
+    assert out["u/phantom304"]["outcome"] == "borrow"
+    assert out["u/phantom304"]["content"] is None
+    assert out["u/gone"]["outcome"] == "error"
+    assert out["u/boom"]["outcome"] == "error"
+    assert out["u/gone"]["content"] is None
+
+
+def test_validator_updates_two_wave_convergence(spark, tmp_path):
+    """The full loop: plan -> classify -> validator_updates -> MERGE
+    into the versioned state -> the NEXT plan fetches conditionally
+    with the refreshed validators. Error rows never touch the state;
+    a bare 304 keeps (not nulls) the stored validators."""
+    from workshoop2_etl_spark.operators.frontier import (
+        classify_fetch_results,
+        conditional_fetch_plan,
+        validator_updates,
+    )
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_overwrite,
+        create_table,
+        read_version,
+    )
+
+    table = str(tmp_path / "crawlstate")
+    create_table(
+        spark.createDataFrame(
+            [
+                ("u/a", bytearray(b"v1a"), '"ea"', "Mon, 15 Jan 2024 00:00:00 GMT", "2024-01-15"),
+                ("u/b", bytearray(b"v1b"), '"eb"', "Mon, 15 Jan 2024 00:00:00 GMT", "2024-01-15"),
+                ("u/c", bytearray(b"v1c"), '"ec"', "Mon, 15 Jan 2024 00:00:00 GMT", "2024-01-15"),
+            ],
+            "url string, payload binary, etag string, last_modified string, crawled_on string",
+        ),
+        table,
+    )
+    state = read_version(spark, table, None)
+    disc = spark.createDataFrame(
+        [("u/a",), ("u/b",), ("u/c",), ("u/d",)], "url string"
+    )
+    plan = conditional_fetch_plan(
+        disc, state, url_col="url", state_url_col="url"
+    )
+    # wave: a changed (200, new validators), b unchanged (bare 304),
+    # c errored (503), d new (200)
+    results = spark.createDataFrame(
+        [
+            ("u/a", 200, bytearray(b"v2a"), '"fa"', "Thu, 01 Feb 2024 00:00:00 GMT"),
+            ("u/b", 304, None, None, None),
+            ("u/c", 503, None, None, None),
+            ("u/d", 200, bytearray(b"v2d"), '"fd"', "Thu, 01 Feb 2024 00:00:00 GMT"),
+        ],
+        "url string, http_status int, payload binary, etag string, last_modified string",
+    )
+    classified = classify_fetch_results(
+        plan.join(results, "url"), state,
+        url_col="url", state_url_col="url",
+    )
+    upd = validator_updates(
+        classified, url_col="url", crawled_on="2024-02-01"
+    ).withColumn("crawled_on", F.col("crawled_on").cast("string"))
+    # the X199 batch-upsert shape: untouched keys pass left-anti,
+    # updates union in, one snapshot commit
+    merged = state.join(upd, "url", "left_anti").unionByName(upd)
+    commit_overwrite(merged, table)
+    state2 = read_version(spark, table, None)
+    got = {r["url"]: r for r in state2.collect()}
+    assert bytes(got["u/a"]["payload"]) == b"v2a"
+    assert got["u/a"]["etag"] == '"fa"'
+    # bare 304: borrowed content kept, validators NOT nulled
+    assert bytes(got["u/b"]["payload"]) == b"v1b"
+    assert got["u/b"]["etag"] == '"eb"'
+    assert got["u/b"]["crawled_on"] == "2024-02-01"
+    # error: untouched
+    assert got["u/c"]["crawled_on"] == "2024-01-15"
+    # new URL inserted
+    assert bytes(got["u/d"]["payload"]) == b"v2d"
+    # wave 2: every stored URL now plans conditional with the
+    # refreshed validators
+    plan2 = {
+        r["url"]: r
+        for r in conditional_fetch_plan(
+            disc, state2, url_col="url", state_url_col="url"
+        ).collect()
+    }
+    assert plan2["u/a"]["if_none_match"] == '"fa"'
+    assert plan2["u/d"]["fetch_mode"] == "conditional"
+    assert plan2["u/b"]["if_none_match"] == '"eb"'

@@ -428,3 +428,37 @@ def test_export_wet_to_files_roundtrip(spark, tmp_path):
     assert conv == {
         f"http://export.local/page{i}": f"text {i}" for i in range(10)
     }
+
+
+def test_parse_surfaces_cache_validators(spark):
+    """ETag / Last-Modified response headers surface verbatim; 304
+    records parse with empty payloads; records without validators
+    yield NULLs."""
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_blobs,
+        synthesize_warc_record,
+    )
+
+    blob = (
+        synthesize_warc_record(
+            1, "<p>x</p>", host="a.com",
+            etag='W/"abc"', last_modified="Mon, 15 Jan 2024 00:00:00 GMT",
+        )
+        + synthesize_warc_record(2, "<p>y</p>", host="a.com")
+        + synthesize_warc_record(
+            3, "", host="a.com", status=304, etag='"zzz"',
+        )
+    )
+    df = spark.createDataFrame([(bytearray(blob),)], "content binary")
+    rows = {
+        r["target_uri"]: r
+        for r in parse_warc_blobs(df, "content", id_cols=[]).collect()
+    }
+    r1 = rows["http://a.com/page1"]
+    assert r1["etag"] == 'W/"abc"'
+    assert r1["last_modified"] == "Mon, 15 Jan 2024 00:00:00 GMT"
+    r2 = rows["http://a.com/page2"]
+    assert r2["etag"] is None and r2["last_modified"] is None
+    r3 = rows["http://a.com/page3"]
+    assert r3["http_status"] == 304
+    assert r3["etag"] == '"zzz"' and bytes(r3["payload"]) == b""

@@ -217,6 +217,8 @@ def fetch_records_by_index(
             T.StructField("record_id", T.StringType()),
             T.StructField("refers_to", T.StringType()),
             T.StructField("payload_digest", T.StringType()),
+            T.StructField("etag", T.StringType()),
+            T.StructField("last_modified", T.StringType()),
         ]
     )
     cols = [f.name for f in schema.fields]

@@ -63,6 +63,8 @@ def synthesize_warc_record(
     content_encoding: str | None = None,
     chunked: bool = False,
     chunk_size: int = 97,
+    etag: str | None = None,
+    last_modified: str | None = None,
 ) -> bytes:
     """One valid WARC/1.0 ``response`` record: WARC headers (target
     URI ``http://{host}/page{doc_id}``, deterministic record id),
@@ -74,21 +76,31 @@ def synthesize_warc_record(
     carry ``Content-Encoding: gzip|deflate`` (compressed payload)
     and/or ``Transfer-Encoding: chunked`` (hex-size-framed body) —
     both synthesizable here to fixture the decode path; ``status`` /
-    ``location`` synthesize redirect records (3xx + Location)."""
+    ``location`` synthesize redirect records (3xx + Location);
+    ``etag`` / ``last_modified`` emit the RFC 9110 validator headers
+    (round 12 — a ``status=304`` record with an empty body fixtures
+    the conditional-fetch revisit path)."""
     payload = html.encode("utf-8")
     if content_encoding == "gzip":
         payload = gzip_warc_record(payload)  # same gzip-bytes helper
     elif content_encoding == "deflate":
         payload = zlib.compress(payload)
-    reason = {200: "OK", 301: "Moved Permanently", 302: "Found"}.get(
-        status, "Status"
-    )
+    reason = {
+        200: "OK",
+        301: "Moved Permanently",
+        302: "Found",
+        304: "Not Modified",
+    }.get(status, "Status")
     hdrs = [
         f"HTTP/1.1 {status} {reason}".encode("ascii"),
         b"Content-Type: text/html; charset=utf-8",
     ]
     if location is not None:
         hdrs.append(b"Location: " + location.encode("ascii"))
+    if etag is not None:
+        hdrs.append(b"ETag: " + etag.encode("ascii"))
+    if last_modified is not None:
+        hdrs.append(b"Last-Modified: " + last_modified.encode("ascii"))
     if content_encoding:
         hdrs.append(
             b"Content-Encoding: " + content_encoding.encode("ascii")
@@ -291,16 +303,19 @@ def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
 
 def parse_warc_record(rec: bytes):
     """(warc_type, target_uri, http_status, content_type, payload,
-    location, record_id, refers_to, payload_digest) from one record's
-    bytes, or None if it isn't a WARC record. Non-HTTP records
-    (warcinfo, metadata) come back with NULL status and their raw
-    body as payload. HTTP payloads are decoded through
-    :func:`_decode_http_body` (chunked / gzip / deflate); 3xx
-    redirects surface their ``Location`` header so a resolution hop
-    can follow the chain; ``record_id``/``refers_to``/
+    location, record_id, refers_to, payload_digest, etag,
+    last_modified) from one record's bytes, or None if it isn't a
+    WARC record. Non-HTTP records (warcinfo, metadata) come back with
+    NULL status and their raw body as payload. HTTP payloads are
+    decoded through :func:`_decode_http_body` (chunked / gzip /
+    deflate); 3xx redirects surface their ``Location`` header so a
+    resolution hop can follow the chain; ``record_id``/``refers_to``/
     ``payload_digest`` carry the WARC identity headers that
     ``revisit`` records (crawl-time duplicate detection) point
-    through."""
+    through; ``etag``/``last_modified`` carry the RFC 9110 cache
+    validators verbatim (round 12) — what the conditional-fetch
+    recrawl planner (:mod:`operators.frontier`) stores in the crawl
+    state and replays as ``If-None-Match``/``If-Modified-Since``."""
     rec = rec or b""
     if not rec.startswith(b"WARC/"):
         return None
@@ -318,6 +333,8 @@ def parse_warc_record(rec: bytes):
     ctype = wh.get("content-type")
     payload = body
     location = None
+    etag = None
+    last_modified = None
     if body.startswith(b"HTTP/"):
         http_end = body.find(_CRLF2)
         if http_end >= 0:
@@ -328,6 +345,8 @@ def parse_warc_record(rec: bytes):
             hh = _headers(body[:http_end])
             ctype = hh.get("content-type")
             location = hh.get("location")
+            etag = hh.get("etag")
+            last_modified = hh.get("last-modified")
             payload = _decode_http_body(body[http_end + 4 :], hh)
     return (
         warc_type,
@@ -339,6 +358,8 @@ def parse_warc_record(rec: bytes):
         wh.get("warc-record-id"),
         wh.get("warc-refers-to"),
         wh.get("warc-payload-digest"),
+        etag,
+        last_modified,
     )
 
 
@@ -370,6 +391,8 @@ def parse_warc_blobs(
             T.StructField("record_id", T.StringType()),
             T.StructField("refers_to", T.StringType()),
             T.StructField("payload_digest", T.StringType()),
+            T.StructField("etag", T.StringType()),
+            T.StructField("last_modified", T.StringType()),
         ]
     )
 
@@ -403,6 +426,8 @@ def parse_warc_blobs(
                     "record_id",
                     "refers_to",
                     "payload_digest",
+                    "etag",
+                    "last_modified",
                 ],
             )
 
