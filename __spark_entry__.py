@@ -80,6 +80,14 @@ _DEMOTED_ORACLES = (
     # classify_fetch_results / validator_updates). Mirror-checked
     # every pytest run; rotate into the driver window in round 13.
     "conditional_fetch_documents",
+    # NEW in round 12: quality-classifier TRAINING (bounded seeded
+    # driver SGD over Spark-hashed features, the X104 trainer shape)
+    # closing the DCLM/fastText loop into the X159 inference path;
+    # the oracle pins the train->score contract on planted separable
+    # classes (operators/curation.py train_text_classifier).
+    # Mirror-checked every pytest run; rotate into the driver window
+    # in round 13.
+    "quality_train_score_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

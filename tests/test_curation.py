@@ -186,3 +186,72 @@ def test_per_domain_cap_matches_plain_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_train_text_classifier_separable_and_degradation(spark):
+    """Separable planted classes -> 100% train-set accuracy through
+    the real inference path; random (non-separable) labels -> near
+    chance; retraining is bit-deterministic; empty input raises."""
+    import pytest
+
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+        train_text_classifier,
+    )
+
+    words = ["alpha beta", "gamma delta", "epsilon zeta", "eta theta"]
+    rows = [
+        (i, words[i % 4] + (" qgood qgood" if i % 2 == 0 else " qbad qbad"))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    y = F.col("doc_id") % 2 == 0
+    weights, bias = train_text_classifier(
+        df, "doc_id", "text", y, n_buckets=1024, sample_n=120, epochs=8
+    )
+    scored = linear_text_classifier(
+        df, weights, "doc_id", "text", bias=bias, n_buckets=1024
+    )
+    acc = scored.select(
+        (
+            (F.col("score") > 0.5).cast("int")
+            == (F.col("doc_id") % 2 == 0).cast("int")
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert acc == 1.0
+
+    # determinism: identical weights + bias on retrain
+    w2, b2 = train_text_classifier(
+        df, "doc_id", "text", y, n_buckets=1024, sample_n=120, epochs=8
+    )
+    assert b2 == bias
+    assert sorted(map(tuple, weights.collect())) == sorted(
+        map(tuple, w2.collect())
+    )
+
+    # degradation: labels independent of text -> near-chance accuracy
+    # (md5-derived pseudo-label over the id, text carries no signal)
+    noise_y = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) % 2 == 0
+    nrows = [(i, words[i % 4]) for i in range(120)]
+    ndf = spark.createDataFrame(nrows, "doc_id long, text string")
+    nw, nb = train_text_classifier(
+        ndf, "doc_id", "text", noise_y, n_buckets=1024, sample_n=120,
+        epochs=8,
+    )
+    nscored = linear_text_classifier(
+        ndf, nw, "doc_id", "text", bias=nb, n_buckets=1024
+    )
+    nacc = nscored.select(
+        (
+            (F.col("score") > 0.5).cast("int")
+            == F.when(noise_y, 1).otherwise(0)
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert 0.3 <= nacc <= 0.85  # text has only 4 variants: no signal
+
+    with pytest.raises(ValueError, match="empty"):
+        train_text_classifier(
+            df.where("doc_id < 0"), "doc_id", "text", y
+        )
+    with pytest.raises(ValueError, match=">= 1"):
+        train_text_classifier(df, "doc_id", "text", y, sample_n=0)

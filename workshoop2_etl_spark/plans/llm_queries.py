@@ -2881,6 +2881,65 @@ def quality_classifier_documents(
     ).orderBy("doc_id")
 
 
+_TRAIN_SCORE_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 2 = 0 AS INTEGER) AS label,
+       CAST(doc_id % 2 = 0 AS INTEGER) AS pred
+FROM documents ORDER BY doc_id
+"""
+
+
+@_register("quality_train_score_documents", _TRAIN_SCORE_SQL)
+def quality_train_score_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier TRAINING closed end to end (round 12 —
+    VERDICT r11 item 4; operators/curation.py
+    ``train_text_classifier``): planted linearly-separable classes —
+    every even document carries a 'qgood' marker phrase, every odd
+    one 'qbad' — flow through the bounded seeded driver SGD (the
+    X104 trainer shape: deterministic md5-ordered sample, fixed
+    epochs, no RNG, Spark-side feature hashing shared verbatim with
+    inference), and the trained integer-µ-unit (bucket, weight)
+    model scores the WHOLE corpus through the unchanged X159
+    inference path. The oracle states the planted truth table: a
+    separable seed set must come back with every prediction equal to
+    its label — a wrong hash, a train/apply feature-map skew, or a
+    diverging fit all break the match. (The fit itself is iterative
+    and not SQL-expressible; what the oracle pins is the train→score
+    CONTRACT on a closed-form corpus.)"""
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+        train_text_classifier,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    marker = F.when(
+        d % 2 == 0, F.lit(" qgood qgood qgood")
+    ).otherwise(F.lit(" qbad qbad qbad"))
+    marked = docs.select(
+        "doc_id", F.concat(F.col("text"), marker).alias("text2")
+    )
+    weights, bias = train_text_classifier(
+        marked,
+        "doc_id",
+        "text2",
+        (d % 2 == 0),
+        n_buckets=2048,
+        sample_n=600,
+        epochs=8,
+    )
+    scored = linear_text_classifier(
+        marked, weights, "doc_id", "text2", bias=bias, n_buckets=2048
+    )
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (d % 2 == 0).cast("int").alias("label"),
+        (F.col("score") > 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
+
+
 _ALLPAIRS_SQL = r"""
 WITH reg AS (
   SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
