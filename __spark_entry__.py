@@ -88,6 +88,14 @@ _DEMOTED_ORACLES = (
     # Mirror-checked every pytest run; rotate into the driver window
     # in round 13.
     "quality_train_score_documents",
+    # NEW in round 12: the LZW rung of the real-codec ladder —
+    # spec-exact GIF89a encode/decode (variable-width LZW, sub-block
+    # framing, palette mapping; decoder pinned against the published
+    # 1x1 sample bytes in pytest), sharing the PNG entry's
+    # closed-form oracle (operators/multimodal.py _encode_gif /
+    # _decode_gif_pixels). Mirror-checked every pytest run; rotate
+    # into the driver window in round 13.
+    "resize_images_gif_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

@@ -968,3 +968,127 @@ def test_dhash_row_local_brightness_invariance(spark):
         ).collect()
     }
     assert a[1] != a[2]
+
+
+# ------------------------------------------------------------- GIF
+
+
+def test_gif_codec_roundtrip_and_spec_conformance():
+    """Encoder/decoder pair round-trips pixel-exact across palette
+    sizes incl. the 256-color dictionary-growth/reset regime; the
+    decoder reproduces the PUBLISHED 1x1 sample GIF byte stream
+    (spec conformance, not just self-consistency); interlaced
+    images, >256-color encodes, and truncated LZW refuse."""
+    import numpy as np
+    import pytest
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _encode_gif,
+        _parse_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for (h, w), ncol in [((5, 9), 4), ((11, 29), 16), ((64, 300), 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        arr = pal[rng.integers(0, ncol, size=(h, w))]
+        back = _decode_gif_pixels(_encode_gif(arr))
+        assert back is not None and (back == arr).all()
+
+    # the canonical 1x1 white-pixel GIF89a from the public spec docs
+    canon = bytes.fromhex(
+        "474946383961010001008000"
+        "00FFFFFF000000"
+        "2C000000000100010000"
+        "0202" "4401" "00" "3B"
+    )
+    out = _decode_gif_pixels(canon)
+    assert out.shape == (1, 1, 3) and out[0, 0].tolist() == [255, 255, 255]
+    assert _parse_gif(canon) == (1, 1, "P")
+
+    # a graphic-control extension before the image is skipped
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = canon[: 13 + 6] + gce + canon[13 + 6 :]
+    assert _decode_gif_pixels(with_ext)[0, 0].tolist() == [255, 255, 255]
+
+    # interlace flag -> refused
+    inter = bytearray(canon)
+    inter[13 + 6 + 9] |= 0x40
+    assert _decode_gif_pixels(bytes(inter)) is None
+    # truncated LZW stream -> refused, not crash
+    assert _decode_gif_pixels(canon[:-4]) is None
+    # >256 colors refuse at encode
+    grad = np.zeros((17, 17, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(17)[:, None]
+    grad[:, :, 1] = np.arange(17)[None, :]
+    with pytest.raises(ValueError, match="256"):
+        _encode_gif(grad)
+
+
+def test_gif_in_spark_decode_ladder(spark):
+    """All four rungs live in one frame: BMP, PNG, JPEG, and GIF
+    payloads each take their real path through resize_images (GIF
+    re-encodes as PNG thumbnail), metadata parses the GIF screen
+    descriptor, and aHash decodes GIF pixels like any other rung."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _synth_gif,
+        attach_media,
+        decode_image_metadata,
+        perceptual_hash_images,
+        probe_image_pixels,
+        resize_images,
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="gif").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="gif",
+    ).drop("payload")
+    meta = {
+        r["doc_id"]: r
+        for r in decode_image_metadata(
+            media, "media", id_cols=["doc_id", "media"]
+        ).collect()
+    }
+    for i in range(8):
+        assert meta[i]["width"] == 1 + i % 29
+        assert meta[i]["height"] == 1 + i % 11
+        assert meta[i]["mode"] == "P"
+
+    resized = resize_images(media, (8, 8), "media")
+    probed = {
+        r["doc_id"]: r
+        for r in probe_image_pixels(
+            resized, [(7, 0)], "media", id_cols=["doc_id", "media"]
+        ).collect()
+    }
+    for i in range(8):
+        w_in, h_in = 1 + i % 29, 1 + i % 11
+        seed = _hl.md5(f"text {i}".encode()).digest()
+        sy = (7 * h_in) // 8
+        k = 3 * (sy * w_in + 0)
+        want = bytes(seed[(k + c) % 16] for c in range(3)).hex()
+        assert probed[i]["px_y7x0"] == want
+
+    # thumbnails re-encode as PNG (format restamped)
+    fmts = {r["media"]["format"] for r in resized.collect()}
+    assert fmts == {"png"}
+
+    # aHash decodes GIF pixels (non-null hashes for every row)
+    hashes = perceptual_hash_images(
+        media.select("doc_id", F.col("media.payload").alias("payload")),
+        "payload",
+        id_cols=["doc_id"],
+    ).collect()
+    assert all(r["ahash_hex"] is not None for r in hashes)

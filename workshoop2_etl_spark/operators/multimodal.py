@@ -568,6 +568,17 @@ def _encode_jpeg(arr) -> bytes:
     )
 
 
+def _parse_gif(b: bytes) -> tuple[int, int, str] | None:
+    """Parse a GIF87a/89a logical screen descriptor: (width, height,
+    'P') — palette-indexed by definition — or None if not a GIF."""
+    import struct
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", b, 6)
+    return w, h, "P"
+
+
 def _parse_jpeg(b: bytes) -> tuple[int, int, str] | None:
     """Walk the marker stream to the frame header: (width, height,
     mode) or None if not a JPEG. Any SOFn answers the metadata
@@ -889,6 +900,268 @@ def _synth_jpeg(doc_id: int, text: str) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# GIF, stdlib+numpy only (round 12 — the LZW leg of the real-codec
+# ladder, VERDICT r11 missing-item 5: GIFs are common in crawled
+# corpora and the LZW scheme is stdlib-feasible). Hand-rolled from
+# the public GIF89a specification (CompuServe 1990; variable-width
+# LSB-first LZW with CLEAR/EOI codes, 12-bit dictionary cap,
+# 255-byte data sub-blocks, global/local color tables). Decoder
+# takes the FIRST image descriptor (the standard thumbnail
+# semantics for animated files); interlaced images are refused
+# (None), like the PNG leg refuses non-8-bit color types.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_compress(seq: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then dictionary-coded indices in
+    variable-width LSB-first codes (width grows when the next code
+    would not fit, capped at 12 bits; at 4096 entries emit CLEAR and
+    reset), then EOI. Returns the raw code stream (no sub-block
+    framing)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear)
+    prev = b""
+    for ch in seq:
+        cur = prev + bytes([ch])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # mirror of the decoder's growth rule: the decoder bumps its
+        # width after inserting entry (next_code-1), so the encoder
+        # must start using the wider width for the very next code
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table, next_code, width = fresh()
+        prev = cur[-1:]
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, n_expected: int):
+    """Inverse of :func:`_gif_lzw_compress` (the spec decoder incl.
+    the KwKwK first-unseen-code case). Returns a list of pixel
+    indices, or None on a malformed stream (bad code, missing data
+    before ``n_expected`` pixels)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return list(out[:n_expected]) if len(out) >= n_expected else None
+
+
+def _encode_gif(arr) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 ndarray as a single-frame
+    GIF89a with a global color table — real LZW, real sub-block
+    framing, so decode(encode(x)) == x on the pixel grid. Raises for
+    more than 256 distinct colors (GIF is palette-indexed; the
+    caller quantizes first — fixtures are 16-color by construction)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    packed = (
+        arr[:, :, 0].astype(np.int32) << 16
+    ) | (arr[:, :, 1].astype(np.int32) << 8) | arr[:, :, 2]
+    colors, inverse = np.unique(packed.ravel(), return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF encoder: {len(colors)} distinct colors > 256; "
+            "quantize before encoding"
+        )
+    bits = max(1, (len(colors) - 1).bit_length())
+    table_size = 1 << bits
+    pal = bytearray()
+    for c in colors:
+        pal += bytes(((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF))
+    pal += b"\x00" * (3 * (table_size - len(colors)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0))
+    out += pal
+    out += b"," + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    mcs = max(2, bits)
+    out.append(mcs)
+    stream = _gif_lzw_compress(
+        bytes(inverse.astype(np.uint8).ravel()), mcs
+    )
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00;"
+    return bytes(out)
+
+
+def _decode_gif_pixels(b: bytes):
+    """Decode the FIRST image of a GIF87a/89a file to a top-down
+    (h, w, 3) uint8 ndarray, or None for anything else (bad magic,
+    interlaced image, missing color table, truncated/malformed LZW).
+    Walks the block stream — extensions skipped by their sub-block
+    framing — honoring a local color table over the global one."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    _sw, _sh = struct.unpack_from("<HH", b, 6)
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int | None:
+        while True:
+            if p >= len(b):
+                return None
+            ln = b[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    while pos < len(b):
+        tag = b[pos]
+        if tag == 0x3B:  # trailer
+            return None
+        if tag == 0x21:  # extension: label + sub-blocks
+            nxt = skip_subblocks(pos + 2)
+            if nxt is None:
+                return None
+            pos = nxt
+            continue
+        if tag != 0x2C:
+            return None
+        if pos + 10 > len(b):
+            return None
+        _l, _t, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+        iflags = b[pos + 9]
+        pos += 10
+        if iflags & 0x40:  # interlaced — refused, like odd PNG types
+            return None
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            pal = b[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or w == 0 or h == 0 or w * h > (1 << 24):
+            return None
+        if pos >= len(b):
+            return None
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            return None
+        stream = bytearray()
+        while True:
+            if pos >= len(b):
+                return None
+            ln = b[pos]
+            pos += 1
+            if ln == 0:
+                break
+            stream += b[pos : pos + ln]
+            pos += ln
+        idx = _gif_lzw_decompress(bytes(stream), mcs, w * h)
+        if idx is None:
+            return None
+        pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        ia = np.asarray(idx, dtype=np.int64)
+        if ia.max(initial=0) >= len(pal_arr):
+            return None
+        return pal_arr[ia].reshape(h, w, 3)
+    return None
+
+
+def _synth_gif(doc_id: int, text: str) -> bytes:
+    """A real GIF. Same closed form as the PNG fixture — width =
+    1 + doc_id % 29, height = 1 + doc_id % 11, channel c of pixel
+    (y, x) = md5(text) digest byte (3·(y·w+x)+c) mod 16 — which by
+    construction uses at most 16 distinct colors (the 16-byte digest
+    cycles through 16 RGB triples since gcd(3,16)=1), so the
+    palette-indexed format holds it exactly and the PNG oracle math
+    replays verbatim on the decoded pixels."""
+    import numpy as np
+
+    w, h = 1 + doc_id % 29, 1 + doc_id % 11
+    seed = hashlib.md5((text or "").encode()).digest()
+    n = 3 * w * h
+    flat = np.frombuffer(
+        (seed * (n // len(seed) + 1))[:n], dtype=np.uint8
+    )
+    return _encode_gif(flat.reshape(h, w, 3))
+
+
 #: Magic prefix of the synthetic video container: an INDEXED
 #: concatenation of real BMP frames — ``VID0`` + u32 frame count +
 #: u32 per-frame byte lengths + the frames themselves. Trivially
@@ -1176,6 +1449,7 @@ def synthesize_media_payload(
         "bmp": _synth_bmp,
         "png": _synth_png,
         "jpeg": _synth_jpeg,
+        "gif": _synth_gif,
         "wav": _synth_wav,
         "adpcm": _synth_adpcm_wav,
         "video": _synth_video,
@@ -1369,6 +1643,9 @@ def decode_image_metadata(
             jpg = _parse_jpeg(b)
             if jpg is not None:
                 return jpg
+            gif = _parse_gif(b)
+            if gif is not None:
+                return gif
             if have_pil:  # pragma: no cover
                 from PIL import Image
 
@@ -1435,6 +1712,13 @@ def resize_images(
                     if arr is not None or png_arr is not None
                     else _decode_jpeg_pixels(b)
                 )
+                gif_arr = (
+                    None
+                    if arr is not None
+                    or png_arr is not None
+                    or jpg_arr is not None
+                    else _decode_gif_pixels(b)
+                )
                 if arr is not None:
                     out = _encode_bmp(_resize_nearest(arr, w, h))
                     fmt = m["format"]
@@ -1451,6 +1735,14 @@ def resize_images(
                     # PNG thumbnails of JPEG sources are standard
                     # practice anyway (format restamped below).
                     out = _encode_png(_resize_nearest(jpg_arr, w, h))
+                    fmt = "png"
+                elif gif_arr is not None:
+                    # LZW real path (round 12): full GIF decode →
+                    # resample → lossless PNG re-encode (a thumbnail
+                    # may exceed 256 colors after resampling foreign
+                    # inputs, so the palette format isn't guaranteed
+                    # round-trippable; PNG always is).
+                    out = _encode_png(_resize_nearest(gif_arr, w, h))
                     fmt = "png"
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
@@ -1507,6 +1799,8 @@ def probe_image_pixels(
                 arr = _decode_png_pixels(b)
             if arr is None:
                 arr = _decode_jpeg_pixels(b)
+            if arr is None:
+                arr = _decode_gif_pixels(b)
             vals = []
             for y, x in points:
                 if arr is None or y >= arr.shape[0] or x >= arr.shape[1]:
@@ -1735,6 +2029,8 @@ def _gray_cells(b: bytes, rows: int, cols: int):
         arr = _decode_png_pixels(b or b"")
     if arr is None:
         arr = _decode_jpeg_pixels(b or b"")
+    if arr is None:
+        arr = _decode_gif_pixels(b or b"")
     if arr is None:
         return None
     gray = arr.astype(np.int64).sum(axis=-1) // 3
