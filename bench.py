@@ -263,7 +263,10 @@ def _superlinear_pair(
 
 
 def _superlinear_flags(
-    repo_dir: str, sf: float | None, shuffle_bytes: dict
+    repo_dir: str,
+    sf: float | None,
+    shuffle_bytes: dict,
+    cpus: int | None = None,
 ) -> dict:
     """Compare this run's per-query shuffle bytes against the nearest
     SMALLER scale factor recorded in BENCH_SHUFFLE.json (merged across
@@ -276,7 +279,14 @@ def _superlinear_flags(
     >1.5-slope steepeners sat unflagged in the history the gate
     itself carried). Those history-pair flags use recorded bytes on
     both sides — shuffle bytes are plan-deterministic, so a stale
-    top point still indicts the plan shape, not the session."""
+    top point still indicts the plan shape, not the session.
+
+    Scale points are tagged with the ``cpus`` that recorded them
+    (the ``_cpus`` sidecar key; round 12: local[N] changes partition
+    counts and hence map-side-emission bytes at small sf, so an
+    8-CPU point must never be slope-compared against a 32-CPU one).
+    Mismatched-cpus points are excluded from comparisons; this run's
+    bytes overwrite its sf point and retag it."""
     path = os.path.join(repo_dir, "BENCH_SHUFFLE.json")
     history: dict = {}
     if os.path.exists(path):
@@ -285,10 +295,19 @@ def _superlinear_flags(
                 history = json.load(f)
         except Exception as exc:  # pragma: no cover
             print(f"shuffle history unreadable: {exc}", file=sys.stderr)
+    cpus_tags: dict = history.get("_cpus", {})
+
+    def _comparable(s: str) -> bool:
+        tag = cpus_tags.get(s)
+        return cpus is None or tag is None or tag == cpus
+
     flags: dict[str, dict] = {}
     if sf is not None:
+        sf_keys = [s for s in history if s != "_cpus"]
         smaller = [
-            float(s) for s in history if s != str(sf) and float(s) < sf
+            float(s)
+            for s in sf_keys
+            if s != str(sf) and float(s) < sf and _comparable(s)
         ]
         if smaller:
             base_sf = max(smaller)
@@ -304,10 +323,17 @@ def _superlinear_flags(
         history[str(sf)] = {
             k: v for k, v in shuffle_bytes.items() if v is not None
         }
+        if cpus is not None:
+            cpus_tags[str(sf)] = cpus
+            history["_cpus"] = cpus_tags
         # largest recorded pair (e.g. 0.1→0.3 while running at 0.1):
         # only when the top point is ABOVE this run's sf — otherwise
         # the run-vs-smaller comparison above already covered it.
-        all_sfs = sorted(float(s) for s in history)
+        all_sfs = sorted(
+            float(s)
+            for s in history
+            if s != "_cpus" and _comparable(s)
+        )
         if len(all_sfs) >= 2 and all_sfs[-1] > sf:
             b, t = all_sfs[-2], all_sfs[-1]
             for name, fl in _superlinear_pair(
@@ -338,6 +364,7 @@ def _regression_flags(
     machine_factor: float,
     pinned: dict | None = None,
     stream_split: dict | None = None,
+    cpus: int | None = None,
 ) -> dict:
     """Per-query wall-time regression flags vs the previous detail
     artifact — only comparable at the same scale factor, and both
@@ -356,10 +383,25 @@ def _regression_flags(
     ``streaming_*`` entries with a recorded activation/processing
     split compare PROCESSING time when both rounds have it (r9: the
     streaming family produced the wildest flag noise — 16.6→4.4 s
-    fresh-session spreads — almost entirely start/stop overhead)."""
+    fresh-session spreads — almost entirely start/stop overhead).
+
+    A previous detail recorded at a DIFFERENT ``cpus`` is
+    non-comparable, like a different sf (round 12: an 8-CPU
+    verification run against the 32-CPU base produced 29 phantom
+    flags — local[N] changes partition counts, per-task overheads,
+    and even shuffle bytes at smoke scale). A pre-round-12 artifact
+    without a ``cpus`` field compares (best evidence available)."""
     pinned = pinned or {}
     stream_split = stream_split or {}
-    comparable = isinstance(previous, dict) and previous.get("sf") == sf
+    comparable = (
+        isinstance(previous, dict)
+        and previous.get("sf") == sf
+        and (
+            cpus is None
+            or previous.get("cpus") is None
+            or previous.get("cpus") == cpus
+        )
+    )
     prev_q = previous.get("queries", {}) if comparable else {}
     prev_factor = 1.0
     if comparable:
@@ -638,7 +680,7 @@ def main() -> None:
     # noise clears itself and only pin-surviving flags reach the
     # artifact. Survivors are then genuine leads by construction.
     provisional = _regression_flags(
-        times, previous, sf, machine_factor, {}, stream_split
+        times, previous, sf, machine_factor, {}, stream_split, cpus
     )
     for name in provisional:
         if name in ok_times and name not in pin_names:
@@ -700,7 +742,7 @@ def main() -> None:
                 )
 
     regressions = _regression_flags(
-        times, previous, sf, machine_factor, pinned, stream_split
+        times, previous, sf, machine_factor, pinned, stream_split, cpus
     )
     # Adjudication annotation (round 12): a wall-time flag whose
     # shuffle bytes are BYTE-IDENTICAL to the previous round's is the
@@ -710,7 +752,9 @@ def main() -> None:
     # entry for everything else.
     prev_queries = (
         previous.get("queries", {})
-        if isinstance(previous, dict) and previous.get("sf") == sf
+        if isinstance(previous, dict)
+        and previous.get("sf") == sf
+        and previous.get("cpus") in (None, cpus)
         else {}
     )
     for name, r in regressions.items():
@@ -729,7 +773,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    superlinear = _superlinear_flags(repo_dir, sf, shuffle_bytes)
+    superlinear = _superlinear_flags(repo_dir, sf, shuffle_bytes, cpus)
 
     n_failed = sum(1 for v in times.values() if v is None)
     detail = {

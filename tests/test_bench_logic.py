@@ -366,3 +366,48 @@ def test_pin_extra_env_parsing():
     finally:
         del os.environ["SPARK_GRAFT_PIN_EXTRA"]
     assert pin_names == ["b", "c"]
+
+
+def test_cross_cpus_artifacts_not_comparable(tmp_path):
+    """A previous detail recorded at a different local[N] must not
+    feed the regression gate (29 phantom flags in round 12), and a
+    shuffle point tagged with different cpus is excluded from slope
+    comparisons while this run's point retags its sf."""
+    import bench
+
+    prev = {
+        "sf": 0.01,
+        "cpus": 32,
+        "queries": {"q": {"sec": 0.3}},
+        "calibration": {"machine_factor": 1.0},
+    }
+    # same wall time that WOULD flag under a comparable base
+    assert bench._regression_flags(
+        {"q": 3.0}, prev, 0.01, 1.0, cpus=8
+    ) == {}
+    assert bench._regression_flags({"q": 3.0}, prev, 0.01, 1.0, cpus=32)
+    # pre-round-12 artifact without cpus still compares
+    del prev["cpus"]
+    assert bench._regression_flags({"q": 3.0}, prev, 0.01, 1.0, cpus=8)
+
+    m = 1024 * 1024
+    hist = {
+        "0.01": {"q": 5 * m},
+        "_cpus": {"0.01": 32},
+    }
+    (tmp_path / "BENCH_SHUFFLE.json").write_text(json.dumps(hist))
+    # 9x bytes for 10x scale would be fine; 9x for... make it flag
+    # under comparable cpus: 200x bytes for 10x scale
+    flags8 = bench._superlinear_flags(
+        str(tmp_path), 0.1, {"q": 1000 * m}, cpus=8
+    )
+    assert flags8 == {}  # 32-cpu base excluded for an 8-cpu run
+    merged = json.loads((tmp_path / "BENCH_SHUFFLE.json").read_text())
+    assert merged["_cpus"]["0.1"] == 8 and merged["0.1"] == {"q": 1000 * m}
+    # rewrite base as 8-cpu -> comparison happens and flags
+    merged["_cpus"]["0.01"] = 8
+    (tmp_path / "BENCH_SHUFFLE.json").write_text(json.dumps(merged))
+    flags = bench._superlinear_flags(
+        str(tmp_path), 0.1, {"q": 1000 * m}, cpus=8
+    )
+    assert list(flags) == ["q"]
