@@ -285,9 +285,11 @@ def test_avro_refusals(spark, tmp_path):
     )
     from workshoop2_etl_spark.sources.writers import write_avro
 
-    arr = spark.createDataFrame([([1, 2],)], "a array<long>")
+    # arrays/structs/decimals are supported since the round-12
+    # lattice extension — maps remain outside it
+    mp = spark.createDataFrame([({"a": 1},)], "m map<string,long>")
     with pytest.raises(ValueError, match="unsupported Spark type"):
-        write_avro(arr, str(tmp_path / "arr"))
+        write_avro(mp, str(tmp_path / "mp"))
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="codec"):
         write_avro(df, str(tmp_path / "z"), codec="snappy")
@@ -326,3 +328,64 @@ def test_avro_schema_enforced_across_files(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_avro(spark, out, wrong).collect()
+
+
+def test_avro_nested_decimal_roundtrip(spark, tmp_path):
+    """Round-12 lattice extension: decimals (the Kafka/CDC money
+    type), arrays (nullable and non-null elements), and nested
+    records with their own arrays/timestamps survive the container
+    round trip value-exact, with nested nullability preserved in
+    the reconstructed schema."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from workshoop2_etl_spark.sources.readers import read_avro
+    from workshoop2_etl_spark.sources.writers import write_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("tags", T.ArrayType(T.StringType(), True)),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.IntegerType(), True),
+                        T.StructField("ts", T.TimestampNTZType(), True),
+                        T.StructField(
+                            "inner",
+                            T.ArrayType(T.DoubleType(), True),
+                            True,
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (
+            1,
+            _dec.Decimal("12.34"),
+            ["x", None, "y"],
+            (5, _dt.datetime(2024, 1, 2, 3, 4, 5, 123456), [1.5, None]),
+        ),
+        (2, _dec.Decimal("-0.05"), [], (None, None, None)),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "nested")
+    write_avro(df.coalesce(1), out)
+    back = read_avro(spark, out)
+    assert [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in schema.fields]
+    got = sorted(back.collect(), key=lambda r: r.k)
+    want = sorted(df.collect(), key=lambda r: r.k)
+    assert got == want
+    # maps stay refused with the type named
+    import pytest
+
+    mp = spark.createDataFrame([({"a": 1},)], "m map<string,long>")
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        write_avro(mp, str(tmp_path / "m"))

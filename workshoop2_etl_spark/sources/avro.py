@@ -23,12 +23,15 @@ does) — callers on shared storage pass an explicit schema instead.
 Supported lattice (both directions): boolean, int, long, float,
 double, string, bytes, date (``int``/``date``), timestamp
 (``long``/``timestamp-micros``), timestamp_ntz
-(``long``/``local-timestamp-micros``), each alone or in a
-``["null", T]`` union. Container codecs: ``null`` and ``deflate``
-(raw DEFLATE, wbits=-15, per the spec). Everything else —
-decimal/duration logicals, nested records, arrays, maps, enums,
-fixed, multi-branch unions, snappy/zstd codecs — raises up front
-with the offending type named.
+(``long``/``local-timestamp-micros``), decimal
+(``bytes``/``decimal`` — two's-complement unscaled int, the Kafka/
+CDC money type), plus ARRAYS and NESTED RECORDS of all of those to
+any depth (block-encoded arrays incl. the negative-count form on
+read; nested fields honor their declared nullability) — each alone
+or in a ``["null", T]`` union. Container codecs: ``null`` and
+``deflate`` (raw DEFLATE, wbits=-15, per the spec). Everything
+else — maps, enums, fixed, duration, multi-branch unions,
+snappy/zstd codecs — raises up front with the offending type named.
 
 Reference parity: none (the reference is a pandas/MySQL BI project
 with no Avro IO — this is part of the engine-extension surface).
@@ -59,9 +62,11 @@ _SPARK_TO_AVRO = (
 )
 
 
-def _avro_type(dt: T.DataType):
-    """Spark type → Avro schema fragment (primitive name or logical
-    dict). Raises for anything outside the supported lattice."""
+def _avro_type(dt: T.DataType, path: str = "r"):
+    """Spark type → Avro schema fragment (primitive name, logical
+    dict, array, or nested record — ``path`` seeds the unique record
+    names the spec requires). Raises for anything outside the
+    supported lattice."""
     for cls, name in _SPARK_TO_AVRO:
         if type(dt) is cls:
             return name
@@ -71,26 +76,71 @@ def _avro_type(dt: T.DataType):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if type(dt) is T.TimestampNTZType:
         return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if type(dt) is T.DecimalType:
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if type(dt) is T.ArrayType:
+        items = _avro_type(dt.elementType, path + "_item")
+        return {
+            "type": "array",
+            "items": ["null", items] if dt.containsNull else items,
+        }
+    if type(dt) is T.StructType:
+        return {
+            "type": "record",
+            "name": path,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": (
+                        ["null", _avro_type(f.dataType, f"{path}_{f.name}")]
+                        if f.nullable
+                        else _avro_type(f.dataType, f"{path}_{f.name}")
+                    ),
+                }
+                for f in dt.fields
+            ],
+        }
     raise ValueError(
         f"unsupported Spark type for Avro IO: {dt.simpleString()} "
         "(supported: boolean/int/long/float/double/string/binary/"
-        "date/timestamp/timestamp_ntz)"
+        "date/timestamp/timestamp_ntz/decimal, plus arrays and "
+        "nested structs of those)"
     )
 
 
 def avro_schema_json(schema: T.StructType, *, name: str = "row") -> str:
-    """Spark struct → Avro record schema JSON. Every field is written
-    as a ``["null", T]`` union because Spark columns are nullable."""
+    """Spark struct → Avro record schema JSON. Every top-level field
+    is written as a ``["null", T]`` union because Spark columns are
+    nullable; nested struct fields and array elements honor their
+    declared nullable/containsNull flags."""
     return json.dumps(
         {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": f.name, "type": ["null", _avro_type(f.dataType)]}
+                {
+                    "name": f.name,
+                    "type": ["null", _avro_type(f.dataType, f"r_{f.name}")],
+                }
                 for f in schema.fields
             ],
         }
     )
+
+
+def _nullable_branch(t) -> tuple:
+    """Split a type fragment into (non-null fragment, nullable)."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported Avro union: {t!r}")
+        return branches[0], "null" in t
+    return t, False
 
 
 def _branch_spark_type(t) -> T.DataType:
@@ -109,6 +159,21 @@ def _branch_spark_type(t) -> T.DataType:
             return T.TimestampType()
         if logical == "local-timestamp-micros" and base == "long":
             return T.TimestampNTZType()
+        if logical == "decimal" and base == "bytes":
+            return T.DecimalType(
+                int(t.get("precision", 38)), int(t.get("scale", 0))
+            )
+        if base == "array":
+            item, item_null = _nullable_branch(t["items"])
+            return T.ArrayType(_branch_spark_type(item), item_null)
+        if base == "record":
+            fields = []
+            for f in t["fields"]:
+                ft, fnull = _nullable_branch(f["type"])
+                fields.append(
+                    T.StructField(f["name"], _branch_spark_type(ft), fnull)
+                )
+            return T.StructType(fields)
         if logical is None:
             return _branch_spark_type(base)
         raise ValueError(
@@ -127,16 +192,7 @@ def spark_schema_of(avro_schema: dict | str) -> T.StructType:
         raise ValueError("top-level Avro schema must be a record")
     fields = []
     for f in avro_schema["fields"]:
-        t = f["type"]
-        nullable = False
-        if isinstance(t, list):
-            branches = [b for b in t if b != "null"]
-            nullable = "null" in t
-            if len(branches) != 1:
-                raise ValueError(
-                    f"unsupported Avro union for field {f['name']!r}: {t!r}"
-                )
-            t = branches[0]
+        t, nullable = _nullable_branch(f["type"])
         fields.append(
             T.StructField(f["name"], _branch_spark_type(t), nullable)
         )
@@ -223,6 +279,11 @@ def _read_meta_map(r: _Reader) -> dict[bytes, bytes]:
 # dates as integer days — exact, engine-neutral.
 
 
+def _isna_scalar(x) -> bool:
+    """NA check safe for nested values (lists/dicts are never NA)."""
+    return x is None or (isinstance(x, float) and x != x)
+
+
 def _enc_value(out: bytearray, v, dt: T.DataType) -> None:
     t = type(dt)
     if t in (T.LongType, T.IntegerType):
@@ -240,16 +301,56 @@ def _enc_value(out: bytearray, v, dt: T.DataType) -> None:
     elif t is T.DateType:
         _wlong(out, (v - _EPOCH_DATE).days)
     elif t in (T.TimestampType, T.TimestampNTZType):
-        # pandas Timestamp: .value is integer nanoseconds
-        _wlong(out, int(v.value) // 1000)
+        if hasattr(v, "value"):  # pandas Timestamp: ns
+            _wlong(out, int(v.value) // 1000)
+        else:  # plain datetime (nested struct/array values)
+            _wlong(
+                out,
+                (v - datetime.datetime(1970, 1, 1))
+                // datetime.timedelta(microseconds=1),
+            )
+    elif t is T.DecimalType:
+        # unscaled int as minimal-ish two's-complement big-endian
+        # (an extra sign byte is spec-legal and decodes identically)
+        unscaled = int(v.scaleb(dt.scale))
+        _wbytes(
+            out,
+            unscaled.to_bytes(
+                unscaled.bit_length() // 8 + 1, "big", signed=True
+            ),
+        )
+    elif t is T.ArrayType:
+        items = list(v)
+        if items:
+            _wlong(out, len(items))
+            for x in items:
+                if dt.containsNull:
+                    if _isna_scalar(x):
+                        _wlong(out, 0)
+                        continue
+                    _wlong(out, 1)
+                _enc_value(out, x, dt.elementType)
+        _wlong(out, 0)
+    elif t is T.StructType:
+        # Arrow hands structs to pandas as dicts; Rows also map-index
+        for f in dt.fields:
+            x = v[f.name]
+            if f.nullable:
+                if _isna_scalar(x):
+                    _wlong(out, 0)
+                    continue
+                _wlong(out, 1)
+            _enc_value(out, x, f.dataType)
     else:  # pragma: no cover — schema validated up front
         raise ValueError(f"unsupported type {dt}")
 
 
 def _dec_value(r: _Reader, dt: T.DataType):
     t = type(dt)
-    if t in (T.LongType, T.IntegerType, T.DateType):
+    if t in (T.LongType, T.IntegerType):
         return r.long()
+    if t is T.DateType:
+        return _EPOCH_DATE + datetime.timedelta(days=r.long())
     if t is T.DoubleType:
         return struct.unpack("<d", r.raw(8))[0]
     if t is T.FloatType:
@@ -261,7 +362,36 @@ def _dec_value(r: _Reader, dt: T.DataType):
     if t is T.BinaryType:
         return r.bytes_()
     if t in (T.TimestampType, T.TimestampNTZType):
-        return r.long()
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=r.long()
+        )
+    if t is T.DecimalType:
+        import decimal
+
+        unscaled = int.from_bytes(r.bytes_(), "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-dt.scale)
+    if t is T.ArrayType:
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # negative block count: abs + byte-size long
+                n = -n
+                r.long()
+            for _ in range(n):
+                if dt.containsNull and r.long() == 0:
+                    out.append(None)
+                else:
+                    out.append(_dec_value(r, dt.elementType))
+    if t is T.StructType:
+        row = {}
+        for f in dt.fields:
+            if f.nullable and r.long() == 0:
+                row[f.name] = None
+            else:
+                row[f.name] = _dec_value(r, f.dataType)
+        return row
     raise ValueError(f"unsupported type {dt}")  # pragma: no cover
 
 
@@ -392,23 +522,13 @@ def decode_pandas(blob: bytes, schema: T.StructType | None = None):
         elif t is T.IntegerType:
             out[f.name] = pd.array(vals, dtype="Int32")
         elif t in (T.TimestampType, T.TimestampNTZType):
-            out[f.name] = pd.to_datetime(
-                pd.array(vals, dtype="Int64"), unit="us"
-            )
-        elif t is T.DateType:
-            out[f.name] = pd.Series(
-                [
-                    None
-                    if v is None
-                    else _EPOCH_DATE + datetime.timedelta(days=v)
-                    for v in vals
-                ],
-                dtype="object",
-            )
+            # decoded values are datetime objects (µs-exact)
+            out[f.name] = pd.to_datetime(pd.Series(vals, dtype="object"))
         elif t is T.DoubleType:
             out[f.name] = pd.array(vals, dtype="float64")
         elif t is T.FloatType:
             out[f.name] = pd.array(vals, dtype="float32")
         else:
+            # dates, decimals, arrays, structs, strings, bytes, bools
             out[f.name] = pd.Series(vals, dtype="object")
     return pd.DataFrame(out), schema
