@@ -285,11 +285,15 @@ def test_avro_refusals(spark, tmp_path):
     )
     from workshoop2_etl_spark.sources.writers import write_avro
 
-    # arrays/structs/decimals are supported since the round-12
-    # lattice extension — maps remain outside it
-    mp = spark.createDataFrame([({"a": 1},)], "m map<string,long>")
-    with pytest.raises(ValueError, match="unsupported Spark type"):
+    # arrays/structs/decimals/string-keyed maps are supported since
+    # the round-12 lattice extension — non-string map keys and
+    # interval types remain outside it
+    mp = spark.createDataFrame([({1: 1},)], "m map<long,long>")
+    with pytest.raises(ValueError, match="string keys"):
         write_avro(mp, str(tmp_path / "mp"))
+    iv = spark.sql("SELECT INTERVAL '1' YEAR AS iv")
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        write_avro(iv, str(tmp_path / "iv"))
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="codec"):
         write_avro(df, str(tmp_path / "z"), codec="snappy")
@@ -383,9 +387,20 @@ def test_avro_nested_decimal_roundtrip(spark, tmp_path):
     got = sorted(back.collect(), key=lambda r: r.k)
     want = sorted(df.collect(), key=lambda r: r.k)
     assert got == want
-    # maps stay refused with the type named
-    import pytest
 
-    mp = spark.createDataFrame([({"a": 1},)], "m map<string,long>")
-    with pytest.raises(ValueError, match="unsupported Spark type"):
-        write_avro(mp, str(tmp_path / "m"))
+    # string-keyed maps round-trip too (entries key-sorted on write
+    # for byte-deterministic files; NULL values and empty/NULL maps)
+    mschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("props", T.MapType(T.StringType(), T.LongType(), True)),
+        ]
+    )
+    mdf = spark.createDataFrame(
+        [(1, {"b": 2, "a": 1, "z": None}), (2, {}), (3, None)], mschema
+    )
+    mout = str(tmp_path / "maps")
+    write_avro(mdf.coalesce(1), mout)
+    mback = {r.k: r.props for r in read_avro(spark, mout).collect()}
+    assert mback[1] == {"a": 1, "b": 2, "z": None}
+    assert mback[2] == {} and mback[3] is None

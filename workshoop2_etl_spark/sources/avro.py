@@ -25,13 +25,15 @@ double, string, bytes, date (``int``/``date``), timestamp
 (``long``/``timestamp-micros``), timestamp_ntz
 (``long``/``local-timestamp-micros``), decimal
 (``bytes``/``decimal`` — two's-complement unscaled int, the Kafka/
-CDC money type), plus ARRAYS and NESTED RECORDS of all of those to
-any depth (block-encoded arrays incl. the negative-count form on
-read; nested fields honor their declared nullability) — each alone
-or in a ``["null", T]`` union. Container codecs: ``null`` and
-``deflate`` (raw DEFLATE, wbits=-15, per the spec). Everything
-else — maps, enums, fixed, duration, multi-branch unions,
-snappy/zstd codecs — raises up front with the offending type named.
+CDC money type), plus ARRAYS, string-keyed MAPS, and NESTED RECORDS
+of all of those to any depth (block-encoded containers incl. the
+negative-count form on read; nested fields honor their declared
+nullability; map entries write key-sorted so re-runs stay
+byte-identical) — each alone or in a ``["null", T]`` union.
+Container codecs: ``null`` and ``deflate`` (raw DEFLATE, wbits=-15,
+per the spec). Everything else — non-string map keys, enums, fixed,
+duration, multi-branch unions, snappy/zstd codecs — raises up front
+with the offending type named.
 
 Reference parity: none (the reference is a pandas/MySQL BI project
 with no Avro IO — this is part of the engine-extension surface).
@@ -89,6 +91,17 @@ def _avro_type(dt: T.DataType, path: str = "r"):
             "type": "array",
             "items": ["null", items] if dt.containsNull else items,
         }
+    if type(dt) is T.MapType:
+        if type(dt.keyType) is not T.StringType:
+            raise ValueError(
+                "Avro maps have string keys by definition; got key type "
+                f"{dt.keyType.simpleString()}"
+            )
+        values = _avro_type(dt.valueType, path + "_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dt.valueContainsNull else values,
+        }
     if type(dt) is T.StructType:
         return {
             "type": "record",
@@ -108,8 +121,8 @@ def _avro_type(dt: T.DataType, path: str = "r"):
     raise ValueError(
         f"unsupported Spark type for Avro IO: {dt.simpleString()} "
         "(supported: boolean/int/long/float/double/string/binary/"
-        "date/timestamp/timestamp_ntz/decimal, plus arrays and "
-        "nested structs of those)"
+        "date/timestamp/timestamp_ntz/decimal, plus arrays, "
+        "string-keyed maps, and nested structs of those)"
     )
 
 
@@ -166,6 +179,11 @@ def _branch_spark_type(t) -> T.DataType:
         if base == "array":
             item, item_null = _nullable_branch(t["items"])
             return T.ArrayType(_branch_spark_type(item), item_null)
+        if base == "map":
+            val, val_null = _nullable_branch(t["values"])
+            return T.MapType(
+                T.StringType(), _branch_spark_type(val), val_null
+            )
         if base == "record":
             fields = []
             for f in t["fields"]:
@@ -331,6 +349,21 @@ def _enc_value(out: bytearray, v, dt: T.DataType) -> None:
                     _wlong(out, 1)
                 _enc_value(out, x, dt.elementType)
         _wlong(out, 0)
+    elif t is T.MapType:
+        # deterministic bytes: entries sorted by key (Avro map order
+        # is unspecified, so the writer picks the reproducible one)
+        entries = sorted(dict(v).items())
+        if entries:
+            _wlong(out, len(entries))
+            for k, x in entries:
+                _wbytes(out, str(k).encode("utf-8"))
+                if dt.valueContainsNull:
+                    if _isna_scalar(x):
+                        _wlong(out, 0)
+                        continue
+                    _wlong(out, 1)
+                _enc_value(out, x, dt.valueType)
+        _wlong(out, 0)
     elif t is T.StructType:
         # Arrow hands structs to pandas as dicts; Rows also map-index
         for f in dt.fields:
@@ -384,6 +417,21 @@ def _dec_value(r: _Reader, dt: T.DataType):
                     out.append(None)
                 else:
                     out.append(_dec_value(r, dt.elementType))
+    if t is T.MapType:
+        m = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return m
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.bytes_().decode("utf-8")
+                if dt.valueContainsNull and r.long() == 0:
+                    m[k] = None
+                else:
+                    m[k] = _dec_value(r, dt.valueType)
     if t is T.StructType:
         row = {}
         for f in dt.fields:
