@@ -100,6 +100,14 @@ _DEMOTED_ORACLES = (
     # _decode_gif_pixels). Mirror-checked every pytest run; rotate
     # into the driver window in round 13.
     "resize_images_gif_documents",
+    # NEW in round 12: versioned-table SCHEMA EVOLUTION — manifests
+    # record each version's schema, reads plan with it (old files
+    # NULL-fill added columns, time travel pins per-version column
+    # sets), commit_append enforces the compatibility contract with
+    # an explicit merge_schema opt-in (sources/versioned.py).
+    # Mirror-checked every pytest run; rotate into the driver window
+    # in round 13.
+    "schema_evolution_orders",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

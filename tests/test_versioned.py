@@ -444,3 +444,61 @@ def test_foreach_batch_upsert_through_restarted_stream(spark, tmp_path):
     assert {
         r["url"]: r["content"] for r in read_version(spark, t).collect()
     } == {"u1": "a", "u2": "B2"}
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """ADD COLUMN semantics (round 12): an append with a new column
+    requires the merge_schema opt-in, old files read the new column
+    as NULL, time travel pins each version's own column set, and
+    rollback restores the old schema."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_append,
+        create_table,
+        read_version,
+        rollback,
+    )
+
+    t = str(tmp_path / "evo")
+    v0_df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    create_table(v0_df, t)
+
+    widened = spark.createDataFrame(
+        [(3, "c", "web")], "k long, v string, channel string"
+    )
+    # silent widening refused without the opt-in
+    with pytest.raises(ValueError, match="merge_schema"):
+        commit_append(widened, t)
+    v1 = commit_append(widened, t, merge_schema=True)
+
+    latest = read_version(spark, t, v1)
+    assert latest.columns == ["k", "v", "channel"]
+    got = {r.k: r.channel for r in latest.collect()}
+    assert got == {1: None, 2: None, 3: "web"}  # old files NULL-fill
+
+    # time travel pins v0's schema: no channel column there
+    assert read_version(spark, t, 0).columns == ["k", "v"]
+
+    # identical-schema appends still work, and the evolved schema
+    # persists for batches WITHOUT the new column? No — a missing
+    # column is a drop relative to the evolved schema and refuses.
+    with pytest.raises(ValueError, match="missing columns"):
+        commit_append(v0_df, t)
+    # the caller's fix is explicit NULL-filling, which appends fine
+    filled = v0_df.withColumn("channel", F.lit(None).cast("string"))
+    commit_append(filled, t)
+
+    # retyping refuses outright
+    retyped = spark.createDataFrame(
+        [(9, "x", 1.0)], "k long, v string, channel double"
+    )
+    with pytest.raises(ValueError, match="retyped"):
+        commit_append(retyped, t)
+
+    # rollback to v0 restores the pre-evolution schema
+    rollback(t, 0)
+    assert read_version(spark, t).columns == ["k", "v"]

@@ -886,6 +886,57 @@ def versioned_timetravel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SCHEMA_EVO_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'web' AS channel
+FROM orders WHERE o_orderkey % 10 = 5
+ORDER BY o_orderkey
+"""
+
+
+@_register("schema_evolution_orders", _SCHEMA_EVO_SQL)
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table SCHEMA EVOLUTION end to end (round 12 —
+    sources/versioned.py: manifests record each version's schema and
+    reads plan with it): v0 holds an orders slice WITHOUT the
+    ``channel`` column; v1 appends a second slice WITH it under the
+    explicit ``merge_schema=True`` opt-in (the unguarded append
+    refuses — pytest pins that plus retype/drop refusals and
+    per-version schema pinning). The latest read must NULL-fill the
+    new column for every pre-evolution file while the evolved rows
+    carry their values — the Delta ADD COLUMN semantics, stated
+    closed-form by the oracle. A wrong manifest schema, a read that
+    ignores it, or NULL-fill leakage into the new rows all break the
+    hash. NEW r12 entry, demoted on arrival: rotate into the driver
+    window in round 13; mirror-checked every pytest run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.sources.versioned import (
+        commit_append,
+        create_table,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_schema_evo_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    create_table(orders.filter(F.col("o_orderkey") % 10 == 0), t)  # v0
+    widened = orders.filter(F.col("o_orderkey") % 10 == 5).withColumn(
+        "channel", F.lit("web")
+    )
+    commit_append(widened, t, merge_schema=True)  # v1: ADD COLUMN
+    return read_version(spark, t, None).orderBy("o_orderkey")
+
+
 _HOLT_SQL = """
 WITH RECURSIVE r AS (
   SELECT user_id, ts, CAST(value AS DOUBLE) AS x,

@@ -27,6 +27,19 @@ files, overwrite publishes just the new set, rollback re-publishes an
 old version's file list as a NEW version (history is immutable,
 roll-forward only). Reads are ordinary parquet multi-file scans, so
 column pruning, pushdown, and row-group skipping all still apply.
+
+Schema evolution (round 12): each manifest records the version's
+SCHEMA, and reads plan with it — so a version whose file set mixes
+generations (an additive append) still reads every file, with the
+missing columns NULL in pre-evolution files (the Delta ADD COLUMN
+semantics). ``commit_append`` enforces compatibility against the
+parent's recorded schema: identical appends freely; NEW nullable
+columns require the explicit ``merge_schema=True`` opt-in (silent
+widening is how schema drift ships); dropped or retyped columns
+refuse outright — that's an overwrite, not an append. Time travel
+pins the schema per version: v0 read back shows v0's columns,
+whatever 'latest' looks like now. Pre-round-12 manifests (no schema
+key) read exactly as before.
 """
 
 from __future__ import annotations
@@ -98,6 +111,15 @@ def _write_data(df: DataFrame, table_dir: str) -> list[str]:
     )
 
 
+def _schema_of_manifest(manifest: dict):
+    """The manifest's recorded schema as a StructType, or None for a
+    pre-round-12 manifest."""
+    from pyspark.sql import types as T
+
+    s = manifest.get("schema")
+    return T.StructType.fromJson(json.loads(s)) if s else None
+
+
 def _commit(
     df: DataFrame,
     table_dir: str,
@@ -105,19 +127,28 @@ def _commit(
     *,
     parent: int | None,
     base_files: list[str],
+    schema=None,
 ) -> int:
     """Publish ``parent + 1`` — NEVER a re-read 'latest'. The version
     number must name the parent whose file list the commit was built
     from: re-reading latest at publish time would let this commit
     silently drop a concurrent writer's files (lost update). If the
     slot is taken, the O_EXCL publish raises :class:`VersionConflict`
-    and the caller re-reads + retries with fresh base files."""
+    and the caller re-reads + retries with fresh base files.
+    ``schema`` overrides the recorded schema (an evolving append
+    records the MERGED schema, not just this batch's)."""
     files = base_files + _write_data(df, table_dir)
     version = 0 if parent is None else parent + 1
     _publish(
         table_dir,
         version,
-        {"version": version, "parent": parent, "op": op, "files": files},
+        {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "schema": (schema or df.schema).json(),
+        },
     )
     return version
 
@@ -129,15 +160,62 @@ def create_table(df: DataFrame, table_dir: str) -> int:
     return _commit(df, table_dir, "create", parent=None, base_files=[])
 
 
-def commit_append(df: DataFrame, table_dir: str) -> int:
+def commit_append(
+    df: DataFrame, table_dir: str, *, merge_schema: bool = False
+) -> int:
     """New version = parent's files + this df's files (data immutable,
     manifest-only append). Conflicts if anyone commits between the
-    parent read and the publish — retry re-reads the new base."""
+    parent read and the publish — retry re-reads the new base.
+
+    Schema contract vs the parent's recorded schema (round 12):
+    identical (name, type) sets append freely; NEW columns are
+    additive evolution and require ``merge_schema=True`` — the
+    merged schema (parent fields first, new fields appended) is
+    recorded and pre-evolution files read the new columns as NULL;
+    a df MISSING parent columns or RETYPING one refuses — rewriting
+    the world is :func:`commit_overwrite`'s job, never an append's
+    side effect. Parents without a recorded schema (pre-round-12)
+    append uncheck, as before."""
     parent = current_version(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no versioned table at {table_dir}")
-    base = _read_manifest(table_dir, parent)["files"]
-    return _commit(df, table_dir, "append", parent=parent, base_files=base)
+    manifest = _read_manifest(table_dir, parent)
+    base = manifest["files"]
+    prev = _schema_of_manifest(manifest)
+    schema = None
+    if prev is not None:
+        prev_fields = {f.name: f.dataType for f in prev.fields}
+        cur_fields = {f.name: f.dataType for f in df.schema.fields}
+        missing = sorted(set(prev_fields) - set(cur_fields))
+        retyped = sorted(
+            n
+            for n, t in cur_fields.items()
+            if n in prev_fields and prev_fields[n] != t
+        )
+        if missing or retyped:
+            raise ValueError(
+                f"append schema incompatible with {table_dir} v{parent}: "
+                f"missing columns {missing}, retyped {retyped} — use "
+                "commit_overwrite to change existing columns"
+            )
+        new = [f for f in df.schema.fields if f.name not in prev_fields]
+        if new:
+            if not merge_schema:
+                raise ValueError(
+                    "append adds new columns "
+                    f"{[f.name for f in new]}; pass merge_schema=True "
+                    "to evolve the table schema (old files will read "
+                    "them as NULL)"
+                )
+            from pyspark.sql import types as T
+
+            schema = T.StructType(list(prev.fields) + new)
+        else:
+            schema = prev
+    return _commit(
+        df, table_dir, "append",
+        parent=parent, base_files=base, schema=schema,
+    )
 
 
 def commit_overwrite(df: DataFrame, table_dir: str) -> int:
@@ -158,16 +236,15 @@ def rollback(table_dir: str, to_version: int) -> int:
         raise FileNotFoundError(f"no versioned table at {table_dir}")
     old = _read_manifest(table_dir, to_version)
     version = latest + 1
-    _publish(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "parent": latest,
-            "op": f"rollback:{to_version}",
-            "files": old["files"],
-        },
-    )
+    manifest = {
+        "version": version,
+        "parent": latest,
+        "op": f"rollback:{to_version}",
+        "files": old["files"],
+    }
+    if "schema" in old:  # restore the rolled-back-to schema as well
+        manifest["schema"] = old["schema"]
+    _publish(table_dir, version, manifest)
     return version
 
 
@@ -188,6 +265,12 @@ def read_version(
         raise ValueError(
             f"version {version} of {table_dir} has no files"
         )
+    schema = _schema_of_manifest(manifest)
+    if schema is not None:
+        # plan with the VERSION's recorded schema: files from before
+        # an additive evolution read the newer columns as NULL, and
+        # time travel pins each version's own column set
+        return spark.read.schema(schema).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -322,6 +405,7 @@ def merge_cdc(
             "parent": parent,
             "op": "merge_cdc",
             "files": files,
+            "schema": merged.schema.json(),
         },
     )
     return version
@@ -366,6 +450,7 @@ def foreach_batch_versioned_sink(table_dir: str):
                     "op": "stream_append",
                     "batch_id": batch_id,
                     "files": files,
+                    "schema": batch_df.schema.json(),
                 },
             )
             return
@@ -379,6 +464,7 @@ def foreach_batch_versioned_sink(table_dir: str):
                 "op": "stream_append",
                 "batch_id": batch_id,
                 "files": base + files,
+                "schema": batch_df.schema.json(),
             },
         )
 
@@ -437,6 +523,7 @@ def foreach_batch_versioned_upsert(table_dir: str, key_cols: list[str]):
                     "op": "stream_upsert",
                     "batch_id": batch_id,
                     "files": files,
+                    "schema": batch.schema.json(),
                 },
             )
             return
@@ -454,6 +541,7 @@ def foreach_batch_versioned_upsert(table_dir: str, key_cols: list[str]):
                 "op": "stream_upsert",
                 "batch_id": batch_id,
                 "files": files,
+                "schema": merged.schema.json(),
             },
         )
 
@@ -530,6 +618,7 @@ def commit_with_stats(
             "parent": parent,
             "op": op,
             "files": files,
+            "schema": df.schema.json(),
             "file_stats": _collect_file_stats(table_dir, files, stats_cols),
         },
     )
@@ -661,6 +750,7 @@ def commit_with_expectations(
             "parent": parent,
             "op": op,
             "files": base + files,
+            "schema": observed.schema.json(),
             "expectations": expectations,
         },
     )
@@ -691,6 +781,7 @@ def compact_table(
             "parent": parent,
             "op": "compact",
             "files": files,
+            "schema": snapshot.schema.json(),
         },
     )
     return version
