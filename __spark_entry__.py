@@ -108,6 +108,13 @@ _DEMOTED_ORACLES = (
     # Mirror-checked every pytest run; rotate into the driver window
     # in round 13.
     "schema_evolution_orders",
+    # NEW in round 12: Wikipedia-dump ingest — bz2 multistream walk,
+    # tolerant MediaWiki <page> extraction (page-id-not-revision-id,
+    # redirect stubs dropped), and a wikitext->plain cleanup chain
+    # whose single rule list generates BOTH the Spark plan and the
+    # DuckDB oracle (operators/wikidump.py). Mirror-checked every
+    # pytest run; rotate into the driver window in round 13.
+    "wikidump_ingest_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

@@ -5305,6 +5305,130 @@ def conditional_fetch_documents(
     )
 
 
+def _wikidump_sql() -> str:
+    """Oracle for the wikidump entry: build the SAME wiki markup the
+    Spark fixture builds, then replay the SAME cleanup chain —
+    generated from the one rule list in operators/wikidump.py, so
+    the two sides cannot drift."""
+    from workshoop2_etl_spark.operators.wikidump import wikitext_sql
+
+    wiki = (
+        "'{{Infobox|x={{v|' || (doc_id % 5) || '}} z}}' || chr(10)"
+        " || '== Intro ==' || chr(10)"
+        " || repeat(chr(39), 3) || text || repeat(chr(39), 3)"
+        " || ' see [[other page|label ' || doc_id || ']] and [[plain'"
+        " || doc_id || ']].<ref name=\"a\">c</ref>'"
+        " || chr(10) || chr(10) || chr(10)"
+        " || '=== Sub ===' || chr(10) || 'more &nbsp;text<sup>2</sup>'"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, 'Page ' || doc_id AS title, "
+        + wiki
+        + " AS wiki FROM documents WHERE doc_id % 10 != 7)\n"
+        "SELECT doc_id AS page_id, title, "
+        + wikitext_sql("wiki")
+        + " AS text_plain FROM w ORDER BY page_id"
+    )
+
+
+@_register("wikidump_ingest_documents", _wikidump_sql())
+def wikidump_ingest_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wikipedia-dump ingest end to end (round 12,
+    operators/wikidump.py — the canonical pretraining source): each
+    document becomes a MediaWiki ``<page>`` with real wikitext
+    (nested templates, piped and plain links, refs, headings, quote
+    runs, entities); pages fold 4-per-stream into REAL independent
+    bz2 members, streams fold 4-per-file behind a
+    header-stream/trailer-stream pair — the enwiki multistream
+    layout byte-for-byte in miniature; every tenth page is a
+    ``#REDIRECT`` stub the parser must DROP. The read path walks the
+    bz2 members (`split_bz2_streams`), extracts pages tolerantly
+    (page-id-not-revision-id), and `wikitext_to_text` cleans the
+    markup as a pure-column regexp chain whose rule list GENERATES
+    the DuckDB oracle — so a wrong stream split, a leaked redirect,
+    an escape/unescape asymmetry, or any Java↔RE2 pattern drift
+    breaks the hash. NEW r12 entry, demoted on arrival: rotate into
+    the driver window in round 13; mirror-checked every pytest
+    run."""
+    from workshoop2_etl_spark.operators.wikidump import (
+        WIKI_HEADER,
+        WIKI_TRAILER,
+        bz2_member,
+        parse_wikidump_blobs,
+        synthesize_wiki_page,
+        wikitext_to_text,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    q3 = F.lit("'''")
+    wiki = F.concat(
+        F.lit("{{Infobox|x={{v|"), d % 5,
+        F.lit("}} z}}\n== Intro ==\n"),
+        q3, F.col("text"), q3,
+        F.lit(" see [[other page|label "), d,
+        F.lit("]] and [[plain"), d,
+        F.lit(']].<ref name="a">c</ref>\n\n\n=== Sub ===\n'
+              "more &nbsp;text<sup>2</sup>"),
+    )
+    is_rd = d % 10 == 7
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("Page "), d).alias("title"),
+        F.when(is_rd, F.lit("#REDIRECT [[Main]]"))
+        .otherwise(wiki)
+        .alias("wiki"),
+        is_rd.alias("is_rd"),
+        F.expr("doc_id div 4").alias("stream_no"),
+    )
+
+    def build_stream(pdf):
+        pdf = pdf.sort_values("doc_id")
+        xml = b"".join(
+            synthesize_wiki_page(
+                int(r.doc_id),
+                r.title,
+                r.wiki,
+                redirect_to="Main" if r.is_rd else None,
+            )
+            for r in pdf.itertuples()
+        )
+        return pd.DataFrame(
+            {
+                "stream_no": [int(pdf["stream_no"].iloc[0])],
+                "member": [bz2_member(xml)],
+            }
+        )
+
+    streams = pages.groupBy("stream_no").applyInPandas(
+        build_stream, "stream_no long, member binary"
+    )
+
+    def build_file(pdf):
+        pdf = pdf.sort_values("stream_no")
+        blob = (
+            bz2_member(WIKI_HEADER)
+            + b"".join(pdf["member"])
+            + bz2_member(WIKI_TRAILER)
+        )
+        return pd.DataFrame({"content": [blob]})
+
+    files = streams.withColumn(
+        "file_no", F.expr("stream_no div 4")
+    ).groupBy("file_no").applyInPandas(build_file, "content binary")
+
+    parsed = parse_wikidump_blobs(
+        files.select("content"), "content", id_cols=[]
+    )
+    return parsed.select(
+        "page_id",
+        "title",
+        wikitext_to_text(F.col("text_wiki")).alias("text_plain"),
+    ).orderBy("page_id")
+
+
 _CDX_BASE = r"""
   SELECT doc_id,
          'com,site' || (doc_id % 7) || ',www)/page' || doc_id AS surt,
