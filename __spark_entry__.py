@@ -115,6 +115,14 @@ _DEMOTED_ORACLES = (
     # DuckDB oracle (operators/wikidump.py). Mirror-checked every
     # pytest run; rotate into the driver window in round 13.
     "wikidump_ingest_documents",
+    # NEW in round 12: the multistream chapter's READING path — true
+    # byte offsets computed relationally, the offset:page_id:title
+    # index round-tripped through its own parser, and seek-fetch
+    # decompressing ONLY admitted pages' bz2 members (the CDX
+    # range-fetch shape; operators/wikidump.py
+    # fetch_wiki_streams_by_index). Mirror-checked every pytest run;
+    # rotate into the driver window in round 13.
+    "wikidump_index_fetch_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

@@ -117,3 +117,60 @@ def test_wikitext_cleanup_rules(spark):
         .collect()[0].t
     )
     assert "{{" in rem
+
+
+def test_index_parse_and_seek_fetch(spark):
+    """The index parser keeps colons inside titles and surfaces
+    malformed lines as NULLs; seek-fetch decompresses only the
+    indexed streams, tolerates stale/misaligned offsets, and is
+    stream-granular (stream-mates come back; callers filter ids)."""
+    from workshoop2_etl_spark.operators.wikidump import (
+        fetch_wiki_streams_by_index,
+        parse_wikidump_index,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("f", "617:12:Title: with colons"),
+            ("f", "not a line"),
+            ("f", "99:x:bad id"),
+        ],
+        "filename string, line string",
+    )
+    idx = {r.line: r for r in parse_wikidump_index(
+        lines, "line", key_cols=["filename", "line"]).collect()}
+    good = idx["617:12:Title: with colons"]
+    assert (good.offset, good.page_id, good.title) == (
+        617, 12, "Title: with colons")
+    assert idx["not a line"].offset is None
+    assert idx["99:x:bad id"].page_id is None
+
+    # two streams of two pages; index the second stream only
+    m0 = bz2_member(
+        synthesize_wiki_page(1, "P1", "a") + synthesize_wiki_page(2, "P2", "b")
+    )
+    m1 = bz2_member(
+        synthesize_wiki_page(3, "P3", "c") + synthesize_wiki_page(4, "P4", "d")
+    )
+    head = bz2_member(WIKI_HEADER)
+    blob = head + m0 + m1 + bz2_member(WIKI_TRAILER)
+    files = spark.createDataFrame(
+        [("f", bytearray(blob))], "filename string, content binary"
+    )
+    caps = spark.createDataFrame(
+        [
+            ("f", len(head) + len(m0)),  # m1: valid
+            ("f", len(head) + len(m0) + 1),  # misaligned: skipped
+            ("f", len(blob) + 50),  # past EOF: skipped
+        ],
+        "filename string, offset long",
+    )
+    got = fetch_wiki_streams_by_index(files, caps).collect()
+    assert sorted(r.page_id for r in got) == [3, 4]  # whole stream, no m0
+    assert all(r.offset == len(head) + len(m0) for r in got)
+    # a file with no admitted captures is never opened
+    files2 = spark.createDataFrame(
+        [("f", bytearray(blob)), ("g", bytearray(b"\x00" * 10))],
+        "filename string, content binary",
+    )
+    assert fetch_wiki_streams_by_index(files2, caps).count() == 2

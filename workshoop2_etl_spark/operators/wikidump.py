@@ -283,3 +283,108 @@ WIKI_TRAILER = b"</mediawiki>"
 def bz2_member(data: bytes, *, level: int = 6) -> bytes:
     """One independent bz2 stream (the multistream building block)."""
     return bz2.compress(data, level)
+
+
+# ------------------------------------------------------- seek index
+
+
+def parse_wikidump_index(
+    df: DataFrame,
+    line_col: str = "line",
+    *,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Parse multistream-index lines — the dump's companion
+    ``offset:page_id:title`` file (offset = byte position of the
+    page's bz2 stream inside the data file) — into
+    ``key_cols…, offset (long), page_id (long), title``. Pure
+    columns: two bounded splits, so titles containing ``:`` stay
+    intact (the first two fields are numeric by format). Malformed
+    lines yield NULL offset/page_id rather than dropping — visible,
+    filterable."""
+    ids = key_cols or [c for c in df.columns if c != line_col]
+    line = F.col(line_col)
+    off = F.regexp_extract(line, r"^(\d+):", 1)
+    pid = F.regexp_extract(line, r"^\d+:(\d+):", 1)
+    title = F.regexp_extract(line, r"^\d+:\d+:(.*)$", 1)
+    return df.select(
+        *ids,
+        F.when(off != "", off).cast("long").alias("offset"),
+        F.when(pid != "", pid).cast("long").alias("page_id"),
+        F.when(title != "", title).alias("title"),
+    )
+
+
+def fetch_wiki_streams_by_index(
+    files: DataFrame,
+    captures: DataFrame,
+    *,
+    filename_col: str = "filename",
+    blob_col: str = "content",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Index-driven SELECTIVE page fetch — the reading path the
+    multistream layout exists for: instead of decompressing a whole
+    dump file, seek each admitted page's stream offset, decompress
+    THAT independent bz2 member alone, and parse only its pages.
+
+    Scale shape (the CDX range-fetch pattern): per-file DISTINCT
+    offset lists aggregate small (index rows, never blobs) and
+    broadcast onto the file scan, so the blob side never shuffles;
+    files without admitted captures drop at the join and are never
+    read past their header. A stream's end needs no recorded length —
+    ``BZ2Decompressor`` stops at its own EOF (tolerance: an offset
+    not pointing at ``BZh`` yields no rows). Output: ``filename_col``,
+    ``offset``, plus the page columns of :func:`parse_wiki_pages`;
+    callers keep the admitted page ids (one stream holds many
+    pages — the fetch is stream-granular, the filter page-granular,
+    exactly like real multistream readers)."""
+    ranges = captures.groupBy(
+        F.col(filename_col).alias("__fname")
+    ).agg(
+        F.sort_array(
+            F.collect_set(F.col(offset_col).cast("long"))
+        ).alias("__offsets")
+    )
+    joined = files.join(
+        F.broadcast(ranges),
+        files[filename_col] == ranges["__fname"],
+        "inner",
+    ).select(files[filename_col], files[blob_col], "__offsets")
+
+    schema = T.StructType(
+        [
+            T.StructField(filename_col, T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("page_id", T.LongType()),
+            T.StructField("ns", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("is_redirect", T.BooleanType()),
+            T.StructField("text_wiki", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = r[blob_col] or b""
+                for off in r["__offsets"]:
+                    off = int(off)
+                    if off < 0 or off >= len(blob):
+                        continue  # stale index entry: skip, not raise
+                    if not blob.startswith(b"BZh", off):
+                        continue
+                    dec = bz2.BZ2Decompressor()
+                    try:
+                        xml = dec.decompress(blob[off:])
+                    except OSError:
+                        continue
+                    if not dec.eof:
+                        continue
+                    for page in parse_wiki_pages(xml):
+                        rows.append((r[filename_col], off) + page)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(batches, schema)
