@@ -672,7 +672,16 @@ def read_version_pruned(
         schema = read_version(spark, table_dir, version).schema
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, p) for p in keep]
-    return spark.read.parquet(*paths).filter(
+    if version is None:
+        version = current_version(table_dir)
+    # plan with the version's recorded schema, like read_version —
+    # a pruned read of a mixed-generation file set must NULL-fill
+    # evolved columns the same way the full read does
+    schema = _schema_of_manifest(_read_manifest(table_dir, version))
+    reader = (
+        spark.read.schema(schema) if schema is not None else spark.read
+    )
+    return reader.parquet(*paths).filter(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
 
