@@ -123,6 +123,12 @@ _DEMOTED_ORACLES = (
     # fetch_wiki_streams_by_index). Mirror-checked every pytest run;
     # rotate into the driver window in round 13.
     "wikidump_index_fetch_documents",
+    # NEW in round 12: TFRecord export/ingest through a hand-built
+    # tf.train.Example codec (public TFRecord framing + protobuf
+    # wire specs; CRC32C pinned to RFC 3720 vectors; CRC-verified
+    # reads; sources/tfrecord.py). Mirror-checked every pytest run;
+    # rotate into the driver window in round 13.
+    "tfrecord_roundtrip_documents",
     "stratified_sample_documents",  # windowed r2-r9,r11 (9x green)
     "token_budget_sample_documents",  # windowed r6-r7,r11 (3x green)
     "normalize_text_documents",  # windowed r6-r7,r11 (3x green)

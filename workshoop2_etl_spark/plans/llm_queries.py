@@ -5429,6 +5429,47 @@ def wikidump_ingest_documents(
     ).orderBy("page_id")
 
 
+@_register(
+    "tfrecord_roundtrip_documents",
+    "SELECT doc_id, lang, n_chars, text FROM documents ORDER BY doc_id",
+)
+def tfrecord_roundtrip_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TFRecord round trip through the engine's own tf.train.Example
+    codec (round 12, sources/tfrecord.py — the classic
+    training-export target; no TensorFlow in this container, so both
+    halves are hand-built from the public TFRecord framing +
+    protobuf wire specs, CRC32C pinned to the RFC 3720 test vectors
+    in pytest): the corpus writes one shard per partition
+    (key-sorted features, masked-CRC framing) and reads back through
+    the CRC-verifying walk against a declared schema. Long/string
+    columns only here — exact on the wire — so the hash match
+    against the straight-parquet oracle pins the whole varint /
+    map-entry / framing stack; float32 narrowing and array features
+    are pytest territory. NEW r12 entry, demoted on arrival: rotate
+    into the driver window in round 13; mirror-checked every pytest
+    run."""
+    import os
+    import tempfile
+
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+    from workshoop2_etl_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_tfrecord_rt_{_run_token(sf_dir)}",
+    )
+    write_tfrecord(docs.repartition(4, "doc_id"), out_dir)
+    return read_tfrecord(spark, out_dir, docs.schema).orderBy("doc_id")
+
+
 _WIKI_INDEX_SQL = """
 SELECT doc_id AS page_id,
        'Page ' || doc_id AS title,
