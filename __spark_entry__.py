@@ -62,10 +62,13 @@ _DEMOTED_ORACLES = (
     # 10 of the 243 pre-round oracles (58 -> 10), all marked "rotate
     # in round 13" below; round-12 newcomers are demoted on arrival
     # with their own notes and join the round-13 rotation.
-    # ROUND-13 PLAN: window the 10 + the 4 round-12 newcomers (14
-    # first-timers) beside the 2 anchors; fill the remaining 34
-    # slots with the LEAST-windowed oracles (the r9/r10 1x-green
-    # tail below), so window evidence keeps accumulating breadth.
+    # ROUND-13 PLAN: window the 10 + the 8 round-12 newcomers
+    # (avro_roundtrip, conditional_fetch, quality_train_score,
+    # resize_images_gif, schema_evolution, wikidump_ingest,
+    # wikidump_index_fetch, tfrecord_roundtrip = 18 first-timers)
+    # beside the 2 anchors; fill the remaining 30 slots with the
+    # LEAST-windowed oracles (the r9/r10 1x-green tail below), so
+    # window evidence keeps accumulating breadth.
     # ------------------------------------------------------------------
     # NEW in round 12: Avro object-container round trip through the
     # engine's own pure-Python codec (sources/avro.py — the sandbox
