@@ -24,6 +24,11 @@ if [ -n "$pre" ]; then
         BENCH_SHUFFLE.json SCALE_NOTES.md || true
 fi
 
+# Gate: the window rotation ledger must reflect every recorded
+# CORRECTNESS_r*.json — a close with a stale rotation (first-timers
+# left outside the driver window) is the r12 VERDICT item-1 class.
+python tools/rotate_window.py --check
+
 # The bench itself must not auto-commit: the gate decides.
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
     SPARK_GRAFT_NO_EVIDENCE_COMMIT=1 python bench.py
