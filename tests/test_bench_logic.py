@@ -171,6 +171,40 @@ def test_bench_gate_adjudication(tmp_path, monkeypatch):
         gate.main()
 
 
+def test_bench_gate_whole_name_adjudication(tmp_path, monkeypatch):
+    """r12 ADVICE (bench_gate.py:60): a flag named 'link_graph' must
+    NOT count as adjudicated because a note mentions
+    'wat_link_graph' — only a whole-name mention adjudicates."""
+    import importlib
+    import sys as _sys
+
+    import pytest
+
+    _sys.path.insert(0, "/root/repo/tools")
+    gate = importlib.import_module("bench_gate")
+    assert gate._adjudicated("written_q", "### written_q — evidence")
+    assert not gate._adjudicated(
+        "link_graph_documents",
+        "### wat_link_graph_documents — adjudicated",
+    )
+    assert not gate._adjudicated("q1", "notes about q10 only")
+    detail = {
+        "regressions": {
+            "link_graph_documents": {"ratio": 2.0, "shuffle_identical": False},
+        },
+        "shuffle_superlinear": {},
+    }
+    dp = tmp_path / "BENCH_DETAIL.json"
+    dp.write_text(json.dumps(detail))
+    (tmp_path / "SCALE_NOTES.md").write_text(
+        "### wat_link_graph_documents — adjudicated with evidence\n"
+    )
+    monkeypatch.setattr(gate, "REPO", str(tmp_path))
+    monkeypatch.setattr(_sys, "argv", ["bench_gate.py", str(dp)])
+    with pytest.raises(SystemExit):
+        gate.main()
+
+
 def test_pinned_min_preferred_on_both_sides():
     """Quiet-session pinned minima beat machine-factor normalization:
     a pinned current value suppresses a sweep-time blip, and a pinned

@@ -255,3 +255,40 @@ def test_train_text_classifier_separable_and_degradation(spark):
         )
     with pytest.raises(ValueError, match=">= 1"):
         train_text_classifier(df, "doc_id", "text", y, sample_n=0)
+
+
+def test_linear_classifier_feature_cap_matches_trainer(spark):
+    """r12 ADVICE (curation.py:314): inference accepts the trainer's
+    max_feats_per_doc and applies the identical first-N slice, so a
+    long document's train and apply feature sets agree; short
+    documents are unaffected by the cap."""
+    import pandas as pd
+
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(400))  # 799 feats
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, long_text)], "id long, text string"
+    )
+    w = spark.createDataFrame(
+        [(b, 0.001 * (b % 7 - 3)) for b in range(512)],
+        "bucket int, weight double",
+    )
+    capped = {
+        r["id"]: r
+        for r in linear_text_classifier(
+            docs, w, "id", "text", max_feats_per_doc=512
+        ).collect()
+    }
+    full = {
+        r["id"]: r
+        for r in linear_text_classifier(docs, w, "id", "text").collect()
+    }
+    # short doc: cap is a no-op
+    assert capped[1]["n_feats"] == full[1]["n_feats"]
+    assert capped[1]["score"] == full[1]["score"]
+    # long doc: exactly the first 512 features enter the logit
+    assert full[2]["n_feats"] == 799
+    assert capped[2]["n_feats"] == 512

@@ -336,3 +336,56 @@ def test_validator_updates_two_wave_convergence(spark, tmp_path):
     assert plan2["u/a"]["if_none_match"] == '"fa"'
     assert plan2["u/d"]["fetch_mode"] == "conditional"
     assert plan2["u/b"]["if_none_match"] == '"eb"'
+
+
+def test_validator_updates_store_without_validators_stores_null(spark):
+    """r12 ADVICE (frontier.py:273): a 200 'store' response that
+    carried NO ETag/Last-Modified must store NULL validators — NOT
+    inherit the request's echoed (stale) validators — so the next
+    fetch for that URL plans unconditional. Only 'borrow' rows
+    coalesce onto the echoed request validators."""
+    from workshoop2_etl_spark.operators.frontier import (
+        classify_fetch_results,
+        conditional_fetch_plan,
+        validator_updates,
+    )
+
+    state = spark.createDataFrame(
+        [
+            ("u/a", bytearray(b"v1a"), '"ea"', "Mon, 15 Jan 2024 00:00:00 GMT"),
+            ("u/b", bytearray(b"v1b"), '"eb"', "Mon, 15 Jan 2024 00:00:00 GMT"),
+        ],
+        "url string, payload binary, etag string, last_modified string",
+    )
+    disc = spark.createDataFrame([("u/a",), ("u/b",)], "url string")
+    plan = conditional_fetch_plan(
+        disc, state, url_col="url", state_url_col="url"
+    )
+    # a: content changed, 200 with NO validator headers; b: bare 304
+    results = spark.createDataFrame(
+        [
+            ("u/a", 200, bytearray(b"v2a"), None, None),
+            ("u/b", 304, None, None, None),
+        ],
+        "url string, http_status int, payload binary, etag string, last_modified string",
+    )
+    classified = classify_fetch_results(
+        plan.join(results, "url"), state, url_col="url", state_url_col="url"
+    )
+    upd = {
+        r["url"]: r
+        for r in validator_updates(
+            classified, url_col="url", crawled_on="2024-02-01"
+        ).collect()
+    }
+    # 200-without-validators: fresh payload, NULL validators (NOT '"ea"')
+    assert bytes(upd["u/a"]["payload"]) == b"v2a"
+    assert upd["u/a"]["etag"] is None
+    assert upd["u/a"]["last_modified"] is None
+    # bare 304 borrow: stored validators survive
+    assert upd["u/b"]["etag"] == '"eb"'
+    # wall-clock fallback is refused outright
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="crawled_on"):
+        validator_updates(classified, url_col="url")

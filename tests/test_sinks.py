@@ -316,6 +316,50 @@ def test_avro_refusals(spark, tmp_path):
         decode_pandas(corrupt)
 
 
+def test_avro_decode_walk_follows_writer_schema(tmp_path):
+    """r12 ADVICE (avro.py:555): the union-branch varint exists on
+    the wire iff the WRITER schema made the field nullable; a caller
+    declaring the same field non-nullable must still decode the
+    branch marker (declared schema = naming/typing only). Before the
+    fix, the declared nullability drove the walk and every value
+    after the first nullable field desynchronized."""
+    import pandas as pd
+    import pytest
+
+    from workshoop2_etl_spark.sources.avro import (
+        decode_pandas,
+        encode_pandas,
+    )
+
+    # writer emits k as ["null","long"] (branch varint on the wire)
+    blob = encode_pandas(
+        pd.DataFrame({"k": pd.array([1, 2, 3], dtype="Int64"),
+                      "v": ["a", "b", "c"]}),
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), True),
+                T.StructField("v", T.StringType(), True),
+            ]
+        ),
+    )
+    declared = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),  # non-null declared
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    pdf, out_schema = decode_pandas(blob, declared)
+    assert list(pdf["k"]) == [1, 2, 3]
+    assert list(pdf["v"]) == ["a", "b", "c"]
+    assert out_schema == declared
+    # a foreign null-LAST union would desynchronize the branch-0-is-
+    # null walk — refused loudly, not misparsed
+    swapped = blob.replace(b'["null", "long"]', b'["long", "null"]')
+    assert swapped != blob
+    with pytest.raises(ValueError, match="null branch first"):
+        decode_pandas(swapped)
+
+
 def test_avro_schema_enforced_across_files(spark, tmp_path):
     """A declared read schema naming a column absent from a file's
     writer schema fails in the kernel instead of silently nulling."""

@@ -29,9 +29,18 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _adjudicated(name: str, notes: str) -> bool:
+    """Whole-name match only (r12 ADVICE: a raw substring test let a
+    flagged ``link_graph_documents`` ride on a note about
+    ``wat_link_graph_documents``). Query names are [a-z0-9_], so the
+    boundary is any non-name character or line edge."""
+    return re.search(rf"(?<![a-z0-9_]){re.escape(name)}(?![a-z0-9_])", notes) is not None
 
 
 def main() -> None:
@@ -57,7 +66,7 @@ def main() -> None:
                 "watch-list it",
                 file=sys.stderr,
             )
-        elif name in notes:
+        elif _adjudicated(name, notes):
             print(
                 f"gate: {name} flagged ({r.get('ratio')}x) — adjudicated "
                 "in SCALE_NOTES.md, accepted",
@@ -70,7 +79,7 @@ def main() -> None:
                 f"{r.get('shuffle_identical')})"
             )
     for name, fl in (detail.get("shuffle_superlinear") or {}).items():
-        if name in notes:
+        if _adjudicated(name, notes):
             print(
                 f"gate: superlinear {name} "
                 f"({fl.get('ratio_vs_linear')}x linear, {fl.get('pair')}) "

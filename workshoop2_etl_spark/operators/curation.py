@@ -211,6 +211,7 @@ def linear_text_classifier(
     n_buckets: int = 512,
     bigrams: bool = True,
     score_col: str = "score",
+    max_feats_per_doc: int | None = None,
 ) -> DataFrame:
     """Apply a linear text classifier (fastText-style: mean of hashed
     bag-of-n-gram feature weights through a sigmoid) as a pure
@@ -225,15 +226,24 @@ def linear_text_classifier(
     evaluated with the identical operation order in any engine.
     Featureless documents score ``sigmoid(bias)``.
 
+    ``max_feats_per_doc`` (r12 ADVICE, curation.py:314): when set,
+    only the FIRST that-many features of each document enter the
+    logit — the same ``F.slice`` :func:`train_text_classifier`
+    applies to its training sample.  Pass the trainer's cap here for
+    strict train/apply feature agreement on long documents; the
+    default ``None`` scores over the full feature bag (the CCNet
+    inference shape, and the pre-r13 behavior).
+
     Returns ``(id_col, n_feats, z, score_col)``.
     """
+    bag = hashed_ngram_buckets(
+        text_col, n_buckets=n_buckets, bigrams=bigrams
+    )
+    if max_feats_per_doc is not None:
+        bag = F.slice(bag, 1, max_feats_per_doc)
     feats = df.select(
         F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(
-                text_col, n_buckets=n_buckets, bigrams=bigrams
-            )
-        ).alias("__b"),
+        F.explode_outer(bag).alias("__b"),
     )
     wq = weights.select(
         F.col("bucket").alias("__b"), _micro(F.col("weight")).alias("__w")
@@ -283,7 +293,13 @@ def train_text_classifier(
     tokenization or hashing. The sample is the first ``sample_n``
     rows by ``md5(salt‖id)`` (the repo's seeded-sample key),
     features capped at ``max_feats_per_doc`` per row, so the collect
-    is O(sample_n · max_feats) ids regardless of corpus size; the
+    is O(sample_n · max_feats) ids regardless of corpus size.  The
+    cap truncates long documents' TRAINING features; for strict
+    train/apply agreement on such documents pass the same value as
+    ``linear_text_classifier(..., max_feats_per_doc=...)`` — left
+    uncapped, inference scores the full feature bag, which matches
+    training exactly only for documents within the cap (r12
+    ADVICE). The
     fit is plain logistic-regression SGD in a FIXED order (hash
     order, fixed epochs, fixed learning rate, no RNG) on the same
     mean-of-bucket-weights logit inference evaluates — deterministic

@@ -255,25 +255,39 @@ def validator_updates(
     both feed the SAME versioned-table MERGE (X199) that the
     canonical-URL upsert already uses. ``error`` rows emit nothing
     (a failed fetch must not clobber good state). ``crawled_on`` is
-    a job parameter (the engine never reads the wall clock).
+    a REQUIRED job parameter: the engine never reads the wall clock,
+    so passing ``None`` raises instead of falling back to
+    ``current_date()`` (re-runs must be reproducible across days —
+    r12 ADVICE).
 
     A 304 that carried NO validator headers must not null out the
     stored ones, so when the classified frame still has the plan's
     ``if_none_match`` / ``if_modified_since`` columns (the
     validators the request echoed — i.e. the stored values), each
-    emitted validator coalesces response-header-first onto them."""
+    emitted validator coalesces response-header-first onto them —
+    for ``borrow`` rows ONLY (r12 ADVICE).  A 200 ``store`` response
+    that carried no validators stores NULL validators (the next
+    fetch for that URL is unconditional): echoing the request's
+    stale ETag onto a fresh 200 payload would pair v1 validators
+    with v2 content and make a later 304 borrow the wrong version."""
     keep = classified.where(F.col("outcome") != "error")
-    crawled = (
-        F.lit(crawled_on).cast("date")
-        if crawled_on is not None
-        else F.current_date()
-    )
+    if crawled_on is None:
+        raise ValueError(
+            "validator_updates requires an explicit crawled_on date; "
+            "the engine never reads the wall clock"
+        )
+    crawled = F.lit(crawled_on).cast("date")
+    borrow = F.col("outcome") == "borrow"
     etag = F.col(etag_col)
     if "if_none_match" in classified.columns:
-        etag = F.coalesce(etag, F.col("if_none_match"))
+        etag = F.when(
+            borrow, F.coalesce(etag, F.col("if_none_match"))
+        ).otherwise(etag)
     last_mod = F.col(last_modified_col)
     if "if_modified_since" in classified.columns:
-        last_mod = F.coalesce(last_mod, F.col("if_modified_since"))
+        last_mod = F.when(
+            borrow, F.coalesce(last_mod, F.col("if_modified_since"))
+        ).otherwise(last_mod)
     return keep.select(
         F.col(url_col).alias("url"),
         F.col("content").alias("payload"),

@@ -2959,11 +2959,16 @@ def quality_train_score_documents(
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
+    # markers PREPENDED so the shared max_feats_per_doc truncation
+    # (first-N features) can never drop them, and the same cap is
+    # passed to train AND apply — the r12 ADVICE feature-agreement
+    # contract: both sides compute over the identical feature sets
+    # for every document, however long.
     marker = F.when(
-        d % 2 == 0, F.lit(" qgood qgood qgood")
-    ).otherwise(F.lit(" qbad qbad qbad"))
+        d % 2 == 0, F.lit("qgood qgood qgood ")
+    ).otherwise(F.lit("qbad qbad qbad "))
     marked = docs.select(
-        "doc_id", F.concat(F.col("text"), marker).alias("text2")
+        "doc_id", F.concat(marker, F.col("text")).alias("text2")
     )
     weights, bias = train_text_classifier(
         marked,
@@ -2973,9 +2978,11 @@ def quality_train_score_documents(
         n_buckets=2048,
         sample_n=600,
         epochs=8,
+        max_feats_per_doc=512,
     )
     scored = linear_text_classifier(
-        marked, weights, "doc_id", "text2", bias=bias, n_buckets=2048
+        marked, weights, "doc_id", "text2", bias=bias, n_buckets=2048,
+        max_feats_per_doc=512,
     )
     return scored.select(
         F.col("doc_id").cast("long").alias("doc_id"),

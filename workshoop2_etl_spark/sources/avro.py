@@ -515,22 +515,56 @@ def read_header(blob: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, r.pos
 
 
+def _refuse_exotic_unions(t, path: str = "<root>") -> None:
+    """This reader's binary walk assumes every union on the wire is
+    exactly ``["null", T]`` with the null branch FIRST (branch index
+    0 = null) — the layout this module's writer emits.  A foreign
+    file with ``["T", "null"]`` or a single/multi-branch union would
+    silently desynchronize the walk, so refuse it loudly up front
+    (the codec-ladder refusal policy)."""
+    if isinstance(t, list):
+        if len(t) == 2 and t[0] == "null":
+            _refuse_exotic_unions(t[1], path)
+            return
+        raise ValueError(
+            f"unsupported Avro union at {path}: {t!r} — this reader "
+            "supports exactly ['null', T] unions (null branch first)"
+        )
+    if isinstance(t, dict):
+        base = t.get("type")
+        if base == "record":
+            for f in t.get("fields", ()):
+                _refuse_exotic_unions(f["type"], f"{path}.{f['name']}")
+        elif base == "array":
+            _refuse_exotic_unions(t["items"], path + "[]")
+        elif base == "map":
+            _refuse_exotic_unions(t["values"], path + "{}")
+
+
 def decode_pandas(blob: bytes, schema: T.StructType | None = None):
     """One container blob → pandas frame (+ the Spark schema decoded
     from the embedded writer schema when ``schema`` is None). Walks
     every block, inflates ``deflate`` payloads, checks each trailing
     sync marker. Arrow-friendly dtypes: nullable Int32/Int64 for
-    ints, datetime64 for timestamps, objects for the rest."""
+    ints, datetime64 for timestamps, objects for the rest.
+
+    The binary walk is driven by the WRITER schema's fields (whose
+    nullability reflects the actual wire layout — each nullable
+    field carries a union-branch varint); a caller-declared schema
+    contributes output naming/typing only (r12 ADVICE: deciding the
+    branch marker from the DECLARED nullability desynchronized the
+    walk whenever the two disagreed)."""
     avro_schema, codec, sync, pos = read_header(blob)
+    _refuse_exotic_unions(avro_schema)
     writer_schema = spark_schema_of(avro_schema)
     if schema is None:
         schema = writer_schema
     else:
-        # The binary layout is the WRITER's; a declared schema must
-        # match it field-for-field (names + types, nullability aside)
-        # or the read fails loudly — silently decoding positions into
-        # different names would be data corruption, and silently
-        # nulling absent columns hides drift.
+        # A declared schema must match the writer field-for-field
+        # (names + types, top-level nullability aside) or the read
+        # fails loudly — silently decoding positions into different
+        # names would be data corruption, and silently nulling
+        # absent columns hides drift.
         want = [(f.name, f.dataType) for f in schema.fields]
         have = [(f.name, f.dataType) for f in writer_schema.fields]
         if want != have:
@@ -539,6 +573,7 @@ def decode_pandas(blob: bytes, schema: T.StructType | None = None):
                 f"writer schema {have}"
             )
     fields = schema.fields
+    wire_fields = writer_schema.fields
     data: list[list] = [[] for _ in fields]
     r = _Reader(blob, pos)
     while not r.eof():
@@ -551,13 +586,13 @@ def decode_pandas(blob: bytes, schema: T.StructType | None = None):
             raise ValueError("Avro block sync mismatch (corrupt file)")
         br = _Reader(payload)
         for _ in range(n_rows):
-            for j, f in enumerate(fields):
-                if not f.nullable:
-                    data[j].append(_dec_value(br, f.dataType))
+            for j, wf in enumerate(wire_fields):
+                if not wf.nullable:
+                    data[j].append(_dec_value(br, wf.dataType))
                 elif br.long() == 0:
                     data[j].append(None)
                 else:
-                    data[j].append(_dec_value(br, f.dataType))
+                    data[j].append(_dec_value(br, wf.dataType))
 
     import pandas as pd
 
