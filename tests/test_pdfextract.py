@@ -1,0 +1,289 @@
+"""PDF text-extraction rung (round 13): round trips through the
+closed-form writer, hand-crafted spec features (TJ arrays, hex
+strings, ' show, ToUnicode CMaps, WinAnsi high bytes, uncompressed
+streams, multi-section xref), and the refusal ladder (encryption,
+xref streams, Type0 fonts, non-Flate filters)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from workshoop2_etl_spark.operators.pdfextract import (
+    build_pdf,
+    extract_pdf_text,
+    pdf_extract,
+    pdf_synthesize,
+)
+
+
+def _wrap_objects(objects: dict[int, bytes], trailer_extra: str = "") -> bytes:
+    """Assemble numbered objects into a classic-xref PDF (test rig)."""
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R {trailer_extra}>>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _one_page(content: bytes, font_body: bytes | None = None) -> bytes:
+    font = font_body or (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    return _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> "
+                b"/Contents 4 0 R >>"
+            ),
+            4: (
+                f"<< /Length {len(content)} >>".encode()
+                + b"\nstream\n"
+                + content
+                + b"\nendstream"
+            ),
+            5: font,
+        }
+    )
+
+
+# ----------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello world",
+        "line one\nline two\nline three",
+        "",
+        "a\n",
+        "escape (parens) and \\backslash\\ and )close(",
+        "latin-1: café naïve ñ",
+        "\n".join(f"row {i} of a long document" for i in range(137)),
+    ],
+)
+def test_build_extract_identity(text):
+    assert extract_pdf_text(build_pdf(text)) == text
+
+
+def test_build_extract_identity_uncompressed_and_pagination():
+    text = "\n".join(f"l{i}" for i in range(85))
+    blob = build_pdf(text, lines_per_page=10, compress=False)
+    assert b"FlateDecode" not in blob
+    assert extract_pdf_text(blob) == text
+    # 85 lines / 10 per page = 9 pages in the page tree
+    assert blob.count(b"/Type /Page ") == 9
+
+
+# --------------------------------------------------- hand-crafted features
+
+
+def test_tj_array_hex_string_and_quote_show():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -120 <6c6f>] TJ "
+        b"(, world) Tj "
+        b"(second line) ' "
+        b"ET"
+    )
+    assert _extract(content) == "Hello, world\nsecond line"
+
+
+def _extract(content: bytes, font_body: bytes | None = None) -> str:
+    return extract_pdf_text(_one_page(content, font_body))
+
+
+def test_octal_escapes_and_winansi_high_bytes():
+    # \200 = 0x80 = euro sign in WinAnsiEncoding; \251 = 0xA9 = (c)
+    content = b"BT /F1 12 Tf 72 720 Td (price: 5\\200 \\251me) Tj ET"
+    assert _extract(content) == "price: 5€ ©me"
+
+
+def test_tounicode_cmap_overrides_winansi():
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+        b"2 beginbfchar\n<41> <0391>\n<42> <03b2>\nendbfchar\n"
+        b"1 beginbfrange\n<61> <63> <0061>\nendbfrange\n"
+        b"endcmap end\n"
+    )
+    font = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> "
+                b"/Contents 4 0 R >>"
+            ),
+            4: (
+                b"<< /Length 40 >>\nstream\n"
+                b"BT /F1 12 Tf 72 720 Td (ABabc) Tj ET\n  \nendstream"
+            ),
+            5: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /X "
+                b"/ToUnicode 6 0 R >>"
+            ),
+            6: (
+                f"<< /Length {len(cmap)} >>".encode()
+                + b"\nstream\n" + cmap + b"\nendstream"
+            ),
+        }
+    )
+    # A->GREEK ALPHA, B->beta via bfchar; a..c via bfrange base
+    assert extract_pdf_text(font) == "Αβabc"
+
+
+def test_indirect_length_and_content_array():
+    content1 = b"BT /F1 12 Tf 72 720 Td (part one) Tj"
+    content2 = b"0 -14 Td (part two) Tj ET"
+    blob = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/Resources << /Font << /F1 7 0 R >> >> "
+                b"/Contents [4 0 R 5 0 R] >>"
+            ),
+            4: (
+                b"<< /Length 6 0 R >>\nstream\n" + content1 + b"\nendstream"
+            ),
+            5: (
+                f"<< /Length {len(content2)} >>".encode()
+                + b"\nstream\n" + content2 + b"\nendstream"
+            ),
+            6: str(len(content1)).encode(),
+            7: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"
+            ),
+        }
+    )
+    assert extract_pdf_text(blob) == "part one\npart two"
+
+
+def test_incremental_update_prev_chain():
+    """An appended xref section with /Prev: the newest offsets win."""
+    base = build_pdf("original text")
+    # append a replacement content stream for object 4 (page 1 content)
+    new_content = zlib.compress(
+        b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    )
+    obj = (
+        f"4 0 obj\n<< /Length {len(new_content)} /Filter /FlateDecode >>"
+        .encode()
+        + b"\nstream\n" + new_content + b"\nendstream\nendobj\n"
+    )
+    prev_xref_at = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    out = bytearray(base)
+    new_obj_at = len(out)
+    out += obj
+    xref_at = len(out)
+    out += (
+        f"xref\n4 1\n{new_obj_at:010d} 00000 n \ntrailer\n"
+        f"<< /Size 6 /Root 1 0 R /Prev {prev_xref_at} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    assert extract_pdf_text(bytes(out)) == "updated text"
+
+
+# ----------------------------------------------------------------- refusals
+
+
+def test_refuses_encrypted():
+    blob = _one_page(b"BT ET")
+    blob = blob.replace(b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R ")
+    with pytest.raises(ValueError, match="[Ee]ncrypt"):
+        extract_pdf_text(blob)
+
+
+def test_refuses_xref_stream():
+    blob = bytearray(build_pdf("x"))
+    # point startxref at the first object instead of the xref table
+    head, tail = bytes(blob).rsplit(b"startxref\n", 1)
+    off = head.index(b"1 0 obj")
+    blob = head + b"startxref\n" + str(off).encode() + b"\n%%EOF\n"
+    with pytest.raises(ValueError, match="cross-reference streams"):
+        extract_pdf_text(blob)
+
+
+def test_refuses_type0_font():
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /X >>"
+    content = b"BT /F1 12 Tf 72 720 Td (cid) Tj ET"
+    with pytest.raises(ValueError, match="Type0"):
+        _extract(content, font)
+
+
+def test_refuses_non_flate_filter():
+    content = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
+    blob = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> "
+                b"/Contents 4 0 R >>"
+            ),
+            4: (
+                f"<< /Length {len(content)} /Filter /LZWDecode >>".encode()
+                + b"\nstream\n" + content + b"\nendstream"
+            ),
+            5: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="filter"):
+        extract_pdf_text(blob)
+
+
+def test_refuses_non_pdf():
+    with pytest.raises(ValueError, match="%PDF"):
+        extract_pdf_text(b"GIF89a not a pdf")
+
+
+# --------------------------------------------------------------- Spark side
+
+
+def test_spark_pdf_roundtrip_and_error_rows(spark):
+    rows = [
+        (1, "alpha\nbeta"),
+        (2, "gamma (x) \\ delta"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pdfs = pdf_synthesize(df, "doc_id", "text", lines_per_page=1)
+    out = {
+        r["doc_id"]: r
+        for r in pdf_extract(pdfs, "doc_id", "pdf").collect()
+    }
+    assert out[1]["pdf_text"] == "alpha\nbeta"
+    assert out[2]["pdf_text"] == "gamma (x) \\ delta"
+    assert out[3]["pdf_text"] == ""
+    assert all(out[i]["pdf_error"] is None for i in (1, 2, 3))
+    # a corrupt blob yields an error row, not a task failure
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"%PDF-1.7 broken"))], "doc_id long, pdf binary"
+    )
+    row = pdf_extract(bad, "doc_id", "pdf").collect()[0]
+    assert row["pdf_text"] is None
+    assert row["pdf_error"]

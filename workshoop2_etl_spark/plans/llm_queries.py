@@ -6777,3 +6777,51 @@ def crawl_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         F.md5(F.col("text")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (round 13 — the crawl chapter's PDF rung)
+# ---------------------------------------------------------------------------
+
+_PDF_EXTRACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '[^ -~\n]', '', 'g') AS pdf_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("pdf_text_extract_documents", _PDF_EXTRACT_SQL)
+def pdf_text_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222: crawled-corpus PDF ingestion — every document's text is
+    rendered into a real multi-page PDF 1.7 file (FlateDecode content
+    streams, WinAnsi Helvetica, classic xref — the closed-form
+    ``operators/pdfextract.build_pdf``) and parsed BACK through the
+    full xref → page tree → BT‥ET text machine
+    (``extract_pdf_text``), inside one Arrow ``mapInPandas`` pass
+    each (blobs never shuffle; at 100 TB the parse runs where the
+    crawl-scan task runs, exactly the WARC layout).
+
+    Oracle: extraction is an identity on the WinAnsi-safe (printable
+    ASCII + newline) projection of the text, and the filter itself is
+    the shared Java∩RE2 regex ``[^ -~\\n]`` → ''; a wrong xref
+    offset, stream length, escape rule, operator order, or page join
+    breaks the hash. Parse errors would surface as NULL text — the
+    oracle tolerates none."""
+    from workshoop2_etl_spark.operators.pdfextract import (
+        pdf_extract,
+        pdf_synthesize,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^ -~\n]", "").alias("t"),
+    )
+    pdfs = pdf_synthesize(docs, "doc_id", "t", lines_per_page=20)
+    return (
+        pdf_extract(pdfs, "doc_id", "pdf")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), "pdf_text"
+        )
+        .orderBy("doc_id")
+    )
