@@ -292,3 +292,60 @@ def test_linear_classifier_feature_cap_matches_trainer(spark):
     # long doc: exactly the first 512 features enter the logit
     assert full[2]["n_feats"] == 799
     assert capped[2]["n_feats"] == 512
+
+
+def test_trained_langid_confusion_matrix(spark):
+    """X224 (round 13): one-vs-rest char-n-gram language ID trained
+    on a planted separable multilingual fixture classifies every
+    document correctly — a diagonal confusion matrix — and retrains
+    bit-identically."""
+    from workshoop2_etl_spark.operators.curation import (
+        language_classify,
+        train_language_classifier,
+    )
+    from workshoop2_etl_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    rows = []
+    for i in range(200):
+        lg = langs[i % 4]
+        marker = " ".join(LANG_STOPWORDS[lg]) + " "
+        rows.append((i, lg, marker * 3 + f"document body {i}"))
+    df = spark.createDataFrame(rows, "doc_id long, lang_true string, text string")
+    w1, b1 = train_language_classifier(
+        df, "doc_id", "text", "lang_true", langs, sample_n=150, epochs=6
+    )
+    w2, b2 = train_language_classifier(
+        df, "doc_id", "text", "lang_true", langs, sample_n=150, epochs=6
+    )
+    assert b1 == b2
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    pred = language_classify(df, w1, b1, "doc_id", "text")
+    conf = (
+        df.join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .count()
+        .collect()
+    )
+    off_diag = [r for r in conf if r["lang_true"] != r["lang_pred"]]
+    assert off_diag == []
+    assert sum(r["count"] for r in conf) == 200
+
+
+def test_trained_langid_featureless_tiebreak(spark):
+    """Documents shorter than the n-gram window carry zero features:
+    every logit equals its bias and the lexicographically first
+    language wins — documented, deterministic, never NULL."""
+    from workshoop2_etl_spark.operators.curation import (
+        language_classify,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    w = spark.createDataFrame(
+        [("en", 0, 0.5), ("es", 0, 0.5)], "lang string, bucket int, weight double"
+    )
+    out = language_classify(
+        df, w, {"en": 0.0, "es": 0.0}, "doc_id", "text"
+    ).collect()[0]
+    assert out["n_feats"] == 0
+    assert out["lang_pred"] == "en"

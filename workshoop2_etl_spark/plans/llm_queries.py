@@ -6856,3 +6856,87 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pieces").cast("long").alias("n_pieces"),
         F.slice(F.col("unigram_tokens"), 1, 8).alias("head_pieces"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID (round 13 — upgrades the X11 stopword heuristic)
+# ---------------------------------------------------------------------------
+
+_LANGID_TRAINED_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+            WHEN 2 THEN 'es' ELSE 'fr' END AS lang_true,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+            WHEN 2 THEN 'es' ELSE 'fr' END AS lang_pred
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("langid_trained_documents", _LANGID_TRAINED_SQL)
+def langid_trained_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224: TRAINED language ID (the fastText langid construction —
+    Joulin et al. 2016) composed from X217's bounded seeded SGD over
+    hashed CHARACTER-3-gram features, one-vs-rest per language, with
+    X159-style broadcast micro-unit inference and a deterministic
+    argmax window (``operators/curation.py
+    train_language_classifier`` / ``language_classify``; X11's
+    stopword heuristic remains the untrained fallback).
+
+    Oracle contract (the X217 pattern): each document is planted with
+    its true language's stopword phrase (``doc_id % 4`` → de/en/es/fr,
+    marker repeated 6x and PREPENDED so the trainer's feature cap can
+    never drop it); on this separable fixture the trained model must
+    return every prediction equal to its label. A wrong hash, a
+    train/apply feature skew, a diverging fit, or a broken argmax
+    tie-break all break the hash. The fit itself is iterative and
+    not SQL-expressible; what the oracle pins is the train→classify
+    contract."""
+    from workshoop2_etl_spark.operators.curation import (
+        language_classify,
+        train_language_classifier,
+    )
+    from workshoop2_etl_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    lang_true = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    marker = F.element_at(
+        F.array(
+            *[F.lit((" ".join(LANG_STOPWORDS[lg]) + " ") * 6) for lg in langs]
+        ),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    planted = docs.select(
+        "doc_id",
+        lang_true.alias("lang_true"),
+        F.concat(marker, F.col("text")).alias("text2"),
+    )
+    weights, biases = train_language_classifier(
+        planted,
+        "doc_id",
+        "text2",
+        "lang_true",
+        langs,
+        sample_n=400,
+        epochs=12,
+        max_feats_per_doc=512,
+    )
+    pred = language_classify(
+        planted, weights, biases, "doc_id", "text2",
+        max_feats_per_doc=512,
+    )
+    return (
+        planted.join(pred, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang_true",
+            F.col("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
