@@ -2614,3 +2614,42 @@ def auto_salt_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zkey", "provenance")
     )
+
+
+@_register(
+    "xml_roundtrip_orders",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 10 = 5
+""",
+)
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225 (round 13, VERDICT r12 missing-item 5): generic
+    declared-schema XML source/sink — parquet → row-per-element XML
+    documents → declared-schema scan (``sources/xmlio.py``, the
+    ``from_xml``-shaped generalization of the wikidump parser core:
+    regex row-tag extraction + five-entity/numeric-ref unescape).
+    The deterministic orders slice repartitions to 4 documents so
+    the read is genuinely multi-file; the hash match against the
+    straight-parquet oracle proves the long/string/double/date
+    lattice round-trips value-exact (shortest-roundtrip doubles,
+    ISO dates, NULL-as-absent-element). Writes encode per partition
+    in a mapInPandas fold; reads are binaryFile + Arrow kernels —
+    blobs never shuffle."""
+    from workshoop2_etl_spark.sources.xmlio import read_xml, write_xml
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 5)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_xml_roundtrip_orders_{_run_token(sf_dir)}",
+    )
+    write_xml(orders.repartition(4, "o_orderkey"), out_dir)
+    return read_xml(spark, out_dir, orders.schema)
