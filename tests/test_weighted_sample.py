@@ -70,3 +70,36 @@ def test_global_guard(spark):
         weighted_sample(df, "id", weight_col="w", k=1)
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "id", weight_col="w", k=0, group_cols=["g"])
+
+
+def test_reservoir_sample_exact_nested_and_heap_planned(spark):
+    """X226: exactly k rows, id-stable, size-nested (top-k is a
+    prefix of top-(k+m) under fixed race keys), and planned as
+    TakeOrderedAndProject — never a global sort or one-partition
+    window."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.sampling import reservoir_sample
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    s1 = reservoir_sample(df, "k", k=100, salt="t")
+    rows1 = s1.collect()
+    assert len(rows1) == 100
+    ids1 = [r["k"] for r in rows1]
+    # deterministic rerun
+    assert ids1 == [r["k"] for r in reservoir_sample(df, "k", k=100, salt="t").collect()]
+    # nested: top-100 is a prefix of top-150
+    ids2 = [r["k"] for r in reservoir_sample(df, "k", k=150, salt="t").collect()]
+    assert ids2[:100] == ids1
+    # a different salt draws a different sample
+    assert ids1 != [r["k"] for r in reservoir_sample(df, "k", k=100, salt="u").collect()]
+    # plan shape: bounded heaps, not a global Sort
+    s1.collect()
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    with pytest.raises(ValueError, match="k must be"):
+        reservoir_sample(df, "k", k=0)

@@ -331,3 +331,53 @@ def kfold_assign(
         raise ValueError(f"k must be >= 2, got {k}")
     bucket = hash_bucket(id_col, buckets=1_000_003, salt=salt)
     return df.withColumn(out_col, (bucket % k).cast("int"))
+
+
+def reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    salt: str = "",
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """EXACT uniform k-of-N sample without a global window (round 13
+    — rounds out the chapter: ``weighted_sample(group_cols=None)``
+    funnels the whole dataset through ONE window partition and is
+    gated behind ``allow_global``; this is the scale-safe global
+    path).
+
+    Every row draws a deterministic integer race key — the first 32
+    md5 bits of ``salt‖id``, the repo's seeded-uniform contract — and
+    the k smallest keys win: a pure function of (ids, salt), so the
+    sample is id-stable across reruns and cluster layouts, nested
+    across sizes (the top-k sample is a prefix of the top-(k+m)
+    one), and INTEGER-exact cross-engine (no doubles, no ln — the
+    one sampler here with zero last-ulp caveats).
+
+    Scale shape: ``orderBy(key).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition bounded heaps merged on
+    the driver, the distributed equivalent of reservoir sampling
+    (Vitter's Algorithm R keeps a k-heap per scanner and merges;
+    fixed race keys make the merge associative and deterministic).
+    No full sort, no data shuffle, driver holds k rows.
+
+    Returns the winning rows with the race key appended as
+    ``key_col`` (ordered by it — the oracle states the same ORDER
+    BY ... LIMIT)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -6940,3 +6940,42 @@ def langid_trained_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reservoir sampling (round 13 — the chapter's exact global-k path)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, sample_key
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(concat('0x', substr(md5(concat('rsv',
+              CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+           AS sample_key
+  FROM orders
+)
+ORDER BY sample_key, o_orderkey
+LIMIT 500
+"""
+
+
+@_register("reservoir_sample_orders", _RESERVOIR_SQL)
+def reservoir_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226: exact uniform 500-of-N order sample via deterministic
+    integer md5 race keys + TakeOrderedAndProject (per-partition
+    bounded heaps, driver merges k rows — the distributed reservoir;
+    ``operators/sampling.reservoir_sample``). Integer-exact in any
+    engine: the oracle re-derives every race key bit-for-bit and
+    states the same ORDER BY + LIMIT."""
+    from workshoop2_etl_spark.operators.sampling import reservoir_sample
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return reservoir_sample(orders, "o_orderkey", k=500, salt="rsv").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_totalprice",
+        "sample_key",
+    )
