@@ -1092,3 +1092,48 @@ def test_gif_in_spark_decode_ladder(spark):
         id_cols=["doc_id"],
     ).collect()
     assert all(r["ahash_hex"] is not None for r in hashes)
+
+
+def test_codec_ladder_boundary_audit(spark):
+    """Round-13 WebP-refusal audit: the four real-codec formats are
+    named by the sniffer and decode for real; WebP/AVIF/HEIC/TIFF are
+    recognized BY NAME and surface as named stubs in the metadata
+    path (mode 'STUB:webp' etc.), never anonymous; unknown bytes stay
+    the plain STUB. The boundary is documented behavior, not an
+    accident."""
+    import struct
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _synth_bmp,
+        decode_image_metadata,
+        sniff_image_format,
+    )
+
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 8
+    avif = struct.pack(">I", 24) + b"ftypavif" + b"\x00" * 16
+    heic = struct.pack(">I", 24) + b"ftypheic" + b"\x00" * 16
+    tiff = b"II*\x00" + b"\x00" * 16
+    assert sniff_image_format(webp) == "webp"
+    assert sniff_image_format(avif) == "avif"
+    assert sniff_image_format(heic) == "heic"
+    assert sniff_image_format(tiff) == "tiff"
+    assert sniff_image_format(b"\x89PNG\r\n\x1a\x08 wrong") is None
+    assert sniff_image_format(_synth_bmp(2, "x")) == "bmp"
+
+    rows = [
+        (1, {"payload": bytearray(webp)}),
+        (2, {"payload": bytearray(tiff)}),
+        (3, {"payload": bytearray(b"not an image at all")}),
+        (4, {"payload": bytearray(_synth_bmp(3, "y"))}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media struct<payload: binary>"
+    )
+    got = {
+        r["doc_id"]: r["mode"]
+        for r in decode_image_metadata(df, "media").collect()
+    }
+    assert got[1] == "STUB:webp"
+    assert got[2] == "STUB:tiff"
+    assert got[3] == "STUB"
+    assert got[4] == "RGB"  # real BMP parse, not the stub path
