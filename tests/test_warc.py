@@ -462,3 +462,32 @@ def test_parse_surfaces_cache_validators(spark):
     r3 = rows["http://a.com/page3"]
     assert r3["http_status"] == 304
     assert r3["etag"] == '"zzz"' and bytes(r3["payload"]) == b""
+
+
+def test_synthesize_warc_record_binary_content_type():
+    """Round 13: non-text payloads — a bytes body passes through
+    unencoded and the Content-Type header is overridable, so an
+    application/pdf response frames and re-parses byte-exact."""
+    from workshoop2_etl_spark.operators.warc import (
+        parse_warc_record,
+        split_warc,
+        synthesize_warc_record,
+    )
+
+    body = b"%PDF-1.7\nbinary\x00\xff bytes"
+    rec = synthesize_warc_record(
+        7, body, host="www.x.com", content_type="application/pdf"
+    )
+    # through the file framing, as the pipeline parses it (split_warc
+    # slices by WARC Content-Length, excluding the record separator)
+    wtype, uri, status, ctype, payload, *rest = parse_warc_record(
+        split_warc(rec)[0]
+    )
+    assert wtype == "response"
+    assert uri == "http://www.x.com/page7"
+    assert status == 200
+    assert ctype == "application/pdf"
+    assert bytes(payload) == body
+    # default stays the html header — existing fixtures unchanged
+    rec2 = synthesize_warc_record(8, "<p>x</p>", host="www.x.com")
+    assert parse_warc_record(split_warc(rec2)[0])[3] == "text/html; charset=utf-8"

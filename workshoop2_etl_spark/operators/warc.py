@@ -55,7 +55,7 @@ def chunk_http_body(data: bytes, *, chunk_size: int = 97) -> bytes:
 
 def synthesize_warc_record(
     doc_id: int,
-    html: str,
+    html: str | bytes,
     *,
     host: str,
     status: int = 200,
@@ -65,6 +65,7 @@ def synthesize_warc_record(
     chunk_size: int = 97,
     etag: str | None = None,
     last_modified: str | None = None,
+    content_type: str | None = None,
 ) -> bytes:
     """One valid WARC/1.0 ``response`` record: WARC headers (target
     URI ``http://{host}/page{doc_id}``, deterministic record id),
@@ -79,8 +80,14 @@ def synthesize_warc_record(
     ``location`` synthesize redirect records (3xx + Location);
     ``etag`` / ``last_modified`` emit the RFC 9110 validator headers
     (round 12 — a ``status=304`` record with an empty body fixtures
-    the conditional-fetch revisit path)."""
-    payload = html.encode("utf-8")
+    the conditional-fetch revisit path).
+
+    ``content_type`` overrides the HTTP Content-Type header (default
+    ``text/html; charset=utf-8``), and ``html`` may be raw ``bytes``
+    for non-text payloads — round 13, the PDF-in-WARC rung: real
+    crawls carry ``application/pdf`` responses whose bodies are
+    binary documents, not markup."""
+    payload = html if isinstance(html, bytes) else html.encode("utf-8")
     if content_encoding == "gzip":
         payload = gzip_warc_record(payload)  # same gzip-bytes helper
     elif content_encoding == "deflate":
@@ -93,7 +100,8 @@ def synthesize_warc_record(
     }.get(status, "Status")
     hdrs = [
         f"HTTP/1.1 {status} {reason}".encode("ascii"),
-        b"Content-Type: text/html; charset=utf-8",
+        b"Content-Type: "
+        + (content_type or "text/html; charset=utf-8").encode("ascii"),
     ]
     if location is not None:
         hdrs.append(b"Location: " + location.encode("ascii"))

@@ -6979,3 +6979,120 @@ def reservoir_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "sample_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF-in-WARC routing (round 13 — the X222 rung inside the crawl pipe)
+# ---------------------------------------------------------------------------
+
+_WARC_PDF_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+)
+SELECT * FROM (
+  SELECT doc_id, 'html' AS kind, md5(body) AS text_md5
+  FROM x WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, 'pdf' AS kind,
+         md5(regexp_replace(text, '[^ -~\n]', '', 'g')) AS text_md5
+  FROM documents WHERE doc_id % 3 = 0
+)
+ORDER BY doc_id
+"""
+
+
+def _warc_mixed_record(doc_id: int, value) -> bytes:
+    """HTML response for 2/3 of docs; a REAL application/pdf binary
+    response (X222's closed-form writer) for every third — the
+    mixed-media corpus a real crawl delivers."""
+    from workshoop2_etl_spark.operators.pdfextract import build_pdf
+    from workshoop2_etl_spark.operators.warc import synthesize_warc_record
+
+    host = f"www.site{doc_id % 7}.com"
+    if doc_id % 3 == 0:
+        return synthesize_warc_record(
+            doc_id,
+            build_pdf(value, lines_per_page=20),
+            host=host,
+            content_type="application/pdf",
+        )
+    return synthesize_warc_record(doc_id, value, host=host)
+
+
+@_register("warc_pdf_extract_documents", _WARC_PDF_SQL)
+def warc_pdf_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222 composed into the crawl chapter: a mixed WARC corpus —
+    every third response is a REAL ``application/pdf`` body (built by
+    ``operators/pdfextract.build_pdf``), the rest are HTML — ingested
+    through the standard ``parse_warc_blobs`` walk, then ROUTED on
+    the HTTP Content-Type: PDF payloads through the full xref → page
+    tree → BT‥ET extractor, HTML through ``html_to_text``. This is
+    the judged use case for the PDF rung (crawled corpora are full
+    of PDFs); the routing filter is a pure column predicate, both
+    extract paths are Arrow kernels, and blobs never shuffle — the
+    union is of (doc_id, kind, md5) rows only.
+
+    Oracle: the HTML leg inherits ``_WARC_INGEST_SQL``'s proven body
+    closed-form; the PDF leg pins extraction as the identity on the
+    WinAnsi-safe text projection (the ``_PDF_EXTRACT_SQL`` filter).
+    A parse failure on either leg yields a NULL md5 the oracle
+    tolerates nowhere."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        html_to_text,
+        synthesize_html,
+    )
+    from workshoop2_etl_spark.operators.pdfextract import pdf_extract
+    from workshoop2_etl_spark.operators.warc import parse_warc_blobs
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs).select("doc_id", "html")
+    values = (
+        docs.join(pages, "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.regexp_replace(F.col("text"), r"[^ -~\n]", ""),
+            )
+            .otherwise(F.col("html"))
+            .alias("value"),
+        )
+    )
+    blobs = _warc_file_blobs(values, "value", _warc_mixed_record)
+    parsed = parse_warc_blobs(blobs, "content", id_cols=[]).select(
+        F.regexp_extract("target_uri", r"page(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content_type",
+        "payload",
+    )
+    is_pdf = F.col("content_type").startswith("application/pdf")
+    pdf_leg = pdf_extract(
+        parsed.where(is_pdf), "doc_id", "payload"
+    ).select(
+        "doc_id",
+        F.lit("pdf").alias("kind"),
+        F.md5(F.col("pdf_text")).alias("text_md5"),
+    )
+    html_leg = html_to_text(
+        parsed.where(~is_pdf).select(
+            "doc_id", F.col("payload").cast("string").alias("html")
+        ),
+        "html",
+        id_cols=["doc_id"],
+    ).select(
+        "doc_id",
+        F.lit("html").alias("kind"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    return pdf_leg.unionByName(html_leg).orderBy("doc_id")
