@@ -189,3 +189,38 @@ def test_extract_links_to_pagerank_composition(spark):
     for hub in (0, 7, 14):
         spokes = [r[i] for i in range(hub + 1, hub + 7) if i in r]
         assert all(r[hub] > s for s in spokes)
+
+
+def test_extract_jsonld_blocks_and_negatives(spark):
+    """X228: both quote styles match, block order is stable, the
+    type-less boilerplate script and non-ld types never match, and
+    a page with no blocks keeps one NULL row (posexplode_outer)."""
+    from workshoop2_etl_spark.operators.htmlextract import extract_jsonld
+
+    rows = [
+        (
+            1,
+            '<html><head><script>var x = "<p>no</p>";</script></head>'
+            '<body><script type="application/ld+json">{"a":1}</script>'
+            "<p>t</p>"
+            "<script type='application/ld+json'>{\"b\":2}</script>"
+            '<script type="text/javascript">{"c":3}</script>'
+            "</body></html>",
+        ),
+        (2, "<html><body><p>nothing structured</p></body></html>"),
+        (
+            3,
+            '<script TYPE = "application/ld+json">\n{"multi":\n"line"}\n'
+            "</SCRIPT>",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        (r["doc_id"], r["ld_no"]): r["ld_json"]
+        for r in extract_jsonld(df, "html", id_cols=["doc_id"]).collect()
+    }
+    assert got[(1, 0)] == '{"a":1}'
+    assert got[(1, 1)] == '{"b":2}'
+    assert (1, 2) not in got  # text/javascript is not JSON-LD
+    assert got[(2, None)] is None  # blockless page keeps its row (NULL pos)
+    assert "multi" in got[(3, 0)]  # case-insensitive tag + multiline body

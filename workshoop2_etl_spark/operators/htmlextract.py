@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Containers whose CONTENTS are boilerplate/non-text — dropped whole.
@@ -355,3 +356,43 @@ def extract_links(
             )
 
     return df.mapInPandas(batches, schema)
+
+
+#: <script type="application/ld+json"> block bodies, group 1 — the
+#: schema.org structured-data carrier (Google's documented embedding
+#: form). Java∩RE2 shared subset: inline (?is), lazy quantifier,
+#: explicit classes — the type attribute may use either quote style;
+#: a type-less <script> (the boilerplate head script) never matches.
+JSONLD_PATTERN = (
+    r"(?is)<script[^>]*type[ \t]*=[ \t]*[\"']application/ld\+json[\"']"
+    r"[^>]*>(.*?)</script>"
+)
+
+
+def extract_jsonld(
+    df: DataFrame,
+    html_col: str,
+    *,
+    id_cols: list[str] | None = None,
+    pos_col: str = "ld_no",
+    out_col: str = "ld_json",
+) -> DataFrame:
+    """One row per embedded JSON-LD block (round 13 — the crawl
+    enrichment step every schema.org-aware pipeline runs: product /
+    article / breadcrumb metadata ship as
+    ``<script type="application/ld+json">`` payloads, not markup).
+
+    Pure column computation end to end: ``regexp_extract_all`` pulls
+    every block body (:data:`JSONLD_PATTERN`), ``posexplode_outer``
+    fans them out with a stable per-page index (pages with no blocks
+    keep one NULL row so joins don't drop them), and callers pick
+    fields with ``get_json_object``/``from_json`` — whole-stage
+    codegen, no UDF, no shuffle. Returns ``(*id_cols, pos_col,
+    out_col)``."""
+    ids = id_cols or [c for c in df.columns if c != html_col]
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(JSONLD_PATTERN), F.lit(1)
+    )
+    return df.select(
+        *ids, F.posexplode_outer(blocks).alias(pos_col, out_col)
+    )

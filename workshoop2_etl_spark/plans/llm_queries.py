@@ -7096,3 +7096,89 @@ def warc_pdf_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
     )
     return pdf_leg.unionByName(html_leg).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data extraction (round 13)
+# ---------------------------------------------------------------------------
+
+_JSONLD_SQL = """
+SELECT * FROM (
+  SELECT doc_id, CAST(0 AS INTEGER) AS ld_no, 'Article' AS ld_type,
+         'Doc ' || doc_id AS ld_name, CAST(n_chars AS BIGINT) AS n_val
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INTEGER), 'BreadcrumbList', NULL,
+         CAST(doc_id % 4 AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 0
+)
+ORDER BY doc_id, ld_no
+"""
+
+
+@_register("jsonld_extract_documents", _JSONLD_SQL)
+def jsonld_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228: schema.org structured-data extraction — every page gets
+    a real ``<script type="application/ld+json">`` Article block
+    (every fifth page a second BreadcrumbList block) injected into
+    the standard HTML fixture, and `extract_jsonld` pulls them back
+    as pure columns: ``regexp_extract_all`` over the shared Java∩RE2
+    pattern, ``posexplode`` for the stable per-page block index, and
+    ``get_json_object`` for the typed fields — whole-stage codegen,
+    no UDF, no shuffle before the output sort. The boilerplate
+    type-less ``<script>`` in every page head is the built-in
+    negative case: matching it would double the row count.
+
+    Oracle: blocks are injected closed-form from (doc_id, n_chars),
+    so DuckDB states the expected table directly — a regex that
+    over/under-matches, a broken block index, or a mis-parsed JSON
+    field breaks rows, order, or values."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        extract_jsonld,
+        synthesize_html,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    pages = synthesize_html(docs)
+    d = F.col("doc_id")
+    ld1 = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"Article",'
+              '"name":"Doc '),
+        d,
+        F.lit('","nChars":'),
+        F.col("n_chars"),
+        F.lit("}</script>"),
+    )
+    ld2 = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("<script type='application/ld+json'>"
+                  '{"@type":"BreadcrumbList","itemCount":'),
+            d % 4,
+            F.lit("}</script>"),
+        ),
+    ).otherwise(F.lit(""))
+    enriched = pages.select(
+        "doc_id",
+        F.replace(
+            F.col("html"), F.lit("<h1>"), F.concat(ld1, ld2, F.lit("<h1>"))
+        ).alias("html"),
+    )
+    blocks = extract_jsonld(enriched, "html", id_cols=["doc_id"]).where(
+        F.col("ld_json").isNotNull()
+    )
+    return blocks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ld_no").cast("int").alias("ld_no"),
+        F.get_json_object("ld_json", "$['@type']").alias("ld_type"),
+        F.get_json_object("ld_json", "$.name").alias("ld_name"),
+        F.coalesce(
+            F.get_json_object("ld_json", "$.nChars"),
+            F.get_json_object("ld_json", "$.itemCount"),
+        )
+        .cast("long")
+        .alias("n_val"),
+    ).orderBy("doc_id", "ld_no")
