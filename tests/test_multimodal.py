@@ -1137,3 +1137,100 @@ def test_codec_ladder_boundary_audit(spark):
     assert got[2] == "STUB:tiff"
     assert got[3] == "STUB"
     assert got[4] == "RGB"  # real BMP parse, not the stub path
+
+
+def test_flac_roundtrips_all_subframe_paths():
+    """X230: encode→decode is sample-exact for constant signals
+    (CONSTANT subframes), varying signals (FIXED 0-2 + Rice), sign
+    extremes, and multi-block streams with a short tail block."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _encode_flac,
+        _parse_flac,
+        _synth_flac,
+    )
+
+    rate, ch, bits, s = _parse_flac(_synth_flac(7, "hello world"))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert len(s) == 1600 + len("hello world") % 800
+    assert np.all(s == 107)
+
+    x = np.array(
+        [int(1000 * np.sin(i / 5)) + (i % 7) for i in range(10000)],
+        dtype=np.int64,
+    )
+    blob = _encode_flac(x, 44100, block_size=1536)
+    r = _parse_flac(blob)
+    assert r[0] == 44100
+    assert np.array_equal(r[3], x.astype(np.int16))
+    assert len(blob) < 2 * len(x)  # actually compresses
+
+    y = np.array([-32768, 32767, -1, 0, 1] * 500, dtype=np.int64)
+    assert np.array_equal(_parse_flac(_encode_flac(y))[3], y.astype(np.int16))
+
+
+def test_flac_crc_and_scope_refusals():
+    """Tampered payload bytes fail a CRC by name; in-spec shapes
+    outside the mono/16-bit scope refuse by name; non-FLAC returns
+    None (ladder falls through)."""
+    import pytest
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _BitWriter,
+        _FLAC_MAGIC,
+        _encode_flac,
+        _parse_flac,
+    )
+
+    assert _parse_flac(b"RIFFnotflac") is None
+    blob = bytearray(_encode_flac([5, 9, 13, 2] * 300))
+    blob[-10] ^= 0xFF  # inside the last frame's residual bits
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_flac(bytes(blob))
+
+    def streaminfo(channels, bits):
+        w = _BitWriter()
+        w.write(1024, 16); w.write(1024, 16)
+        w.write(0, 24); w.write(0, 24)
+        w.write(16000, 20)
+        w.write(channels - 1, 3)
+        w.write(bits - 1, 5)
+        w.write(0, 36)
+        body = w.bytes() + b"\x00" * 16
+        return _FLAC_MAGIC + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    with pytest.raises(ValueError, match="mono"):
+        _parse_flac(streaminfo(2, 16))
+    with pytest.raises(ValueError, match="16-bit"):
+        _parse_flac(streaminfo(1, 24))
+
+
+def test_flac_in_audio_ladder(spark):
+    """The feature kernel decodes FLAC payloads for real (exact
+    duration + constant RMS) and a corrupt stream falls to the
+    visible byte proxy instead of killing the batch."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        _synth_flac,
+        extract_audio_features,
+    )
+
+    good = _synth_flac(3, "x" * 10)
+    bad = bytearray(good)
+    bad[-3] ^= 0xFF
+    df = spark.createDataFrame(
+        [
+            (3, {"payload": bytearray(good)}),
+            (4, {"payload": bytes(bad)}),
+        ],
+        "doc_id long, media struct<payload: binary>",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_audio_features(df, "media").collect()
+    }
+    n = 1600 + 10 % 800
+    assert got[3]["duration_sec"] == n / 16000.0
+    assert got[3]["rms_profile"][0] == 103.0  # 100 + 3 % 900
+    # corrupt: byte-proxy duration (len/2/16000), not the real one
+    assert got[4]["duration_sec"] != n / 16000.0

@@ -1433,6 +1433,402 @@ def _synth_adpcm_wav(doc_id: int, text: str) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# FLAC (round 13) — the lossless-compression rung of the audio leg,
+# spec-exact from the public xiph FLAC format spec: STREAMINFO
+# metadata block, fixed-blocksize frames with CRC-8 headers and
+# CRC-16 footers, UTF-8-coded frame numbers, CONSTANT / VERBATIM /
+# FIXED(0-4) subframes, Rice-coded residuals (both 4-bit parameter
+# partitions and the 5-bit escape to verbatim residual bits).
+# Scope refusals (never misparse): stereo / multi-channel
+# assignments, LPC subframes, wasted bits, variable blocking, and
+# non-16-bit sample sizes raise ValueError by name.
+# ---------------------------------------------------------------------------
+
+_FLAC_MAGIC = b"fLaC"
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+del _b, _c
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC8_TABLE[c ^ byte]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC16_TABLE[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_utf8_number(w: _BitWriter, n: int) -> None:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        w.write(n, 8)
+        return
+    if n < 0x800:
+        w.write(0xC0 | (n >> 6), 8)
+        w.write(0x80 | (n & 0x3F), 8)
+        return
+    w.write(0xE0 | (n >> 12), 8)
+    w.write(0x80 | ((n >> 6) & 0x3F), 8)
+    w.write(0x80 | (n & 0x3F), 8)
+
+
+def _flac_read_utf8(r: _BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_more = 0
+    mask = 0x40
+    while first & mask:
+        n_more += 1
+        mask >>= 1
+    out = first & (mask - 1)
+    for _ in range(n_more):
+        out = (out << 6) | (r.read(8) & 0x3F)
+    return out
+
+
+#: FIXED-predictor coefficients, order 0-4 (spec §9.2.1).
+_FLAC_FIXED = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _rice_write(w: _BitWriter, residual: list[int], param: int) -> None:
+    for res in residual:
+        z = (res << 1) if res >= 0 else ((-res) << 1) - 1
+        q = z >> param
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        if param:
+            w.write(z & ((1 << param) - 1), param)
+
+
+def _rice_read(r: _BitReader, n: int, param: int) -> list[int]:
+    out = []
+    for _ in range(n):
+        q = r.unary()
+        z = (q << param) | (r.read(param) if param else 0)
+        out.append((z >> 1) if not z & 1 else -((z + 1) >> 1))
+    return out
+
+
+def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes:
+    """Mono 16-bit FLAC: STREAMINFO + fixed-blocksize frames. Per
+    block the encoder picks CONSTANT (all-equal), else the FIXED
+    order 0-2 with the smallest absolute-residual sum, Rice-coded in
+    one partition with the parameter sized from the residual mean —
+    a real (if greedy) encoder whose output any conforming decoder
+    plays. Deterministic: no RNG, ties prefer the lower order."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    n_total = len(x)
+    header = bytearray(_FLAC_MAGIC)
+    info = _BitWriter()
+    info.write(block_size, 16)  # min block size
+    info.write(block_size, 16)  # max block size
+    info.write(0, 24)  # min frame size unknown
+    info.write(0, 24)  # max frame size unknown
+    info.write(rate, 20)
+    info.write(0, 3)  # channels - 1 (mono)
+    info.write(15, 5)  # bits per sample - 1 (16)
+    info.write(n_total, 36)
+    streaminfo = info.bytes() + b"\x00" * 16  # md5 unset (spec-legal)
+    header += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    out = bytearray(header)
+    for f_no, start in enumerate(range(0, max(n_total, 1), block_size)):
+        block = x[start : start + block_size]
+        if len(block) == 0:
+            block = np.zeros(1, dtype=np.int64)
+        n = len(block)
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking strategy
+        w.write(0b0111, 4)  # block size: 16-bit value - 1 follows
+        w.write(0b1101, 4)  # sample rate: 16-bit Hz follows
+        w.write(0, 4)  # channel assignment: mono
+        w.write(0b100, 3)  # sample size: 16 bits
+        w.write(0, 1)  # reserved
+        _flac_utf8_number(w, f_no)
+        w.write(n - 1, 16)
+        w.write(rate, 16)
+        hdr = w.buf[:]
+        w.write(_crc8(bytes(hdr)), 8)
+        # subframe
+        if np.all(block == block[0]):
+            w.write(0, 1)
+            w.write(0, 6)  # CONSTANT
+            w.write(0, 1)  # no wasted bits
+            w.write(int(block[0]) & 0xFFFF, 16)
+        else:
+            best_order, best_res, best_cost = 0, None, None
+            for order in (0, 1, 2):
+                if n <= order:
+                    continue
+                res = block.copy()
+                for _ in range(order):
+                    res = np.diff(res)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_order, best_res, best_cost = order, res, cost
+            order, res = best_order, best_res
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)  # FIXED
+            w.write(0, 1)
+            for s in block[:order]:
+                w.write(int(s) & 0xFFFF, 16)
+            residual = [int(v) for v in res]  # len == n - order
+            mean = max(1, int(np.abs(res).mean()) if len(res) else 1)
+            param = min(14, max(0, mean.bit_length()))
+            w.write(0, 2)  # residual method: 4-bit Rice
+            w.write(0, 4)  # partition order 0
+            w.write(param, 4)
+            _rice_write(w, residual, param)
+        w.align()
+        body = bytes(w.buf)
+        out += body + _crc16(body).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _parse_flac(b: bytes):
+    """Decode a mono 16-bit FLAC stream → (rate, channels, bits,
+    samples int16 ndarray), or None if ``b`` is not FLAC. Verifies
+    every frame-header CRC-8 and frame CRC-16; supported subframes
+    CONSTANT / VERBATIM / FIXED 0-4 with Rice residuals (4-bit
+    params + 5-bit escape); raises ValueError BY NAME for in-spec
+    shapes outside the mono/16-bit/fixed-blocking scope."""
+    import numpy as np
+
+    b = b or b""
+    if b[:4] != _FLAC_MAGIC:
+        return None
+    pos = 4
+    rate = channels = bits = None
+    n_total = None
+    while pos + 4 <= len(b):  # metadata blocks
+        head = b[pos]
+        btype = head & 0x7F
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + blen]
+        pos += 4 + blen
+        if btype == 0:  # STREAMINFO
+            r = _BitReader(body)
+            r.read(16)
+            max_bs = r.read(16)
+            r.read(24)
+            r.read(24)
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bits = r.read(5) + 1
+            n_total = r.read(36)
+            del max_bs
+        if head & 0x80:
+            break
+    if rate is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    if channels != 1:
+        raise ValueError(
+            f"unsupported FLAC channel count {channels} (mono only)"
+        )
+    if bits != 16:
+        raise ValueError(
+            f"unsupported FLAC sample size {bits} (16-bit only)"
+        )
+    samples: list[int] = []
+    while pos < len(b) and (n_total is None or len(samples) < n_total):
+        frame_start = pos
+        r = _BitReader(b, pos * 8)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("FLAC frame sync lost")
+        r.read(1)
+        if r.read(1) != 0:
+            raise ValueError("unsupported FLAC variable blocking")
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        chan_code = r.read(4)
+        size_code = r.read(3)
+        r.read(1)
+        if chan_code != 0:
+            raise ValueError(
+                f"unsupported FLAC channel assignment {chan_code}"
+            )
+        if size_code != 0b100:
+            raise ValueError("unsupported FLAC frame sample size")
+        _flac_read_utf8(r)
+        if bs_code == 0b0110:
+            n = r.read(8) + 1
+        elif bs_code == 0b0111:
+            n = r.read(16) + 1
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        else:
+            raise ValueError(f"unsupported FLAC block size code {bs_code}")
+        if rate_code == 0b1100:
+            r.read(8)
+        elif rate_code in (0b1101, 0b1110):
+            r.read(16)
+        hdr_len = r.pos // 8 - frame_start  # header is byte-aligned here
+        if _crc8(b[frame_start : frame_start + hdr_len]) != b[
+            frame_start + hdr_len
+        ]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        r.read(8)  # consume the CRC-8 byte
+        # subframe (mono: exactly one)
+        if r.read(1) != 0:
+            raise ValueError("bad FLAC subframe padding bit")
+        stype = r.read(6)
+        if r.read(1) != 0:
+            raise ValueError("unsupported FLAC wasted bits")
+        if stype == 0:
+            v = r.read(16)
+            v -= 1 << 16 if v & 0x8000 else 0
+            block = [v] * n
+        elif stype == 1:
+            block = []
+            for _ in range(n):
+                v = r.read(16)
+                block.append(v - (1 << 16) if v & 0x8000 else v)
+        elif 0b001000 <= stype <= 0b001100:
+            order = stype & 0x07
+            warm = []
+            for _ in range(order):
+                v = r.read(16)
+                warm.append(v - (1 << 16) if v & 0x8000 else v)
+            method = r.read(2)
+            if method > 1:
+                raise ValueError("reserved FLAC residual method")
+            part_order = r.read(4)
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            residual: list[int] = []
+            n_parts = 1 << part_order
+            for p in range(n_parts):
+                cnt = n >> part_order
+                if p == 0:
+                    cnt -= order
+                param = r.read(pbits)
+                if param == escape:
+                    raw = r.read(5)
+                    for _ in range(cnt):
+                        v = r.read(raw) if raw else 0
+                        v -= 1 << raw if raw and v & (1 << (raw - 1)) else 0
+                        residual.append(v)
+                else:
+                    residual.extend(_rice_read(r, cnt, param))
+            block = list(warm)
+            coef = _FLAC_FIXED[order]
+            for res in residual:
+                pred = sum(
+                    c * block[-(i + 1)] for i, c in enumerate(coef)
+                )
+                block.append(res + pred)
+        elif stype >= 0b100000:
+            raise ValueError("unsupported FLAC LPC subframe")
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        r.align()
+        body_len = r.pos // 8 - frame_start
+        want = int.from_bytes(
+            b[frame_start + body_len : frame_start + body_len + 2], "big"
+        )
+        if _crc16(b[frame_start : frame_start + body_len]) != want:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = frame_start + body_len + 2
+        samples.extend(block)
+    if n_total:
+        samples = samples[:n_total]
+    return rate, 1, 16, np.asarray(samples, dtype=np.int16)
+
+
+def _synth_flac(doc_id: int, text: str) -> bytes:
+    """A real FLAC stream with the WAV fixture's closed form —
+    n_samples = 1600 + len(text) % 800, constant amplitude
+    100 + doc_id % 900 (CONSTANT subframes by construction), 16 kHz —
+    so duration and per-chunk RMS replay in SQL exactly like the
+    PCM entry's oracle."""
+    n = 1600 + len(text or "") % 800
+    amp = 100 + doc_id % 900
+    return _encode_flac([amp] * n, 16000, block_size=1024)
+
+
 def synthesize_media_payload(
     df: DataFrame,
     *,
@@ -1452,6 +1848,7 @@ def synthesize_media_payload(
         "gif": _synth_gif,
         "wav": _synth_wav,
         "adpcm": _synth_adpcm_wav,
+        "flac": _synth_flac,
         "video": _synth_video,
     }
     if fmt not in makers:
@@ -1944,6 +2341,16 @@ def extract_audio_features(
             for m in pdf[media_col]:
                 b = m["payload"] or b""
                 wav = _parse_wav(b)
+                if wav is None and b[:4] == _FLAC_MAGIC:
+                    # the lossless-compression rung (round 13):
+                    # in-scope streams decode for real; out-of-scope
+                    # shapes (stereo/LPC/…) raise by name in the
+                    # parser and fall to the visible byte proxy —
+                    # never a silently wrong decode
+                    try:
+                        wav = _parse_flac(b)
+                    except ValueError:
+                        wav = None
                 if wav is not None:
                     rate, channels, _bits, samples = wav
                     frames = len(samples) // max(channels, 1)

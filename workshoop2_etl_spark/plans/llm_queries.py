@@ -7182,3 +7182,51 @@ def jsonld_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_val"),
     ).orderBy("doc_id", "ld_no")
+
+
+@_register(
+    "audio_flac_features_documents",
+    """
+SELECT doc_id,
+       CAST(1600 + length(text) % 800 AS BIGINT) AS n_frames,
+       CAST(ceil((1600 + length(text) % 800) / 2048.0) AS BIGINT)
+         AS n_chunks,
+       CAST(100 + doc_id % 900 AS DOUBLE) AS rms0
+FROM documents
+""",
+)
+def audio_flac_features_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X230: the LOSSLESS-COMPRESSION rung of the audio leg — the
+    generator emits genuine FLAC streams (spec-exact: STREAMINFO,
+    fixed-blocksize frames with CRC-8 headers and CRC-16 footers,
+    UTF-8-coded frame numbers, CONSTANT subframes by construction of
+    the constant-amplitude fixture) and the mapInPandas kernel
+    decodes them through ``_parse_flac`` — metadata-block walk,
+    frame-sync + CRC verification, subframe reconstruction — then
+    computes duration + per-2048-sample-chunk RMS from the actual
+    samples. The oracle is the PCM WAV entry's closed form verbatim:
+    lossless compression means the SAME samples come back, which IS
+    the check (a wrong rice decode, fixed-predictor sum, or CRC walk
+    breaks n_frames or rms0)."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        extract_audio_features,
+        synthesize_media_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="flac").drop("text"),
+        "payload",
+        media_type="audio",
+        fmt="flac",
+    ).drop("payload")
+    out = extract_audio_features(media, "media")
+    return out.select(
+        "doc_id",
+        F.round(F.col("duration_sec") * 16000).cast("long").alias("n_frames"),
+        F.size("rms_profile").cast("long").alias("n_chunks"),
+        F.round(F.element_at("rms_profile", 1), 6).alias("rms0"),
+    )
