@@ -224,3 +224,35 @@ def test_extract_jsonld_blocks_and_negatives(spark):
     assert (1, 2) not in got  # text/javascript is not JSON-LD
     assert got[(2, None)] is None  # blockless page keeps its row (NULL pos)
     assert "multi" in got[(3, 0)]  # case-insensitive tag + multiline body
+
+
+def test_page_directives_tokens_orders_and_decoys(spark):
+    """X231: both attribute orders and quote styles parse; token
+    matching never fires 'noindex' on 'index'; description metas and
+    stylesheet links never match; absent directives are FALSE/NULL."""
+    from workshoop2_etl_spark.operators.htmlextract import page_directives
+
+    rows = [
+        (1, '<meta name="robots" content="noindex, nofollow"><p>a</p>'),
+        (2, "<meta content='nofollow' name='robots'>"),
+        (3, '<meta name="robots" content="index, follow">'),
+        (4, '<meta name="description" content="noindex nofollow">'),
+        (5, '<link href="https://c.example/x" rel="canonical">'),
+        (6, '<link rel="canonical" href="https://c.example/y">'),
+        (7, '<link rel="stylesheet" href="style.css"><p>plain</p>'),
+        (8, '<META NAME="ROBOTS" CONTENT="NOINDEX">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r
+        for r in page_directives(df, "html", id_cols=["doc_id"]).collect()
+    }
+    assert got[1]["robots_noindex"] and got[1]["robots_nofollow"]
+    assert not got[2]["robots_noindex"] and got[2]["robots_nofollow"]
+    assert not got[3]["robots_noindex"] and not got[3]["robots_nofollow"]
+    assert not got[4]["robots_noindex"]  # description meta never counts
+    assert got[5]["canonical_url"] == "https://c.example/x"
+    assert got[6]["canonical_url"] == "https://c.example/y"
+    assert got[7]["canonical_url"] is None
+    assert not got[7]["robots_noindex"]
+    assert got[8]["robots_noindex"]  # case-insensitive everywhere

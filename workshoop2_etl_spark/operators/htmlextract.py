@@ -396,3 +396,73 @@ def extract_jsonld(
     return df.select(
         *ids, F.posexplode_outer(blocks).alias(pos_col, out_col)
     )
+
+
+def page_directives(
+    df: DataFrame,
+    html_col: str,
+    *,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-page indexing directives (round 13 — the admission signals
+    web curation runs BEFORE content filters: a page that says
+    ``noindex`` must not enter the corpus however good its text, and
+    ``rel=canonical`` is the author's own dedup key, stronger than
+    URL normalization):
+
+    - ``robots_noindex`` / ``robots_nofollow`` — token-wise matches
+      in the ``<meta name="robots" content="…">`` directive list
+      (both attribute orders; a ``name="description"`` meta never
+      matches; ``noindex,nofollow`` style comma/space lists parse as
+      tokens, so ``index`` never fires ``noindex``);
+    - ``canonical_url`` — the ``<link rel="canonical" href=…>``
+      target (both attribute orders; first link wins), NULL when
+      absent.
+
+    Pure column computation (shared Java∩RE2 regex subset):
+    whole-stage codegen, no UDF, no shuffle. Returns ``(*id_cols,
+    robots_noindex, robots_nofollow, canonical_url)``."""
+    ids = id_cols or [c for c in df.columns if c != html_col]
+    h = F.col(html_col)
+
+    def _first_group(pattern: str):
+        # regexp_extract yields '' on no-match — nullify so the
+        # attribute-order coalesce actually falls through
+        return F.nullif(F.regexp_extract(h, pattern, 1), F.lit(""))
+
+    meta = F.coalesce(
+        _first_group(
+            r"(?is)<meta[^>]*name[ \t]*=[ \t]*[\"']robots[\"']"
+            r"[^>]*content[ \t]*=[ \t]*[\"']([^\"']*)[\"']"
+        ),
+        _first_group(
+            r"(?is)<meta[^>]*content[ \t]*=[ \t]*[\"']([^\"']*)[\"']"
+            r"[^>]*name[ \t]*=[ \t]*[\"']robots[\"']"
+        ),
+    )
+    canonical = F.coalesce(
+        _first_group(
+            r"(?is)<link[^>]*rel[ \t]*=[ \t]*[\"']canonical[\"']"
+            r"[^>]*href[ \t]*=[ \t]*[\"']([^\"']*)[\"']"
+        ),
+        _first_group(
+            r"(?is)<link[^>]*href[ \t]*=[ \t]*[\"']([^\"']*)[\"']"
+            r"[^>]*rel[ \t]*=[ \t]*[\"']canonical[\"']"
+        ),
+    )
+
+    def has_token(tok: str):
+        # NULL meta (no robots directive) is FALSE, not NULL
+        return F.coalesce(
+            F.regexp_like(
+                F.lower(meta), F.lit(rf"(^|[ \t,]){tok}([ \t,]|$)")
+            ),
+            F.lit(False),
+        )
+
+    return df.select(
+        *ids,
+        has_token("noindex").alias("robots_noindex"),
+        has_token("nofollow").alias("robots_nofollow"),
+        canonical.alias("canonical_url"),
+    )

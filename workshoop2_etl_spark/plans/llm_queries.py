@@ -7230,3 +7230,79 @@ def audio_flac_features_documents(
         F.size("rms_profile").cast("long").alias("n_chunks"),
         F.round(F.element_at("rms_profile", 1), 6).alias("rms0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page indexing directives (round 13)
+# ---------------------------------------------------------------------------
+
+_DIRECTIVES_SQL = """
+SELECT doc_id,
+       (doc_id % 4 = 0) AS robots_noindex,
+       (doc_id % 4 = 0 OR doc_id % 4 = 1) AS robots_nofollow,
+       CASE WHEN doc_id % 4 = 2
+            THEN 'https://canon.example/doc' || doc_id END
+         AS canonical_url
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("page_directives_documents", _DIRECTIVES_SQL)
+def page_directives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X231: per-page indexing directives — the admission signals a
+    web-curation pipeline honors BEFORE content filters. The fixture
+    rotates four head shapes by ``doc_id % 4``: (0) name-first
+    ``<meta name="robots" content="noindex, nofollow">``; (1)
+    content-FIRST single-quoted ``<meta content='nofollow'
+    name='robots'>``; (2) href-first ``<link …rel="canonical">``
+    PLUS an ``index, follow`` robots meta and a
+    ``name="description" content="noindex"`` decoy (token matching
+    must not fire on ``index``, attribute matching must not fire on
+    description); (3) nothing but a stylesheet-link decoy. Extraction
+    is `page_directives` — pure columns, both attribute orders, both
+    quote styles. Oracle: the injection is closed-form in doc_id, so
+    DuckDB states the expected table directly."""
+    from workshoop2_etl_spark.operators.htmlextract import (
+        page_directives,
+        synthesize_html,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = synthesize_html(docs)
+    d = F.col("doc_id")
+    m = (d % 4).cast("int")
+    head = (
+        F.when(
+            m == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(m == 1, F.lit("<meta content='nofollow' name='robots'>"))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<link href="https://canon.example/doc'),
+                d,
+                F.lit('" rel="canonical">'
+                      '<meta name="robots" content="index, follow">'
+                      '<meta name="description" content="noindex">'),
+            ),
+        )
+        .otherwise(F.lit('<link rel="stylesheet" href="x.css">'))
+    )
+    enriched = pages.select(
+        "doc_id",
+        F.replace(
+            F.col("html"), F.lit("<h1>"), F.concat(head, F.lit("<h1>"))
+        ).alias("html"),
+    )
+    return (
+        page_directives(enriched, "html", id_cols=["doc_id"])
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "robots_noindex",
+            "robots_nofollow",
+            "canonical_url",
+        )
+        .orderBy("doc_id")
+    )
