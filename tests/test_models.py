@@ -1,0 +1,110 @@
+"""Model registry (round 13): every trained artifact kind survives
+the versioned-table round trip bit-exactly, re-training versions
+rather than overwrites history, and rollback restores an old model."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from workshoop2_etl_spark.operators.models import (
+    load_bpe,
+    load_classifier,
+    load_langid,
+    load_unigram,
+    save_bpe,
+    save_classifier,
+    save_langid,
+    save_unigram,
+)
+
+
+def test_classifier_roundtrip_and_versioning(spark, tmp_path):
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+        train_text_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("good text " if i % 2 == 0 else "bad stuff ") * 5)
+         for i in range(60)],
+        "id long, text string",
+    )
+    w, b = train_text_classifier(
+        docs, "id", "text", (F.col("id") % 2 == 0), sample_n=60, epochs=4
+    )
+    table = str(tmp_path / "clf")
+    v1 = save_classifier(w, b, table)
+    w2, b2 = load_classifier(spark, table)
+    assert b2 == b
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+    # scoring through the loaded model is bit-identical
+    s_direct = linear_text_classifier(docs, w, "id", "text", bias=b).collect()
+    s_loaded = linear_text_classifier(docs, w2, "id", "text", bias=b2).collect()
+    assert sorted(map(tuple, s_direct)) == sorted(map(tuple, s_loaded))
+    # retrain commits a NEW version; time travel loads the old model
+    w3, b3 = train_text_classifier(
+        docs, "id", "text", (F.col("id") % 2 == 0), sample_n=30, epochs=2
+    )
+    v2 = save_classifier(w3, b3, table)
+    assert v2 == v1 + 1
+    w_old, b_old = load_classifier(spark, table, version=v1)
+    assert b_old == b
+    assert sorted(map(tuple, w_old.collect())) == sorted(
+        map(tuple, w.collect())
+    )
+
+
+def test_langid_roundtrip(spark, tmp_path):
+    from workshoop2_etl_spark.operators.curation import (
+        language_classify,
+        train_language_classifier,
+    )
+    from workshoop2_etl_spark.operators.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    rows = [
+        (i, langs[i % 4],
+         (" ".join(LANG_STOPWORDS[langs[i % 4]]) + " ") * 3 + f"body {i}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang_true string, text string")
+    w, b = train_language_classifier(
+        df, "doc_id", "text", "lang_true", langs, sample_n=80, epochs=6
+    )
+    table = str(tmp_path / "langid")
+    save_langid(w, b, table)
+    w2, b2 = load_langid(spark, table)
+    assert b2 == b
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, w2.collect()))
+    p1 = language_classify(df, w, b, "doc_id", "text").collect()
+    p2 = language_classify(df, w2, b2, "doc_id", "text").collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))
+
+
+def test_bpe_and_unigram_roundtrip(spark, tmp_path):
+    from workshoop2_etl_spark.operators.bpe import bpe_train
+    from workshoop2_etl_spark.operators.unigram import unigram_train
+
+    docs = spark.createDataFrame(
+        [(i, "lower newer lowest newest " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", num_merges=30)
+    t1 = str(tmp_path / "bpe")
+    save_bpe(spark, merges, t1)
+    assert load_bpe(spark, t1) == merges  # order and ranks exact
+
+    pieces = unigram_train(docs, "text", vocab_size=40)
+    t2 = str(tmp_path / "uni")
+    save_unigram(spark, pieces, t2)
+    back = load_unigram(spark, t2)
+    assert back == pieces  # logprobs bit-identical through parquet
+    assert all(math.isfinite(v) for v in back.values())
+
+
+def test_empty_models_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "emptybpe")
+    save_bpe(spark, [], t)
+    assert load_bpe(spark, t) == []

@@ -7306,3 +7306,71 @@ def page_directives_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model registry (round 13 — persistence in the train->score loop)
+# ---------------------------------------------------------------------------
+
+
+@_register("model_registry_roundtrip_documents", _TRAIN_SCORE_SQL)
+def model_registry_roundtrip_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X232: the X217 train→score contract with PERSISTENCE in the
+    loop — the classifier trains exactly as
+    ``quality_train_score_documents`` does, then the model is SAVED
+    to a versioned table and RELOADED (``operators/models.py``:
+    models get time travel/history/rollback like any table) before
+    scoring. Same closed-form oracle (pred == label on the planted
+    separable fixture): a persistence layer that altered one
+    micro-quantized weight, lost the bias, or reordered anything
+    observable would break the hash."""
+    import os
+    import tempfile
+
+    from workshoop2_etl_spark.operators.curation import (
+        linear_text_classifier,
+        train_text_classifier,
+    )
+    from workshoop2_etl_spark.operators.models import (
+        load_classifier,
+        save_classifier,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    marker = F.when(
+        d % 2 == 0, F.lit("qgood qgood qgood ")
+    ).otherwise(F.lit("qbad qbad qbad "))
+    marked = docs.select(
+        "doc_id", F.concat(marker, F.col("text")).alias("text2")
+    )
+    weights, bias = train_text_classifier(
+        marked,
+        "doc_id",
+        "text2",
+        (d % 2 == 0),
+        n_buckets=2048,
+        sample_n=600,
+        epochs=8,
+        max_feats_per_doc=512,
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_model_registry_{os.path.basename(sf_dir)}",
+    )
+    import shutil
+
+    shutil.rmtree(table, ignore_errors=True)
+    save_classifier(weights, bias, table)
+    w2, b2 = load_classifier(spark, table)
+    scored = linear_text_classifier(
+        marked, w2, "doc_id", "text2", bias=b2, n_buckets=2048,
+        max_feats_per_doc=512,
+    )
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (d % 2 == 0).cast("int").alias("label"),
+        (F.col("score") > 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
