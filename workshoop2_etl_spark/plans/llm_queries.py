@@ -731,7 +731,7 @@ def video_demux_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="video").drop("text"),
         "payload",
@@ -766,7 +766,7 @@ def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="bmp").drop("text"),
         "payload",
@@ -925,7 +925,7 @@ def resize_images_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="bmp").drop("text"),
         "payload",
@@ -998,7 +998,7 @@ def resize_images_png_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="png").drop("text"),
         "payload",
@@ -1157,7 +1157,7 @@ def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="wav").drop("text"),
         "payload",
@@ -1216,7 +1216,7 @@ def audio_adpcm_features_documents(
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="adpcm").drop("text"),
         "payload",
@@ -7216,7 +7216,7 @@ def audio_flac_features_documents(
         synthesize_media_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media(
         synthesize_media_payload(docs, fmt="flac").drop("text"),
         "payload",
