@@ -249,3 +249,27 @@ def test_host_suffix_chain_totality(spark):
         assert len(out) == host.count(".") + 1
 
     check()
+
+
+def test_quantiles_ranked_matches_buffer_form(spark):
+    """Round 13: the distributed order-statistic form returns the
+    SAME values as Spark's exact percentile aggregate (quantile_cont
+    semantics) — including interpolated positions, integer positions,
+    the p=0/p=1 extremes, nulls ignored, and a single-row column."""
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.operators.analytics import (
+        quantiles,
+        quantiles_ranked,
+    )
+
+    df = spark.range(0, 10007).select(
+        (F.col("id") * 37 % 9973).cast("double").alias("v")
+    ).union(spark.createDataFrame([(None,)], "v double"))
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9999, 1.0]
+    a = {r["p"]: r["q"] for r in quantiles(df, "v", probs).collect()}
+    b = {r["p"]: r["q"] for r in quantiles_ranked(df, "v", probs).collect()}
+    assert a == b  # bit-equal, not approximately
+    one = spark.createDataFrame([(42.0,)], "v double")
+    got = quantiles_ranked(one, "v", [0.25, 0.75]).collect()
+    assert [r["q"] for r in got] == [42.0, 42.0]

@@ -163,6 +163,89 @@ def approx_quantiles(
     )
 
 
+def quantiles_ranked(
+    df: DataFrame, col: str, probs: Sequence[float]
+) -> DataFrame:
+    """EXACT linear-interpolation quantiles at any scale (round 13).
+
+    Spark's exact ``percentile`` aggregate funnels EVERY value into
+    one aggregation buffer — measured 0.53 s → 9.0 s on a 10× data
+    step (superlinear: a single task sorts the whole column), and at
+    100 TB it simply does not complete. This form keeps
+    ``quantile_cont`` semantics but distributes the order statistic:
+
+    1. global ranks via the ids.py two-phase range exchange
+       (:func:`..ids.assign_global_ids` — range-partitioned local
+       sorts + a P-row prefix-sum, never a single-partition sort);
+    2. the ≤ 2·len(probs) boundary ranks ``floor/ceil(p·(n−1))``
+       computed IN-PLAN from a 1-row count (no driver collect) and
+       broadcast onto the ranked rows — one hash-join scan;
+    3. ``q = v_lo + (v_hi − v_lo)·frac`` per probability.
+
+    Same output shape (p, q) as :func:`quantiles` /
+    :func:`approx_quantiles`; ties rank arbitrarily, which is
+    irrelevant for order statistics (equal values interchange)."""
+    spark = df.sparkSession
+    from workshoop2_etl_spark.operators.ids import assign_global_ids
+
+    vals = df.select(F.col(col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    ranked = assign_global_ids(vals, "__v", id_name="__gid")
+    n = vals.agg(F.count(F.lit(1)).alias("__n"))
+    probs_df = spark.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    needs = (
+        probs_df.crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            (
+                F.col("p") * (F.col("__n") - F.lit(1)).cast("double")
+            ).alias("__pos"),
+        )
+        .select(
+            "p",
+            "__pos",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor("__pos").cast("long"),
+                        F.ceil("__pos").cast("long"),
+                    )
+                )
+            ).alias("__gid"),
+        )
+    )
+    joined = ranked.join(F.broadcast(needs), "__gid")
+    return (
+        joined.groupBy("p", "__pos")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__gid") == F.floor("__pos").cast("long"),
+                    F.col("__v"),
+                )
+            ).alias("__vlo"),
+            F.min(
+                F.when(
+                    F.col("__gid") == F.ceil("__pos").cast("long"),
+                    F.col("__v"),
+                )
+            ).alias("__vhi"),
+        )
+        .select(
+            "p",
+            (
+                F.col("__vlo")
+                + (F.col("__vhi") - F.col("__vlo"))
+                * (F.col("__pos") - F.floor("__pos"))
+            ).alias("q"),
+        )
+        .orderBy("p")
+    )
+
+
 def approx_count_distinct(
     df: DataFrame, col: str, *, rsd: float = 0.05, alias: str = "n_approx"
 ) -> DataFrame:

@@ -414,13 +414,19 @@ FROM orders, b
 def winsorize_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier clipping to the exact [p1, p99] band (winsorization —
     the numeric-cleaning step before any scale-sensitive model).
-    EXACT percentiles with linear interpolation on both engines
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``); the two-row
-    bound frame broadcasts, the fact table never shuffles."""
+    EXACT percentiles with linear interpolation on both engines —
+    since round 13 via ``analytics.quantiles_ranked`` (the two-phase
+    range-exchange order statistic) instead of the single-buffer
+    ``percentile`` aggregate that sorted the whole column in one
+    task (measured 0.89 s → 11.3 s on a 10× step); the one-row bound
+    frame broadcasts, the fact table never shuffles."""
+    from workshoop2_etl_spark.operators.analytics import quantiles_ranked
+
     orders = _t(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.percentile("o_totalprice", F.lit(0.01)).alias("lo"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("hi"),
+    qs = quantiles_ranked(orders, "o_totalprice", [0.01, 0.99])
+    bounds = qs.agg(
+        F.min(F.when(F.col("p") == 0.01, F.col("q"))).alias("lo"),
+        F.max(F.when(F.col("p") == 0.99, F.col("q"))).alias("hi"),
     )
     return (
         orders.crossJoin(F.broadcast(bounds))
