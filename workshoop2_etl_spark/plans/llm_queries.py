@@ -7374,3 +7374,117 @@ def model_registry_roundtrip_documents(
         (d % 2 == 0).cast("int").alias("label"),
         (F.col("score") > 0.5).cast("int").alias("pred"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Directive-aware web curation (round 13 — X231 feeding X206 → X209)
+# ---------------------------------------------------------------------------
+
+_WEB_CURATION_DIRECTIVES_SQL = """
+WITH u AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         'http://' ||
+         (['www','ads','media'])[CAST(doc_id % 3 AS INTEGER) + 1] ||
+         '.site' || (doc_id % 7) || '.com' ||
+         CASE WHEN doc_id % 5 = 0 THEN '/casino/page' ELSE '/page' END ||
+         doc_id AS url
+  FROM documents
+), nb AS (
+  SELECT * FROM u
+  WHERE NOT (doc_id % 11 = 4)
+    AND NOT (doc_id % 7 = 2)
+    AND NOT (doc_id % 7 = 3 AND doc_id % 3 = 0 AND doc_id % 5 = 0)
+    AND NOT (doc_id % 7 = 5 AND doc_id % 3 = 2)
+), r AS (
+  SELECT *,
+         'site' || (doc_id % 7) || '.com' AS domain,
+         row_number() OVER (
+           PARTITION BY doc_id % 7 ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM nb
+)
+SELECT doc_id, url, domain, n_chars, CAST(rnk AS INTEGER) AS rank
+FROM r
+WHERE rnk <= 20
+ORDER BY domain, rank
+"""
+
+
+@_register(
+    "web_curation_directives_documents", _WEB_CURATION_DIRECTIVES_SQL
+)
+def web_curation_directives_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X233: the FULL admission chain in real pipeline order — X231
+    page directives first (a page that says ``noindex`` never enters
+    the corpus, however good its text or domain budget), THEN the
+    X206 category blocklist, THEN the X209 per-domain cap over the
+    survivors. Every eleventh page carries a real
+    ``<meta name="robots" content="noindex, nofollow">`` head (the
+    rest an ``index, follow`` one), extracted by `page_directives` —
+    so the cap's ranking differs from the X213 entry exactly where a
+    noindex page would have held a budget slot, which the oracle
+    states closed-form. All three stages keep their scale shapes:
+    pure-column regex admission, suffix-chain equi-join, map-side-
+    pruned exact top-k."""
+    from workshoop2_etl_spark.operators.curation import per_domain_cap
+    from workshoop2_etl_spark.operators.htmlextract import page_directives
+    from workshoop2_etl_spark.operators.urlfilter import blocklist_filter
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    d = F.col("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("ads"), F.lit("media")),
+        (d % 3).cast("int") + 1,
+    )
+    head = F.when(
+        d % 11 == 4,
+        F.lit('<head><meta name="robots" content="noindex, nofollow">'
+              "</head>"),
+    ).otherwise(
+        F.lit('<head><meta name="robots" content="index, follow"></head>')
+    )
+    pages = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("http://"),
+            sub,
+            F.lit(".site"),
+            d % 7,
+            F.lit(".com"),
+            F.when(d % 5 == 0, F.lit("/casino/page")).otherwise(
+                F.lit("/page")
+            ),
+            d,
+        ).alias("url"),
+        head.alias("html"),
+    )
+    directives = page_directives(
+        pages, "html", id_cols=["doc_id", "n_chars", "url"]
+    )
+    admitted = directives.where(~F.col("robots_noindex")).select(
+        "doc_id", "n_chars", "url"
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("site2.com", "domain", "ads"),
+            (" MEDIA.site5.com ", "domain", "tracker"),
+            ("http://www.site3.com/casino", "url", "gambling"),
+        ],
+        "entry string, kind string, category string",
+    )
+    clean = blocklist_filter(admitted, blocklist, url_col="url")
+    return (
+        per_domain_cap(
+            clean,
+            url_col="url",
+            order_by=[("n_chars", False), ("doc_id", True)],
+            k=20,
+        )
+        .select("doc_id", "url", "domain", "n_chars", "rank")
+        .orderBy("domain", "rank")
+    )
