@@ -108,3 +108,40 @@ def test_empty_models_roundtrip(spark, tmp_path):
     t = str(tmp_path / "emptybpe")
     save_bpe(spark, [], t)
     assert load_bpe(spark, t) == []
+
+    # a zero-weight classifier still scores sigmoid(bias): the bias
+    # must survive the save/load round trip (NULL-bucket carrier row)
+    from workshoop2_etl_spark.operators.models import (
+        load_classifier,
+        save_classifier,
+    )
+
+    empty_w = spark.createDataFrame([], "bucket int, weight double")
+    tc = str(tmp_path / "emptyclf")
+    save_classifier(empty_w, -1.25, tc)
+    w2, b2 = load_classifier(spark, tc)
+    assert b2 == -1.25
+    assert w2.count() == 0
+
+    # zero-language langid keeps its (empty) bias dict
+    from workshoop2_etl_spark.operators.models import (
+        load_langid,
+        save_langid,
+    )
+
+    tl = str(tmp_path / "langidone")
+    lw = spark.createDataFrame([], "lang string, bucket int, weight double")
+    save_langid(lw, {"zz": 0.5}, tl)
+    w3, biases = load_langid(spark, tl)
+    assert biases == {"zz": 0.5}
+    assert w3.count() == 0
+
+    # empty unigram table round-trips to an empty piece dict
+    from workshoop2_etl_spark.operators.models import (
+        load_unigram,
+        save_unigram,
+    )
+
+    tu = str(tmp_path / "emptyuni")
+    save_unigram(spark, {}, tu)
+    assert load_unigram(spark, tu) == {}

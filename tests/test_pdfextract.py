@@ -1,8 +1,9 @@
 """PDF text-extraction rung (round 13): round trips through the
 closed-form writer, hand-crafted spec features (TJ arrays, hex
 strings, ' show, ToUnicode CMaps, WinAnsi high bytes, uncompressed
-streams, multi-section xref), and the refusal ladder (encryption,
-xref streams, Type0 fonts, non-Flate filters)."""
+streams, multi-section xref), PDF 1.5 xref/object streams (+PNG
+predictors), and the refusal ladder (encryption, hybrid /XRefStm,
+Type0 fonts, non-Flate filters)."""
 
 from __future__ import annotations
 
@@ -204,6 +205,147 @@ def test_incremental_update_prev_chain():
     assert extract_pdf_text(bytes(out)) == "updated text"
 
 
+def test_free_entry_shadows_older_section():
+    """A newer section's 'f' (free) entry deletes the object — an
+    older /Prev section's 'n' entry must not resurrect it (§7.5.4)."""
+    base = build_pdf("x")
+    prev_xref_at = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    out = bytearray(base)
+    xref_at = len(out)
+    # free object 1 (the catalog) in a newer incremental section
+    out += (
+        f"xref\n1 1\n0000000000 65535 f \ntrailer\n"
+        f"<< /Size 6 /Root 1 0 R /Prev {prev_xref_at} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    with pytest.raises(ValueError, match="object 1 not in xref"):
+        extract_pdf_text(bytes(out))
+
+
+# ------------------------------------------------- PDF 1.5 xref streams
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello xref stream",
+        "multi\npage\n" + "\n".join(f"row {i}" for i in range(90)),
+        "",
+    ],
+)
+def test_xref_stream_objstm_roundtrip(text):
+    """`xref_mode='stream'`: /XRef stream (+PNG-Up predictor) and
+    /ObjStm-packed catalog/pages/font parse back to the same text."""
+    blob = build_pdf(text, lines_per_page=25, xref_mode="stream")
+    assert b"/ObjStm" in blob and b"/XRef" in blob and b"trailer" not in blob
+    assert extract_pdf_text(blob) == text
+
+
+def test_xref_stream_index_subsections_and_no_type_column():
+    """Hand-built /XRef stream: split /Index subsections, w0=0 (type
+    column absent → defaults to type 1), no predictor."""
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> "
+            b"/Contents 4 0 R >>"
+        ),
+        4: (
+            b"<< /Length "
+            + str(len(b"BT /F1 12 Tf 72 720 Td (split) Tj ET")).encode()
+            + b" >>\nstream\nBT /F1 12 Tf 72 720 Td (split) Tj ET\nendstream"
+        ),
+        5: (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        ),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    rows = b"".join(
+        offsets[n].to_bytes(3, "big") + b"\x00" for n in (1, 2, 3, 4, 5)
+    ) + xref_at.to_bytes(3, "big") + b"\x00"
+    payload = zlib.compress(rows)
+    out += (
+        f"6 0 obj\n<< /Type /XRef /Size 7 /W [0 3 1] "
+        f"/Index [1 3 4 3] /Root 1 0 R /Filter /FlateDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+    ).encode() + payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    assert extract_pdf_text(bytes(out)) == "split"
+
+
+def test_xref_stream_free_entry_shadows_prev():
+    """Type-0 (free) rows in a newer xref stream delete objects from
+    the /Prev chain — same §7.5.4 rule as classic tables."""
+    base = build_pdf("stale", xref_mode="stream")
+    prev_at = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    out = bytearray(base)
+    xref_at = len(out)
+    # one row: object 1 (catalog, packed in the ObjStm) is now free
+    rows = bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    payload = zlib.compress(rows)
+    out += (
+        f"9 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] /Index [1 1] "
+        f"/Root 1 0 R /Prev {prev_at} /Filter /FlateDecode "
+        f"/Length {len(payload)} >>\nstream\n"
+    ).encode() + payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    with pytest.raises(ValueError, match="not in xref"):
+        extract_pdf_text(bytes(out))
+
+
+def test_predictor_variants_roundtrip():
+    """_unpredict inverts every PNG filter type and TIFF predictor 2."""
+    from workshoop2_etl_spark.operators.pdfextract import _unpredict
+
+    rowlen, nrows = 7, 9
+    plain = bytes((i * 37 + j * j) % 251 for i in range(nrows) for j in range(rowlen))
+
+    def filt(ft):
+        out = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(plain), rowlen):
+            row = plain[r : r + rowlen]
+            out.append(ft)
+            for i in range(rowlen):
+                a = row[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 0xFF)
+            prev = row
+        return bytes(out)
+
+    parms = {"Predictor": 12, "Columns": rowlen}
+    for ft in range(5):
+        assert _unpredict(filt(ft), parms) == plain, f"filter {ft}"
+    # TIFF predictor 2: horizontal differencing, no filter byte
+    tiff = bytearray()
+    for r in range(0, len(plain), rowlen):
+        row = plain[r : r + rowlen]
+        tiff.append(row[0])
+        for i in range(1, rowlen):
+            tiff.append((row[i] - row[i - 1]) & 0xFF)
+    assert _unpredict(bytes(tiff), {"Predictor": 2, "Columns": rowlen}) == plain
+
+
 # ----------------------------------------------------------------- refusals
 
 
@@ -214,13 +356,22 @@ def test_refuses_encrypted():
         extract_pdf_text(blob)
 
 
-def test_refuses_xref_stream():
+def test_refuses_bad_startxref_target():
     blob = bytearray(build_pdf("x"))
-    # point startxref at the first object instead of the xref table
+    # point startxref at the catalog object: neither a classic table
+    # nor an /XRef stream
     head, tail = bytes(blob).rsplit(b"startxref\n", 1)
     off = head.index(b"1 0 obj")
     blob = head + b"startxref\n" + str(off).encode() + b"\n%%EOF\n"
-    with pytest.raises(ValueError, match="cross-reference streams"):
+    with pytest.raises(ValueError, match="neither"):
+        extract_pdf_text(blob)
+
+
+def test_refuses_hybrid_xrefstm():
+    blob = build_pdf("x").replace(
+        b"/Root 1 0 R >>", b"/Root 1 0 R /XRefStm 99 >>"
+    )
+    with pytest.raises(ValueError, match="XRefStm"):
         extract_pdf_text(blob)
 
 
@@ -281,9 +432,24 @@ def test_spark_pdf_roundtrip_and_error_rows(spark):
     assert out[3]["pdf_text"] == ""
     assert all(out[i]["pdf_error"] is None for i in (1, 2, 3))
     # a corrupt blob yields an error row, not a task failure
-    bad = spark.createDataFrame(
-        [(9, bytearray(b"%PDF-1.7 broken"))], "doc_id long, pdf binary"
+    # corrupt blobs yield error rows, not task failures — including
+    # shapes that raise beyond ValueError (here /Root resolving to an
+    # integer would AttributeError inside the page walk)
+    pg = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    pages_is_int = build_pdf("x").replace(
+        pg, b"7 %" + b"x" * (len(pg) - 3)  # same length: offsets hold
     )
-    row = pdf_extract(bad, "doc_id", "pdf").collect()[0]
-    assert row["pdf_text"] is None
-    assert row["pdf_error"]
+    import pytest as _pt
+
+    with _pt.raises(AttributeError):  # the shape the kernel must absorb
+        extract_pdf_text(pages_is_int)
+    bad = spark.createDataFrame(
+        [
+            (9, bytearray(b"%PDF-1.7 broken")),
+            (10, bytearray(pages_is_int)),
+        ],
+        "doc_id long, pdf binary",
+    )
+    for row in pdf_extract(bad, "doc_id", "pdf").collect():
+        assert row["pdf_text"] is None
+        assert row["pdf_error"]

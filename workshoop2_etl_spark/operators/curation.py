@@ -596,9 +596,10 @@ def language_classify(
     All arithmetic follows the X159 micro-unit contract (integer
     weight sums, ``z = Σw/10⁶/n_feats + bias``), so a SQL oracle
     reproduces every logit bit-for-bit. Returns ``(id_col, n_feats,
-    out_col)``; featureless documents predict the lexicographically
-    first language (all logits equal their biases — documented
-    tie-break, never NULL).
+    out_col)``; featureless documents predict the MAX-BIAS language
+    (every logit equals its language's bias, and trained biases
+    differ per language — the lang-asc tie-break only applies on
+    exact logit ties, never NULL).
 
     ``max_feats_per_doc``: pass the TRAINER's cap. The one-vs-rest
     biases are fit against logits whose denominator is the capped

@@ -66,15 +66,24 @@ def save_classifier(
 ) -> int:
     """Persist an X217 ``(bucket, weight)`` model + bias. Returns the
     committed version (re-training commits a NEW version — roll back
-    a bad model exactly like bad data)."""
-    return _publish(
-        weights.select(
-            F.col("bucket").cast("int"),
-            F.col("weight").cast("double"),
-            F.lit(float(bias)).alias("bias"),
-        ),
-        table_dir,
+    a bad model exactly like bad data).
+
+    A model with ZERO surviving weight rows still carries its bias
+    (it scores ``sigmoid(bias)`` everywhere): a NULL-bucket carrier
+    row — the same convention :func:`save_langid` uses — keeps the
+    table non-empty so the bias survives the round trip."""
+    spark = weights.sparkSession
+    rows = weights.select(
+        F.col("bucket").cast("int"),
+        F.col("weight").cast("double"),
+        F.lit(float(bias)).alias("bias"),
     )
+    carrier = spark.createDataFrame(
+        [(None, None, float(bias))], "bucket int, weight double, bias double"
+    )
+    if rows.limit(1).count() == 0:
+        rows = carrier
+    return _publish(rows, table_dir)
 
 
 def load_classifier(
@@ -86,7 +95,10 @@ def load_classifier(
     df = read_version(spark, table_dir, version)
     bias_row = df.select("bias").limit(1).collect()
     bias = float(bias_row[0]["bias"]) if bias_row else 0.0
-    return df.select("bucket", "weight"), bias
+    weights = df.where(F.col("bucket").isNotNull()).select(
+        "bucket", "weight"
+    )
+    return weights, bias
 
 
 def save_langid(

@@ -7,10 +7,18 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
 - classic cross-reference TABLES (``xref`` sections + ``trailer``
   dicts chained through ``/Prev``), ``startxref`` discovery from the
   file tail (§7.5.4);
+- PDF 1.5 cross-reference STREAMS (§7.5.8: ``/W`` column widths,
+  ``/Index`` subsections, type-0 free / type-1 offset / type-2
+  in-object-stream entries) and compressed OBJECT streams
+  (``/ObjStm``, §7.5.7: ``/N`` pair header + ``/First``) — the
+  real-world-majority layout for PDFs produced after ~2005;
 - object syntax: dicts, arrays, names, literal ``(…)`` strings with
   all §7.3.4.2 escapes, hex ``<…>`` strings, indirect references,
   streams with direct or indirect ``/Length`` (§7.3);
-- ``/FlateDecode`` content streams via stdlib zlib (§7.4.4);
+- ``/FlateDecode`` content streams via stdlib zlib (§7.4.4), with
+  ``/DecodeParms`` PNG (predictors 10–15, the filter-byte-per-row
+  scheme xref streams almost always use) and TIFF (predictor 2)
+  post-prediction (§7.4.4.4);
 - the §9.4 text machine: ``BT…ET`` runs with ``Tj``/``TJ``/``'``/
   ``"`` show operators and ``Td``/``TD``/``T*``/``Tm`` positioning
   (each positioning op starts a new output line);
@@ -19,9 +27,10 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
   WinAnsiEncoding table (Annex D.2 — CP1252-shaped).
 
 Explicit refusals (fail loudly, never misparse): encrypted files
-(``/Encrypt``), PDF 1.5 cross-reference STREAMS and hybrid
-``/XRefStm`` files, CID-keyed composite fonts (``/Type0``), and any
-stream filter other than FlateDecode.
+(``/Encrypt``), hybrid-reference files (``/XRefStm`` — a classic
+table AND an xref stream describing the same objects, §7.5.8.4),
+CID-keyed composite fonts (``/Type0``), and any stream filter other
+than FlateDecode.
 
 :func:`build_pdf` synthesizes valid single-font PDFs closed-form
 (the BMP/WAV fixture-generator trick) so the coverage query can pin
@@ -270,6 +279,67 @@ def _parse_value(lx: _Lexer):
     raise ValueError(f"unexpected PDF token {tok!r}")
 
 
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """§7.4.4.4 post-prediction for FlateDecode: PNG row predictors
+    (10–15 — filter-type byte 0..4 per row, the scheme xref streams
+    almost always carry) and TIFF predictor 2 (horizontal differencing,
+    8-bit components).  Same filter algebra as the PNG decoder in
+    ``operators/multimodal.py``, reimplemented here over the PDF
+    Columns/Colors/BitsPerComponent row geometry."""
+    pred = parms.get("Predictor", 1) or 1
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    columns = int(parms.get("Columns", 1) or 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing
+        if bpc != 8:
+            raise ValueError(
+                "TIFF predictor with BitsPerComponent != 8 unsupported"
+            )
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unknown /Predictor {pred}")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + rowlen])
+        pos += rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG predictor filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Pdf:
     """One parsed file: xref offsets + memoized object fetch."""
 
@@ -278,8 +348,13 @@ class _Pdf:
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
         self.offsets: dict[int, int] = {}
+        #: num -> (objstm object number, index inside it) for type-2
+        #: entries read from a PDF 1.5 cross-reference stream.
+        self.in_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._xref_seen: set[int] = set()
         self._read_xref_chain()
         if "Encrypt" in self.trailer:
             raise ValueError(
@@ -301,55 +376,127 @@ class _Pdf:
                 raise ValueError("cyclic PDF xref chain")
             seen.add(pos)
             lx = _Lexer(self.data, pos)
-            first = lx.peek_token()
-            if first != b"xref":
-                raise ValueError(
-                    "cross-reference streams (PDF 1.5 compressed xref) "
-                    "unsupported — this reader handles classic xref "
-                    "tables only"
-                )
-            lx.token()
-            while True:
-                lx.skip_ws()
-                if lx.peek_token() == b"trailer":
-                    lx.token()
-                    break
-                start = int(lx.token())
-                count = int(lx.token())
-                lx.skip_ws()
-                for i in range(count):
-                    ent = self.data[lx.pos : lx.pos + 20]
-                    off = int(ent[0:10])
-                    kind = ent[17:18]
-                    num = start + i
-                    if kind == b"n" and num not in self.offsets:
-                        self.offsets[num] = off
-                    lx.pos += 20
-            tr = _parse_value(lx)
-            if not isinstance(tr, dict):
-                raise ValueError("PDF trailer is not a dict")
-            if "XRefStm" in tr:
-                raise ValueError(
-                    "hybrid-reference PDF unsupported (/XRefStm)"
-                )
+            if lx.peek_token() == b"xref":
+                tr = self._read_xref_table(lx)
+                if "XRefStm" in tr:
+                    raise ValueError(
+                        "hybrid-reference PDF unsupported (/XRefStm)"
+                    )
+            else:
+                # §7.5.8: startxref points straight at an /XRef
+                # stream object (PDF 1.5+ compressed cross-reference).
+                tr = self._read_xref_stream(pos)
             for k, v in tr.items():
                 self.trailer.setdefault(k, v)
             if "Prev" in tr:
-                pos = int(tr["Prev"])
+                prev = tr["Prev"]
+                if not isinstance(prev, int):
+                    raise ValueError("PDF trailer /Prev is not direct")
+                pos = prev
             else:
                 return
 
+    def _read_xref_table(self, lx: _Lexer) -> dict:
+        """One classic ``xref`` section + its ``trailer`` dict."""
+        lx.token()  # 'xref'
+        while True:
+            lx.skip_ws()
+            if lx.peek_token() == b"trailer":
+                lx.token()
+                break
+            start = int(lx.token())
+            count = int(lx.token())
+            lx.skip_ws()
+            for i in range(count):
+                ent = self.data[lx.pos : lx.pos + 20]
+                off = int(ent[0:10])
+                kind = ent[17:18]
+                num = start + i
+                # Newest section wins for BOTH kinds: a free ('f')
+                # entry in a newer incremental-update section marks
+                # the object deleted, and an older /Prev section's
+                # 'n' entry must NOT resurrect it (§7.5.4).
+                if num not in self._xref_seen:
+                    self._xref_seen.add(num)
+                    if kind == b"n":
+                        self.offsets[num] = off
+                lx.pos += 20
+        tr = _parse_value(lx)
+        if not isinstance(tr, dict):
+            raise ValueError("PDF trailer is not a dict")
+        return tr
+
+    def _read_xref_stream(self, pos: int) -> dict:
+        """One §7.5.8 cross-reference stream: /W-packed big-endian
+        rows over /Index subsections; returns the stream dict (which
+        doubles as the trailer)."""
+        s = self._parse_obj_at(pos, direct_only=True)
+        if not isinstance(s, _Stream) or str(
+            s.meta.get("Type") or ""
+        ) != "XRef":
+            raise ValueError(
+                "startxref target is neither a classic 'xref' table "
+                "nor an /XRef stream"
+            )
+        data = self.stream_bytes(s)
+        w = s.meta.get("W")
+        if not (
+            isinstance(w, list)
+            and len(w) == 3
+            and all(isinstance(x, int) and x >= 0 for x in w)
+        ):
+            raise ValueError("xref stream /W must be 3 widths")
+        size = s.meta.get("Size")
+        if not isinstance(size, int):
+            raise ValueError("xref stream /Size missing")
+        index = s.meta.get("Index") or [0, size]
+        if len(index) % 2:
+            raise ValueError("xref stream /Index has odd length")
+        rowlen = sum(w)
+        if rowlen == 0:
+            raise ValueError("xref stream /W is all-zero")
+        p = 0
+        for start, count in zip(index[0::2], index[1::2]):
+            for i in range(count):
+                row = data[p : p + rowlen]
+                p += rowlen
+                if len(row) < rowlen:
+                    raise ValueError("truncated xref stream data")
+                o = 0
+                # absent type column (w[0]==0) defaults to type 1
+                kind = (
+                    int.from_bytes(row[0 : w[0]], "big") if w[0] else 1
+                )
+                o += w[0]
+                f2 = int.from_bytes(row[o : o + w[1]], "big")
+                o += w[1]
+                f3 = int.from_bytes(row[o : o + w[2]], "big")
+                num = start + i
+                if num in self._xref_seen:
+                    continue  # newest section wins (same rule as §7.5.4)
+                self._xref_seen.add(num)
+                if kind == 1:
+                    self.offsets[num] = f2
+                elif kind == 2:
+                    self.in_objstm[num] = (f2, f3)
+                # kind 0 = free (deleted); kind >2 = reserved, ignore
+        return dict(s.meta)
+
     # -- objects -------------------------------------------------------
-    def obj(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        if num not in self.offsets:
-            raise ValueError(f"PDF object {num} not in xref")
-        lx = _Lexer(self.data, self.offsets[num])
+    def _parse_obj_at(
+        self, pos: int, *, expect: int | None = None,
+        direct_only: bool = False,
+    ):
+        """``N G obj … endobj`` at a byte offset; streams attach their
+        raw bytes.  ``direct_only`` forbids indirect /Length (needed
+        while bootstrapping the xref stream, when no xref exists yet)."""
+        lx = _Lexer(self.data, pos)
         got_num = int(lx.token())
         int(lx.token())  # generation
-        if lx.token() != b"obj" or got_num != num:
-            raise ValueError(f"xref offset for object {num} is stale")
+        if lx.token() != b"obj":
+            raise ValueError("expected 'obj' keyword")
+        if expect is not None and got_num != expect:
+            raise ValueError(f"xref offset for object {expect} is stale")
         val = _parse_value(lx)
         lx.skip_ws()
         if isinstance(val, dict) and lx.peek_token() == b"stream":
@@ -359,13 +506,77 @@ class _Pdf:
                 lx.pos += 2
             elif self.data[lx.pos : lx.pos + 1] == b"\n":
                 lx.pos += 1
-            length = self.resolve(val.get("Length"))
+            length = val.get("Length")
+            if isinstance(length, _Ref):
+                if direct_only:
+                    raise ValueError(
+                        "xref stream /Length must be a direct integer"
+                    )
+                length = self.resolve(length)
             if not isinstance(length, int):
                 raise ValueError("PDF stream /Length is not an integer")
             raw = self.data[lx.pos : lx.pos + length]
             val = _Stream(val, raw)
+        return val
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num in self.offsets:
+            val = self._parse_obj_at(self.offsets[num], expect=num)
+        elif num in self.in_objstm:
+            val = self._objstm_load(num)
+        else:
+            raise ValueError(f"PDF object {num} not in xref")
         self._cache[num] = val
         return val
+
+    def _objstm_load(self, num: int):
+        """Fetch a type-2 object out of its /ObjStm container."""
+        stm_num, idx = self.in_objstm[num]
+        if stm_num not in self.offsets:
+            # §7.5.7: the container itself must be a top-level stream
+            # (also breaks any type-2 → type-2 reference cycle).
+            raise ValueError(
+                f"object stream {stm_num} is not a top-level object"
+            )
+        header, data, first = self._objstm_parts(stm_num)
+        off = None
+        if idx < len(header) and header[idx][0] == num:
+            off = header[idx][1]
+        else:  # tolerate writers with off-by-one indices: scan header
+            for objnum, o in header:
+                if objnum == num:
+                    off = o
+                    break
+        if off is None:
+            raise ValueError(
+                f"object {num} not found in object stream {stm_num}"
+            )
+        lx = _Lexer(data, first + off)
+        return _parse_value(lx)
+
+    def _objstm_parts(self, stm_num: int):
+        """Decode an /ObjStm once: ((objnum, offset)×N, bytes, First)."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        s = self.obj(stm_num)
+        if not isinstance(s, _Stream) or str(
+            self.resolve(s.meta.get("Type")) or ""
+        ) != "ObjStm":
+            raise ValueError(f"object {stm_num} is not an /ObjStm")
+        data = self.stream_bytes(s)
+        n = self.resolve(s.meta.get("N"))
+        first = self.resolve(s.meta.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("/ObjStm missing integer /N or /First")
+        lx = _Lexer(data, 0)
+        header = [
+            (int(lx.token()), int(lx.token())) for _ in range(n)
+        ]
+        parts = (header, data, first)
+        self._objstm_cache[stm_num] = parts
+        return parts
 
     def resolve(self, v):
         while isinstance(v, _Ref):
@@ -377,8 +588,14 @@ class _Pdf:
         if filt is None:
             return s.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = s.meta.get("DecodeParms", s.meta.get("DP"))
+        if isinstance(parms, _Ref):
+            parms = self.resolve(parms)
+        parms_list = (
+            parms if isinstance(parms, list) else [parms] * len(filters)
+        )
         data = s.raw
-        for f in filters:
+        for f, p in zip(filters, parms_list):
             f = self.resolve(f)
             if str(f) != "FlateDecode":
                 raise ValueError(
@@ -386,6 +603,11 @@ class _Pdf:
                     "only — refusal, not a silent skip)"
                 )
             data = zlib.decompress(data)
+            p = self.resolve(p)
+            if isinstance(p, dict):
+                data = _unpredict(
+                    data, {k: self.resolve(v) for k, v in p.items()}
+                )
         return data
 
 
@@ -561,13 +783,24 @@ def _escape_pdf_string(s: str) -> bytes:
 
 
 def build_pdf(
-    text: str, *, lines_per_page: int = 40, compress: bool = True
+    text: str,
+    *,
+    lines_per_page: int = 40,
+    compress: bool = True,
+    xref_mode: str = "table",
 ) -> bytes:
-    """Closed-form valid PDF 1.7: Helvetica/WinAnsi, one FlateDecode
-    content stream per page, classic xref table.  ``text`` splits on
-    ``\\n`` into lines, ``lines_per_page`` per page, so
+    """Closed-form valid PDF: Helvetica/WinAnsi, one FlateDecode
+    content stream per page.  ``text`` splits on ``\\n`` into lines,
+    ``lines_per_page`` per page, so
     ``extract_pdf_text(build_pdf(t)) == t`` for latin-1 text — the
-    identity the coverage oracle pins."""
+    identity the coverage oracle pins.
+
+    ``xref_mode='table'`` emits a classic PDF 1.7 xref table;
+    ``xref_mode='stream'`` emits the PDF 1.5+ layout — all non-stream
+    objects (catalog, page tree, pages, font) packed into one
+    FlateDecode ``/ObjStm`` and a ``/W [1 4 2]`` cross-reference
+    STREAM with PNG-Up (``/Predictor 12``) post-prediction, i.e. the
+    exact shape modern writers produce."""
     lines = text.split("\n")
     page_line_groups = [
         lines[i : i + lines_per_page]
@@ -610,6 +843,10 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
+    if xref_mode == "stream":
+        return _emit_xref_stream_pdf(objects, n_pages, font_num)
+    if xref_mode != "table":
+        raise ValueError(f"unknown xref_mode {xref_mode!r}")
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -629,6 +866,80 @@ def build_pdf(
     return bytes(out)
 
 
+def _png_up_predict(data: bytes, rowlen: int) -> bytes:
+    """Forward PNG-Up filtering (predictor 12) for the xref stream."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r : r + rowlen]
+        out.append(2)  # PNG filter type: Up
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _emit_xref_stream_pdf(
+    objects: dict[int, bytes], n_pages: int, font_num: int
+) -> bytes:
+    """PDF 1.5 serialization: non-stream objects → one /ObjStm,
+    cross-reference → an /XRef stream (type-2 rows for the packed
+    objects, type-1 for the top-level streams), /W [1 4 2] with
+    PNG-Up prediction."""
+    stream_nums = {4 + 2 * i for i in range(n_pages)}  # content streams
+    packed_nums = sorted(n for n in objects if n not in stream_nums)
+    objstm_num = font_num + 1
+    xref_num = font_num + 2
+
+    # /ObjStm payload: "num offset" header pairs, then the objects.
+    body = bytearray()
+    offs = []
+    for num in packed_nums:
+        offs.append((num, len(body)))
+        body += objects[num] + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+    objstm_plain = header + bytes(body)
+    objstm_payload = zlib.compress(objstm_plain)
+    objstm_obj = (
+        f"<< /Type /ObjStm /N {len(packed_nums)} /First {len(header)} "
+        f"/Length {len(objstm_payload)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + objstm_payload + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(stream_nums):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_obj + b"\nendobj\n"
+
+    # XRef stream rows, object 0 .. xref_num inclusive, /W [1 4 2].
+    size = xref_num + 1
+    xref_at = len(out)
+    rows = bytearray()
+    objstm_index = {num: i for i, (num, _) in enumerate(offs)}
+    for num in range(size):
+        if num == 0:
+            kind, f2, f3 = 0, 0, 65535
+        elif num in offsets or num == xref_num:
+            kind, f2, f3 = 1, offsets.get(num, xref_at), 0
+        else:
+            kind, f2, f3 = 2, objstm_num, objstm_index[num]
+        rows.append(kind)
+        rows += f2.to_bytes(4, "big")
+        rows += f3.to_bytes(2, "big")
+    predicted = _png_up_predict(bytes(rows), 7)
+    xref_payload = zlib.compress(predicted)
+    out += (
+        f"{xref_num} 0 obj\n"
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xref_payload)} >>\nstream\n"
+    ).encode() + xref_payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 # ------------------------------------------------------------- Spark side
 
 
@@ -639,10 +950,12 @@ def pdf_synthesize(
     *,
     lines_per_page: int = 40,
     out_col: str = "pdf",
+    xref_mode: str = "table",
 ) -> DataFrame:
     """(id, text) → (id, pdf binary), built inside the scan task
     (Arrow batches; blobs are born where they're consumed and never
-    shuffle)."""
+    shuffle).  ``xref_mode='stream'`` emits the PDF 1.5 compressed
+    layout (xref stream + /ObjStm), ``'table'`` the classic one."""
     schema = T.StructType(
         [df.schema[id_col], T.StructField(out_col, T.BinaryType())]
     )
@@ -656,6 +969,7 @@ def pdf_synthesize(
                         build_pdf(
                             t if isinstance(t, str) else "",
                             lines_per_page=lines_per_page,
+                            xref_mode=xref_mode,
                         )
                         for t in pdf_[text_col]
                     ],
@@ -687,12 +1001,17 @@ def pdf_extract(
         for pdf_ in it:
             texts, errs = [], []
             for blob in pdf_[blob_col]:
+                # EVERY parse failure maps to NULL text + pdf_error —
+                # fuzzed crawl blobs raise far beyond ValueError
+                # (AttributeError from /Root resolving to a non-dict,
+                # TypeError, KeyError, RecursionError from deep object
+                # cycles), and one bad blob must not kill the task.
                 try:
                     texts.append(extract_pdf_text(bytes(blob)))
                     errs.append(None)
-                except (ValueError, zlib.error, IndexError) as exc:
+                except Exception as exc:  # noqa: BLE001 — see above
                     texts.append(None)
-                    errs.append(str(exc))
+                    errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {id_col: pdf_[id_col], out_col: texts, "pdf_error": errs}
             )

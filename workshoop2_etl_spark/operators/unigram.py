@@ -50,12 +50,23 @@ UNK_LOGPROB = -20.0
 
 
 def _word_freqs(df: DataFrame, text_col: str, max_train_docs: int):
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    # Deterministic training sample (the repo's seeded-sample
+    # convention, cf. train_text_classifier): order by a content hash
+    # before limit() so which rows are picked never depends on
+    # partition layout / AQE.  Ties are byte-identical texts, so any
+    # tie order yields the same word-frequency table.
     rows = (
-        df.limit(max_train_docs)
-        .select(F.explode(toks).alias("w"))
+        df.select(F.col(text_col).alias("__t"))
+        .orderBy(F.md5(F.concat(F.lit("unigram:"), F.col("__t"))), "__t")
+        .limit(max_train_docs)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("__t")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

@@ -6827,6 +6827,54 @@ def pdf_text_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_XREFSTREAM_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '[^ -~\n]', '', 'g') AS pdf_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("pdf_xrefstream_extract_documents", _PDF_XREFSTREAM_SQL)
+def pdf_xrefstream_extract_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X234 (round 14): the PDF 1.5+ COMPRESSED layout — the
+    real-world-majority format for PDFs produced after ~2005.  Every
+    document renders into a PDF whose catalog/page-tree/font objects
+    are packed into a FlateDecode ``/ObjStm`` and whose
+    cross-reference is an ``/XRef`` STREAM (``/W [1 4 2]`` big-endian
+    rows under a PNG-Up ``/Predictor 12``), then parses BACK through
+    the §7.5.8 xref-stream walk → §7.5.7 object-stream unpack →
+    predictor inversion → the same BT‥ET text machine
+    (``operators/pdfextract.py``).  Same Arrow ``mapInPandas``
+    layout as X222: blobs never shuffle.
+
+    Oracle: identity on the WinAnsi-safe projection, exactly as
+    X222 — so a wrong /W decode, /Index subsection walk, predictor
+    row inversion, or /First offset breaks the hash against the
+    classic-xref twin's untouched baseline."""
+    from workshoop2_etl_spark.operators.pdfextract import (
+        pdf_extract,
+        pdf_synthesize,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^ -~\n]", "").alias("t"),
+    )
+    pdfs = pdf_synthesize(
+        docs, "doc_id", "t", lines_per_page=25, xref_mode="stream"
+    )
+    return (
+        pdf_extract(pdfs, "doc_id", "pdf")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), "pdf_text"
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM tokenizer (round 13 — the Kudo-2018 twin of X104 BPE)
 # ---------------------------------------------------------------------------
@@ -7356,9 +7404,11 @@ def model_registry_roundtrip_documents(
         epochs=8,
         max_feats_per_doc=512,
     )
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+
     table = os.path.join(
         tempfile.gettempdir(),
-        f"workshoop2_model_registry_{os.path.basename(sf_dir)}",
+        f"workshoop2_model_registry_{_run_token(sf_dir)}",
     )
     import shutil
 
