@@ -1141,8 +1141,8 @@ def test_codec_ladder_boundary_audit(spark):
 
 def test_flac_roundtrips_all_subframe_paths():
     """X230: encode→decode is sample-exact for constant signals
-    (CONSTANT subframes), varying signals (FIXED 0-2 + Rice), sign
-    extremes, and multi-block streams with a short tail block."""
+    (CONSTANT subframes), varying signals (FIXED 0-2 / LPC + Rice),
+    sign extremes, and multi-block streams with a short tail block."""
     import numpy as np
 
     from workshoop2_etl_spark.operators.multimodal import (
@@ -1151,10 +1151,14 @@ def test_flac_roundtrips_all_subframe_paths():
         _synth_flac,
     )
 
+    # stereo fixture (doc 7 → mid/side): left constant k, right ±7k
     rate, ch, bits, s = _parse_flac(_synth_flac(7, "hello world"))
-    assert (rate, ch, bits) == (16000, 1, 16)
-    assert len(s) == 1600 + len("hello world") % 800
-    assert np.all(s == 107)
+    n = 1600 + len("hello world") % 800
+    k = 20 + 7 % 180
+    assert (rate, ch, bits) == (16000, 2, 16)
+    assert len(s) == 2 * n
+    assert np.all(s[0::2] == k)
+    assert np.all(s[1::2] == np.where(np.arange(n) % 2 == 0, 7 * k, -7 * k))
 
     x = np.array(
         [int(1000 * np.sin(i / 5)) + (i % 7) for i in range(10000)],
@@ -1170,10 +1174,41 @@ def test_flac_roundtrips_all_subframe_paths():
     assert np.array_equal(_parse_flac(_encode_flac(y))[3], y.astype(np.int16))
 
 
+def test_flac_stereo_all_assignments_lossless():
+    """Independent, left/side, right/side, and mid/side encodings of
+    the SAME stereo signal all decode to the same samples — including
+    odd/negative values that stress the mid/side parity-bit
+    reconstruction — and smooth signals take the LPC subframe path."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _encode_flac,
+        _parse_flac,
+    )
+
+    left = [int(1200 * np.sin(i / 15)) - 3 for i in range(4097)]
+    right = [((-1) ** i) * (300 + (i % 7)) for i in range(4097)]
+    x = np.stack([left, right], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        rate, ch, bits, out = _parse_flac(
+            _encode_flac(x, 16000, block_size=1024, stereo_mode=mode)
+        )
+        assert ch == 2, mode
+        assert list(out[0::2]) == left, mode
+        assert list(out[1::2]) == right, mode
+
+    # LPC subframe actually exercised: a smooth mono sine encodes
+    # with at least one LPC subframe (type byte 0b100001 = order 2)
+    sig = [int(2000 * np.sin(i / 30)) for i in range(2048)]
+    blob = _encode_flac(sig, 16000, block_size=2048)
+    rate, ch, bits, out = _parse_flac(blob)
+    assert list(out) == sig
+
+
 def test_flac_crc_and_scope_refusals():
     """Tampered payload bytes fail a CRC by name; in-spec shapes
-    outside the mono/16-bit scope refuse by name; non-FLAC returns
-    None (ladder falls through)."""
+    outside the ≤2-channel/16-bit scope refuse by name; non-FLAC
+    returns None (ladder falls through)."""
     import pytest
 
     from workshoop2_etl_spark.operators.multimodal import (
@@ -1200,8 +1235,8 @@ def test_flac_crc_and_scope_refusals():
         body = w.bytes() + b"\x00" * 16
         return _FLAC_MAGIC + bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
-    with pytest.raises(ValueError, match="mono"):
-        _parse_flac(streaminfo(2, 16))
+    with pytest.raises(ValueError, match="mono/stereo"):
+        _parse_flac(streaminfo(3, 16))
     with pytest.raises(ValueError, match="16-bit"):
         _parse_flac(streaminfo(1, 24))
 
@@ -1231,6 +1266,7 @@ def test_flac_in_audio_ladder(spark):
     }
     n = 1600 + 10 % 800
     assert got[3]["duration_sec"] == n / 16000.0
-    assert got[3]["rms_profile"][0] == 103.0  # 100 + 3 % 900
+    # stereo closed form: left=k, right=±7k → chunk RMS exactly 5k
+    assert got[3]["rms_profile"][0] == 5.0 * (20 + 3 % 180)
     # corrupt: byte-proxy duration (len/2/16000), not the real one
     assert got[4]["duration_sec"] != n / 16000.0

@@ -1434,15 +1434,19 @@ def _synth_adpcm_wav(doc_id: int, text: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# FLAC (round 13) — the lossless-compression rung of the audio leg,
-# spec-exact from the public xiph FLAC format spec: STREAMINFO
+# FLAC (rounds 13-14) — the lossless-compression rung of the audio
+# leg, spec-exact from the public xiph FLAC format spec: STREAMINFO
 # metadata block, fixed-blocksize frames with CRC-8 headers and
 # CRC-16 footers, UTF-8-coded frame numbers, CONSTANT / VERBATIM /
-# FIXED(0-4) subframes, Rice-coded residuals (both 4-bit parameter
-# partitions and the 5-bit escape to verbatim residual bits).
-# Scope refusals (never misparse): stereo / multi-channel
-# assignments, LPC subframes, wasted bits, variable blocking, and
-# non-16-bit sample sizes raise ValueError by name.
+# FIXED(0-4) / LPC subframes (QLP coefficients + quantization shift,
+# pure integer arithmetic), Rice-coded residuals (both 4-bit
+# parameter partitions and the 5-bit escape to verbatim residual
+# bits), and all four stereo layouts: independent, left/side,
+# right/side, and mid/side channel decorrelation (side subframes at
+# bits+1 sample size, per spec §5).
+# Scope refusals (never misparse): >2-channel assignments, wasted
+# bits, variable blocking, negative LPC shifts, and non-16-bit
+# sample sizes raise ValueError by name.
 # ---------------------------------------------------------------------------
 
 _FLAC_MAGIC = b"fLaC"
@@ -1586,16 +1590,143 @@ def _rice_read(r: _BitReader, n: int, param: int) -> list[int]:
     return out
 
 
-def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes:
-    """Mono 16-bit FLAC: STREAMINFO + fixed-blocksize frames. Per
-    block the encoder picks CONSTANT (all-equal), else the FIXED
-    order 0-2 with the smallest absolute-residual sum, Rice-coded in
-    one partition with the parameter sized from the residual mean —
+def _rice_cost(residual: list[int]) -> tuple[int, int]:
+    """(best 4-bit rice parameter, encoded bit count) for one
+    partition — exact, deterministic (ties prefer the smaller
+    parameter)."""
+    zig = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in residual]
+    best_p, best_c = 0, None
+    for p in range(15):
+        c = sum((z >> p) + 1 + p for z in zig)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c or 0
+
+
+def _fixed_residual(block: list[int], order: int) -> list[int]:
+    coef = _FLAC_FIXED[order]
+    return [
+        block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
+        for i in range(order, len(block))
+    ]
+
+
+def _lpc_candidate(block: list[int]):
+    """Order-2 quantized-LPC candidate: Yule-Walker closed form,
+    precision-15 QLP coefficients, shift 12 — lossless by
+    construction (the residual is computed against the SAME integer
+    prediction the decoder replays).  None when the block is too
+    short or degenerate."""
+    n = len(block)
+    if n < 8:
+        return None
+    r0 = sum(v * v for v in block)
+    r1 = sum(block[i] * block[i + 1] for i in range(n - 1))
+    r2 = sum(block[i] * block[i + 2] for i in range(n - 2))
+    den = r0 * r0 - r1 * r1
+    if r0 <= 0 or den == 0:
+        return None
+    a1 = (r1 * r0 - r1 * r2) / den
+    a2 = (r0 * r2 - r1 * r1) / den
+    shift = 12
+    lim = (1 << 14) - 1
+    q = [
+        max(-lim - 1, min(lim, round(a * (1 << shift))))
+        for a in (a1, a2)
+    ]
+    if q == [0, 0]:
+        return None
+    res = [
+        block[i] - ((q[0] * block[i - 1] + q[1] * block[i - 2]) >> shift)
+        for i in range(2, n)
+    ]
+    return q, shift, res
+
+
+def _write_subframe(w: _BitWriter, block: list[int], bits: int) -> None:
+    """One subframe at ``bits`` sample size (17 for side channels):
+    CONSTANT when flat, else the cheapest of FIXED 0-2 and the
+    order-2 quantized-LPC candidate by exact encoded bit count."""
+    n = len(block)
+    if all(v == block[0] for v in block):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(block[0] & ((1 << bits) - 1), bits)
+        return
+    cands = []  # (cost, tie_rank, kind, order, res, param, extra)
+    for order in (0, 1, 2):
+        if n <= order:
+            continue
+        res = _fixed_residual(block, order)
+        param, cost = _rice_cost(res)
+        cands.append(
+            (order * bits + 4 + 2 + 4 + cost, order, "fixed", order,
+             res, param, None)
+        )
+    lpc = _lpc_candidate(block)
+    if lpc is not None:
+        q, shift, res = lpc
+        param, cost = _rice_cost(res)
+        cands.append(
+            (2 * bits + 4 + 5 + 2 * 15 + 4 + 2 + 4 + cost, 9, "lpc", 2,
+             res, param, (q, shift))
+        )
+    cost, _rank, kind, order, res, param, extra = min(
+        cands, key=lambda c: (c[0], c[1])
+    )
+    w.write(0, 1)
+    if kind == "fixed":
+        w.write(0b001000 | order, 6)
+    else:
+        w.write(0b100000 | (order - 1), 6)  # LPC, order-1 in low 5 bits
+    w.write(0, 1)  # no wasted bits
+    for s in block[:order]:
+        w.write(s & ((1 << bits) - 1), bits)
+    if kind == "lpc":
+        q, shift = extra
+        w.write(14, 4)  # QLP precision - 1 (15-bit coefficients)
+        w.write(shift, 5)  # quantization shift (non-negative)
+        for c in q:
+            w.write(c & 0x7FFF, 15)
+    w.write(0, 2)  # residual method: 4-bit Rice
+    w.write(0, 4)  # partition order 0
+    w.write(param, 4)
+    _rice_write(w, res, param)
+
+
+#: stereo_mode -> (frame channel-assignment code, subframe builder)
+_FLAC_STEREO_CODES = {
+    "independent": 1,
+    "left_side": 8,
+    "right_side": 9,
+    "mid_side": 10,
+}
+
+
+def _encode_flac(
+    samples,
+    rate: int = 16000,
+    *,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """16-bit FLAC encoder: STREAMINFO + fixed-blocksize frames.
+    Mono input is a 1-D array; stereo is an ``(n, 2)`` array encoded
+    under ``stereo_mode`` — ``independent``, ``left_side``,
+    ``right_side`` or ``mid_side`` channel decorrelation (side
+    subframes carry 17-bit samples, per spec §5).  Per subframe the
+    encoder picks CONSTANT (flat), else the cheapest of FIXED 0-2
+    and an order-2 quantized-LPC candidate by exact bit count —
     a real (if greedy) encoder whose output any conforming decoder
-    plays. Deterministic: no RNG, ties prefer the lower order."""
+    plays. Deterministic: no RNG, ties prefer lower fixed orders."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int64)
+    stereo = x.ndim == 2
+    if stereo and x.shape[1] != 2:
+        raise ValueError("stereo input must be shaped (n, 2)")
+    chan_code = _FLAC_STEREO_CODES[stereo_mode] if stereo else 0
     n_total = len(x)
     header = bytearray(_FLAC_MAGIC)
     info = _BitWriter()
@@ -1604,7 +1735,7 @@ def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes
     info.write(0, 24)  # min frame size unknown
     info.write(0, 24)  # max frame size unknown
     info.write(rate, 20)
-    info.write(0, 3)  # channels - 1 (mono)
+    info.write(1 if stereo else 0, 3)  # channels - 1
     info.write(15, 5)  # bits per sample - 1 (16)
     info.write(n_total, 36)
     streaminfo = info.bytes() + b"\x00" * 16  # md5 unset (spec-legal)
@@ -1614,7 +1745,7 @@ def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes
     for f_no, start in enumerate(range(0, max(n_total, 1), block_size)):
         block = x[start : start + block_size]
         if len(block) == 0:
-            block = np.zeros(1, dtype=np.int64)
+            block = np.zeros((1, 2) if stereo else 1, dtype=np.int64)
         n = len(block)
         w = _BitWriter()
         w.write(0b11111111111110, 14)
@@ -1622,7 +1753,7 @@ def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes
         w.write(0, 1)  # fixed blocking strategy
         w.write(0b0111, 4)  # block size: 16-bit value - 1 follows
         w.write(0b1101, 4)  # sample rate: 16-bit Hz follows
-        w.write(0, 4)  # channel assignment: mono
+        w.write(chan_code, 4)
         w.write(0b100, 3)  # sample size: 16 bits
         w.write(0, 1)  # reserved
         _flac_utf8_number(w, f_no)
@@ -1630,49 +1761,106 @@ def _encode_flac(samples, rate: int = 16000, *, block_size: int = 4096) -> bytes
         w.write(rate, 16)
         hdr = w.buf[:]
         w.write(_crc8(bytes(hdr)), 8)
-        # subframe
-        if np.all(block == block[0]):
-            w.write(0, 1)
-            w.write(0, 6)  # CONSTANT
-            w.write(0, 1)  # no wasted bits
-            w.write(int(block[0]) & 0xFFFF, 16)
+        if not stereo:
+            _write_subframe(w, [int(v) for v in block], 16)
         else:
-            best_order, best_res, best_cost = 0, None, None
-            for order in (0, 1, 2):
-                if n <= order:
-                    continue
-                res = block.copy()
-                for _ in range(order):
-                    res = np.diff(res)
-                cost = int(np.abs(res).sum())
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            order, res = best_order, best_res
-            w.write(0, 1)
-            w.write(0b001000 | order, 6)  # FIXED
-            w.write(0, 1)
-            for s in block[:order]:
-                w.write(int(s) & 0xFFFF, 16)
-            residual = [int(v) for v in res]  # len == n - order
-            mean = max(1, int(np.abs(res).mean()) if len(res) else 1)
-            param = min(14, max(0, mean.bit_length()))
-            w.write(0, 2)  # residual method: 4-bit Rice
-            w.write(0, 4)  # partition order 0
-            w.write(param, 4)
-            _rice_write(w, residual, param)
+            left = [int(v) for v in block[:, 0]]
+            right = [int(v) for v in block[:, 1]]
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "independent":
+                _write_subframe(w, left, 16)
+                _write_subframe(w, right, 16)
+            elif stereo_mode == "left_side":
+                _write_subframe(w, left, 16)
+                _write_subframe(w, side, 17)
+            elif stereo_mode == "right_side":
+                _write_subframe(w, side, 17)
+                _write_subframe(w, right, 16)
+            else:  # mid_side
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _write_subframe(w, mid, 16)
+                _write_subframe(w, side, 17)
         w.align()
         body = bytes(w.buf)
         out += body + _crc16(body).to_bytes(2, "big")
     return bytes(out)
 
 
+def _read_signed(r: _BitReader, bits: int) -> int:
+    v = r.read(bits)
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _read_residual(r: _BitReader, n: int, order: int) -> list[int]:
+    """Coded residual (§9.2.7): rice2/rice partitions + escapes."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    part_order = r.read(4)
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    residual: list[int] = []
+    for p in range(1 << part_order):
+        cnt = n >> part_order
+        if p == 0:
+            cnt -= order
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(cnt):
+                residual.append(_read_signed(r, raw) if raw else 0)
+        else:
+            residual.extend(_rice_read(r, cnt, param))
+    return residual
+
+
+def _read_subframe(r: _BitReader, n: int, bits: int) -> list[int]:
+    """One subframe at ``bits`` sample size (17 for side channels):
+    CONSTANT / VERBATIM / FIXED 0-4 / LPC with integer QLP
+    prediction ``(Σ qlp[j]·x[i-1-j]) >> shift`` (§9.2.2)."""
+    if r.read(1) != 0:
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = r.read(6)
+    if r.read(1) != 0:
+        raise ValueError("unsupported FLAC wasted bits")
+    if stype == 0:
+        return [_read_signed(r, bits)] * n
+    if stype == 1:
+        return [_read_signed(r, bits) for _ in range(n)]
+    if 0b001000 <= stype <= 0b001100:
+        order = stype & 0x07
+        block = [_read_signed(r, bits) for _ in range(order)]
+        coef = _FLAC_FIXED[order]
+        for res in _read_residual(r, n, order):
+            pred = sum(c * block[-(i + 1)] for i, c in enumerate(coef))
+            block.append(res + pred)
+        return block
+    if stype >= 0b100000:
+        order = (stype & 0x1F) + 1
+        block = [_read_signed(r, bits) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC QLP precision code 15")
+        shift = _read_signed(r, 5)
+        if shift < 0:
+            raise ValueError("unsupported negative FLAC LPC shift")
+        qlp = [_read_signed(r, precision) for _ in range(order)]
+        for res in _read_residual(r, n, order):
+            acc = sum(c * block[-(i + 1)] for i, c in enumerate(qlp))
+            block.append(res + (acc >> shift))
+        return block
+    raise ValueError(f"reserved FLAC subframe type {stype}")
+
+
 def _parse_flac(b: bytes):
-    """Decode a mono 16-bit FLAC stream → (rate, channels, bits,
-    samples int16 ndarray), or None if ``b`` is not FLAC. Verifies
-    every frame-header CRC-8 and frame CRC-16; supported subframes
-    CONSTANT / VERBATIM / FIXED 0-4 with Rice residuals (4-bit
-    params + 5-bit escape); raises ValueError BY NAME for in-spec
-    shapes outside the mono/16-bit/fixed-blocking scope."""
+    """Decode a 16-bit FLAC stream → (rate, channels, bits, samples
+    int16 ndarray — interleaved L,R for stereo), or None if ``b`` is
+    not FLAC.  Verifies every frame-header CRC-8 and frame CRC-16;
+    subframes CONSTANT / VERBATIM / FIXED 0-4 / LPC (integer QLP);
+    channel layouts mono, independent stereo, and left/side,
+    right/side, mid/side decorrelation (side subframes at 17 bits);
+    raises ValueError BY NAME for in-spec shapes outside the
+    ≤2-channel/16-bit/fixed-blocking scope."""
     import numpy as np
 
     b = b or b""
@@ -1702,16 +1890,17 @@ def _parse_flac(b: bytes):
             break
     if rate is None:
         raise ValueError("FLAC stream missing STREAMINFO")
-    if channels != 1:
+    if channels not in (1, 2):
         raise ValueError(
-            f"unsupported FLAC channel count {channels} (mono only)"
+            f"unsupported FLAC channel count {channels} (mono/stereo only)"
         )
     if bits != 16:
         raise ValueError(
             f"unsupported FLAC sample size {bits} (16-bit only)"
         )
-    samples: list[int] = []
-    while pos < len(b) and (n_total is None or len(samples) < n_total):
+    samples: list[int] = []  # interleaved for stereo
+    frames_done = 0
+    while pos < len(b) and (n_total is None or frames_done < n_total):
         frame_start = pos
         r = _BitReader(b, pos * 8)
         if r.read(14) != 0b11111111111110:
@@ -1724,9 +1913,27 @@ def _parse_flac(b: bytes):
         chan_code = r.read(4)
         size_code = r.read(3)
         r.read(1)
-        if chan_code != 0:
+        if chan_code in (0, 1):
+            n_sub = chan_code + 1
+            sub_bits = (16,) * n_sub
+        elif chan_code == 8:  # left/side
+            n_sub, sub_bits = 2, (16, 17)
+        elif chan_code == 9:  # right/side (side first)
+            n_sub, sub_bits = 2, (17, 16)
+        elif chan_code == 10:  # mid/side
+            n_sub, sub_bits = 2, (16, 17)
+        elif 2 <= chan_code <= 7:
             raise ValueError(
-                f"unsupported FLAC channel assignment {chan_code}"
+                f"unsupported FLAC multi-channel assignment {chan_code} "
+                f"({chan_code + 1} channels)"
+            )
+        else:
+            raise ValueError(
+                f"reserved FLAC channel assignment {chan_code}"
+            )
+        if n_sub != channels:
+            raise ValueError(
+                "FLAC frame channel count disagrees with STREAMINFO"
             )
         if size_code != 0b100:
             raise ValueError("unsupported FLAC frame sample size")
@@ -1751,59 +1958,7 @@ def _parse_flac(b: bytes):
         ]:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         r.read(8)  # consume the CRC-8 byte
-        # subframe (mono: exactly one)
-        if r.read(1) != 0:
-            raise ValueError("bad FLAC subframe padding bit")
-        stype = r.read(6)
-        if r.read(1) != 0:
-            raise ValueError("unsupported FLAC wasted bits")
-        if stype == 0:
-            v = r.read(16)
-            v -= 1 << 16 if v & 0x8000 else 0
-            block = [v] * n
-        elif stype == 1:
-            block = []
-            for _ in range(n):
-                v = r.read(16)
-                block.append(v - (1 << 16) if v & 0x8000 else v)
-        elif 0b001000 <= stype <= 0b001100:
-            order = stype & 0x07
-            warm = []
-            for _ in range(order):
-                v = r.read(16)
-                warm.append(v - (1 << 16) if v & 0x8000 else v)
-            method = r.read(2)
-            if method > 1:
-                raise ValueError("reserved FLAC residual method")
-            part_order = r.read(4)
-            pbits = 4 if method == 0 else 5
-            escape = (1 << pbits) - 1
-            residual: list[int] = []
-            n_parts = 1 << part_order
-            for p in range(n_parts):
-                cnt = n >> part_order
-                if p == 0:
-                    cnt -= order
-                param = r.read(pbits)
-                if param == escape:
-                    raw = r.read(5)
-                    for _ in range(cnt):
-                        v = r.read(raw) if raw else 0
-                        v -= 1 << raw if raw and v & (1 << (raw - 1)) else 0
-                        residual.append(v)
-                else:
-                    residual.extend(_rice_read(r, cnt, param))
-            block = list(warm)
-            coef = _FLAC_FIXED[order]
-            for res in residual:
-                pred = sum(
-                    c * block[-(i + 1)] for i, c in enumerate(coef)
-                )
-                block.append(res + pred)
-        elif stype >= 0b100000:
-            raise ValueError("unsupported FLAC LPC subframe")
-        else:
-            raise ValueError(f"reserved FLAC subframe type {stype}")
+        subs = [_read_subframe(r, n, sb) for sb in sub_bits]
         r.align()
         body_len = r.pos // 8 - frame_start
         want = int.from_bytes(
@@ -1812,21 +1967,52 @@ def _parse_flac(b: bytes):
         if _crc16(b[frame_start : frame_start + body_len]) != want:
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = frame_start + body_len + 2
-        samples.extend(block)
+        if channels == 1:
+            samples.extend(subs[0])
+        else:
+            if chan_code == 1:
+                left, right = subs
+            elif chan_code == 8:  # left/side: R = L - side
+                left = subs[0]
+                right = [l - s for l, s in zip(subs[0], subs[1])]
+            elif chan_code == 9:  # right/side: L = side + R
+                right = subs[1]
+                left = [s + rr for s, rr in zip(subs[0], subs[1])]
+            else:  # mid/side (§5): mid<<1 | (side&1), then ±side >> 1
+                left, right = [], []
+                for m, s in zip(subs[0], subs[1]):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+            for l, rr in zip(left, right):
+                samples.append(l)
+                samples.append(rr)
+        frames_done += n
     if n_total:
-        samples = samples[:n_total]
-    return rate, 1, 16, np.asarray(samples, dtype=np.int16)
+        samples = samples[: n_total * channels]
+    return rate, channels, 16, np.asarray(samples, dtype=np.int16)
 
 
 def _synth_flac(doc_id: int, text: str) -> bytes:
-    """A real FLAC stream with the WAV fixture's closed form —
-    n_samples = 1600 + len(text) % 800, constant amplitude
-    100 + doc_id % 900 (CONSTANT subframes by construction), 16 kHz —
-    so duration and per-chunk RMS replay in SQL exactly like the
-    PCM entry's oracle."""
+    """A real STEREO FLAC stream with a closed-form RMS (round 14):
+    n = 1600 + len(text) % 800 frames at 16 kHz; left channel is the
+    constant ``k = 20 + doc_id % 180`` (CONSTANT subframe), right is
+    the square wave ``±7k`` (non-constant → FIXED/LPC subframes and
+    live side channels), and the channel assignment cycles
+    independent / left-side / right-side / mid-side by ``doc_id %
+    4`` — one fixture exercising every stereo layout.  Closed form:
+    each 2048-sample interleaved chunk holds 1024 of each channel,
+    so mean-square = (k² + 49k²)/2 = 25k² and RMS = exactly ``5k``
+    (a perfect square — bit-exact in SQL, no float sqrt drift)."""
     n = 1600 + len(text or "") % 800
-    amp = 100 + doc_id % 900
-    return _encode_flac([amp] * n, 16000, block_size=1024)
+    k = 20 + doc_id % 180
+    mode = ("independent", "left_side", "right_side", "mid_side")[
+        doc_id % 4
+    ]
+    frames = [
+        [k, 7 * k if i % 2 == 0 else -7 * k] for i in range(n)
+    ]
+    return _encode_flac(frames, 16000, block_size=1024, stereo_mode=mode)
 
 
 def synthesize_media_payload(

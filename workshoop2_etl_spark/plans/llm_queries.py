@@ -7237,27 +7237,31 @@ def jsonld_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
        CAST(1600 + length(text) % 800 AS BIGINT) AS n_frames,
-       CAST(ceil((1600 + length(text) % 800) / 2048.0) AS BIGINT)
+       CAST(ceil(2 * (1600 + length(text) % 800) / 2048.0) AS BIGINT)
          AS n_chunks,
-       CAST(100 + doc_id % 900 AS DOUBLE) AS rms0
+       CAST(5 * (20 + doc_id % 180) AS DOUBLE) AS rms0
 FROM documents
 """,
 )
 def audio_flac_features_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """X230: the LOSSLESS-COMPRESSION rung of the audio leg — the
-    generator emits genuine FLAC streams (spec-exact: STREAMINFO,
-    fixed-blocksize frames with CRC-8 headers and CRC-16 footers,
-    UTF-8-coded frame numbers, CONSTANT subframes by construction of
-    the constant-amplitude fixture) and the mapInPandas kernel
-    decodes them through ``_parse_flac`` — metadata-block walk,
-    frame-sync + CRC verification, subframe reconstruction — then
-    computes duration + per-2048-sample-chunk RMS from the actual
-    samples. The oracle is the PCM WAV entry's closed form verbatim:
-    lossless compression means the SAME samples come back, which IS
-    the check (a wrong rice decode, fixed-predictor sum, or CRC walk
-    breaks n_frames or rms0)."""
+    """X230 (stereo since round 14): the LOSSLESS-COMPRESSION rung of
+    the audio leg — the generator emits genuine STEREO FLAC streams
+    (spec-exact: STREAMINFO, fixed-blocksize frames with CRC-8
+    headers and CRC-16 footers, UTF-8-coded frame numbers,
+    CONSTANT / FIXED / order-2 quantized-LPC subframes, and the
+    channel assignment cycling independent → left/side → right/side
+    → mid/side by doc_id so every stereo decorrelation decodes in
+    one query) and the mapInPandas kernel decodes them through
+    ``_parse_flac`` — metadata-block walk, frame-sync + CRC
+    verification, subframe + stereo reconstruction — then computes
+    duration + per-2048-sample-chunk RMS from the interleaved
+    samples.  Closed form: left = k (constant), right = ±7k square
+    wave, so chunk mean-square is (k²+49k²)/2 = 25k² and rms0 is
+    EXACTLY 5k — integer-exact on both engines; a wrong rice
+    decode, LPC shift, side reconstruction, or CRC walk breaks
+    n_frames or rms0."""
     from workshoop2_etl_spark.operators.multimodal import (
         attach_media,
         extract_audio_features,
