@@ -311,7 +311,7 @@ def test_synth_media_rejects_unknown_format(spark):
 
     docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     with pytest.raises(ValueError, match="format"):
-        synthesize_media_payload(docs, fmt="tiff")
+        synthesize_media_payload(docs, fmt="webp")
 
 
 # ---------------------------------------------------------------------------
@@ -1137,6 +1137,157 @@ def test_codec_ladder_boundary_audit(spark):
     assert got[2] == "STUB:tiff"
     assert got[3] == "STUB"
     assert got[4] == "RGB"  # real BMP parse, not the stub path
+
+
+def test_tiff_codec_roundtrip_matrix():
+    """X235: encode→decode is pixel-exact across the whole baseline
+    surface — none/LZW/PackBits compressions, the horizontal-
+    differencing predictor, both byte orders, multi-strip rasters —
+    and the LZW core honors the TIFF §13 early-change width bump and
+    dictionary reset."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _encode_tiff,
+        _packbits_decode,
+        _packbits_encode,
+        _parse_tiff,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    # LZW primitive: width growth past 9 bits (256 distinct bytes)
+    # and a >30k stream that forces a mid-stream dictionary reset
+    grow = bytes(range(256)) * 20
+    assert _tiff_lzw_decode(_tiff_lzw_encode(grow), len(grow)) == grow
+    big = bytes((i * 7 + i // 251) % 251 for i in range(30000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+    runs = b"\x00" * 200 + b"ab" + b"\xff" * 130
+    assert _packbits_decode(_packbits_encode(runs), len(runs)) == runs
+
+    rng = np.random.default_rng(42)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2) if comp == 5 else (1,):
+            for be in (False, True):
+                arr = rng.integers(0, 256, size=(13, 29, 3), dtype=np.uint8)
+                blob = _encode_tiff(
+                    arr,
+                    compression=comp,
+                    predictor=pred,
+                    rows_per_strip=4,
+                    big_endian=be,
+                )
+                assert _parse_tiff(blob) == (29, 13, "RGB")
+                out = _decode_tiff_pixels(blob)
+                assert out is not None and np.array_equal(out, arr), (
+                    comp, pred, be,
+                )
+
+
+def test_tiff_out_of_scope_refuses_to_named_stub(spark):
+    """Tiled TIFF and JPEG-in-TIFF return None from the pixel
+    decoder (→ the ladder's visible ``STUB:tiff`` row), and the
+    metadata parse still reads their geometry from the IFD."""
+    import struct
+
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_tiff_pixels,
+        _encode_tiff,
+        _parse_tiff,
+        decode_image_metadata,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    # JPEG-in-TIFF: compression 7 (and old-style 6)
+    for comp in (6, 7):
+        blob = _encode_tiff(arr, compression=comp)
+        assert _parse_tiff(blob) == (8, 8, "RGB")
+        assert _decode_tiff_pixels(blob) is None
+    # tiled TIFF: splice a TileWidth (322) tag in place of 284
+    blob = bytearray(_encode_tiff(arr))
+    i = blob.find(struct.pack("<HH", 284, 3))
+    assert i > 0
+    blob[i : i + 2] = struct.pack("<H", 322)
+    assert _decode_tiff_pixels(bytes(blob)) is None
+
+    jtiff = _encode_tiff(arr, compression=7)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                {
+                    "payload": bytearray(jtiff),
+                    "media_type": "image",
+                    "format": "tiff",
+                    "n_bytes": len(jtiff),
+                    "content_md5": "x",
+                },
+            )
+        ],
+        "doc_id long, media struct<payload: binary, media_type: string,"
+        " format: string, n_bytes: long, content_md5: string>",
+    )
+    resized = resize_images(df, (4, 4), "media").collect()[0]["media"]
+    assert resized["format"] == "stub"  # visible, not a wrong decode
+    # metadata ladder: the IFD itself still parses
+    meta = decode_image_metadata(df, "media").collect()[0]
+    assert (meta["width"], meta["height"], meta["mode"]) == (8, 8, "RGB")
+
+
+def test_tiff_in_spark_decode_ladder(spark):
+    """The TIFF rung lives alongside BMP/PNG/JPEG/GIF: synthetic
+    strip-TIFFs take the real path through metadata, resize (PNG
+    thumbnail re-encode), and pixel probes, matching the shared
+    closed form."""
+    import hashlib as _hl
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        probe_image_pixels,
+        resize_images,
+        synthesize_media_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="tiff").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="tiff",
+    ).drop("payload")
+    meta = {
+        r["doc_id"]: r
+        for r in decode_image_metadata(
+            media, "media", id_cols=["doc_id", "media"]
+        ).collect()
+    }
+    for i in range(10):
+        assert meta[i]["width"] == 1 + i % 29
+        assert meta[i]["height"] == 1 + i % 11
+        assert meta[i]["mode"] == "RGB"
+
+    resized = resize_images(media, (8, 8), "media")
+    probed = {
+        r["doc_id"]: r
+        for r in probe_image_pixels(
+            resized, [(7, 0)], "media", id_cols=["doc_id", "media"]
+        ).collect()
+    }
+    for i in range(10):
+        w_in, h_in = 1 + i % 29, 1 + i % 11
+        seed = _hl.md5(f"text {i}".encode()).digest()
+        sy = (7 * h_in) // 8
+        k = 3 * (sy * w_in + 0)
+        expect = bytes(seed[(k + c) % 16] for c in range(3)).hex()
+        assert probed[i]["px_y7x0"] == expect, i
 
 
 def test_flac_roundtrips_all_subframe_paths():

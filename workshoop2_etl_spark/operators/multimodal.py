@@ -1162,6 +1162,425 @@ def _synth_gif(doc_id: int, text: str) -> bytes:
     return _encode_gif(flat.reshape(h, w, 3))
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python baseline TIFF codec (round 14 — VERDICT r13 item 5)
+# ---------------------------------------------------------------------------
+# TIFF 6.0 from the public spec: II/MM byte order, IFD entry walk,
+# strip-organized 8-bit RGB (and grayscale) rasters under the three
+# baseline compressions — none (1), LZW (5, the MSB-first
+# variable-width variant with ClearCode 256 / EOI 257 and the
+# spec's "early change" width bump, §13) and PackBits (32773, §9) —
+# plus the horizontal-differencing Predictor (tag 317, §14) LZW
+# strips usually carry. Out-of-scope shapes (tiled TIFF, JPEG-in-
+# TIFF, planar-separated, non-8-bit) return None from the pixel
+# decoder so the ladder's NAMED stub (``STUB:tiff``) stays visible
+# per row — the same refusal convention as progressive JPEG.
+
+_TIFF_II = b"II*\x00"
+_TIFF_MM = b"MM\x00*"
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF §13 LZW: MSB-first variable-width codes starting at 9
+    bits, ClearCode 256 first, EOI 257 last, width bumps at
+    2^width - 1 (the 'early change' both real writers and readers
+    use), dictionary reset near the 12-bit cap."""
+    buf = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            buf.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for byte in data:
+        k = w + bytes([byte])
+        if k in table:
+            w = k
+            continue
+        emit(table[w], width)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4094:  # table nearly full: reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        emit(0, 8 - nbits)  # zero-pad the final byte
+    return bytes(buf)
+
+
+def _tiff_lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of :func:`_tiff_lzw_encode` (incl. the KwKwK case and
+    mid-stream ClearCodes); raises ValueError on corrupt streams."""
+    total_bits = len(data) * 8
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return 257  # truncated stream: treat as EOI
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        code = read(width)
+        if code == 257:
+            break
+        if code == 256:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code, width = 258, 9
+            prev = None
+            continue
+        if prev is None:
+            if code not in table:
+                raise ValueError("corrupt TIFF LZW stream (bad first code)")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt TIFF LZW stream (code gap)")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early-change, decoder side: the reader's table lags the
+            # writer's by one add, so it must widen ONE entry sooner
+            # (at 2^width - 2) to stay bit-synchronized — the classic
+            # TIFF-LZW off-by-one the spec's §13 note warns about.
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:n_expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF §9 PackBits: replicate runs ≥3 become (257-n, byte);
+    everything else literal blocks of ≤128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        s = lit_start
+        while s < end:
+            chunk = data[s : min(s + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            s += len(chunk)
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < n_expected:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # replicate next byte 257-c times
+            if i >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) < n_expected:
+        raise ValueError("short PackBits stream")
+    return bytes(out[:n_expected])
+
+
+def _encode_tiff(
+    arr,
+    *,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 ndarray as a real baseline
+    TIFF: header + strip data + IFD (ImageWidth/Length,
+    BitsPerSample 8,8,8, Compression, Photometric RGB, StripOffsets/
+    ByteCounts, RowsPerStrip, SamplesPerPixel, PlanarConfig, and
+    Predictor when horizontal differencing is on).  Any conforming
+    reader opens the output; :func:`_decode_tiff_pixels` round-trips
+    the pixel grid byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    bo = ">" if big_endian else "<"
+    h, w, _ = arr.shape
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = arr[y0 : y0 + rps]
+        if predictor == 2:
+            rows = rows.astype(np.int16)
+            rows = np.concatenate(
+                [rows[:, :1], np.diff(rows, axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    header = struct.pack(
+        f"{bo}2sH", b"MM" if big_endian else b"II", 42
+    )
+    out = bytearray(header + b"\x00\x00\x00\x00")  # IFD offset patched below
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) % 2:
+        out += b"\x00"  # IFD must start on a word boundary
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, packed-value or bytes-to-place)
+    extra = bytearray()  # out-of-line value area, placed after the IFD
+
+    def val_short(v):
+        return struct.pack(f"{bo}HH", v, 0)
+
+    def val_long(v):
+        return struct.pack(f"{bo}I", v)
+
+    ifd_at = len(out)
+    # entry count + 12 bytes/entry + next-IFD pointer
+    tags = [
+        (256, 3, 1, val_short(w)),
+        (257, 3, 1, val_short(h)),
+        (258, 3, 3, ("extra", struct.pack(f"{bo}HHH", 8, 8, 8))),
+        (259, 3, 1, val_short(compression)),
+        (262, 3, 1, val_short(2)),  # Photometric: RGB
+        (277, 3, 1, val_short(3)),  # SamplesPerPixel
+        (278, 3, 1, val_short(min(rps, 0xFFFF))),
+        (284, 3, 1, val_short(1)),  # PlanarConfig: chunky
+    ]
+    if n_strips == 1:
+        tags.append((273, 4, 1, val_long(strip_offsets[0])))
+        tags.append((279, 4, 1, val_long(len(strips[0]))))
+    else:
+        tags.append(
+            (273, 4, n_strips,
+             ("extra", b"".join(val_long(o) for o in strip_offsets)))
+        )
+        tags.append(
+            (279, 4, n_strips,
+             ("extra", b"".join(val_long(len(s)) for s in strips)))
+        )
+    if predictor == 2:
+        tags.append((317, 3, 1, val_short(2)))
+    tags.sort()  # IFD entries must be tag-ascending
+    extra_at = ifd_at + 2 + 12 * len(tags) + 4
+    for tag, typ, count, val in tags:
+        if isinstance(val, tuple):
+            body = val[1]
+            entries.append(
+                struct.pack(f"{bo}HHI", tag, typ, count)
+                + val_long(extra_at + len(extra))
+            )
+            extra += body
+        else:
+            entries.append(
+                struct.pack(f"{bo}HHI", tag, typ, count) + val
+            )
+    out += struct.pack(f"{bo}H", len(tags)) + b"".join(entries)
+    out += b"\x00\x00\x00\x00"  # no next IFD
+    out += extra
+    struct.pack_into(f"{bo}I", out, 4, ifd_at)
+    return bytes(out)
+
+
+def _tiff_ifd(b: bytes):
+    """Parse the first IFD → (byte-order char, {tag: [values]}) or
+    None if ``b`` is not a TIFF."""
+    import struct
+
+    if b[:4] == _TIFF_II:
+        bo = "<"
+    elif b[:4] == _TIFF_MM:
+        bo = ">"
+    else:
+        return None
+    if len(b) < 8:
+        return None
+    (ifd_at,) = struct.unpack_from(f"{bo}I", b, 4)
+    if ifd_at + 2 > len(b):
+        return None
+    (n,) = struct.unpack_from(f"{bo}H", b, ifd_at)
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        off = ifd_at + 2 + 12 * i
+        if off + 12 > len(b):
+            return None
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", b, off)
+        if typ not in sizes:
+            continue  # RATIONAL etc.: not needed for the raster walk
+        total = sizes[typ] * count
+        if total <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack_from(f"{bo}I", b, off + 8)
+        if src + total > len(b):
+            return None
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(f"{bo}{count}{fmt}", b, src)
+        )
+    return bo, tags
+
+
+def _parse_tiff(b: bytes) -> tuple[int, int, str] | None:
+    """Parse a real TIFF IFD: (width, height, mode) or None if not a
+    TIFF. Mode mirrors the BMP parser's vocabulary ('RGB' / 'L' /
+    'P' or a named fallback for exotic photometrics)."""
+    parsed = _tiff_ifd(b)
+    if parsed is None:
+        return None
+    _bo, tags = parsed
+    if 256 not in tags or 257 not in tags:
+        return None
+    w, h = tags[256][0], tags[257][0]
+    photo = tags.get(262, [2])[0]
+    spp = tags.get(277, [1])[0]
+    mode = {0: "L", 1: "L", 2: "RGB", 3: "P"}.get(photo, f"PM{photo}")
+    if photo == 2 and spp == 4:
+        mode = "RGBA"
+    return w, h, mode
+
+
+def _decode_tiff_pixels(b: bytes):
+    """Decode a strip-organized baseline TIFF to a top-down (h, w, 3)
+    uint8 ndarray — 8-bit RGB (chunky) or 8-bit grayscale replicated
+    to RGB, compressions none/LZW/PackBits, horizontal-differencing
+    predictor, both byte orders, multi-strip — or None for anything
+    out of scope (tiled TIFF, JPEG-in-TIFF and every other
+    compression, planar-separated, non-8-bit), which the decode
+    ladder surfaces as the NAMED ``STUB:tiff`` row."""
+    import numpy as np
+
+    parsed = _tiff_ifd(b)
+    if parsed is None:
+        return None
+    _bo, tags = parsed
+    if 322 in tags or 323 in tags or 324 in tags:
+        return None  # tiled TIFF: out of scope (refuses to the stub)
+    if 256 not in tags or 257 not in tags or 273 not in tags:
+        return None
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 5, 32773):
+        return None  # incl. 6/7 JPEG-in-TIFF
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8] * spp)
+    if any(v != 8 for v in bits) or tags.get(284, [1])[0] != 1:
+        return None
+    if not (photo == 2 and spp == 3) and not (photo in (0, 1) and spp == 1):
+        return None
+    offsets = tags[273]
+    counts = tags.get(279)
+    rps = tags.get(278, [h])[0] or h
+    raw = bytearray()
+    for i, off in enumerate(offsets):
+        rows = min(rps, h - i * rps)
+        if rows <= 0:
+            break
+        n_bytes = rows * w * spp
+        strip = b[off : off + (counts[i] if counts else n_bytes)]
+        try:
+            if comp == 5:
+                raw += _tiff_lzw_decode(strip, n_bytes)
+            elif comp == 32773:
+                raw += _packbits_decode(strip, n_bytes)
+            else:
+                if len(strip) < n_bytes:
+                    return None
+                raw += strip[:n_bytes]
+        except ValueError:
+            return None
+    if len(raw) < h * w * spp:
+        return None
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * w * spp)
+    arr = arr.reshape(h, w, spp)
+    if tags.get(317, [1])[0] == 2:  # horizontal differencing
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+    if photo == 0:  # WhiteIsZero: invert to the shared vocabulary
+        arr = 255 - arr
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def _synth_tiff(doc_id: int, text: str) -> bytes:
+    """A real baseline TIFF with the PNG/GIF fixtures' EXACT closed
+    form — width = 1 + doc_id % 29, height = 1 + doc_id % 11,
+    channel c of pixel (y, x) = md5(text) digest byte (3·(y·w+x)+c)
+    mod 16 — so the three compressed-format resize entries share one
+    oracle.  Compression cycles none → LZW(+predictor) → PackBits by
+    ``doc_id % 3``, strips hold 4 rows (multi-strip walks), and every
+    fifth doc is big-endian (MM) — one fixture stream exercising the
+    whole baseline surface."""
+    import numpy as np
+
+    w, h = 1 + doc_id % 29, 1 + doc_id % 11
+    seed = hashlib.md5((text or "").encode()).digest()
+    n = 3 * w * h
+    flat = np.frombuffer((seed * (n // len(seed) + 1))[:n], dtype=np.uint8)
+    arr = flat.reshape(h, w, 3)
+    comp = (1, 5, 32773)[doc_id % 3]
+    return _encode_tiff(
+        arr,
+        compression=comp,
+        predictor=2 if comp == 5 else 1,
+        rows_per_strip=4,
+        big_endian=doc_id % 5 == 0,
+    )
+
+
 #: Magic prefix of the synthetic video container: an INDEXED
 #: concatenation of real BMP frames — ``VID0`` + u32 frame count +
 #: u32 per-frame byte lengths + the frames themselves. Trivially
@@ -2035,6 +2454,7 @@ def synthesize_media_payload(
         "wav": _synth_wav,
         "adpcm": _synth_adpcm_wav,
         "flac": _synth_flac,
+        "tiff": _synth_tiff,
         "video": _synth_video,
     }
     if fmt not in makers:
@@ -2073,10 +2493,11 @@ def sniff_image_format(b: bytes) -> str | None:
     codec-ladder boundary audit (round 13, VERDICT r12 stretch):
     formats the ladder decodes for real return their name; formats
     it KNOWS BUT DOES NOT DECODE (WebP's RIFF/WEBP fourcc, AVIF/HEIC
-    ftyp brands, TIFF's II*/MM* byte-order marks) are named so the
-    stub path can refuse BY NAME instead of anonymously; unknown
-    bytes return None. Decoded-for-real: bmp, png, jpeg, gif.
-    Named-but-stubbed: webp, avif, heic, tiff."""
+    ftyp brands) are named so the stub path can refuse BY NAME
+    instead of anonymously; unknown bytes return None.
+    Decoded-for-real: bmp, png, jpeg, gif, tiff (baseline strips —
+    tiled/JPEG-in-TIFF shapes still fall to the named stub).
+    Named-but-stubbed: webp, avif, heic."""
     b = b or b""
     if b[:2] == b"BM":
         return "bmp"
@@ -2261,6 +2682,9 @@ def decode_image_metadata(
             gif = _parse_gif(b)
             if gif is not None:
                 return gif
+            tif = _parse_tiff(b)
+            if tif is not None:
+                return tif
             if have_pil:  # pragma: no cover
                 from PIL import Image
 
@@ -2268,7 +2692,7 @@ def decode_image_metadata(
                 return img.size[0], img.size[1], img.mode
             w, h = _fake_dims(b)
             # named refusal for recognized-but-undecoded containers
-            # (WebP/AVIF/HEIC/TIFF) — the codec-ladder boundary is
+            # (WebP/AVIF/HEIC) — the codec-ladder boundary is
             # visible per row, never an anonymous stub (round 13)
             fmt = sniff_image_format(b)
             return w, h, f"STUB:{fmt}" if fmt else "STUB"
@@ -2338,6 +2762,14 @@ def resize_images(
                     or jpg_arr is not None
                     else _decode_gif_pixels(b)
                 )
+                tif_arr = (
+                    None
+                    if arr is not None
+                    or png_arr is not None
+                    or jpg_arr is not None
+                    or gif_arr is not None
+                    else _decode_tiff_pixels(b)
+                )
                 if arr is not None:
                     out = _encode_bmp(_resize_nearest(arr, w, h))
                     fmt = m["format"]
@@ -2362,6 +2794,13 @@ def resize_images(
                     # inputs, so the palette format isn't guaranteed
                     # round-trippable; PNG always is).
                     out = _encode_png(_resize_nearest(gif_arr, w, h))
+                    fmt = "png"
+                elif tif_arr is not None:
+                    # strip-TIFF real path (round 14): IFD walk +
+                    # none/LZW/PackBits strip decode + predictor →
+                    # resample → lossless PNG re-encode (same
+                    # reasoning as the GIF/JPEG thumbnails).
+                    out = _encode_png(_resize_nearest(tif_arr, w, h))
                     fmt = "png"
                 elif have_pil:  # pragma: no cover
                     from PIL import Image
@@ -2420,6 +2859,8 @@ def probe_image_pixels(
                 arr = _decode_jpeg_pixels(b)
             if arr is None:
                 arr = _decode_gif_pixels(b)
+            if arr is None:
+                arr = _decode_tiff_pixels(b)
             vals = []
             for y, x in points:
                 if arr is None or y >= arr.shape[0] or x >= arr.shape[1]:
@@ -2660,6 +3101,8 @@ def _gray_cells(b: bytes, rows: int, cols: int):
         arr = _decode_jpeg_pixels(b or b"")
     if arr is None:
         arr = _decode_gif_pixels(b or b"")
+    if arr is None:
+        arr = _decode_tiff_pixels(b or b"")
     if arr is None:
         return None
     gray = arr.astype(np.int64).sum(axis=-1) // 3

@@ -1131,6 +1131,82 @@ def resize_images_gif_documents(
 
 
 @_register(
+    "tiff_decode_documents",
+    """
+SELECT doc_id,
+       CAST(1 + doc_id % 29 AS INTEGER) AS width,
+       CAST(1 + doc_id % 11 AS INTEGER) AS height,
+       'RGB' AS mode
+FROM documents
+""",
+)
+def tiff_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235 (round 14): REAL baseline-TIFF decode, no codec library —
+    the generator emits genuine TIFF 6.0 files (II and MM byte
+    orders, multi-strip rasters, compression cycling none → LZW with
+    horizontal-differencing predictor → PackBits by doc_id) and the
+    mapInPandas kernel walks the IFD for ImageWidth / ImageLength /
+    Photometric / SamplesPerPixel.  The oracle checks the decoded
+    geometry against the closed form — a wrong byte-order read,
+    entry-offset resolution, or tag type size breaks it."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        synthesize_media_payload,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="tiff").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="tiff",
+    ).drop("payload")
+    return decode_image_metadata(media, "media")
+
+
+@_register("resize_images_tiff_documents", _RESIZE_PNG_SQL)
+def resize_images_tiff_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X235 (round 14): REAL strip-TIFF resize round trip,
+    stdlib+numpy only: genuine baseline TIFFs (hand-rolled encoder —
+    IFD, strips of 4 rows, compression cycling none / MSB-first
+    early-change LZW (+ horizontal-differencing predictor) /
+    PackBits, every fifth file big-endian) are decoded by the full
+    path — IFD walk with inline-vs-offset value resolution,
+    per-strip decompression, predictor inversion — then
+    nearest-neighbor resampled to 8×8 and re-encoded as lossless PNG
+    thumbnails.  The fixture shares the PNG/GIF entries' EXACT
+    closed form (same geometry moduli, channel c of pixel (y,x) =
+    md5(text) digest byte (3·(y·w+x)+c) mod 16), so the three
+    entries share one oracle: a probe mismatch indicts the TIFF
+    strip/LZW/PackBits/predictor machinery and nothing else."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        probe_image_pixels,
+        resize_images,
+        synthesize_media_payload,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="tiff").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="tiff",
+    ).drop("payload")
+    resized = resize_images(media, (8, 8), "media")
+    probed = probe_image_pixels(
+        resized, [(7, 0), (0, 7)], "media", id_cols=["doc_id", "media"]
+    )
+    return decode_image_metadata(
+        probed, "media", id_cols=["doc_id", "px_y7x0", "px_y0x7"]
+    )
+
+
+@_register(
     "audio_features_documents",
     """
 SELECT doc_id,
