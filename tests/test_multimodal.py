@@ -686,8 +686,9 @@ def test_jpeg_grayscale_and_non_mcu_aligned():
 
 
 def test_jpeg_decode_rejects_non_baseline():
-    """Progressive frames, 16-bit quant tables, truncation, and
-    non-JPEG bytes all return None rather than garbage."""
+    """Arithmetic-coded frames, malformed progressive scan headers,
+    16-bit quant tables, truncation, and non-JPEG bytes all return
+    None rather than garbage."""
     import numpy as np
 
     from workshoop2_etl_spark.operators.multimodal import (
@@ -700,7 +701,11 @@ def test_jpeg_decode_rejects_non_baseline():
     assert _decode_jpeg_pixels(good) is not None
     assert _decode_jpeg_pixels(b"") is None
     assert _decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n") is None
-    # flip SOF0 -> SOF2 (progressive)
+    # arithmetic-coded frames (SOF9/SOF10): refused outright
+    for m in (b"\xff\xc9", b"\xff\xca"):
+        assert _decode_jpeg_pixels(good.replace(b"\xff\xc0", m, 1)) is None
+    # a SOF2 frame whose scan still carries the baseline Ss=0/Se=63
+    # header is malformed progressive (DC scans must have Se=0)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert _decode_jpeg_pixels(prog) is None
     # truncate mid-entropy-data
@@ -710,6 +715,62 @@ def test_jpeg_decode_rejects_non_baseline():
     i = bad_q.find(b"\xff\xdb")
     bad_q[i + 4] = 0x10  # Pq=1
     assert _decode_jpeg_pixels(bytes(bad_q)) is None
+
+
+def test_jpeg_progressive_roundtrip_matrix():
+    """X236: the Annex G progressive path — DC first+refine, two
+    spectral AC bands first at Al=1 and refined at Ah=1 — decodes
+    bit-identically to the baseline path on random content (gray,
+    4:4:4, 4:2:0, odd dims), and EXACTLY on the constant-block
+    fixture."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_planes,
+        _parse_jpeg,
+        _synth_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((40, 56), (17, 23), (8, 8), (9, 10)):
+        y = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = _decode_jpeg_pixels(
+            _encode_jpeg_planes([y], [(1, 1)], shape[1], shape[0])
+        )
+        prog = _decode_jpeg_pixels(
+            _encode_jpeg_planes(
+                [y], [(1, 1)], shape[1], shape[0], progressive=True
+            )
+        )
+        assert base is not None and prog is not None
+        assert np.array_equal(base, prog), shape
+
+    ys = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+    cbs = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    crs = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    planes, samp = [ys, cbs, crs], [(2, 2), (1, 1), (1, 1)]
+    base = _decode_jpeg_pixels(_encode_jpeg_planes(planes, samp, 64, 48))
+    prog = _decode_jpeg_pixels(
+        _encode_jpeg_planes(planes, samp, 64, 48, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+    # the closed-form fixture is EXACT through the SOF2 stream
+    import hashlib as _hl
+
+    blob = _synth_jpeg_progressive(5, "hello")
+    w, h = 16 * (1 + 5 % 2), 16 * (1 + 5 % 3)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    assert _parse_jpeg(blob) == (w, h, "RGB")
+    arr = _decode_jpeg_pixels(blob)
+    seed = _hl.md5(b"hello").digest()
+    wb = w // 8
+    for by in range(h // 8):
+        for bx in range(wb):
+            v = seed[(by * wb + bx) % 16]
+            blk = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == v).all(), (by, bx)
 
 
 def test_jpeg_in_spark_decode_ladder(spark):

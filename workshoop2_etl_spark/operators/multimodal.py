@@ -421,17 +421,30 @@ def _jpeg_mag(v: int) -> tuple[int, int]:
 
 
 def _encode_jpeg_planes(
-    planes, sampling, w: int, h: int, *, restart_interval: int = 0
+    planes,
+    sampling,
+    w: int,
+    h: int,
+    *,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Assemble a baseline-sequential JFIF byte stream from component
-    planes (numpy 2-D uint8 arrays, one per component at ITS OWN
-    resolution) with per-component (h, v) ``sampling`` factors.
+    """Assemble a JFIF byte stream from component planes (numpy 2-D
+    uint8 arrays, one per component at ITS OWN resolution) with
+    per-component (h, v) ``sampling`` factors.
     Quantization tables are all-ones, so the only loss is the
     FDCT→round→IDCT round trip (≤1 code value; EXACTLY zero for
     per-block-constant planes — the synthetic fixture's closed-form
     hook). Edge blocks replicate-pad. ``restart_interval`` > 0 emits
     a DRI segment and RSTn markers every that-many MCUs (resetting DC
-    prediction), exercising the decoder's restart path."""
+    prediction), exercising the decoder's restart path.
+
+    ``progressive=True`` emits an SOF2 frame with a real T.81
+    progression script — DC first at Al=1 + DC refinement, then per
+    component two spectral-selection AC bands (1-5, 6-63) first at
+    Al=1 and refined at Ah=1/Al=0, with EOB-run coding and buffered
+    correction bits (Annex G) — the layout libjpeg's default
+    progressive scripts produce."""
     import struct
 
     import numpy as np
@@ -452,11 +465,15 @@ def _encode_jpeg_planes(
             + bytes([tq])
             + bytes([1] * 64)
         )
-    # SOF0
+    # SOF0 (baseline) or SOF2 (progressive)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci, (hc, vc) in enumerate(sampling):
         sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+    )
     # DHT: DC/AC for table 0; color adds table 1 (same specs)
     for th in range(1 if ncomp == 1 else 2):
         for tc, (bits, vals) in (
@@ -465,24 +482,16 @@ def _encode_jpeg_planes(
         ):
             body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
             out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
     dc_enc = _jpeg_huff_encoder(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _jpeg_huff_encoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    # pad each plane to its MCU-covering size, edge-replicated
-    padded = []
+    # pad each plane to its MCU-covering size (edge-replicated) and
+    # FDCT every block up front into zigzag-order integer arrays
+    coefs = []  # per component: (nby, nbx, 64) int64, zigzag order
+    zz_np = np.array(_JPEG_ZIGZAG, dtype=np.int64)
     for (hc, vc), pl in zip(sampling, planes):
         ph, pw = mcuy * vc * 8, mcux * hc * 8
         pl = np.asarray(pl, dtype=np.uint8)
-        padded.append(
+        padded = (
             np.pad(
                 pl,
                 ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
@@ -490,56 +499,274 @@ def _encode_jpeg_planes(
             ).astype(np.float64)
             - 128.0
         )
+        nby, nbx = ph // 8, pw // 8
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        fdct = np.round(
+            np.einsum("ij,abjk,lk->abil", m, blocks, m)
+        ).astype(np.int64)
+        coefs.append(fdct.reshape(nby, nbx, 64)[..., zz_np])
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    if not progressive:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    out += bw.flush()
+                    bw = _JpegBitWriter()
+                    out += bytes(
+                        [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
+                    )
+                    pred = [0] * ncomp
+                mcu_i += 1
+                for ci, (hc, vc) in enumerate(sampling):
+                    for by in range(vc):
+                        for bx in range(hc):
+                            zz = coefs[ci][my * vc + by, mx * hc + bx]
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            s, bv = _jpeg_mag(diff)
+                            c, ln = dc_enc[s]
+                            bw.put(c, ln)
+                            if s:
+                                bw.put(bv, s)
+                            run = 0
+                            for k in range(1, 64):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run >= 16:
+                                    c, ln = ac_enc[0xF0]  # ZRL
+                                    bw.put(c, ln)
+                                    run -= 16
+                                s, bv = _jpeg_mag(v)
+                                c, ln = ac_enc[(run << 4) | s]
+                                bw.put(c, ln)
+                                bw.put(bv, s)
+                                run = 0
+                            if run:
+                                c, ln = ac_enc[0x00]  # EOB
+                                bw.put(c, ln)
+        out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    out += _jpeg_progressive_scans(
+        coefs, sampling, w, h, mcux, mcuy, dc_enc, ac_enc
+    )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_progressive_scans(
+    coefs, sampling, w, h, mcux, mcuy, dc_enc, ac_enc
+) -> bytes:
+    """Emit the progressive scan script (Annex G encoder half):
+    interleaved DC at Al=1 + raw-bit DC refinement, then per
+    component spectral bands 1-5 / 6-63 first at Al=1 (EOB-run
+    coding) and refined at Ah=1/Al=0 (correction bits + buffered-bit
+    EOB runs).  Non-interleaved scans traverse each component's own
+    ceil(dim/8) block grid per §A.2.2 — NOT the MCU-padded grid."""
+    import struct
+
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    # per-component non-interleaved block dims (§A.1.1 ceil chain)
+    nbdims = []
+    for hc, vc in sampling:
+        cw = -(-w * hc // hmax)
+        ch = -(-h * vc // vmax)
+        nbdims.append((-(-ch // 8), -(-cw // 8)))
+
+    out = bytearray()
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # --- DC first scan: interleaved, Al=1 ---
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
     bw = _JpegBitWriter()
     pred = [0] * ncomp
-    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                out += bw.flush()
-                bw = _JpegBitWriter()
-                out += bytes(
-                    [0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8]
-                )
-                pred = [0] * ncomp
-            mcu_i += 1
             for ci, (hc, vc) in enumerate(sampling):
                 for by in range(vc):
                     for bx in range(hc):
-                        y0 = (my * vc + by) * 8
-                        x0 = (mx * hc + bx) * 8
-                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        coef = np.round(m @ blk @ m.T).astype(np.int64)
-                        zz = [
-                            int(coef.flat[_JPEG_ZIGZAG[i]])
-                            for i in range(64)
-                        ]
-                        diff = zz[0] - pred[ci]
-                        pred[ci] = zz[0]
+                        v = int(coefs[ci][my * vc + by, mx * hc + bx, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
                         s, bv = _jpeg_mag(diff)
                         c, ln = dc_enc[s]
                         bw.put(c, ln)
                         if s:
                             bw.put(bv, s)
-                        run = 0
-                        for k in range(1, 64):
-                            if zz[k] == 0:
-                                run += 1
-                                continue
-                            while run >= 16:
-                                c, ln = ac_enc[0xF0]  # ZRL
-                                bw.put(c, ln)
-                                run -= 16
-                            s, bv = _jpeg_mag(zz[k])
-                            c, ln = ac_enc[(run << 4) | s]
-                            bw.put(c, ln)
-                            bw.put(bv, s)
-                            run = 0
-                        if run:
-                            c, ln = ac_enc[0x00]  # EOB
-                            bw.put(c, ln)
     out += bw.flush()
-    out += b"\xff\xd9"  # EOI
+
+    # --- DC refinement: interleaved, Ah=1, Al=0, one raw bit/block ---
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _JpegBitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hc, vc) in enumerate(sampling):
+                for by in range(vc):
+                    for bx in range(hc):
+                        bw.put(
+                            int(coefs[ci][my * vc + by, mx * hc + bx, 0]) & 1,
+                            1,
+                        )
+    out += bw.flush()
+
+    def ac_first(ci, ss, se, al):
+        """Spectral-selection first pass: point transform (magnitude
+        truncation), ZRL runs, EOBn run coding."""
+        nonlocal out
+        out += sos_header([ci], ss, se, 0, al)
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = ac_enc[r << 4]
+                bw.put(c, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        nby, nbx = nbdims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    vals.append(t)
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                last_nz = max(i for i, t in enumerate(vals) if t)
+                for i, t in enumerate(vals):
+                    if i > last_nz:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = ac_enc[0xF0]
+                        bw.put(c, ln)
+                        run -= 16
+                    s, bv = _jpeg_mag(t)
+                    c, ln = ac_enc[(run << 4) | s]
+                    bw.put(c, ln)
+                    bw.put(bv, s)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun += 1  # trailing zeros end in an EOB
+        flush_eobrun()
+        out += bw.flush()
+
+    def ac_refine(ci, ss, se, al):
+        """Successive-approximation refinement pass (G.1.2.3 encoder
+        half): newly-significant coefficients as (run, 1) symbols with
+        sign bits, correction bits for already-significant ones
+        buffered and emitted after the symbol they follow, EOB runs
+        carrying their buffered bits."""
+        nonlocal out
+        out += sos_header([ci], ss, se, 1, al)
+        bw = _JpegBitWriter()
+        eobrun = 0
+        ebits: list[int] = []  # bits buffered behind the EOB run
+
+        def flush_eobrun():
+            nonlocal eobrun, ebits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = ac_enc[r << 4]
+                bw.put(c, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                for bit in ebits:
+                    bw.put(bit, 1)
+                eobrun = 0
+                ebits = []
+
+        nby, nbx = nbdims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # index AFTER the last newly-significant coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                run = 0
+                brbits: list[int] = []  # bits behind the next symbol
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i < eob:
+                        flush_eobrun()
+                        c, ln = ac_enc[0xF0]
+                        bw.put(c, ln)
+                        run -= 16
+                        for bit in brbits:
+                            bw.put(bit, 1)
+                        brbits = []
+                    if t > 1:
+                        brbits.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    c, ln = ac_enc[(run << 4) | 1]
+                    bw.put(c, ln)
+                    bw.put(0 if int(zz[ss + i]) < 0 else 1, 1)
+                    for bit in brbits:
+                        bw.put(bit, 1)
+                    brbits = []
+                    run = 0
+                if run > 0 or brbits:
+                    eobrun += 1
+                    ebits.extend(brbits)
+                    if eobrun == 0x7FFF or len(ebits) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        out += bw.flush()
+
+    for ci in range(ncomp):
+        ac_first(ci, 1, 5, 1)
+    for ci in range(ncomp):
+        ac_first(ci, 6, 63, 1)
+    for ci in range(ncomp):
+        ac_refine(ci, 1, 5, 0)
+    for ci in range(ncomp):
+        ac_refine(ci, 6, 63, 0)
     return bytes(out)
 
 
@@ -661,16 +888,21 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg_pixels(b: bytes):
-    """Decode a BASELINE-sequential JPEG to a top-down (h, w, 3)
-    uint8 ndarray, or None for anything else (wrong magic,
-    progressive/arithmetic frames, 12-bit precision, truncation).
+    """Decode a BASELINE-sequential (SOF0/1) or PROGRESSIVE (SOF2)
+    JPEG to a top-down (h, w, 3) uint8 ndarray, or None for anything
+    else (wrong magic, arithmetic coding, hierarchical/lossless
+    frames, 12-bit precision, truncation).
     The whole pipeline is here, stdlib+numpy: marker walk collecting
-    DQT (zigzag→raster) / DHT (canonical decode maps) / SOF0 / DRI,
-    bit-serial Huffman decode of the interleaved MCU scan with
-    byte-unstuffing and restart-interval handling, dequantization,
-    matrix IDCT, replication chroma upsampling for subsampled
-    components, BT.601 YCbCr→RGB. Grayscale replicates Y into RGB —
-    the shared (h, w, 3) vocabulary of the BMP/PNG decoders above."""
+    DQT (zigzag→raster) / DHT (canonical decode maps) / SOFn / DRI,
+    bit-serial Huffman decode with byte-unstuffing and
+    restart-interval handling — for SOF2 the full Annex G
+    progression machinery (spectral-selection bands, successive-
+    approximation first + refinement passes for DC and AC, EOB runs,
+    correction bits) accumulating coefficients across scans —
+    dequantization, matrix IDCT, replication chroma upsampling for
+    subsampled components, BT.601 YCbCr→RGB. Grayscale replicates Y
+    into RGB — the shared (h, w, 3) vocabulary of the BMP/PNG
+    decoders above."""
     import struct
 
     import numpy as np
@@ -680,16 +912,24 @@ def _decode_jpeg_pixels(b: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
+    prog = None  # progressive coefficient store
     dri = 0
     pos = 2
     try:
-        while pos + 4 <= len(b):
+        while pos + 2 <= len(b):
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
             if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
+            if marker == 0xD9:  # EOI
+                if progressive and prog is not None:
+                    return _jpeg_prog_finish(prog, sof, qt)
+                return None  # EOI before SOS on the baseline path
+            if pos + 4 > len(b):
+                return None
             (ln,) = struct.unpack_from(">H", b, pos + 2)
             seg = b[pos + 4 : pos + 2 + ln]
             if marker == 0xDB:  # DQT
@@ -713,7 +953,7 @@ def _decode_jpeg_pixels(b: bytes):
                     vals = list(seg[o + 17 : o + 17 + nv])
                     huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
                     o += 17 + nv
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline huffman)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 if len(seg) < 6:
                     return None
                 prec, hh, ww, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -737,9 +977,25 @@ def _decode_jpeg_pixels(b: bytes):
                         return None
                     comps.append((cid, hc, vc, tq))
                 sof = (hh, ww, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                if marker == 0xC2:
+                    progressive = True
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-ww // (8 * hmax))
+                    mcuy = -(-hh // (8 * vmax))
+                    prog = {
+                        "coef": [
+                            np.zeros(
+                                (mcuy * vc, mcux * hc, 64), dtype=np.int32
+                            )
+                            for _cid, hc, vc, _tq in comps
+                        ],
+                        "pred": None,
+                        "eobrun": 0,
+                    }
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic: not baseline
+                return None  # lossless / hierarchical / ARITHMETIC coding
             elif marker == 0xDD:  # DRI
                 (dri,) = struct.unpack_from(">H", seg, 0)
             elif marker == 0xDA:  # SOS — entropy data follows
@@ -750,13 +1006,23 @@ def _decode_jpeg_pixels(b: bytes):
                 for si in range(ns):
                     cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                     scan.append((cs, tt >> 4, tt & 15))
-                if len(seg) < 1 + 2 * ns:
+                if len(seg) < 4 + 2 * ns:
                     return None
-                return _jpeg_scan(
-                    b, pos + 2 + ln, sof, scan, qt, huff, dri
+                if not progressive:
+                    return _jpeg_scan(
+                        b, pos + 2 + ln, sof, scan, qt, huff, dri
+                    )
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                newpos = _jpeg_prog_scan(
+                    b, pos + 2 + ln, prog, sof, scan,
+                    ss, se, ahal >> 4, ahal & 15, huff, dri,
                 )
-            elif marker == 0xD9:  # EOI before SOS
-                return None
+                if newpos is None:
+                    return None
+                pos = newpos
+                continue
             pos += 2 + ln
     except (IndexError, ValueError, struct.error):
         return None
@@ -870,6 +1136,242 @@ def _jpeg_scan(b, pos, sof, scan, qt, huff, dri):
     ).astype(np.uint8)
 
 
+def _jpeg_prog_scan(
+    b, pos, prog, sof, scan, ss, se, ah, al, huff, dri
+):
+    """Decode ONE progressive scan's entropy data into the
+    cross-scan coefficient store (Annex G decoder half) and return
+    the byte position of the next marker, or None on a malformed
+    scan.  Handles all four scan kinds: DC first (diffs << Al,
+    interleaved or single-component), DC refinement (one raw bit per
+    block), AC first (spectral band + EOB runs), AC refinement (the
+    G.1.2.3 correction-bit walk).  Restart intervals reset DC
+    prediction and the EOB run."""
+    hh, ww, comps = sof
+    by_id = {cid: i for i, (cid, _h, _v, _t) in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-ww // (8 * hmax))
+    mcuy = -(-hh // (8 * vmax))
+    br = _JpegBitReader(b, pos)
+
+    def read_symbol(table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise _JpegMarker
+
+    try:
+        if ss == 0:  # ---- DC scan ----
+            if se != 0:
+                return None
+            if len(scan) > 1:  # interleaved MCU order
+                idxs = []
+                for cs, _td, _ta in scan:
+                    if cs not in by_id:
+                        return None
+                    idxs.append(by_id[cs])
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        mcu = []
+                        for si, ci in enumerate(idxs):
+                            _cid, hc, vc, _tq = comps[ci]
+                            for byy in range(vc):
+                                for bxx in range(hc):
+                                    mcu.append(
+                                        (si, ci, my * vc + byy,
+                                         mx * hc + bxx)
+                                    )
+                        units.append(mcu)
+            else:
+                cs = scan[0][0]
+                if cs not in by_id:
+                    return None
+                ci = by_id[cs]
+                _cid, hc, vc, _tq = comps[ci]
+                cw = -(-ww * hc // hmax)
+                ch = -(-hh * vc // vmax)
+                nbx, nby = -(-cw // 8), -(-ch // 8)
+                units = [
+                    [(0, ci, byy, bxx)]
+                    for byy in range(nby)
+                    for bxx in range(nbx)
+                ]
+            if ah == 0:
+                dcm = []
+                for cs, td, _ta in scan:
+                    if (0, td) not in huff:
+                        return None
+                    dcm.append(huff[(0, td)])
+                pred = [0] * len(scan)
+                for ui, mcu in enumerate(units):
+                    if dri and ui and ui % dri == 0:
+                        if not 0xD0 <= br.align_to_marker() <= 0xD7:
+                            return None
+                        pred = [0] * len(scan)
+                    for si, ci, r, c in mcu:
+                        s = read_symbol(dcm[si])
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        pred[si] += diff
+                        prog["coef"][ci][r, c, 0] = pred[si] << al
+            else:  # DC refinement: one raw bit per block
+                for ui, mcu in enumerate(units):
+                    if dri and ui and ui % dri == 0:
+                        if not 0xD0 <= br.align_to_marker() <= 0xD7:
+                            return None
+                    for _si, ci, r, c in mcu:
+                        if br.bit():
+                            prog["coef"][ci][r, c, 0] = int(
+                                prog["coef"][ci][r, c, 0]
+                            ) | (1 << al)
+        else:  # ---- AC scan: single component, non-interleaved ----
+            if len(scan) != 1 or se > 63 or ss > se:
+                return None
+            cs, _td, ta = scan[0]
+            if cs not in by_id or (1, ta) not in huff:
+                return None
+            ci = by_id[cs]
+            _cid, hc, vc, _tq = comps[ci]
+            acm = huff[(1, ta)]
+            cw = -(-ww * hc // hmax)
+            ch = -(-hh * vc // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            coefarr = prog["coef"][ci]
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+            bi = 0
+            for byy in range(nby):
+                for bxx in range(nbx):
+                    if dri and bi and bi % dri == 0:
+                        if not 0xD0 <= br.align_to_marker() <= 0xD7:
+                            return None
+                        eobrun = 0
+                    bi += 1
+                    zz = coefarr[byy, bxx]
+                    if ah == 0:  # first pass: band + EOB runs
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = read_symbol(acm)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                return None
+                            zz[k] = _jpeg_extend(br.bits(s), s) << al
+                            k += 1
+                    else:  # refinement pass (G.1.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = read_symbol(acm)
+                                r, s = sym >> 4, sym & 15
+                                newval = 0
+                                if s:
+                                    if s != 1:
+                                        return None
+                                    newval = p1 if br.bit() else m1
+                                elif r != 15:
+                                    eobrun = (1 << r) + (
+                                        br.bits(r) if r else 0
+                                    )
+                                    break
+                                while k <= se:
+                                    c0 = int(zz[k])
+                                    if c0 != 0:
+                                        if br.bit() and (c0 & p1) == 0:
+                                            zz[k] = c0 + (
+                                                p1 if c0 >= 0 else m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval and k <= se:
+                                    zz[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                c0 = int(zz[k])
+                                if c0 != 0:
+                                    if br.bit() and (c0 & p1) == 0:
+                                        zz[k] = c0 + (
+                                            p1 if c0 >= 0 else m1
+                                        )
+                                k += 1
+                            eobrun -= 1
+    except _JpegMarker:
+        return None
+    # skip to the next real marker (past any stray RSTn)
+    p = br.p
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return None
+
+
+def _jpeg_prog_finish(prog, sof, qt):
+    """All scans read: dequantize the accumulated coefficients,
+    IDCT every block (vectorized einsum), assemble/upsample/crop and
+    color-convert exactly like the baseline path."""
+    import numpy as np
+
+    hh, ww, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _dct_matrix()
+    zz_np = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    full = []
+    for (cid, hc, vc, tq), coefarr in zip(comps, prog["coef"]):
+        if tq not in qt:
+            return None
+        q = np.array(qt[tq], dtype=np.float64).reshape(8, 8)
+        nby, nbx, _ = coefarr.shape
+        natural = np.zeros((nby, nbx, 64), dtype=np.float64)
+        natural[..., zz_np] = coefarr
+        blocks = natural.reshape(nby, nbx, 8, 8) * q
+        px = (
+            np.einsum("ji,abjk,kl->abil", m, blocks, m) + 128.0
+        )  # m.T @ blk @ m per block
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if hc != hmax:
+            plane = np.repeat(plane, hmax // hc, axis=1)
+        if vc != vmax:
+            plane = np.repeat(plane, vmax // vc, axis=0)
+        full.append(plane[:hh, :ww])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(full) != 3:
+        return None
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, bl], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
 def _synth_jpeg(doc_id: int, text: str) -> bytes:
     """A real baseline 4:2:0 JPEG. width = 16·(1 + doc_id % 2),
     height = 16·(1 + doc_id % 3) (MCU-aligned; the oracle's closed
@@ -897,6 +1399,33 @@ def _synth_jpeg(doc_id: int, text: str) -> bytes:
     cr = np.full((h // 2, w // 2), 128, dtype=np.uint8)
     return _encode_jpeg_planes(
         [y, cb, cr], [(2, 2), (1, 1), (1, 1)], w, h
+    )
+
+
+def _synth_jpeg_progressive(doc_id: int, text: str) -> bytes:
+    """The X-ray twin of :func:`_synth_jpeg` (round 14): the SAME
+    closed-form 4:2:0 constant-block fixture, emitted as a
+    PROGRESSIVE (SOF2) stream — DC-first/DC-refine + two spectral
+    AC bands at Al=1 with Ah=1 refinement passes — so the Annex G
+    scan machinery is pinned by the same oracle.  Exactness survives
+    the progression because the coefficients are integers: the
+    first+refinement passes reassemble them bit-for-bit before the
+    shared IDCT."""
+    import numpy as np
+
+    w, h = 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+    seed = hashlib.md5((text or "").encode()).digest()
+    wb = w // 8
+    y = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(wb):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = seed[
+                (by * wb + bx) % 16
+            ]
+    cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    cr = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    return _encode_jpeg_planes(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], w, h, progressive=True
     )
 
 
@@ -2455,6 +2984,7 @@ def synthesize_media_payload(
         "adpcm": _synth_adpcm_wav,
         "flac": _synth_flac,
         "tiff": _synth_tiff,
+        "jpeg_progressive": _synth_jpeg_progressive,
         "video": _synth_video,
     }
     if fmt not in makers:

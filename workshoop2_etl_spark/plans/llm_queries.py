@@ -1086,6 +1086,48 @@ def resize_images_jpeg_documents(
     )
 
 
+@_register("resize_images_jpeg_progressive_documents", _RESIZE_JPEG_SQL)
+def resize_images_jpeg_progressive_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X236 (round 14): PROGRESSIVE-JPEG resize round trip — the
+    same closed-form 4:2:0 constant-block fixture as the baseline
+    entry, but emitted as a real SOF2 stream with the full Annex G
+    progression script (interleaved DC first at Al=1 + raw-bit DC
+    refinement, two spectral-selection AC bands per component first
+    at Al=1 then refined at Ah=1 with EOB runs and buffered
+    correction bits).  The decoder accumulates coefficients across
+    all ten scans before the shared dequant/IDCT/upsample/color
+    path, so the two entries share ONE oracle: a probe mismatch
+    indicts the progressive scan machinery (spectral walk, EOB-run
+    bookkeeping, correction-bit order) and nothing else.  A large
+    share of real web JPEGs are progressive — this closes the
+    SOF2 refusal noted in VERDICT r13."""
+    from workshoop2_etl_spark.operators.multimodal import (
+        attach_media,
+        decode_image_metadata,
+        probe_image_pixels,
+        resize_images,
+        synthesize_media_payload,
+    )
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media(
+        synthesize_media_payload(docs, fmt="jpeg_progressive").drop("text"),
+        "payload",
+        media_type="image",
+        fmt="jpeg",
+    ).drop("payload")
+    meta = decode_image_metadata(media, "media", id_cols=["doc_id", "media"])
+    resized = resize_images(meta, (8, 8), "media")
+    return probe_image_pixels(
+        resized,
+        [(7, 0), (0, 7)],
+        "media",
+        id_cols=["doc_id", "width", "height", "mode"],
+    )
+
+
 @_register("resize_images_gif_documents", _RESIZE_PNG_SQL)
 def resize_images_gif_documents(
     spark: SparkSession, sf_dir: str
