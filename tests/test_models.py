@@ -104,6 +104,60 @@ def test_bpe_and_unigram_roundtrip(spark, tmp_path):
     assert all(math.isfinite(v) for v in back.values())
 
 
+def test_ann_quantizers_roundtrip_bit_identical(spark, tmp_path):
+    """X237: IVF centroids and PQ codebooks reload BIT-identically
+    (float64 through parquet doubles), versioning works, and the
+    reloaded quantizer yields byte-identical PQ codes."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.models import (
+        load_ivf,
+        load_pq,
+        save_ivf,
+        save_pq,
+    )
+    from workshoop2_etl_spark.operators.similarity import (
+        ivf_build,
+        pq_assign,
+        pq_build,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_build(df, n_clusters=4, seed=7)
+    books = pq_build(df, m=4, n_codes=8, seed=7)
+
+    tiv, tpq = str(tmp_path / "ivf"), str(tmp_path / "pq")
+    save_ivf(spark, cents, tiv)
+    save_pq(spark, books, tpq)
+    cents2 = load_ivf(spark, tiv)
+    books2 = load_pq(spark, tpq)
+    assert cents2.shape == cents.shape and books2.shape == books.shape
+    assert np.array_equal(cents2, cents)  # bit-identical, not approx
+    assert np.array_equal(books2, books)
+
+    # identical quantizer => identical codes on the query side
+    c1 = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_assign(df, books, out_col="code").collect()
+    }
+    c2 = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_assign(df, books2, out_col="code").collect()
+    }
+    assert c1 == c2
+
+    # re-training commits a NEW version; time travel restores v1
+    cents_b = ivf_build(df, n_clusters=4, seed=99)
+    v2 = save_ivf(spark, cents_b, tiv)
+    assert np.array_equal(load_ivf(spark, tiv), cents_b)
+    assert np.array_equal(load_ivf(spark, tiv, version=v2 - 1), cents)
+
+
 def test_empty_models_roundtrip(spark, tmp_path):
     t = str(tmp_path / "emptybpe")
     save_bpe(spark, [], t)

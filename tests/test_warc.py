@@ -217,17 +217,31 @@ def test_http_body_decode_tolerance():
 
     # corrupt gzip: header claims gzip, bytes are not
     assert _decode_http_body(b"not-gzip", {"content-encoding": "gzip"}) == (
-        b"not-gzip"
+        b"not-gzip",
+        None,
     )
     assert _decode_http_body(
         b"not-zlib", {"content-encoding": "deflate"}
-    ) == b"not-zlib"
+    ) == (b"not-zlib", None)
     # truncated chunk: size says 20, only 5 bytes follow
     trunc = b"14\r\nhello"
     assert _dechunk_http_body(trunc) is None
     assert _decode_http_body(
         trunc, {"transfer-encoding": "chunked"}
-    ) == trunc
+    ) == (trunc, None)
+    # recognized-but-undecoded codings: raw bytes + VISIBLE label
+    assert _decode_http_body(b"brotli-bytes", {"content-encoding": "br"}) == (
+        b"brotli-bytes",
+        "br",
+    )
+    assert _decode_http_body(b"z", {"content-encoding": "zstd"}) == (
+        b"z",
+        "zstd",
+    )
+    assert _decode_http_body(b"p", {"content-encoding": "identity"}) == (
+        b"p",
+        None,
+    )
     # bad hex size line
     assert _dechunk_http_body(b"zz\r\nhello\r\n0\r\n\r\n") is None
     # end-to-end: a record whose gzip body is truncated still parses

@@ -219,6 +219,7 @@ def fetch_records_by_index(
             T.StructField("payload_digest", T.StringType()),
             T.StructField("etag", T.StringType()),
             T.StructField("last_modified", T.StringType()),
+            T.StructField("encoding_stub", T.StringType()),
         ]
     )
     cols = [f.name for f in schema.fields]

@@ -2,10 +2,14 @@
 (round 13 — closes the train-once/apply-everywhere loop for every
 trainer the engine carries).
 
-The engine trains four artifact kinds — the X217 quality classifier
+The engine trains six artifact kinds — the X217 quality classifier
 (``(bucket, weight)`` + bias), the X224 language model (``(lang,
-bucket, weight)`` + per-lang biases), X104 BPE merges, and X223
-unigram pieces. A real pipeline trains them ONCE on a sample and
+bucket, weight)`` + per-lang biases), X104 BPE merges, X223
+unigram pieces, and (round 14) the two ANN quantizers: X117's IVF
+k-means centroids and X92's product-quantization codebooks — the
+artifacts whose SHARING is correctness-critical, since PQ codes and
+inverted lists written by one job are only readable against the
+same quantizer. A real pipeline trains them ONCE on a sample and
 applies them across every job and every cluster; that only works if
 the artifact survives storage bit-exactly. This module stores each
 artifact in the engine's OWN versioned-table format
@@ -29,6 +33,8 @@ columns — a versioned table needs no sidecar):
 - ``langid``: (lang string, bucket int, weight double, bias double)
 - ``bpe``: (rank int, left string, right string)
 - ``unigram``: (piece string, logprob double)
+- ``ivf``: (cluster int, centroid array<double>)
+- ``pq``: (subspace int, code int, centroid array<double>)
 """
 
 from __future__ import annotations
@@ -52,6 +58,10 @@ __all__ = [
     "load_bpe",
     "save_unigram",
     "load_unigram",
+    "save_ivf",
+    "load_ivf",
+    "save_pq",
+    "load_pq",
 ]
 
 
@@ -180,3 +190,72 @@ def load_unigram(
         r["piece"]: float(r["logprob"])
         for r in df.select("piece", "logprob").collect()
     }
+
+
+def save_ivf(spark: SparkSession, centroids, table_dir: str) -> int:
+    """Persist an IVF coarse quantizer (X117's ``ivf_build`` k×dim
+    centroid matrix) as ``(cluster int, centroid array<double>)``
+    rows.  Index build and query sides MUST share one quantizer —
+    a rebuilt k-means gives different clusters and silently ruins
+    recall — so the registry is the hand-off point between jobs.
+    Doubles round-trip parquet bit-exactly, so reload is
+    bit-identical (pytest-pinned)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    rows = [(i, [float(v) for v in c[i]]) for i in range(len(c))]
+    df = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    )
+    return _publish(df, table_dir)
+
+
+def load_ivf(
+    spark: SparkSession, table_dir: str, version: int | None = None
+):
+    """→ the (k, dim) float64 centroid matrix, exactly the surface
+    ``ivf_assign``/``ivf_topk``/``semantic_dedup`` consume."""
+    import numpy as np
+
+    df = read_version(spark, table_dir, version)
+    rows = df.select("cluster", "centroid").orderBy("cluster").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def save_pq(spark: SparkSession, codebooks, table_dir: str) -> int:
+    """Persist X92's product-quantization codebooks (``pq_build``'s
+    (m, n_codes, dsub) array) as ``(subspace int, code int,
+    centroid array<double>)`` rows — same sharing contract as
+    :func:`save_ivf`: PQ codes stored by one job are only decodable
+    against the SAME codebooks."""
+    import numpy as np
+
+    b = np.asarray(codebooks, dtype=np.float64)
+    rows = [
+        (j, c, [float(v) for v in b[j, c]])
+        for j in range(b.shape[0])
+        for c in range(b.shape[1])
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+    return _publish(df, table_dir)
+
+
+def load_pq(
+    spark: SparkSession, table_dir: str, version: int | None = None
+):
+    """→ the (m, n_codes, dsub) float64 codebook array, the
+    ``pq_assign``/``ivfpq_topk`` surface."""
+    import numpy as np
+
+    df = read_version(spark, table_dir, version)
+    rows = df.select("subspace", "code", "centroid").orderBy(
+        "subspace", "code"
+    ).collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    out = np.empty((m, n_codes, len(rows[0]["centroid"])))
+    for r in rows:
+        out[r["subspace"], r["code"]] = r["centroid"]
+    return out

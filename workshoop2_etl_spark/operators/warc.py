@@ -277,7 +277,9 @@ def _dechunk_http_body(payload: bytes) -> bytes | None:
             pos += 2
 
 
-def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
+def _decode_http_body(
+    payload: bytes, hh: dict[str, str]
+) -> tuple[bytes, str | None]:
     """Undo the HTTP envelope's byte transformations so downstream
     charset/HTML extraction sees the document bytes, not the wire
     bytes: ``Transfer-Encoding: chunked`` de-chunking first (the
@@ -285,7 +287,13 @@ def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
     inflation. Every step is tolerant — a malformed chunk frame or a
     corrupt gzip stream keeps the bytes from the previous step, never
     raises (a crawl record must survive ingest whatever the server
-    sent)."""
+    sent).
+
+    Returns ``(bytes, encoding_stub)``: ``encoding_stub`` is NULL
+    when the body is fully decoded, and carries the content-coding
+    token (``'br'``, ``'zstd'``, …) when the coding is recognized
+    but NOT undone — the X227 named-stub convention, so undecoded
+    wire bytes can never masquerade as document bytes downstream."""
     if "chunked" in hh.get("transfer-encoding", "").lower():
         dechunked = _dechunk_http_body(payload)
         if dechunked is not None:
@@ -306,14 +314,20 @@ def _decode_http_body(payload: bytes, hh: dict[str, str]) -> bytes:
                 payload = zlib.decompress(payload, -zlib.MAX_WBITS)
             except zlib.error:
                 pass
-    return payload
+    elif ce not in ("", "identity"):
+        # br / zstd / anything else: raw bytes kept, VISIBLY labeled
+        return payload, ce
+    return payload, None
 
 
 def parse_warc_record(rec: bytes):
     """(warc_type, target_uri, http_status, content_type, payload,
     location, record_id, refers_to, payload_digest, etag,
-    last_modified) from one record's bytes, or None if it isn't a
-    WARC record. Non-HTTP records (warcinfo, metadata) come back with
+    last_modified, encoding_stub) from one record's bytes, or None
+    if it isn't a WARC record.  ``encoding_stub`` is NULL for fully
+    decoded payloads and names the content coding (``'br'`` …) when
+    the wire bytes are kept raw (round 14 — the X227 named-stub
+    rule for the codec boundary). Non-HTTP records (warcinfo, metadata) come back with
     NULL status and their raw body as payload. HTTP payloads are
     decoded through :func:`_decode_http_body` (chunked / gzip /
     deflate); 3xx redirects surface their ``Location`` header so a
@@ -343,6 +357,7 @@ def parse_warc_record(rec: bytes):
     location = None
     etag = None
     last_modified = None
+    encoding_stub = None
     if body.startswith(b"HTTP/"):
         http_end = body.find(_CRLF2)
         if http_end >= 0:
@@ -355,7 +370,9 @@ def parse_warc_record(rec: bytes):
             location = hh.get("location")
             etag = hh.get("etag")
             last_modified = hh.get("last-modified")
-            payload = _decode_http_body(body[http_end + 4 :], hh)
+            payload, encoding_stub = _decode_http_body(
+                body[http_end + 4 :], hh
+            )
     return (
         warc_type,
         uri,
@@ -368,6 +385,7 @@ def parse_warc_record(rec: bytes):
         wh.get("warc-payload-digest"),
         etag,
         last_modified,
+        encoding_stub,
     )
 
 
@@ -401,6 +419,7 @@ def parse_warc_blobs(
             T.StructField("payload_digest", T.StringType()),
             T.StructField("etag", T.StringType()),
             T.StructField("last_modified", T.StringType()),
+            T.StructField("encoding_stub", T.StringType()),
         ]
     )
 
@@ -436,6 +455,7 @@ def parse_warc_blobs(
                     "payload_digest",
                     "etag",
                     "last_modified",
+                    "encoding_stub",
                 ],
             )
 

@@ -2477,6 +2477,60 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_quantizer_registry_embeddings")  # rows-only: k-means quantizer
+def ann_quantizer_registry_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X237 (round 14): the two trained ANN artifacts the X232 model
+    registry did not cover — X117's IVF coarse-quantizer centroids
+    and X92's PQ codebooks — persist as versioned tables
+    (``operators/models.save_ivf``/``save_pq``) and serve the query
+    side from the RELOAD: this entry trains both on the corpus,
+    saves them, loads them back, and answers IVF-PQ top-k with the
+    loaded quantizers.  Sharing one quantizer across the index-build
+    and query jobs is correctness-critical (PQ codes and inverted
+    lists are only decodable against the codebooks that wrote them);
+    reload bit-identity is pytest-pinned, which makes this output
+    deterministic-identical to ``ivfpq_topk_embeddings``.  Rows-only:
+    the k-means quantizer has no SQL twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from workshoop2_etl_spark.operators.models import (
+        load_ivf,
+        load_pq,
+        save_ivf,
+        save_pq,
+    )
+    from workshoop2_etl_spark.operators.similarity import ivfpq_topk
+    from workshoop2_etl_spark.plans.coverage_queries import _run_token
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _quantizer(emb, sf_dir, n_clusters=16, seed=42)
+    books = _pq_codebooks(emb, sf_dir, m=8, n_codes=64, seed=42)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"workshoop2_ann_registry_{_run_token(sf_dir)}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    save_ivf(spark, cents, os.path.join(base, "ivf"))
+    save_pq(spark, books, os.path.join(base, "pq"))
+    cents2 = load_ivf(spark, os.path.join(base, "ivf"))
+    books2 = load_pq(spark, os.path.join(base, "pq"))
+    out = ivfpq_topk(
+        emb, queries, k=10, n_clusters=16, n_probe=4, m=8, n_codes=64,
+        refine=4, centroids=cents2, codebooks=books2,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
@@ -3515,9 +3569,12 @@ def warc_gzip_ingest_documents(
 def _warc_http_encoded_record(doc_id: int, html: str) -> bytes:
     from workshoop2_etl_spark.operators.warc import synthesize_warc_record
 
-    # five wire shapes, rotating per doc: identity / gzip / deflate /
-    # chunked / chunked-over-gzip — the encodings real servers send
-    mode = doc_id % 5
+    # six wire shapes, rotating per doc: identity / gzip / deflate /
+    # chunked / chunked-over-gzip — the encodings real servers send —
+    # plus a ``Content-Encoding: br`` row whose body rides raw (the
+    # X227 named-stub boundary: the parser keeps the bytes and labels
+    # the row ``encoding_stub='br'`` instead of pretending to decode)
+    mode = doc_id % 6
     kw = {}
     if mode == 1:
         kw["content_encoding"] = "gzip"
@@ -3527,12 +3584,41 @@ def _warc_http_encoded_record(doc_id: int, html: str) -> bytes:
         kw["chunked"] = True
     elif mode == 4:
         kw.update(content_encoding="gzip", chunked=True)
+    elif mode == 5:
+        kw["content_encoding"] = "br"
     return synthesize_warc_record(
         doc_id, html, host=f"www.site{doc_id % 7}.com", **kw
     )
 
 
-@_register("warc_http_encoded_ingest_documents", _WARC_INGEST_SQL)
+_WARC_ENCODED_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text, ''), '[ \t\r\n\f]+', ' ', 'g'))
+           AS norm
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'Doc ' || doc_id,
+                   NULLIF(norm, ''),
+                   'See ref ' || doc_id || ' for details.') AS body
+  FROM g
+)
+SELECT doc_id,
+       'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
+         AS target_uri,
+       CAST(200 AS INTEGER) AS http_status,
+       CASE WHEN doc_id % 6 = 5 THEN 'br' END AS encoding_stub,
+       'Doc ' || doc_id AS title,
+       CAST(1 AS INTEGER) AS n_links,
+       md5(body) AS text_md5
+FROM x
+ORDER BY doc_id
+"""
+
+
+@_register("warc_http_encoded_ingest_documents", _WARC_ENCODED_SQL)
 def warc_http_encoded_ingest_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3542,14 +3628,19 @@ def warc_http_encoded_ingest_documents(
     records carry ``Content-Encoding: gzip|deflate`` bodies and
     ``Transfer-Encoding: chunked`` framing. This entry runs the same
     end-to-end pipeline as ``warc_ingest_documents`` but every
-    synthesized record's HTTP body rotates through five wire shapes
-    (identity, gzip, deflate, chunked, chunked-over-gzip);
+    synthesized record's HTTP body rotates through six wire shapes
+    (identity, gzip, deflate, chunked, chunked-over-gzip, and a
+    ``Content-Encoding: br`` row);
     ``parse_warc_record`` de-chunks the transfer framing first, then
     inflates the content coding, all inside the Arrow kernel — still
     a pure map, no added shuffle. Decoding is tolerant (truncated
-    chunk / corrupt gzip keeps the raw bytes, pytest-proven). Oracle:
-    identical to the plain entry — the output is invariant to the
-    wire encoding, which IS the check that every shape decoded."""
+    chunk / corrupt gzip keeps the raw bytes, pytest-proven).
+    Codings the parser does not undo (brotli) keep their bytes and
+    surface a NON-NULL ``encoding_stub`` label (round 14 — the X227
+    named-stub rule), pinned by the oracle's closed-form CASE.
+    Oracle: otherwise identical to the plain entry — the output is
+    invariant to the wire encoding, which IS the check that every
+    decoded shape decoded."""
     from workshoop2_etl_spark.operators.htmlextract import (
         html_to_text,
         synthesize_html,
@@ -3567,15 +3658,17 @@ def warc_http_encoded_ingest_documents(
             .alias("doc_id"),
             "target_uri",
             "http_status",
+            "encoding_stub",
             F.col("payload").cast("string").alias("html"),
         ),
         "html",
-        id_cols=["doc_id", "target_uri", "http_status"],
+        id_cols=["doc_id", "target_uri", "http_status", "encoding_stub"],
     )
     return extracted.select(
         "doc_id",
         "target_uri",
         "http_status",
+        "encoding_stub",
         "title",
         "n_links",
         F.md5(F.col("text")).alias("text_md5"),
