@@ -229,7 +229,7 @@ def test_http_body_decode_tolerance():
     assert _decode_http_body(
         trunc, {"transfer-encoding": "chunked"}
     ) == (trunc, None)
-    # recognized-but-undecoded codings: raw bytes + VISIBLE label
+    # corrupt brotli/zstd: raw bytes + VISIBLE label (not silent)
     assert _decode_http_body(b"brotli-bytes", {"content-encoding": "br"}) == (
         b"brotli-bytes",
         "br",
@@ -237,6 +237,11 @@ def test_http_body_decode_tolerance():
     assert _decode_http_body(b"z", {"content-encoding": "zstd"}) == (
         b"z",
         "zstd",
+    )
+    # unknown codings: raw bytes + label; identity: clean
+    assert _decode_http_body(b"c", {"content-encoding": "compress"}) == (
+        b"c",
+        "compress",
     )
     assert _decode_http_body(b"p", {"content-encoding": "identity"}) == (
         b"p",
@@ -252,6 +257,71 @@ def test_http_body_decode_tolerance():
     broken = rec[:-8] + b"XXXX" + rec[-4:]
     parsed = parse_warc_record(split_warc(broken)[0])
     assert parsed is not None and parsed[2] == 200  # survived
+
+
+def test_brotli_zstd_bodies_decode_for_real():
+    """``br`` and ``zstd`` bodies inflate through pyarrow's bundled
+    codecs — including chunked-over-br — and the decompression-bomb
+    guard keeps oversized output raw + labeled."""
+    from workshoop2_etl_spark.operators.warc import (
+        _arrow_compress,
+        _decode_http_body,
+        chunk_http_body,
+    )
+
+    body = b"<html>real brotli body</html>" * 100
+    br = _arrow_compress(body, "brotli")
+    assert _decode_http_body(br, {"content-encoding": "br"}) == (body, None)
+    zs = _arrow_compress(body, "zstd")
+    assert _decode_http_body(zs, {"content-encoding": "zstd"}) == (
+        body,
+        None,
+    )
+    chunked = chunk_http_body(br, chunk_size=64)
+    assert _decode_http_body(
+        chunked,
+        {"transfer-encoding": "chunked", "content-encoding": "br"},
+    ) == (body, None)
+    # end-to-end through a synthesized record
+    rec = synthesize_warc_record(
+        7, "<p>br</p>", host="h.com", content_encoding="br"
+    )
+    parsed = parse_warc_record(split_warc(rec)[0])
+    assert parsed[4] == b"<p>br</p>" and parsed[-1] is None
+
+    # bomb guard: >64 MiB decoded keeps raw bytes + the label
+    import workshoop2_etl_spark.operators.warc as W
+
+    bomb = _arrow_compress(b"\x00" * (W._MAX_DECODED_BODY + 1), "zstd")
+    out, stub = _decode_http_body(bomb, {"content-encoding": "zstd"})
+    assert out == bomb and stub == "zstd"
+
+
+def test_warc_zst_blob_split(spark):
+    """A .warc.zst blob (one zstd frame per record, concatenated)
+    parses through parse_warc_blobs; a corrupt blob yields zero
+    records rather than failing the task."""
+    from workshoop2_etl_spark.operators.warc import (
+        ZSTD_MAGIC,
+        parse_warc_blobs,
+        zstd_warc_record,
+    )
+
+    recs = [
+        synthesize_warc_record(i, f"<p>doc {i}</p>", host="h.com")
+        for i in range(3)
+    ]
+    blob = b"".join(zstd_warc_record(r) for r in recs)
+    assert blob.startswith(ZSTD_MAGIC)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(ZSTD_MAGIC + b"corrupt"))],
+        "file_id long, content binary",
+    )
+    rows = parse_warc_blobs(df, "content").collect()
+    assert sorted(r["target_uri"] for r in rows) == [
+        f"http://h.com/page{i}" for i in range(3)
+    ]
+    assert all(r["file_id"] == 1 for r in rows)
 
 
 def test_redirect_location_surfaced(spark):

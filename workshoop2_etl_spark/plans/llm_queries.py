@@ -3440,20 +3440,26 @@ def _warc_file_blobs(
     make_record,
     *,
     gzip_when=None,
+    zstd_when=None,
     head: bytes = b"",
     per_file: int = 8,
 ) -> DataFrame:
     """Shared fixture kernel for every WARC-family entry (plain
-    ingest, gzip twin, WET, the streaming composition): synthesize
-    one record per row via ``make_record(doc_id, value) -> bytes``
-    (optionally gzip-membered when ``gzip_when(file_no)`` is true),
-    then fold ``per_file`` records into one file blob per
+    ingest, gzip twin, zstd twin, WET, the streaming composition):
+    synthesize one record per row via ``make_record(doc_id, value)
+    -> bytes`` (optionally gzip-membered when ``gzip_when(file_no)``
+    is true, or zstd-framed when ``zstd_when(file_no)`` is — the
+    .warc.zst member layout), then fold ``per_file`` records into
+    one file blob per
     ``doc_id div per_file`` — ``head`` bytes (e.g. a warcinfo
     record) prepended to each blob. One definition so record framing
     and the blob fold can never silently diverge across entries."""
     from pyspark.sql import types as T
 
-    from workshoop2_etl_spark.operators.warc import gzip_warc_record
+    from workshoop2_etl_spark.operators.warc import (
+        gzip_warc_record,
+        zstd_warc_record,
+    )
 
     rec_schema = T.StructType(
         [
@@ -3472,6 +3478,10 @@ def _warc_file_blobs(
                     int(i) // per_file
                 ):
                     r = gzip_warc_record(r)
+                elif zstd_when is not None and zstd_when(
+                    int(i) // per_file
+                ):
+                    r = zstd_warc_record(r)
                 recs.append(r)
             out["rec"] = recs
             yield out
@@ -3503,13 +3513,15 @@ def _warc_response_record(doc_id: int, html: str) -> bytes:
 
 
 def _warc_ingest_impl(
-    spark: SparkSession, sf_dir: str, *, gzip_members: bool
+    spark: SparkSession, sf_dir: str, *, gzip_members: bool,
+    zstd_members: bool = False,
 ) -> DataFrame:
-    """Shared body for the plain-.warc and .warc.gz ingest entries —
-    identical pipeline, differing only in whether each synthesized
-    record is wrapped as its own gzip member (the CommonCrawl
-    .warc.gz layout) before blob concatenation. Output is invariant
-    to compression, so both share one oracle."""
+    """Shared body for the plain-.warc, .warc.gz, and .warc.zst
+    ingest entries — identical pipeline, differing only in whether
+    each synthesized record is wrapped as its own gzip member (the
+    classic CommonCrawl layout) or zstd frame (the newer .warc.zst
+    convention, round 14) before blob concatenation. Output is
+    invariant to compression, so all three share one oracle."""
     from workshoop2_etl_spark.operators.htmlextract import (
         html_to_text,
         synthesize_html,
@@ -3523,6 +3535,7 @@ def _warc_ingest_impl(
         "html",
         _warc_response_record,
         gzip_when=(lambda f: True) if gzip_members else None,
+        zstd_when=(lambda f: True) if zstd_members else None,
     )
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     extracted = html_to_text(
@@ -3566,15 +3579,38 @@ def warc_gzip_ingest_documents(
     return _warc_ingest_impl(spark, sf_dir, gzip_members=True)
 
 
+@_register("warc_zst_ingest_documents", _WARC_INGEST_SQL)
+def warc_zst_ingest_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X238 (round 14): .warc.zst ingest — the newer CommonCrawl
+    archive convention (one zstd frame per record, frames
+    concatenated per file). ``parse_warc_blobs`` detects the RFC
+    8878 frame magic per blob, streams the concatenated frames
+    through pyarrow's bundled zstd codec in one read (under a 1 GiB
+    bomb guard), and frames the result through the same
+    Content-Length walk as the plain path — still a pure map inside
+    the Arrow kernel, no added shuffle. Skippable-frame dictionary
+    archives are out of fixture scope (a corrupt or dictionary-
+    dependent blob yields zero records, never a crash). Oracle:
+    identical to the plain entry (output is invariant to member
+    compression), which IS the check."""
+    return _warc_ingest_impl(
+        spark, sf_dir, gzip_members=False, zstd_members=True
+    )
+
+
 def _warc_http_encoded_record(doc_id: int, html: str) -> bytes:
     from workshoop2_etl_spark.operators.warc import synthesize_warc_record
 
-    # six wire shapes, rotating per doc: identity / gzip / deflate /
-    # chunked / chunked-over-gzip — the encodings real servers send —
-    # plus a ``Content-Encoding: br`` row whose body rides raw (the
-    # X227 named-stub boundary: the parser keeps the bytes and labels
-    # the row ``encoding_stub='br'`` instead of pretending to decode)
-    mode = doc_id % 6
+    # eight wire shapes, rotating per doc: identity / gzip / deflate
+    # / chunked / chunked-over-gzip / REAL brotli / REAL zstd — the
+    # encodings real servers send, br+zstd decoded through pyarrow's
+    # bundled codecs (round 14) — plus a ``Content-Encoding:
+    # compress`` row whose body rides raw (the X227 named-stub
+    # boundary: the parser keeps the bytes and labels the row
+    # ``encoding_stub='compress'`` instead of pretending to decode)
+    mode = doc_id % 8
     kw = {}
     if mode == 1:
         kw["content_encoding"] = "gzip"
@@ -3586,6 +3622,10 @@ def _warc_http_encoded_record(doc_id: int, html: str) -> bytes:
         kw.update(content_encoding="gzip", chunked=True)
     elif mode == 5:
         kw["content_encoding"] = "br"
+    elif mode == 6:
+        kw["content_encoding"] = "zstd"
+    elif mode == 7:
+        kw["content_encoding"] = "compress"
     return synthesize_warc_record(
         doc_id, html, host=f"www.site{doc_id % 7}.com", **kw
     )
@@ -3609,7 +3649,7 @@ SELECT doc_id,
        'http://www.site' || (doc_id % 7) || '.com/page' || doc_id
          AS target_uri,
        CAST(200 AS INTEGER) AS http_status,
-       CASE WHEN doc_id % 6 = 5 THEN 'br' END AS encoding_stub,
+       CASE WHEN doc_id % 8 = 7 THEN 'compress' END AS encoding_stub,
        'Doc ' || doc_id AS title,
        CAST(1 AS INTEGER) AS n_links,
        md5(body) AS text_md5
@@ -3628,19 +3668,20 @@ def warc_http_encoded_ingest_documents(
     records carry ``Content-Encoding: gzip|deflate`` bodies and
     ``Transfer-Encoding: chunked`` framing. This entry runs the same
     end-to-end pipeline as ``warc_ingest_documents`` but every
-    synthesized record's HTTP body rotates through six wire shapes
-    (identity, gzip, deflate, chunked, chunked-over-gzip, and a
-    ``Content-Encoding: br`` row);
+    synthesized record's HTTP body rotates through EIGHT wire shapes
+    (identity, gzip, deflate, chunked, chunked-over-gzip, REAL
+    brotli, REAL zstd — both decoded through pyarrow's bundled
+    codecs, round 14 — and a ``Content-Encoding: compress`` row);
     ``parse_warc_record`` de-chunks the transfer framing first, then
     inflates the content coding, all inside the Arrow kernel — still
     a pure map, no added shuffle. Decoding is tolerant (truncated
     chunk / corrupt gzip keeps the raw bytes, pytest-proven).
-    Codings the parser does not undo (brotli) keep their bytes and
-    surface a NON-NULL ``encoding_stub`` label (round 14 — the X227
-    named-stub rule), pinned by the oracle's closed-form CASE.
-    Oracle: otherwise identical to the plain entry — the output is
-    invariant to the wire encoding, which IS the check that every
-    decoded shape decoded."""
+    Codings the parser does not undo (``compress``, corrupt brotli)
+    keep their bytes and surface a NON-NULL ``encoding_stub`` label
+    (the X227 named-stub rule), pinned by the oracle's closed-form
+    CASE. Oracle: otherwise identical to the plain entry — the
+    output is invariant to the wire encoding, which IS the check
+    that every decoded shape (brotli and zstd included) decoded."""
     from workshoop2_etl_spark.operators.htmlextract import (
         html_to_text,
         synthesize_html,
