@@ -2462,18 +2462,38 @@ class _BitReader:
         self.pos = pos_bits
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
+        """MSB-first bit slice via one ``int.from_bytes`` over the
+        covering bytes (the per-bit loop was the FLAC decode
+        hotspot)."""
+        if bits == 0:
+            return 0
+        pos = self.pos
+        end = pos + bits
+        last = (end + 7) >> 3
+        chunk = self.data[pos >> 3 : last]
+        if len(chunk) < last - (pos >> 3):
+            raise IndexError("bit read past end of data")
+        val = int.from_bytes(chunk, "big")
+        self.pos = end
+        return (val >> ((last << 3) - end)) & ((1 << bits) - 1)
 
     def unary(self) -> int:
+        """Zero-run length up to the terminating 1 bit, scanning a
+        byte at a time."""
+        d = self.data
+        pos = self.pos
         n = 0
-        while self.read(1) == 0:
-            n += 1
-        return n
+        while True:
+            byte = d[pos >> 3]
+            rem = 8 - (pos & 7)
+            window = byte & ((1 << rem) - 1)
+            if window == 0:
+                n += rem
+                pos += rem
+                continue
+            zeros = rem - window.bit_length()
+            self.pos = pos + zeros + 1
+            return n + zeros
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -2519,14 +2539,13 @@ _FLAC_FIXED = {
 
 
 def _rice_write(w: _BitWriter, residual: list[int], param: int) -> None:
+    # one write per residual: q leading zeros are implied by the
+    # width (q+1+param) exceeding the value's bit length
+    mask = (1 << param) - 1
     for res in residual:
         z = (res << 1) if res >= 0 else ((-res) << 1) - 1
         q = z >> param
-        for _ in range(q):
-            w.write(0, 1)
-        w.write(1, 1)
-        if param:
-            w.write(z & ((1 << param) - 1), param)
+        w.write((1 << param) | (z & mask), q + 1 + param)
 
 
 def _rice_read(r: _BitReader, n: int, param: int) -> list[int]:
@@ -2538,39 +2557,51 @@ def _rice_read(r: _BitReader, n: int, param: int) -> list[int]:
     return out
 
 
-def _rice_cost(residual: list[int]) -> tuple[int, int]:
+def _rice_cost(residual) -> tuple[int, int]:
     """(best 4-bit rice parameter, encoded bit count) for one
     partition — exact, deterministic (ties prefer the smaller
-    parameter)."""
-    zig = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in residual]
-    best_p, best_c = 0, None
-    for p in range(15):
-        c = sum((z >> p) + 1 + p for z in zig)
-        if best_c is None or c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c or 0
+    parameter).  Vectorized: the 15-parameter sweep runs as numpy
+    shifts, not a Python loop per residual."""
+    import numpy as np
 
-
-def _fixed_residual(block: list[int], order: int) -> list[int]:
-    coef = _FLAC_FIXED[order]
-    return [
-        block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
-        for i in range(order, len(block))
+    r = np.asarray(residual, dtype=np.int64)
+    n = len(r)
+    if n == 0:
+        return 0, 0
+    zig = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    costs = [
+        int((zig >> p).sum()) + n * (1 + p) for p in range(15)
     ]
+    best_p = int(np.argmin(costs))
+    return best_p, costs[best_p]
 
 
-def _lpc_candidate(block: list[int]):
+def _fixed_residual(block, order: int):
+    """FIXED-order residual via repeated np.diff (the coefficient
+    sums ARE iterated differences)."""
+    import numpy as np
+
+    r = np.asarray(block, dtype=np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _lpc_candidate(block):
     """Order-2 quantized-LPC candidate: Yule-Walker closed form,
     precision-15 QLP coefficients, shift 12 — lossless by
     construction (the residual is computed against the SAME integer
-    prediction the decoder replays).  None when the block is too
-    short or degenerate."""
-    n = len(block)
+    prediction the decoder replays, int64 arithmetic shifts).  None
+    when the block is too short or degenerate."""
+    import numpy as np
+
+    x = np.asarray(block, dtype=np.int64)
+    n = len(x)
     if n < 8:
         return None
-    r0 = sum(v * v for v in block)
-    r1 = sum(block[i] * block[i + 1] for i in range(n - 1))
-    r2 = sum(block[i] * block[i + 2] for i in range(n - 2))
+    r0 = int(x @ x)
+    r1 = int(x[:-1] @ x[1:])
+    r2 = int(x[:-2] @ x[2:])
     den = r0 * r0 - r1 * r1
     if r0 <= 0 or den == 0:
         return None
@@ -2584,10 +2615,7 @@ def _lpc_candidate(block: list[int]):
     ]
     if q == [0, 0]:
         return None
-    res = [
-        block[i] - ((q[0] * block[i - 1] + q[1] * block[i - 2]) >> shift)
-        for i in range(2, n)
-    ]
+    res = x[2:] - ((q[0] * x[1:-1] + q[1] * x[:-2]) >> shift)
     return q, shift, res
 
 
@@ -2640,7 +2668,7 @@ def _write_subframe(w: _BitWriter, block: list[int], bits: int) -> None:
     w.write(0, 2)  # residual method: 4-bit Rice
     w.write(0, 4)  # partition order 0
     w.write(param, 4)
-    _rice_write(w, res, param)
+    _rice_write(w, [int(v) for v in res], param)
 
 
 #: stereo_mode -> (frame channel-assignment code, subframe builder)
@@ -2777,12 +2805,23 @@ def _read_subframe(r: _BitReader, n: int, bits: int) -> list[int]:
         return [_read_signed(r, bits) for _ in range(n)]
     if 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
-        block = [_read_signed(r, bits) for _ in range(order)]
-        coef = _FLAC_FIXED[order]
-        for res in _read_residual(r, n, order):
-            pred = sum(c * block[-(i + 1)] for i, c in enumerate(coef))
-            block.append(res + pred)
-        return block
+        warm = [_read_signed(r, bits) for _ in range(order)]
+        residual = _read_residual(r, n, order)
+        # FIXED reconstruction is inverse order-k differencing:
+        # integrate (cumsum) k times, seeding each level with the
+        # warmup's j-th finite difference — vectorized, the per-
+        # sample prediction loop was the decode hotspot
+        import numpy as np
+
+        t = np.asarray(warm, dtype=np.int64)
+        inits = []
+        for _ in range(order):
+            inits.append(int(t[0]))
+            t = np.diff(t)
+        arr = np.asarray(residual, dtype=np.int64)
+        for j in range(order - 1, -1, -1):
+            arr = np.cumsum(np.concatenate(([inits[j]], arr)))
+        return [int(v) for v in arr]
     if stype >= 0b100000:
         order = (stype & 0x1F) + 1
         block = [_read_signed(r, bits) for _ in range(order)]
