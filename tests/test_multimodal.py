@@ -1038,8 +1038,9 @@ def test_gif_codec_roundtrip_and_spec_conformance():
     """Encoder/decoder pair round-trips pixel-exact across palette
     sizes incl. the 256-color dictionary-growth/reset regime; the
     decoder reproduces the PUBLISHED 1x1 sample GIF byte stream
-    (spec conformance, not just self-consistency); interlaced
-    images, >256-color encodes, and truncated LZW refuse."""
+    (spec conformance, not just self-consistency); >256-color
+    encodes and truncated LZW refuse; interlace decodes (round
+    14)."""
     import numpy as np
     import pytest
 
@@ -1072,10 +1073,13 @@ def test_gif_codec_roundtrip_and_spec_conformance():
     with_ext = canon[: 13 + 6] + gce + canon[13 + 6 :]
     assert _decode_gif_pixels(with_ext)[0, 0].tolist() == [255, 255, 255]
 
-    # interlace flag -> refused
+    # interlace flag on a 1×1 image: the four-pass permutation is
+    # the identity — decodes (round 14), no longer refused
     inter = bytearray(canon)
     inter[13 + 6 + 9] |= 0x40
-    assert _decode_gif_pixels(bytes(inter)) is None
+    assert _decode_gif_pixels(bytes(inter))[0, 0].tolist() == [
+        255, 255, 255,
+    ]
     # truncated LZW stream -> refused, not crash
     assert _decode_gif_pixels(canon[:-4]) is None
     # >256 colors refuse at encode
@@ -1198,6 +1202,28 @@ def test_codec_ladder_boundary_audit(spark):
     assert got[2] == "STUB:tiff"
     assert got[3] == "STUB"
     assert got[4] == "RGB"  # real BMP parse, not the stub path
+
+
+def test_gif_interlace_roundtrip():
+    """Interlaced GIFs store rows in the four-pass appendix-E order;
+    encode(interlace=True) → decode returns the natural-order grid
+    for widths/heights exercising every pass boundary."""
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    for h, w in ((11, 29), (1, 5), (8, 8), (17, 3), (2, 2)):
+        arr = palette[rng.integers(0, 16, size=(h, w))]
+        for il in (False, True):
+            out = _decode_gif_pixels(_encode_gif(arr, interlace=il))
+            assert out is not None and np.array_equal(out, arr), (
+                h, w, il,
+            )
 
 
 def test_tiff_codec_roundtrip_matrix():
@@ -1415,6 +1441,15 @@ def test_flac_stereo_all_assignments_lossless():
     blob = _encode_flac(sig, 16000, block_size=2048)
     rate, ch, bits, out = _parse_flac(blob)
     assert list(out) == sig
+
+    # wasted bits: an all-multiples-of-8 signal factors out 3 shared
+    # trailing zero bits (the file visibly shrinks) and shifts back
+    shifted = [8 * v for v in sig[:1024]]
+    b_shift = _encode_flac(shifted, 16000, block_size=1024)
+    assert list(_parse_flac(b_shift)[3]) == shifted
+    assert len(b_shift) < len(
+        _encode_flac([v + 1 for v in shifted], 16000, block_size=1024)
+    )
 
 
 def test_flac_crc_and_scope_refusals():

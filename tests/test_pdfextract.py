@@ -382,9 +382,8 @@ def test_refuses_type0_font():
         _extract(content, font)
 
 
-def test_refuses_non_flate_filter():
-    content = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
-    blob = _wrap_objects(
+def _one_page_filtered(payload: bytes, filter_decl: str) -> bytes:
+    return _wrap_objects(
         {
             1: b"<< /Type /Catalog /Pages 2 0 R >>",
             2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -394,8 +393,9 @@ def test_refuses_non_flate_filter():
                 b"/Contents 4 0 R >>"
             ),
             4: (
-                f"<< /Length {len(content)} /Filter /LZWDecode >>".encode()
-                + b"\nstream\n" + content + b"\nendstream"
+                f"<< /Length {len(payload)} /Filter {filter_decl} >>"
+                .encode()
+                + b"\nstream\n" + payload + b"\nendstream"
             ),
             5: (
                 b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
@@ -403,8 +403,48 @@ def test_refuses_non_flate_filter():
             ),
         }
     )
+
+
+def test_refuses_image_codec_filter():
+    content = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
+    blob = _one_page_filtered(content, "/DCTDecode")
     with pytest.raises(ValueError, match="filter"):
         extract_pdf_text(blob)
+
+
+def test_filter_ladder_lzw_ascii_runlength():
+    """§7.4 filter chain: LZWDecode (the TIFF early-change core),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and a cascaded
+    [/FlateDecode /LZWDecode] pair all extract the same text;
+    /EarlyChange 0 refuses by name."""
+    import base64
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _packbits_encode,
+        _tiff_lzw_encode,
+    )
+
+    content = b"BT /F1 12 Tf 72 720 Td (filters!) Tj ET"
+    cases = {
+        "/LZWDecode": _tiff_lzw_encode(content),
+        "/RunLengthDecode": _packbits_encode(content) + b"\x80",
+        "/ASCIIHexDecode": content.hex().encode() + b">",
+        "/ASCII85Decode": base64.a85encode(content) + b"~>",
+        "[/FlateDecode /LZWDecode]": zlib.compress(
+            _tiff_lzw_encode(content)
+        ),
+    }
+    for decl, payload in cases.items():
+        assert extract_pdf_text(
+            _one_page_filtered(payload, decl)
+        ) == "filters!", decl
+
+    early0 = _one_page_filtered(
+        _tiff_lzw_encode(content), "/LZWDecode /DecodeParms "
+        "<< /EarlyChange 0 >>"
+    )
+    with pytest.raises(ValueError, match="EarlyChange"):
+        extract_pdf_text(early0)
 
 
 def test_refuses_non_pdf():

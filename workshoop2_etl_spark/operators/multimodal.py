@@ -1540,12 +1540,14 @@ def _gif_lzw_decompress(data: bytes, mcs: int, n_expected: int):
     return list(out[:n_expected]) if len(out) >= n_expected else None
 
 
-def _encode_gif(arr) -> bytes:
+def _encode_gif(arr, *, interlace: bool = False) -> bytes:
     """Encode a top-down (h, w, 3) uint8 ndarray as a single-frame
     GIF89a with a global color table — real LZW, real sub-block
     framing, so decode(encode(x)) == x on the pixel grid. Raises for
     more than 256 distinct colors (GIF is palette-indexed; the
-    caller quantizes first — fixtures are 16-color by construction)."""
+    caller quantizes first — fixtures are 16-color by construction).
+    ``interlace=True`` stores rows in the four-pass appendix-E order
+    with the interlace flag set (round 14)."""
     import struct
 
     import numpy as np
@@ -1570,12 +1572,20 @@ def _encode_gif(arr) -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes((0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0))
     out += pal
-    out += b"," + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"," + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
     mcs = max(2, bits)
     out.append(mcs)
-    stream = _gif_lzw_compress(
-        bytes(inverse.astype(np.uint8).ravel()), mcs
-    )
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    stream = _gif_lzw_compress(bytes(idx.ravel()), mcs)
     for i in range(0, len(stream), 255):
         block = stream[i : i + 255]
         out.append(len(block))
@@ -1587,9 +1597,11 @@ def _encode_gif(arr) -> bytes:
 def _decode_gif_pixels(b: bytes):
     """Decode the FIRST image of a GIF87a/89a file to a top-down
     (h, w, 3) uint8 ndarray, or None for anything else (bad magic,
-    interlaced image, missing color table, truncated/malformed LZW).
-    Walks the block stream — extensions skipped by their sub-block
-    framing — honoring a local color table over the global one."""
+    missing color table, truncated/malformed LZW).  Interlaced
+    images deinterlace through the four-pass row permutation (round
+    14).  Walks the block stream — extensions skipped by their
+    sub-block framing — honoring a local color table over the
+    global one."""
     import struct
 
     import numpy as np
@@ -1634,8 +1646,7 @@ def _decode_gif_pixels(b: bytes):
         _l, _t, w, h = struct.unpack_from("<HHHH", b, pos + 1)
         iflags = b[pos + 9]
         pos += 10
-        if iflags & 0x40:  # interlaced — refused, like odd PNG types
-            return None
+        interlaced = bool(iflags & 0x40)
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -1668,7 +1679,20 @@ def _decode_gif_pixels(b: bytes):
         ia = np.asarray(idx, dtype=np.int64)
         if ia.max(initial=0) >= len(pal_arr):
             return None
-        return pal_arr[ia].reshape(h, w, 3)
+        img = pal_arr[ia].reshape(h, w, 3)
+        if interlaced:
+            # §appendix-E four-pass row order: the stream stores rows
+            # 0,8,16… then 4,12,… then 2,6,… then 1,3,… — permute back
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            out = np.empty_like(img)
+            out[order] = img
+            img = out
+        return img
     return None
 
 
@@ -2389,12 +2413,14 @@ def _synth_adpcm_wav(doc_id: int, text: str) -> bytes:
 # FIXED(0-4) / LPC subframes (QLP coefficients + quantization shift,
 # pure integer arithmetic), Rice-coded residuals (both 4-bit
 # parameter partitions and the 5-bit escape to verbatim residual
-# bits), and all four stereo layouts: independent, left/side,
+# bits), all four stereo layouts — independent, left/side,
 # right/side, and mid/side channel decorrelation (side subframes at
-# bits+1 sample size, per spec §5).
-# Scope refusals (never misparse): >2-channel assignments, wasted
-# bits, variable blocking, negative LPC shifts, and non-16-bit
-# sample sizes raise ValueError by name.
+# bits+1 sample size, per spec §5) — and WASTED BITS (shared
+# trailing zeros factored out of the coded sample size, both
+# directions).
+# Scope refusals (never misparse): >2-channel assignments, variable
+# blocking, negative LPC shifts, and non-16-bit sample sizes raise
+# ValueError by name.
 # ---------------------------------------------------------------------------
 
 _FLAC_MAGIC = b"fLaC"
@@ -2622,7 +2648,10 @@ def _lpc_candidate(block):
 def _write_subframe(w: _BitWriter, block: list[int], bits: int) -> None:
     """One subframe at ``bits`` sample size (17 for side channels):
     CONSTANT when flat, else the cheapest of FIXED 0-2 and the
-    order-2 quantized-LPC candidate by exact encoded bit count."""
+    order-2 quantized-LPC candidate by exact encoded bit count.
+    Shared trailing-zero bits are factored out as WASTED BITS (the
+    real-encoder move for shifted sources), exercising the decoder's
+    shift-back path."""
     n = len(block)
     if all(v == block[0] for v in block):
         w.write(0, 1)
@@ -2630,6 +2659,18 @@ def _write_subframe(w: _BitWriter, block: list[int], bits: int) -> None:
         w.write(0, 1)  # no wasted bits
         w.write(block[0] & ((1 << bits) - 1), bits)
         return
+    wasted = min(
+        (
+            ((v & -v).bit_length() - 1)
+            for v in block
+            if v != 0
+        ),
+        default=0,
+    )
+    wasted = min(wasted, bits - 2)
+    if wasted > 0:
+        block = [v >> wasted for v in block]
+        bits -= wasted
     cands = []  # (cost, tie_rank, kind, order, res, param, extra)
     for order in (0, 1, 2):
         if n <= order:
@@ -2656,7 +2697,11 @@ def _write_subframe(w: _BitWriter, block: list[int], bits: int) -> None:
         w.write(0b001000 | order, 6)
     else:
         w.write(0b100000 | (order - 1), 6)  # LPC, order-1 in low 5 bits
-    w.write(0, 1)  # no wasted bits
+    if wasted > 0:
+        w.write(1, 1)  # wasted-bits flag
+        w.write(1, wasted)  # unary: (wasted-1) zeros then a 1
+    else:
+        w.write(0, 1)  # no wasted bits
     for s in block[:order]:
         w.write(s & ((1 << bits) - 1), bits)
     if kind == "lpc":
@@ -2793,12 +2838,27 @@ def _read_residual(r: _BitReader, n: int, order: int) -> list[int]:
 def _read_subframe(r: _BitReader, n: int, bits: int) -> list[int]:
     """One subframe at ``bits`` sample size (17 for side channels):
     CONSTANT / VERBATIM / FIXED 0-4 / LPC with integer QLP
-    prediction ``(Σ qlp[j]·x[i-1-j]) >> shift`` (§9.2.2)."""
+    prediction ``(Σ qlp[j]·x[i-1-j]) >> shift`` (§9.2.2); wasted
+    bits (k-1 zeros + 1 unary after the flag) shrink the coded
+    sample size and shift the decoded samples back up."""
     if r.read(1) != 0:
         raise ValueError("bad FLAC subframe padding bit")
     stype = r.read(6)
-    if r.read(1) != 0:
-        raise ValueError("unsupported FLAC wasted bits")
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+        bits -= wasted
+        if bits <= 0:
+            raise ValueError("FLAC wasted bits exceed sample size")
+    out = _read_subframe_body(r, n, bits, stype)
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _read_subframe_body(
+    r: _BitReader, n: int, bits: int, stype: int
+) -> list[int]:
     if stype == 0:
         return [_read_signed(r, bits)] * n
     if stype == 1:

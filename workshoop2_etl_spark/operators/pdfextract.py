@@ -15,10 +15,13 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
 - object syntax: dicts, arrays, names, literal ``(…)`` strings with
   all §7.3.4.2 escapes, hex ``<…>`` strings, indirect references,
   streams with direct or indirect ``/Length`` (§7.3);
-- ``/FlateDecode`` content streams via stdlib zlib (§7.4.4), with
-  ``/DecodeParms`` PNG (predictors 10–15, the filter-byte-per-row
-  scheme xref streams almost always use) and TIFF (predictor 2)
-  post-prediction (§7.4.4.4);
+- stream filters (§7.4, chainable): ``/FlateDecode`` via stdlib
+  zlib, ``/LZWDecode`` (the TIFF §13 early-change LZW — the
+  multimodal rung's core reused; ``/EarlyChange 0`` refused by
+  name), ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+  ``/RunLengthDecode``; ``/DecodeParms`` PNG (predictors 10–15, the
+  filter-byte-per-row scheme xref streams almost always use) and
+  TIFF (predictor 2) post-prediction (§7.4.4.4);
 - the §9.4 text machine: ``BT…ET`` runs with ``Tj``/``TJ``/``'``/
   ``"`` show operators and ``Td``/``TD``/``T*``/``Tm`` positioning
   (each positioning op starts a new output line);
@@ -29,8 +32,8 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
 Explicit refusals (fail loudly, never misparse): encrypted files
 (``/Encrypt``), hybrid-reference files (``/XRefStm`` — a classic
 table AND an xref stream describing the same objects, §7.5.8.4),
-CID-keyed composite fonts (``/Type0``), and any stream filter other
-than FlateDecode.
+CID-keyed composite fonts (``/Type0``), and image-codec filters
+(``/DCTDecode``, ``/JBIG2Decode``, ``/JPXDecode``, ``/CCITTFax``).
 
 :func:`build_pdf` synthesizes valid single-font PDFs closed-form
 (the BMP/WAV fixture-generator trick) so the coverage query can pin
@@ -277,6 +280,55 @@ def _parse_value(lx: _Lexer):
             return int(tok)
         return float(tok)
     raise ValueError(f"unexpected PDF token {tok!r}")
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """§7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, ``>``
+    EOD (odd trailing digit pads with 0)."""
+    end = data.find(b">")
+    body = data[: end if end >= 0 else len(data)]
+    digits = [chr(c) for c in body if c not in _WS]
+    if any(c not in "0123456789abcdefABCDEF" for c in digits):
+        raise ValueError("bad ASCIIHexDecode byte")
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode via ``base64.a85decode`` (the Adobe
+    variant: ``z`` shortcut, ``~>`` EOD, whitespace ignored)."""
+    import base64
+
+    end = data.find(b"~>")
+    body = data[: end if end >= 0 else len(data)]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    return base64.a85decode(
+        bytes(c for c in body if c not in _WS), adobe=False
+    )
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode (the PackBits scheme: length byte
+    0-127 = literal run of L+1, 129-255 = repeat next byte 257-L
+    times, 128 = EOD)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated RunLengthDecode stream")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
 
 
 def _unpredict(data: bytes, parms: dict) -> bytes:
@@ -596,18 +648,43 @@ class _Pdf:
         )
         data = s.raw
         for f, p in zip(filters, parms_list):
-            f = self.resolve(f)
-            if str(f) != "FlateDecode":
-                raise ValueError(
-                    f"unsupported PDF stream filter /{f} (FlateDecode "
-                    "only — refusal, not a silent skip)"
-                )
-            data = zlib.decompress(data)
+            f = str(self.resolve(f))
             p = self.resolve(p)
-            if isinstance(p, dict):
-                data = _unpredict(
-                    data, {k: self.resolve(v) for k, v in p.items()}
+            p = (
+                {k: self.resolve(v) for k, v in p.items()}
+                if isinstance(p, dict)
+                else {}
+            )
+            if f == "FlateDecode":
+                data = zlib.decompress(data)
+            elif f == "LZWDecode":
+                # §7.4.4.2: the TIFF §13 MSB-first early-change LZW —
+                # the multimodal TIFF rung's core, reused verbatim;
+                # EarlyChange 0 (late change) is the rare variant we
+                # refuse by name rather than desynchronize on
+                if p.get("EarlyChange", 1) == 0:
+                    raise ValueError(
+                        "LZWDecode /EarlyChange 0 unsupported"
+                    )
+                from workshoop2_etl_spark.operators.multimodal import (
+                    _tiff_lzw_decode,
                 )
+
+                data = _tiff_lzw_decode(data, 1 << 30)
+            elif f == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            else:
+                raise ValueError(
+                    f"unsupported PDF stream filter /{f} (Flate/LZW/"
+                    "ASCIIHex/ASCII85/RunLength — refusal, not a "
+                    "silent skip)"
+                )
+            if p.get("Predictor"):
+                data = _unpredict(data, p)
         return data
 
 
