@@ -408,7 +408,7 @@ def test_png_decode_rejects_unsupported():
 
     assert _decode_png_pixels(b"") is None
     assert _decode_png_pixels(b"BM" + b"\0" * 60) is None  # a BMP
-    # grayscale (color type 0) falls through the ladder
+    # grayscale (color type 0) decodes since round 14: replicated RGB
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     gray = (
         _PNG_MAGIC
@@ -416,10 +416,81 @@ def test_png_decode_rejects_unsupported():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x11\x22" * 2))
         + _png_chunk(b"IEND", b"")
     )
-    assert _decode_png_pixels(gray) is None
+    out = _decode_png_pixels(gray)
+    assert out is not None and out[0, 0].tolist() == [0x11, 0x11, 0x11]
+    # 16-bit depth still refuses
+    deep = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    assert _decode_png_pixels(
+        _PNG_MAGIC + _png_chunk(b"IHDR", deep)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    ) is None
     # truncated IDAT (inflate fails)
     good = _encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
     assert _decode_png_pixels(good[:40]) is None
+
+
+def test_png_all_color_types_decode():
+    """Round 14: 8-bit grayscale / palette / gray+alpha / RGBA PNGs
+    all decode to the shared (h, w, 3) vocabulary (alpha dropped,
+    gray replicated, PLTE looked up with a range guard), including
+    Sub-filtered rows at the color type's true bytes-per-pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from workshoop2_etl_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _decode_png_pixels,
+        _png_chunk,
+    )
+
+    rng = np.random.default_rng(9)
+
+    def make(w, h, color, rows, extra=b"", filt=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(bytes([filt]) + r.tobytes() for r in rows)
+        return (
+            _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    g = rng.integers(0, 256, size=(5, 11), dtype=np.uint8)
+    out = _decode_png_pixels(make(11, 5, 0, list(g)))
+    assert np.array_equal(out[..., 0], g) and np.array_equal(out[..., 2], g)
+
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 8)).astype(np.uint8)
+    plte = _png_chunk(b"PLTE", pal.tobytes())
+    assert np.array_equal(
+        _decode_png_pixels(make(8, 6, 3, list(idx), extra=plte)), pal[idx]
+    )
+    bad = idx.copy()
+    bad[0, 0] = 200  # out-of-range palette index → None, not garbage
+    assert _decode_png_pixels(make(8, 6, 3, list(bad), extra=plte)) is None
+
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    assert np.array_equal(
+        _decode_png_pixels(make(5, 4, 6, [r.reshape(-1) for r in rgba])),
+        rgba[..., :3],
+    )
+    ga = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    out = _decode_png_pixels(make(5, 4, 4, [r.reshape(-1) for r in ga]))
+    assert np.array_equal(out[..., 1], ga[..., 0])
+
+    # Sub-filtered RGBA rows: the filter offset must be the true bpp
+    rgba2 = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    filtered = []
+    for y in range(3):
+        line = rgba2[y].reshape(-1).astype(np.int64)
+        f = line.copy()
+        for x in range(len(line) - 1, -1, -1):
+            f[x] = (line[x] - (line[x - 4] if x >= 4 else 0)) % 256
+        filtered.append(f.astype(np.uint8))
+    out = _decode_png_pixels(make(5, 3, 6, filtered, filt=1))
+    assert np.array_equal(out, rgba2[..., :3])
 
 
 def test_synth_png_closed_form_and_spark_resize(spark):

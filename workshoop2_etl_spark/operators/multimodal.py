@@ -199,15 +199,19 @@ def _png_paeth(a: int, b: int, c: int) -> int:
 
 
 def _decode_png_pixels(b: bytes):
-    """Decode an 8-bit RGB non-interlaced PNG to a top-down (h, w, 3)
-    uint8 ndarray, or None for anything else (wrong magic, other
-    color types/depths, truncated stream, inflate failure). Walks the
-    chunk stream, concatenates IDATs, zlib-inflates, and unfilters
-    every scanline — all five PNG filter types (None/Sub/Up/Average/
-    Paeth), so foreign encoders' output decodes too, not just
-    :func:`_encode_png`'s filter-0 rows (the vectorized hot path;
-    Sub/Average/Paeth run a per-byte loop, acceptable because
-    filtered rows only arrive from external files)."""
+    """Decode an 8-bit non-interlaced PNG of ANY standard color type
+    (round 14: grayscale 0, RGB 2, palette 3 via PLTE, gray+alpha 4,
+    RGBA 6 — alpha dropped, gray replicated, palette looked up — all
+    to the ladder's shared top-down (h, w, 3) uint8 vocabulary), or
+    None for anything else (wrong magic, non-8-bit depths, Adam7
+    interlace, truncated stream, inflate failure). Walks the chunk
+    stream, concatenates IDATs, zlib-inflates, and unfilters every
+    scanline — all five PNG filter types (None/Sub/Up/Average/
+    Paeth) at the color type's true bytes-per-pixel, so foreign
+    encoders' output decodes too, not just :func:`_encode_png`'s
+    filter-0 RGB rows (the vectorized hot path; Sub/Average/Paeth
+    run a per-byte loop, acceptable because filtered rows only
+    arrive from external files)."""
     import struct
     import zlib
 
@@ -216,6 +220,8 @@ def _decode_png_pixels(b: bytes):
     if len(b) < 8 or b[:8] != _PNG_MAGIC:
         return None
     pos, w = 8, None
+    color = None
+    plte = None
     idat = []
     while pos + 8 <= len(b):
         (ln,) = struct.unpack_from(">I", b, pos)
@@ -229,12 +235,18 @@ def _decode_png_pixels(b: bytes):
             w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
                 ">IIBBBBB", body, 0
             )
-            if depth != 8 or color != 2 or interlace != 0:
+            if depth != 8 or interlace != 0:
+                return None
+            if color not in (0, 2, 3, 4, 6):
                 return None
             # decode-bomb guard: 4-byte dim fields can declare
             # gigapixel grids; refuse before allocating anything
             if w == 0 or h == 0 or w * h > (1 << 24):
                 return None
+        elif tag == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -242,7 +254,8 @@ def _decode_png_pixels(b: bytes):
         pos += 12 + ln  # len + tag + body + crc
     if w is None or not idat:
         return None
-    stride = 3 * w
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = bpp * w
     expected = h * (1 + stride)
     try:
         # bounded inflate: a deflate bomb must not expand past the
@@ -267,9 +280,9 @@ def _decode_png_pixels(b: bytes):
         elif f in (1, 3, 4):  # Sub / Average / Paeth — per-byte
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = rec[x - 3] if x >= 3 else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 up = int(prev[x])
-                c = int(prev[x - 3]) if x >= 3 else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -281,7 +294,18 @@ def _decode_png_pixels(b: bytes):
             return None
         out[y] = rec.astype(np.uint8)
         prev = out[y]
-    return out.reshape(h, w, 3)
+    px = out.reshape(h, w, bpp)
+    if color == 2:
+        return px
+    if color == 0:  # grayscale → replicate
+        return np.repeat(px, 3, axis=2)
+    if color == 3:  # palette lookup
+        if plte is None or int(px.max(initial=0)) >= len(plte):
+            return None
+        return plte[px[:, :, 0]]
+    if color == 4:  # gray+alpha → drop alpha, replicate
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → drop alpha
 
 
 def _synth_png(doc_id: int, text: str) -> bytes:
