@@ -405,6 +405,33 @@ def _one_page_filtered(payload: bytes, filter_decl: str) -> bytes:
     )
 
 
+def test_differences_encoding():
+    """§9.6.5 /Encoding dictionaries with /Differences arrays: runs
+    of (code, glyph-name…) remap byte codes through the standard
+    glyph-name table (+ uniXXXX forms); unmapped codes fall to the
+    base WinAnsi and unknown names surface as U+FFFD, never a
+    silent guess."""
+    from workshoop2_etl_spark.operators.pdfextract import (
+        _GLYPH_NAMES,
+        _glyph_to_char,
+    )
+
+    assert _GLYPH_NAMES["hyphen"] == "-"  # not the 0xAD position
+    assert _GLYPH_NAMES["Aacute"] == "Á"
+    assert _GLYPH_NAMES["questiondown"] == "¿"
+    assert _glyph_to_char("uni20AC") == "€"
+    assert _glyph_to_char("u1F600") == "😀"
+    assert _glyph_to_char("gid57") == "�"
+
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 65 /Z /eacute /uni0394 90 /A ] >> >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (ABC plain Z) Tj ET"
+    assert _extract(content, font) == "ZéΔ plain A"
+
+
 def test_refuses_image_codec_filter():
     content = b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
     blob = _one_page_filtered(content, "/DCTDecode")

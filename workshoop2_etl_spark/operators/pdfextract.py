@@ -26,8 +26,11 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
   ``"`` show operators and ``Td``/``TD``/``T*``/``Tm`` positioning
   (each positioning op starts a new output line);
 - simple-font byte→text mapping: an embedded ``/ToUnicode`` CMap
-  (``bfchar``/``bfrange``, §9.10.3) when present, else the published
-  WinAnsiEncoding table (Annex D.2 — CP1252-shaped).
+  (``bfchar``/``bfrange``, §9.10.3) when present, else a §9.6.5
+  ``/Encoding`` dictionary's ``/Differences`` array (standard glyph
+  names + ``uniXXXX`` forms, unknown names surfacing as U+FFFD —
+  round 14), else the published WinAnsiEncoding table (Annex D.2 —
+  CP1252-shaped).
 
 Explicit refusals (fail loudly, never misparse): encrypted files
 (``/Encrypt``), hybrid-reference files (``/XRefStm`` — a classic
@@ -728,6 +731,127 @@ def _parse_tounicode(cmap: bytes):
     return table
 
 
+#: Adobe standard glyph names → characters (the §D/AGL subset this
+#: reader resolves for /Differences arrays): the full ASCII-printable
+#: set, the Latin-1 supplement's common names, and the regular
+#: ``uniXXXX``/``uXXXX[XX]`` forms handled in code.  Unknown names
+#: map to U+FFFD — a VISIBLE replacement, never a silent guess.
+_GLYPH_NAMES: dict[str, str] = {
+    **{
+        n: chr(0x20 + i)
+        for i, n in enumerate(
+            "space exclam quotedbl numbersign dollar percent ampersand "
+            "quotesingle parenleft parenright asterisk plus comma hyphen "
+            "period slash zero one two three four five six seven eight "
+            "nine colon semicolon less equal greater question at".split()
+        )
+    },
+    **{c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"},
+    **{
+        n: chr(0x5B + i)
+        for i, n in enumerate(
+            "bracketleft backslash bracketright asciicircum underscore "
+            "grave".split()
+        )
+    },
+    **{
+        n: chr(0x7B + i)
+        for i, n in enumerate("braceleft bar braceright asciitilde".split())
+    },
+    **{
+        n: chr(0xA1 + i)
+        for i, n in enumerate(
+            "exclamdown cent sterling currency yen brokenbar section "
+            "dieresis copyright ordfeminine guillemotleft logicalnot "
+            "hyphen registered macron degree plusminus twosuperior "
+            "threesuperior acute mu paragraph periodcentered cedilla "
+            "onesuperior ordmasculine guillemotright onequarter onehalf "
+            "threequarters questiondown".split()
+        )
+    },
+    # common typographic names outside Latin-1 positions
+    "bullet": "•", "emdash": "—", "endash": "–", "ellipsis": "…",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "dagger": "†", "daggerdbl": "‡",
+    "trademark": "™", "fi": "ﬁ", "fl": "ﬂ", "Euro": "€",
+    "florin": "ƒ", "perthousand": "‰", "minus": "−",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ", "oslash": "ø",
+    "Oslash": "Ø", "oe": "œ", "OE": "Œ", "thorn": "þ",
+    "Thorn": "Þ", "eth": "ð", "Eth": "Ð", "dotlessi": "ı",
+    "Lslash": "Ł", "lslash": "ł", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+}
+#: code 0xAD of Latin1Encoding is the glyph NAME "hyphen", but the
+#: name itself canonically means U+002D — restore it over the
+#: positional entry the comprehension above wrote.
+_GLYPH_NAMES["hyphen"] = "-"
+#: Accented Latin-1 letters follow the regular base+accent pattern —
+#: generated, not hand-listed, so the table can't drift.
+for _base, _accents in (
+    ("A", "grave:À acute:Á circumflex:Â tilde:Ã dieresis:Ä ring:Å"),
+    ("C", "cedilla:Ç"),
+    ("E", "grave:È acute:É circumflex:Ê dieresis:Ë"),
+    ("I", "grave:Ì acute:Í circumflex:Î dieresis:Ï"),
+    ("N", "tilde:Ñ"),
+    ("O", "grave:Ò acute:Ó circumflex:Ô tilde:Õ dieresis:Ö"),
+    ("U", "grave:Ù acute:Ú circumflex:Û dieresis:Ü"),
+    ("Y", "acute:Ý"),
+    ("a", "grave:à acute:á circumflex:â tilde:ã dieresis:ä ring:å"),
+    ("c", "cedilla:ç"),
+    ("e", "grave:è acute:é circumflex:ê dieresis:ë"),
+    ("i", "grave:ì acute:í circumflex:î dieresis:ï"),
+    ("n", "tilde:ñ"),
+    ("o", "grave:ò acute:ó circumflex:ô tilde:õ dieresis:ö"),
+    ("u", "grave:ù acute:ú circumflex:û dieresis:ü"),
+    ("y", "acute:ý dieresis:ÿ"),
+):
+    for _pair in _accents.split():
+        _acc, _ch = _pair.split(":")
+        _GLYPH_NAMES[_base + _acc] = _ch
+del _base, _accents, _pair, _acc, _ch
+
+
+def _glyph_to_char(name: str) -> str:
+    """One glyph name → one character: the table above, the regular
+    ``uniXXXX``/``uXXXX``-``uXXXXXX`` forms, else U+FFFD (visible)."""
+    got = _GLYPH_NAMES.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+def _differences_decoder(pdf: _Pdf, enc: dict):
+    """§9.6.5 /Encoding dictionary: /BaseEncoding overlaid with the
+    /Differences array's (code, glyph-name…) runs."""
+    table: dict[int, str] = {}
+    diffs = pdf.resolve(enc.get("Differences")) or []
+    code = 0
+    for item in diffs:
+        item = pdf.resolve(item)
+        if isinstance(item, int):
+            code = item
+        elif isinstance(item, _Name):
+            table[code] = _glyph_to_char(str(item))
+            code += 1
+
+    def dec(bs: bytes) -> str:
+        return "".join(
+            table.get(b, _winansi(bytes([b]))) for b in bs
+        )
+
+    return dec
+
+
 def _font_decoder(pdf: _Pdf, font: dict):
     sub = pdf.resolve(font.get("Subtype"))
     if str(sub) == "Type0":
@@ -742,6 +866,9 @@ def _font_decoder(pdf: _Pdf, font: dict):
             return "".join(table.get(b, _winansi(bytes([b]))) for b in bs)
 
         return dec
+    enc = pdf.resolve(font.get("Encoding"))
+    if isinstance(enc, dict) and "Differences" in enc:
+        return _differences_decoder(pdf, enc)
     return _winansi
 
 
