@@ -1558,3 +1558,25 @@ def test_split_sentences_rules(spark):
     assert by_doc[1] == ["One.", "Two!", "Three?", "Dr.Smith stays."]
     assert 2 not in by_doc and 3 not in by_doc
     assert by_doc[4] == ["No terminator here"]
+
+
+def test_nfc_normalize(spark):
+    """X239: composition-form variants normalize to one canonical
+    string (in place and via out_col), NULLs survive, and a text
+    already in NFC is untouched."""
+    decomposed = "cafe\u0301 A\u030a"  # e+combining, A+ring
+    composed = "caf\u00e9 \u00c5"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain"), (4, None)],
+        "id long, text string",
+    )
+    from workshoop2_etl_spark.operators.textstats import nfc_normalize
+
+    rows = {r["id"]: r["text"] for r in nfc_normalize(df).collect()}
+    assert rows[1] == rows[2] == composed
+    assert rows[3] == "plain" and rows[4] is None
+    out = {
+        r["id"]: (r["text"], r["norm"])
+        for r in nfc_normalize(df, out_col="norm").collect()
+    }
+    assert out[1] == (decomposed, composed)  # original kept alongside

@@ -418,8 +418,8 @@ def test_png_decode_rejects_unsupported():
     )
     out = _decode_png_pixels(gray)
     assert out is not None and out[0, 0].tolist() == [0x11, 0x11, 0x11]
-    # 16-bit depth still refuses
-    deep = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # 1/2/4-bit depths still refuse
+    deep = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     assert _decode_png_pixels(
         _PNG_MAGIC + _png_chunk(b"IHDR", deep)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
@@ -479,6 +479,21 @@ def test_png_all_color_types_decode():
     ga = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
     out = _decode_png_pixels(make(5, 4, 4, [r.reshape(-1) for r in ga]))
     assert np.array_equal(out[..., 1], ga[..., 0])
+
+    # 16-bit RGB scales to 8 by the high byte
+    arr16 = rng.integers(0, 65536, size=(4, 6, 3), dtype=np.uint16)
+
+    def make16(w, h, color, rows):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + r.astype(">u2").tobytes() for r in rows)
+        return (
+            _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    out = _decode_png_pixels(make16(6, 4, 2, list(arr16)))
+    assert np.array_equal(out, (arr16 >> 8).astype(np.uint8))
 
     # Sub-filtered RGBA rows: the filter offset must be the true bpp
     rgba2 = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)

@@ -202,9 +202,10 @@ def _decode_png_pixels(b: bytes):
     """Decode an 8-bit non-interlaced PNG of ANY standard color type
     (round 14: grayscale 0, RGB 2, palette 3 via PLTE, gray+alpha 4,
     RGBA 6 — alpha dropped, gray replicated, palette looked up — all
-    to the ladder's shared top-down (h, w, 3) uint8 vocabulary), or
-    None for anything else (wrong magic, non-8-bit depths, Adam7
-    interlace, truncated stream, inflate failure). Walks the chunk
+    to the ladder's shared top-down (h, w, 3) uint8 vocabulary;
+    16-bit depths scale by the high byte), or None for anything
+    else (wrong magic, 1/2/4-bit depths, Adam7 interlace, truncated
+    stream, inflate failure). Walks the chunk
     stream, concatenates IDATs, zlib-inflates, and unfilters every
     scanline — all five PNG filter types (None/Sub/Up/Average/
     Paeth) at the color type's true bytes-per-pixel, so foreign
@@ -235,10 +236,12 @@ def _decode_png_pixels(b: bytes):
             w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
                 ">IIBBBBB", body, 0
             )
-            if depth != 8 or interlace != 0:
+            if depth not in (8, 16) or interlace != 0:
                 return None
             if color not in (0, 2, 3, 4, 6):
                 return None
+            if depth == 16 and color == 3:
+                return None  # 16-bit palette indices are not legal PNG
             # decode-bomb guard: 4-byte dim fields can declare
             # gigapixel grids; refuse before allocating anything
             if w == 0 or h == 0 or w * h > (1 << 24):
@@ -254,7 +257,8 @@ def _decode_png_pixels(b: bytes):
         pos += 12 + ln  # len + tag + body + crc
     if w is None or not idat:
         return None
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = nchan * (depth // 8)
     stride = bpp * w
     expected = h * (1 + stride)
     try:
@@ -294,7 +298,12 @@ def _decode_png_pixels(b: bytes):
             return None
         out[y] = rec.astype(np.uint8)
         prev = out[y]
-    px = out.reshape(h, w, bpp)
+    if depth == 16:
+        # 16-bit samples scale to the ladder's 8-bit vocabulary by
+        # the high byte (the round-to-nearest 257-divide differs by
+        # ≤1 code value and is not worth a widen/divide pass)
+        out = out.reshape(h, w, nchan, 2)[..., 0].reshape(h, -1)
+    px = out.reshape(h, w, nchan)
     if color == 2:
         return px
     if color == 0:  # grayscale → replicate

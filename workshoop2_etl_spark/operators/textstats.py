@@ -9,7 +9,11 @@
   heuristics in one projection;
 - :func:`fingerprint` — bottom-k document fingerprint over hashed
   character shingles (a MinHash-style sketch usable for containment
-  and near-dup grouping).
+  and near-dup grouping);
+- :func:`nfc_normalize` — Unicode NFC canonical composition (the
+  normalize-before-hashing step every dedup pipeline needs; the one
+  Arrow-batched Python hop here, since Spark has no built-in
+  normalizer).
 
 All pure column expressions (one narrow projection per operator, no
 shuffle except the word-count aggregate) — at 100 TB these run at
@@ -34,6 +38,45 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
     "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
 }
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", *, out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization (round 14) — the canonical first
+    step of a dedup/quality pipeline: visually identical strings in
+    different composition forms ("é" composed vs "e"+U+0301
+    decomposed) hash apart and silently survive exact dedup,
+    fingerprinting, and token statistics unless the corpus is
+    normalized first.
+
+    Spark has no built-in Unicode normalizer, so this is the rare
+    in-policy Python hop: a vectorized Arrow-batched pandas
+    ``Series.str.normalize('NFC')`` (never row-at-a-time), replacing
+    ``text_col`` in place unless ``out_col`` renames.  DuckDB's
+    ``nfc_normalize`` is the oracle twin — both sides implement the
+    same published Unicode canonical composition, which the
+    planted-fixture entry pins cross-engine."""
+    from pyspark.sql import types as T
+
+    target = out_col or text_col
+    schema = (
+        df.schema
+        if target == text_col
+        else T.StructType(
+            list(df.schema) + [T.StructField(target, T.StringType())]
+        )
+    )
+
+    def batches(it):
+        for pdf in it:
+            out = pdf.copy()
+            out[target] = (
+                pdf[text_col].astype("string").str.normalize("NFC")
+            )
+            yield out
+
+    return df.mapInPandas(batches, schema)
 
 
 def whitespace_token_count(text: Column | str) -> Column:

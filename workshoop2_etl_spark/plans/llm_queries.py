@@ -2531,6 +2531,62 @@ def ann_quantizer_registry_embeddings(
     )
 
 
+_NFC_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE doc_id % 3
+           WHEN 0 THEN ' cafe' || chr(769)
+           WHEN 1 THEN ' caf' || chr(233)
+           ELSE ''
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len,
+       nfc_normalize(t) != t AS changed,
+       md5(nfc_normalize(t)) AS norm_md5
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_register("nfc_normalize_documents", _NFC_SQL)
+def nfc_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239 (round 14): Unicode NFC normalization — the canonical
+    first step before exact dedup / fingerprinting: composition-form
+    variants ("café" composed vs "cafe"+U+0301 decomposed) are
+    byte-different but canonically equal, and a pipeline that hashes
+    unnormalized text silently keeps such duplicates.  The fixture
+    plants BOTH forms by doc_id%3; after ``textstats.nfc_normalize``
+    (vectorized Arrow ``Series.str.normalize`` — Spark has no
+    built-in normalizer) the decomposed rows change (flag pinned),
+    every planted suffix hashes to the SAME md5 tail, and the
+    normalized length drops by exactly the combining characters.
+    Oracle: DuckDB's ``nfc_normalize`` — two independent
+    implementations of published Unicode canonical composition must
+    agree byte-for-byte, which IS the cross-engine check."""
+    from workshoop2_etl_spark.operators.textstats import nfc_normalize
+
+    d = F.col("doc_id")
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 3 == 0, F.lit(" cafe\u0301"))  # decomposed
+            .when(d % 3 == 1, F.lit(" caf\u00e9"))  # composed
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = nfc_normalize(docs, "t", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("nfc_len"),
+        (F.col("norm") != F.col("t")).alias("changed"),
+        F.md5(F.col("norm").cast("binary")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
 _ENTROPY_SQL = """
 WITH ch AS (
   SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
