@@ -495,6 +495,33 @@ def test_png_all_color_types_decode():
     out = _decode_png_pixels(make16(6, 4, 2, list(arr16)))
     assert np.array_equal(out, (arr16 >> 8).astype(np.uint8))
 
+    # Adam7 interlace: seven filtered sub-images scatter back into
+    # the natural grid (odd dims exercise the empty-pass edges)
+    from workshoop2_etl_spark.operators.multimodal import _ADAM7
+
+    def adam7(arr):
+        hh, ww, nch = arr.shape
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        ihdr = struct.pack(
+            ">IIBBBBB", ww, hh, 8, 2 if nch == 3 else 6, 0, 0, 1
+        )
+        return (
+            _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for shape in ((13, 17, 3), (1, 1, 3), (3, 20, 3), (9, 2, 3)):
+        arr7 = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = _decode_png_pixels(adam7(arr7))
+        assert out is not None and np.array_equal(out, arr7), shape
+
     # Sub-filtered RGBA rows: the filter offset must be the true bpp
     rgba2 = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
     filtered = []

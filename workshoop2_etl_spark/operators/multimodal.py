@@ -198,14 +198,61 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, n_rows: int, stride: int, bpp: int, offset: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    byte ``offset`` of the inflated stream — all five filter types at
+    the true bytes-per-pixel — returning an (n_rows, stride) uint8
+    array or None on a bad filter byte."""
+    import numpy as np
+
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n_rows):
+        base = offset + y * (1 + stride)
+        f = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorized
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — per-byte
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                up = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    pred = _png_paeth(int(a), up, c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
 def _decode_png_pixels(b: bytes):
-    """Decode an 8-bit non-interlaced PNG of ANY standard color type
+    """Decode an 8-bit PNG of ANY standard color type
     (round 14: grayscale 0, RGB 2, palette 3 via PLTE, gray+alpha 4,
     RGBA 6 — alpha dropped, gray replicated, palette looked up — all
     to the ladder's shared top-down (h, w, 3) uint8 vocabulary;
-    16-bit depths scale by the high byte), or None for anything
-    else (wrong magic, 1/2/4-bit depths, Adam7 interlace, truncated
-    stream, inflate failure). Walks the chunk
+    16-bit depths scale by the high byte; Adam7-interlaced images
+    reassemble through the seven-pass scatter), or None for anything
+    else (wrong magic, 1/2/4-bit depths, truncated stream, inflate
+    failure). Walks the chunk
     stream, concatenates IDATs, zlib-inflates, and unfilters every
     scanline — all five PNG filter types (None/Sub/Up/Average/
     Paeth) at the color type's true bytes-per-pixel, so foreign
@@ -236,7 +283,7 @@ def _decode_png_pixels(b: bytes):
             w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
                 ">IIBBBBB", body, 0
             )
-            if depth not in (8, 16) or interlace != 0:
+            if depth not in (8, 16) or interlace not in (0, 1):
                 return None
             if color not in (0, 2, 3, 4, 6):
                 return None
@@ -260,7 +307,16 @@ def _decode_png_pixels(b: bytes):
     nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     bpp = nchan * (depth // 8)
     stride = bpp * w
-    expected = h * (1 + stride)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:  # Adam7: seven sub-images, each its own filtered scanlines
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (1 + bpp * pw) for *_xy, pw, ph in passes)
     try:
         # bounded inflate: a deflate bomb must not expand past the
         # raw size the declared (already-capped) geometry implies
@@ -271,33 +327,15 @@ def _decode_png_pixels(b: bytes):
     if len(raw) != expected or d.unconsumed_tail:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-        ).astype(np.int32)
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up — vectorized
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth — per-byte
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                up = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + up) // 2
-                else:
-                    pred = _png_paeth(int(a), up, c)
-                rec[x] = (line[x] + pred) & 0xFF
-        else:
+    offset = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        sub = _png_unfilter(raw, ph, bpp * pw, bpp, offset)
+        if sub is None:
             return None
-        out[y] = rec.astype(np.uint8)
-        prev = out[y]
+        offset += ph * (1 + bpp * pw)
+        sub = sub.reshape(ph, pw, bpp)
+        grid = out.reshape(h, w, bpp)
+        grid[y0::dy, x0::dx] = sub
     if depth == 16:
         # 16-bit samples scale to the ladder's 8-bit vocabulary by
         # the high byte (the round-to-nearest 257-divide differs by
