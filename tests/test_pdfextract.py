@@ -349,11 +349,40 @@ def test_predictor_variants_roundtrip():
 # ----------------------------------------------------------------- refusals
 
 
-def test_refuses_encrypted():
-    blob = _one_page(b"BT ET")
-    blob = blob.replace(b"/Root 1 0 R ", b"/Root 1 0 R /Encrypt 9 0 R ")
-    with pytest.raises(ValueError, match="[Ee]ncrypt"):
-        extract_pdf_text(blob)
+def test_standard_security_handler_rc4():
+    """§7.6.3 standard security handler: empty-user-password RC4
+    files (V1 40-bit and V2 128-bit) decrypt and extract; a
+    non-empty user password (tampered /U), AES (V≥4), and
+    non-Standard handlers refuse by name."""
+    text = "classified\n" + "\n".join(f"row {i}" for i in range(40))
+    for mode in ("rc4-40", "rc4-128"):
+        blob = build_pdf(text, lines_per_page=16, encrypt=mode)
+        assert b"/Encrypt" in blob
+        assert extract_pdf_text(blob) == text, mode
+    # ciphertext differs from the plain build's stream bytes
+    import zlib as _z
+
+    assert _z.compress(
+        b"BT\n/F1 12 Tf\n72 720 Td\n(classified) Tj\nET"
+    ) not in build_pdf("classified", encrypt="rc4-128")
+
+    bad = bytearray(build_pdf("x", encrypt="rc4-128"))
+    i = bad.find(b"/U <")
+    bad[i + 4 : i + 8] = b"dead"
+    with pytest.raises(ValueError, match="password-protected"):
+        extract_pdf_text(bytes(bad))
+
+    aes = build_pdf("x", encrypt="rc4-128").replace(
+        b"/V 2 /R 3", b"/V 4 /R 4"
+    )
+    with pytest.raises(ValueError, match="AES"):
+        extract_pdf_text(aes)
+
+    alien = build_pdf("x", encrypt="rc4-128").replace(
+        b"/Filter /Standard", b"/Filter /AcmeCrypt"
+    )
+    with pytest.raises(ValueError, match="security handler"):
+        extract_pdf_text(alien)
 
 
 def test_refuses_bad_startxref_target():

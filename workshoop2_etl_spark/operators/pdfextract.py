@@ -32,8 +32,17 @@ repo's real-codec policy (BMP/PNG/JPEG/GIF, Avro, TFRecord …):
   round 14), else the published WinAnsiEncoding table (Annex D.2 —
   CP1252-shaped).
 
-Explicit refusals (fail loudly, never misparse): encrypted files
-(``/Encrypt``), hybrid-reference files (``/XRefStm`` — a classic
+Since round 14 the STANDARD security handler decrypts (V1/V2 RC4
+with an empty user password — the ubiquitous permissions-only
+encryption; the derived key must reproduce the file's ``/U``
+validation entry or the reader refuses, so a divergence from the
+published §7.6.3 algorithms degrades to refusal, never a silent
+misdecryption; self-consistency is round-trip-pinned — no external
+ciphertext vector is available in this environment).
+
+Explicit refusals (fail loudly, never misparse): password-protected
+files (non-empty user password), AES encryption (``/V`` ≥ 4) and
+non-Standard security handlers, hybrid-reference files (``/XRefStm`` — a classic
 table AND an xref stream describing the same objects, §7.5.8.4),
 CID-keyed composite fonts (``/Type0``), and image-codec filters
 (``/DCTDecode``, ``/JBIG2Decode``, ``/JPXDecode``, ``/CCITTFax``).
@@ -52,6 +61,7 @@ CSV/SQL only — ``SURVEY.md §2.9``).
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from collections.abc import Iterator
@@ -285,6 +295,91 @@ def _parse_value(lx: _Lexer):
     raise ValueError(f"unexpected PDF token {tok!r}")
 
 
+#: §7.6.3.3 password padding constant (Algorithm 2's PAD string).
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (public spec; its own inverse) — the V1/V2 stream cipher
+    of the standard security handler."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _crypt_file_key(
+    pw: bytes, o_entry: bytes, p: int, file_id: bytes, rev: int,
+    n_bytes: int,
+) -> bytes:
+    """Algorithm 2: padded password ‖ /O ‖ P(le32) ‖ ID[0] → MD5
+    (+50 squeeze rounds at rev ≥ 3), truncated to the key length."""
+    h = hashlib.md5()
+    h.update((pw + _PDF_PAD)[:32])
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    digest = h.digest()
+    if rev >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n_bytes]).digest()
+    return digest[:n_bytes]
+
+
+def _crypt_o_entry(
+    owner_pw: bytes, user_pw: bytes, rev: int, n_bytes: int
+) -> bytes:
+    """Algorithm 3: the /O entry (owner-password RC4 chain over the
+    padded user password)."""
+    digest = hashlib.md5(((owner_pw or user_pw) + _PDF_PAD)[:32]).digest()
+    if rev >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:n_bytes]
+    o = _rc4(key, (user_pw + _PDF_PAD)[:32])
+    if rev >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _crypt_u_entry(key: bytes, file_id: bytes, rev: int) -> bytes:
+    """Algorithm 4 (rev 2) / 5 (rev ≥ 3): the /U validation entry."""
+    if rev == 2:
+        return _rc4(key, _PDF_PAD)
+    h = hashlib.md5()
+    h.update(_PDF_PAD)
+    h.update(file_id)
+    u = _rc4(key, h.digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _crypt_object_key(key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2: per-object key = MD5(file key ‖ num(le24) ‖ gen(le16))
+    truncated to key+5 (≤16) bytes."""
+    h = hashlib.md5()
+    h.update(key)
+    h.update(num.to_bytes(3, "little"))
+    h.update(gen.to_bytes(2, "little"))
+    return h.digest()[: min(len(key) + 5, 16)]
+
+
 def _asciihex_decode(data: bytes) -> bytes:
     """§7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, ``>``
     EOD (odd trailing digit pads with 0)."""
@@ -410,11 +505,10 @@ class _Pdf:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
         self._xref_seen: set[int] = set()
+        self._crypt_key: bytes | None = None
         self._read_xref_chain()
         if "Encrypt" in self.trailer:
-            raise ValueError(
-                "encrypted PDF unsupported (refusal: /Encrypt present)"
-            )
+            self._crypt_key = self._setup_decryption()
 
     # -- cross-reference tables ---------------------------------------
     def _read_xref_chain(self) -> None:
@@ -537,6 +631,54 @@ class _Pdf:
                 # kind 0 = free (deleted); kind >2 = reserved, ignore
         return dict(s.meta)
 
+    def _setup_decryption(self) -> bytes:
+        """Standard security handler, V1/V2 RC4 with an EMPTY user
+        password — the ubiquitous permissions-only encryption class
+        (§7.6.3).  The derived key must reproduce the file's /U
+        validation entry; any mismatch (a real user password, or any
+        divergence from the published algorithms) refuses BY NAME
+        rather than risking a silent misdecryption.  V ≥ 4 (AES) and
+        non-Standard handlers refuse by name."""
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        filt = str(self.resolve(enc.get("Filter")) or "")
+        if filt != "Standard":
+            raise ValueError(
+                f"unsupported PDF security handler /{filt} "
+                "(Standard only)"
+            )
+        v = self.resolve(enc.get("V")) or 0
+        r = self.resolve(enc.get("R")) or 0
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                f"unsupported PDF encryption V={v} R={r} "
+                "(V1/V2 RC4 only — AES unsupported)"
+            )
+        length = self.resolve(enc.get("Length")) or 40
+        n_bytes = max(5, min(16, int(length) // 8))
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        ids = self.resolve(self.trailer.get("ID"))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)
+                and isinstance(p, int)):
+            raise ValueError("PDF /Encrypt missing O/U/P entries")
+        file_id = (
+            self.resolve(ids[0]) if isinstance(ids, list) and ids else b""
+        )
+        if not isinstance(file_id, bytes):
+            raise ValueError("PDF trailer /ID is not a string")
+        key = _crypt_file_key(b"", o, p, file_id, r, n_bytes)
+        expect_u = _crypt_u_entry(key, file_id, r)
+        cmp_len = 32 if r == 2 else 16
+        if u[:cmp_len] != expect_u[:cmp_len]:
+            raise ValueError(
+                "password-protected PDF (empty user password failed "
+                "/U validation) — refusal, not a guess"
+            )
+        return key
+
     # -- objects -------------------------------------------------------
     def _parse_obj_at(
         self, pos: int, *, expect: int | None = None,
@@ -547,7 +689,7 @@ class _Pdf:
         while bootstrapping the xref stream, when no xref exists yet)."""
         lx = _Lexer(self.data, pos)
         got_num = int(lx.token())
-        int(lx.token())  # generation
+        gen = int(lx.token())
         if lx.token() != b"obj":
             raise ValueError("expected 'obj' keyword")
         if expect is not None and got_num != expect:
@@ -571,6 +713,15 @@ class _Pdf:
             if not isinstance(length, int):
                 raise ValueError("PDF stream /Length is not an integer")
             raw = self.data[lx.pos : lx.pos + length]
+            # §7.6.2: stream payloads are RC4-encrypted under the
+            # per-object key.  The xref stream parses BEFORE key
+            # setup (it is never encrypted, per spec) so it skips
+            # naturally; /ObjStm containers parse after and decrypt.
+            if self._crypt_key is not None:
+                raw = _rc4(
+                    _crypt_object_key(self._crypt_key, got_num, gen),
+                    raw,
+                )
             val = _Stream(val, raw)
         return val
 
@@ -992,6 +1143,7 @@ def build_pdf(
     lines_per_page: int = 40,
     compress: bool = True,
     xref_mode: str = "table",
+    encrypt: str | None = None,
 ) -> bytes:
     """Closed-form valid PDF: Helvetica/WinAnsi, one FlateDecode
     content stream per page.  ``text`` splits on ``\\n`` into lines,
@@ -1004,13 +1156,20 @@ def build_pdf(
     objects (catalog, page tree, pages, font) packed into one
     FlateDecode ``/ObjStm`` and a ``/W [1 4 2]`` cross-reference
     STREAM with PNG-Up (``/Predictor 12``) post-prediction, i.e. the
-    exact shape modern writers produce."""
+    exact shape modern writers produce.
+
+    ``encrypt='rc4-40'`` / ``'rc4-128'`` emits a standard-security-
+    handler encrypted file (empty user AND owner passwords — the
+    permissions-only class): deterministic /ID from the text, /O and
+    /U per Algorithms 3-5, every content stream RC4-encrypted under
+    its per-object key.  Table xref mode only."""
     lines = text.split("\n")
     page_line_groups = [
         lines[i : i + lines_per_page]
         for i in range(0, len(lines), lines_per_page)
     ] or [[""]]
     objects: dict[int, bytes] = {}
+    stream_parts: dict[int, tuple[bytes, bytes]] = {}
     n_pages = len(page_line_groups)
     font_num = 3 + 2 * n_pages
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -1040,6 +1199,7 @@ def build_pdf(
         else:
             payload = content
             head = f"<< /Length {len(payload)} >>".encode()
+        stream_parts[cont_num] = (head, payload)
         objects[cont_num] = (
             head + b"\nstream\n" + payload + b"\nendstream"
         )
@@ -1048,9 +1208,42 @@ def build_pdf(
         b"/Encoding /WinAnsiEncoding >>"
     )
     if xref_mode == "stream":
+        if encrypt:
+            raise ValueError("encrypt is table-xref-mode only")
         return _emit_xref_stream_pdf(objects, n_pages, font_num)
     if xref_mode != "table":
         raise ValueError(f"unknown xref_mode {xref_mode!r}")
+
+    trailer_extra = ""
+    if encrypt is not None:
+        rev, n_bytes = {"rc4-40": (2, 5), "rc4-128": (3, 16)}[encrypt]
+        perms = -44  # print/copy denied: a realistic permissions mask
+        file_id = hashlib.md5(
+            b"workshoop2-pdf-id:" + text.encode("utf-8", "replace")
+        ).digest()
+        o_entry = _crypt_o_entry(b"", b"", rev, n_bytes)
+        key = _crypt_file_key(b"", o_entry, perms, file_id, rev, n_bytes)
+        u_entry = _crypt_u_entry(key, file_id, rev)
+        for num, (head, payload) in stream_parts.items():
+            enc_payload = _rc4(_crypt_object_key(key, num, 0), payload)
+            objects[num] = (
+                head + b"\nstream\n" + enc_payload + b"\nendstream"
+            )
+        enc_num = font_num + 1
+        objects[enc_num] = (
+            b"<< /Filter /Standard /V "
+            + (b"1" if rev == 2 else b"2")
+            + f" /R {rev} /Length {n_bytes * 8} /P {perms} /O <"
+            .encode()
+            + o_entry.hex().encode()
+            + b"> /U <"
+            + u_entry.hex().encode()
+            + b"> >>"
+        )
+        fid_hex = file_id.hex().encode().decode()
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [<{fid_hex}> <{fid_hex}>]"
+        )
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -1064,7 +1257,7 @@ def build_pdf(
     for num in range(1, size):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -1155,11 +1348,14 @@ def pdf_synthesize(
     lines_per_page: int = 40,
     out_col: str = "pdf",
     xref_mode: str = "table",
+    encrypt: str | None = None,
 ) -> DataFrame:
     """(id, text) → (id, pdf binary), built inside the scan task
     (Arrow batches; blobs are born where they're consumed and never
     shuffle).  ``xref_mode='stream'`` emits the PDF 1.5 compressed
-    layout (xref stream + /ObjStm), ``'table'`` the classic one."""
+    layout (xref stream + /ObjStm), ``'table'`` the classic one;
+    ``encrypt='rc4-40'|'rc4-128'`` the standard-security-handler
+    empty-password encrypted class."""
     schema = T.StructType(
         [df.schema[id_col], T.StructField(out_col, T.BinaryType())]
     )
@@ -1174,6 +1370,7 @@ def pdf_synthesize(
                             t if isinstance(t, str) else "",
                             lines_per_page=lines_per_page,
                             xref_mode=xref_mode,
+                            encrypt=encrypt,
                         )
                         for t in pdf_[text_col]
                     ],

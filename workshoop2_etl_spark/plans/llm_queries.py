@@ -7135,6 +7135,72 @@ def pdf_text_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_ENCRYPTED_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '[^ -~\n]', '', 'g') AS pdf_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("pdf_encrypted_extract_documents", _PDF_ENCRYPTED_SQL)
+def pdf_encrypted_extract_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X240 (round 14): the ENCRYPTED-PDF class — ubiquitous
+    permissions-only encryption (standard security handler, empty
+    user password, V1/V2 RC4).  Every document renders into a PDF
+    whose content streams are RC4-encrypted under per-object keys
+    (§7.6.2, key strength cycling 40/128-bit by doc_id), then parses
+    back through Algorithm 2 key derivation + /U validation +
+    per-object decryption into the same text machine.  A key
+    derivation that diverged from the published algorithms would
+    fail /U validation and turn every row NULL — the oracle
+    tolerates none."""
+    from workshoop2_etl_spark.operators.pdfextract import pdf_extract
+    from workshoop2_etl_spark.operators.pdfextract import (
+        build_pdf as _build,
+    )
+    from pyspark.sql import types as T
+    import pandas as pd
+    from collections.abc import Iterator
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"[^ -~\n]", "").alias("t"),
+    )
+    schema = T.StructType(
+        [docs.schema["doc_id"], T.StructField("pdf", T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf_["doc_id"],
+                    "pdf": [
+                        _build(
+                            t if isinstance(t, str) else "",
+                            lines_per_page=25,
+                            encrypt=(
+                                "rc4-128" if i % 2 else "rc4-40"
+                            ),
+                        )
+                        for i, t in zip(pdf_["doc_id"], pdf_["t"])
+                    ],
+                }
+            )
+
+    pdfs = docs.mapInPandas(batches, schema)
+    return (
+        pdf_extract(pdfs, "doc_id", "pdf")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), "pdf_text"
+        )
+        .orderBy("doc_id")
+    )
+
+
 _PDF_XREFSTREAM_SQL = r"""
 SELECT doc_id,
        regexp_replace(text, '[^ -~\n]', '', 'g') AS pdf_text
