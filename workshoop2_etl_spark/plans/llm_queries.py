@@ -60,8 +60,18 @@ def _tp(spark, sf_dir, name):
     early for training — the LSH/IVF/k-means quantizers would pay the
     full shuffle just to draw their sample — or (b) does only cheap
     per-row work (language-ID contains(), media metadata projection):
-    both measured slower with the extra exchange."""
-    return ensure_parallelism(_t(spark, sf_dir, name))
+    both measured slower with the extra exchange.
+
+    The file size from one ``os.stat`` feeds the byte-math partition
+    estimate (readers.ensure_parallelism ``input_bytes``), replacing
+    the ~79 ms/call ``df.rdd`` physical-planning probe (r14 opt)."""
+    import os
+
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        nbytes = None
+    return ensure_parallelism(_t(spark, sf_dir, name), input_bytes=nbytes)
 
 
 # ---------------------------------------------------------------------------
@@ -2649,7 +2659,7 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe_merges(docs, sf_dir, num_merges=200)
-    out = bpe_apply(ensure_parallelism(docs), "text", merges)
+    out = bpe_apply(_tp(spark, sf_dir, "documents"), "text", merges)
     return out.select(
         "doc_id",
         F.col("n_bpe").cast("long").alias("n_bpe"),

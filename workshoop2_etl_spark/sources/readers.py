@@ -29,6 +29,34 @@ TESTDATA_TABLES = (
 )
 
 
+#: Driver-side schema memo for :func:`read_parquet`, keyed by
+#: ``(realpath, mtime_ns, size)`` of a single-FILE parquet path. This
+#: is METADATA caching, not result caching: any byte of the file
+#: changing invalidates the key, and the cached StructType is exactly
+#: what footer inference returned for that identical file. Measured
+#: (optimization round 14, guide §1/§5): ``spark.read.parquet(path)``
+#: re-infers the footer schema on the driver on EVERY call — 60 ms
+#: steady-state vs 8 ms with an explicit schema — and the bench's
+#: ~760 table reads per run paid it each time. At 100 TB this is the
+#: role a table format's manifest plays (guide §6); for bare paths
+#: the session-lifetime memo is the equivalent.
+_SCHEMA_MEMO: dict[tuple[str, int, int], tuple[list[str], object]] = {}
+
+
+def _file_memo_key(path: str) -> tuple[str, int, int] | None:
+    """Memo key for a single-file path; None for dirs/globs (their
+    contents can change without the top-level stat changing)."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not __import__("stat").S_ISREG(st.st_mode):
+        return None
+    return (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (reference dags/merge_to_dw.py:140-143, S3).
 
@@ -41,8 +69,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and are
     rebuilt into micro-precision timestamps here — the same
     truncation DuckDB applies, keeping oracle comparisons aligned.
+
+    Single-file paths without nanos columns take a memoized
+    explicit-schema fast path (see ``_SCHEMA_MEMO``): identical
+    DataFrame (the schema IS the one inference produced for this
+    exact file state), ~8× less driver work per call. Nanos-bearing
+    files keep the original inference path — the nanosAsLong
+    schema-conversion must happen inside the conf window.
     """
-    nanos_cols = _nanos_timestamp_columns(path)
+    key = _file_memo_key(path)
+    if key is not None:
+        memo = _SCHEMA_MEMO.get(key)
+        if memo is not None:
+            nanos_cols, schema = memo
+            if not nanos_cols:
+                return spark.read.schema(schema).parquet(path)
+        else:
+            nanos_cols = _nanos_timestamp_columns(path)
+            if not nanos_cols:
+                df = spark.read.parquet(path)
+                _SCHEMA_MEMO[key] = ([], df.schema)
+                return df
+            # nanos-bearing single file: memoize the probed column
+            # list (skips the pyarrow footer walk on later calls) and
+            # fall through to the conf-window slow path below.
+            _SCHEMA_MEMO[key] = (nanos_cols, None)
+    else:
+        nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         # Runtime SQL conf — must hold on *whatever* session the caller
         # supplies (the driver passes its own), not just the engine's
@@ -72,7 +125,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def ensure_parallelism(
-    df: DataFrame, *, min_partitions: int | None = None
+    df: DataFrame,
+    *,
+    min_partitions: int | None = None,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition an under-parallelized scan up to the
     cluster's default parallelism — a NO-OP whenever the input already
@@ -90,12 +146,73 @@ def ensure_parallelism(
     place. Apply it between the scan and CPU-heavy per-row work; do
     NOT apply it where the next operator shuffles anyway (groupBy /
     join pick their own partitioning).
+
+    ``input_bytes`` (optimization round 14, guide §1/§5): when the
+    caller knows the scan's input size (e.g. one ``os.stat`` on the
+    file it just asked :func:`read_parquet` to scan), the partition
+    count is ESTIMATED from Spark's own file-split arithmetic
+    (``FilePartition.maxSplitBytes``) instead of asking the live plan
+    — ``df.rdd.getNumPartitions()`` physically plans the query and
+    builds a Python RDD conversion, measured ~79 ms of driver time
+    per call, paid per query per rep across the whole registry. The
+    estimate only decides whether to insert the round-robin
+    repartition; row values are identical either way, and the
+    decision agrees with the live check everywhere except a narrow
+    band around one-partition-per-core inputs, where both choices
+    are equally reasonable.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    if input_bytes is not None:
+        if _estimated_scan_partitions(spark, input_bytes, target) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _size_bytes(v: str | None, default: int) -> int:
+    """Parse a Spark size-string conf value ('128m', '134217728b',
+    plain digits) to bytes; ``default`` when unset/unparseable."""
+    if not v:
+        return default
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+        ("mb", 1 << 20), ("kb", 1 << 10),
+        ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(
+    spark: SparkSession, input_bytes: int, parallelism: int
+) -> int:
+    """Replicate ``FilePartition.maxSplitBytes`` for a single input
+    file: splits = ceil(bytes / min(maxPartitionBytes,
+    max(openCostInBytes, (bytes + openCost) / minPartitionNum)))."""
+    max_split = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", None), 128 << 20
+    )
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", None), 4 << 20
+    )
+    min_parts = int(
+        spark.conf.get("spark.sql.files.minPartitionNum", None)
+        or parallelism
+    )
+    bytes_per_core = (input_bytes + open_cost) / max(1, min_parts)
+    split = min(max_split, max(open_cost, bytes_per_core))
+    return max(1, -(-input_bytes // max(1, int(split))))
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:

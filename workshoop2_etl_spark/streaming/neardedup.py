@@ -53,11 +53,17 @@ def fold_docs_into_index(
         lsh_index_refresh,
         minhash_signatures,
     )
+    from workshoop2_etl_spark.sources.readers import ensure_parallelism
 
     spark = docs_df.sparkSession
+    # A micro-batch often arrives as ONE scan partition (one file per
+    # trigger), serializing the CPU-heavy shingle+minhash kernel on a
+    # single core; the guard repartitions only under-split batches
+    # and is a no-op once batches carry enough files (r14 opt,
+    # guide §2.5 input skew / §1.2 per-task work).
     banded_delta = lsh_banded(
         minhash_signatures(
-            docs_df.select(id_col, text_col),
+            ensure_parallelism(docs_df.select(id_col, text_col)),
             id_col,
             text_col,
             num_hashes=num_hashes,
