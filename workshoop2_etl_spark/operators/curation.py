@@ -338,26 +338,49 @@ def train_text_classifier(
     label = (
         F.col(label_col) if isinstance(label_col, str) else label_col
     )
-    rows = (
-        df.select(
-            F.md5(
-                F.concat(F.lit(salt), F.col(id_col).cast("string"))
-            ).alias("__o"),
-            F.slice(
-                features
-                if features is not None
-                else hashed_ngram_buckets(
-                    text_col, n_buckets=n_buckets, bigrams=bigrams
-                ),
-                1,
-                max_feats_per_doc,
-            ).alias("__f"),
+    # Features are projected AFTER the orderBy+limit (r14 opt, guide
+    # §1.2): with the feature slice inside the pre-sort projection,
+    # the hashed-n-gram expression (one md5 per window) evaluated for
+    # EVERY corpus row just to pick sample_n of them. Splitting the
+    # projection turns the plan into TakeOrderedAndProject over the
+    # cheap (__o, text, label) rows, with the feature map computed
+    # only for the sample_n survivors — same rows, same features,
+    # same fixed hash order (explicit re-sort before collect), so the
+    # fit stays bit-identical.
+    # (A caller-supplied ``features`` Column may reference arbitrary
+    # input columns, so that path keeps the original single
+    # projection; the default n-gram map needs only the text column
+    # and takes the deferred path.)
+    ordkey = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("__o")
+    if features is not None:
+        sampled = df.select(
+            ordkey,
+            F.slice(features, 1, max_feats_per_doc).alias("__f"),
             label.cast("int").alias("__y"),
+        ).orderBy("__o").limit(sample_n)
+    else:
+        text_c = (
+            F.col(text_col) if isinstance(text_col, str) else text_col
         )
-        .orderBy("__o")
-        .limit(sample_n)
-        .collect()  # bounded: sample_n rows of <= max_feats ids
-    )
+        sampled = (
+            df.select(ordkey, text_c.alias("__t"), label.cast("int").alias("__y"))
+            .orderBy("__o")
+            .limit(sample_n)
+            .select(
+                "__o",
+                F.slice(
+                    hashed_ngram_buckets(
+                        "__t", n_buckets=n_buckets, bigrams=bigrams
+                    ),
+                    1,
+                    max_feats_per_doc,
+                ).alias("__f"),
+                "__y",
+            )
+        )
+    rows = sampled.orderBy("__o").collect()  # sample_n rows, <= max_feats ids
     if not rows:
         raise ValueError("train_text_classifier: empty training input")
 
@@ -510,20 +533,40 @@ def train_language_classifier(
         )
     classes = sorted(langs)
     cix = {lg: k for k, lg in enumerate(classes)}
-    feats = hashed_char_ngram_buckets(
-        text_col, n=ngram_n, n_buckets=n_buckets
-    )
+    # Feature projection DEFERRED below the orderBy+limit (r14 opt,
+    # guide §1.2; same restructure as train_text_classifier): the
+    # char-n-gram map costs one md5 per character window, and with it
+    # inside the pre-sort projection the trainer hashed the ENTIRE
+    # corpus to pick sample_n rows (measured ~15 s of CPU at sf0.1).
+    # Split, the plan is TakeOrderedAndProject over (__o, text,
+    # label) and features are computed for the survivors only —
+    # same rows, same features, same fixed hash order (explicit
+    # re-sort before collect), bit-identical fit.
     rows = (
         df.select(
             F.md5(
                 F.concat(F.lit(salt), F.col(id_col).cast("string"))
             ).alias("__o"),
-            F.slice(feats, 1, max_feats_per_doc).alias("__f"),
+            (
+                F.col(text_col) if isinstance(text_col, str) else text_col
+            ).alias("__t"),
             F.col(label_col).alias("__y"),
         )
-        .where(F.col(label_col).isin(classes))
+        .where(F.col("__y").isin(classes))
         .orderBy("__o")
         .limit(sample_n)
+        .select(
+            "__o",
+            F.slice(
+                hashed_char_ngram_buckets(
+                    "__t", n=ngram_n, n_buckets=n_buckets
+                ),
+                1,
+                max_feats_per_doc,
+            ).alias("__f"),
+            "__y",
+        )
+        .orderBy("__o")
         .collect()  # bounded: sample_n rows of <= max_feats ids
     )
     if not rows:
@@ -618,6 +661,24 @@ def language_classify(
     feats = df.select(
         F.col(id_col), F.explode_outer(bag).alias("__b")
     )
+    # n_feats is pure LENGTH arithmetic — windows = len(lower(text)) −
+    # (n−1), floored at 0, optionally capped — so it must not be a
+    # second aggregation over the exploded md5 chain: that branch
+    # re-evaluated one md5 per character window for the whole corpus
+    # (exchange reuse does not fire across differently-pruned
+    # branches; measured ~15 s CPU of pure recompute at sf0.1).
+    # Identical values by construction: count(explode_outer(bag)) ==
+    # size(bag), and size(bag) is min(windows, cap) with empty-bag
+    # rows counting 0 (r14 opt, guide §2.4/§1.2).
+    tl = F.length(
+        F.lower(
+            text_col if isinstance(text_col, Column) else F.col(text_col)
+        )
+    )
+    windows = F.greatest(tl - (ngram_n - 1), F.lit(0))
+    if max_feats_per_doc is not None:
+        windows = F.least(windows, F.lit(max_feats_per_doc))
+    n_feats_col = F.coalesce(windows, F.lit(0)).cast("long")
     wq = weights.select(
         "lang",
         F.col("bucket").alias("__b"),
@@ -635,7 +696,7 @@ def language_classify(
         .groupBy(id_col, "lang")
         .agg(F.sum("__w").alias("__sw"))
     )
-    n_feats = feats.groupBy(id_col).agg(F.count("__b").alias("n_feats"))
+    n_feats = df.select(F.col(id_col), n_feats_col.alias("n_feats"))
     scored = (
         n_feats.crossJoin(F.broadcast(bias_df))
         .join(sums, [id_col, "lang"], "left")

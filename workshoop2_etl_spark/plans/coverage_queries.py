@@ -2156,6 +2156,14 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
     )
     reg = base.unionByName(typos).unionByName(null_a).unionByName(null_b)
+    # The deletion-neighborhood blocking explode is CPU-bound narrow
+    # work running on the union's ≤4 scan partitions (measured 3.4 s
+    # of CPU over 4 tasks at sf0.1); the guard gives it the cluster's
+    # parallelism and is a no-op at real registry sizes (r14 opt,
+    # guide §1.2 per-task work / readers.ensure_parallelism).
+    from workshoop2_etl_spark.sources.readers import ensure_parallelism
+
+    reg = ensure_parallelism(reg)
     out = resolve_entities(
         reg, "id", "name",
         agree_weights={"c_acctbal": (16, -8), "c_nationkey": (4, -4)},

@@ -3509,6 +3509,7 @@ def _warc_file_blobs(
     zstd_when=None,
     head: bytes = b"",
     per_file: int = 8,
+    spread: bool = False,
 ) -> DataFrame:
     """Shared fixture kernel for every WARC-family entry (plain
     ingest, gzip twin, zstd twin, WET, the streaming composition):
@@ -3555,10 +3556,28 @@ def _warc_file_blobs(
     recs = df.select("doc_id", value_col).mapInPandas(
         to_records, rec_schema
     )
+    # ``spread=True``: spread_groups before the blob fold — the
+    # ~1-2 MB record shuffle AQE-coalesces to ONE post-shuffle
+    # partition, and the downstream Arrow kernels (frame walk,
+    # charset decode, HTML extract) then run serialized on a single
+    # task (measured on warc_ingest at sf0.1: two 1-task stages of
+    # ~2 s wall / 0.17 s cpu each; in-session A/B with the spread:
+    # ingest 3.93 → 2.57 s, gzip 2.93 → 2.41 s). Opt-in per entry:
+    # entries with SHORT post-parse chains measured NEUTRAL-TO-WORSE
+    # with 32 pinned partitions (wet 1.89 → 1.84, pdf +5 %, revisit
+    # +20 %, cdx_range +9 % — per-task Arrow setup outweighs the
+    # serialization for them), so they keep the AQE default
+    # (r14 opt; readers.spread_groups).
+    recs = recs.withColumn(
+        "file_no", (F.col("doc_id") / per_file).cast("long")
+    )
+    if spread:
+        from workshoop2_etl_spark.sources.readers import spread_groups
+
+        recs = spread_groups(recs, "file_no")
     return (
-        recs.groupBy(
-            (F.col("doc_id") / per_file).cast("long").alias("file_no")
-        )
+        recs
+        .groupBy("file_no")
         .agg(
             F.aggregate(
                 F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
@@ -3602,6 +3621,7 @@ def _warc_ingest_impl(
         _warc_response_record,
         gzip_when=(lambda f: True) if gzip_members else None,
         zstd_when=(lambda f: True) if zstd_members else None,
+        spread=True,  # heavy parse+decode+extract chain: see kernel note
     )
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     extracted = html_to_text(
@@ -3756,7 +3776,7 @@ def warc_http_encoded_ingest_documents(
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     pages = synthesize_html(docs).select("doc_id", "html")
-    blobs = _warc_file_blobs(pages, "html", _warc_http_encoded_record)
+    blobs = _warc_file_blobs(pages, "html", _warc_http_encoded_record, spread=True)
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     extracted = html_to_text(
         parsed.select(
@@ -4525,6 +4545,7 @@ def wat_link_graph_documents(
         "wat_json",
         synthesize_wat_record,
         gzip_when=lambda f: f % 2 == 1,
+        spread=True,
     )
     parsed = parse_warc_blobs(blobs, "content", id_cols=[])
     outlinks = wat_links(parsed, id_cols=[])
@@ -5727,9 +5748,15 @@ def wikidump_ingest_documents(
             }
         )
 
-    streams = pages.groupBy("stream_no").applyInPandas(
-        build_stream, "stream_no long, member binary"
-    )
+    from workshoop2_etl_spark.sources.readers import spread_groups
+
+    # spread_groups before each per-group Python kernel: AQE would
+    # coalesce these ~1 MB shuffles to ONE task and serialize 1250
+    # tiny pandas groups through a single worker (r14 opt, measured
+    # 6.9 → 2.4 s; see readers.spread_groups).
+    streams = spread_groups(pages, "stream_no").groupBy(
+        "stream_no"
+    ).applyInPandas(build_stream, "stream_no long, member binary")
 
     def build_file(pdf):
         pdf = pdf.sort_values("stream_no")
@@ -5740,8 +5767,9 @@ def wikidump_ingest_documents(
         )
         return pd.DataFrame({"content": [blob]})
 
-    files = streams.withColumn(
-        "file_no", F.expr("stream_no div 4")
+    files = spread_groups(
+        streams.withColumn("file_no", F.expr("stream_no div 4")),
+        "file_no",
     ).groupBy("file_no").applyInPandas(build_file, "content binary")
 
     parsed = parse_wikidump_blobs(
@@ -5856,8 +5884,11 @@ def wikidump_index_fetch_documents(
             }
         )
 
+    from workshoop2_etl_spark.sources.readers import spread_groups
+
     streams = (
-        pages.groupBy("stream_no")
+        spread_groups(pages, "stream_no")
+        .groupBy("stream_no")
         .applyInPandas(build_stream, "stream_no long, member binary")
         .withColumn("file_no", F.expr("stream_no div 4"))
         .withColumn(
@@ -5865,6 +5896,10 @@ def wikidump_index_fetch_documents(
             F.concat(F.lit("dump-"), F.col("file_no"), F.lit(".xml.bz2")),
         )
     )
+    # spread by file_no ONCE: the offset window and the build_file
+    # kernel below both need hash(file_no) clustering and reuse this
+    # single exchange (r14 opt; see readers.spread_groups).
+    streams = spread_groups(streams, "file_no")
     # TRUE offsets: header member first, then members by stream_no
     head_len = len(bz2_member(WIKI_HEADER))
     w = (
@@ -7033,8 +7068,19 @@ def crawl_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     recs = pages.mapInPandas(to_records, rec_schema)
+    from workshoop2_etl_spark.sources.readers import spread_groups
+
+    # heavy parse+decode+extract chain downstream of the fold: keep
+    # the kernels off a single AQE-coalesced task (see
+    # _warc_file_blobs spread note; r14 opt).
     blobs = (
-        recs.groupBy((F.col("doc_id") / 8).cast("long").alias("file_no"))
+        spread_groups(
+            recs.withColumn(
+                "file_no", (F.col("doc_id") / 8).cast("long")
+            ),
+            "file_no",
+        )
+        .groupBy("file_no")
         .agg(
             F.aggregate(
                 F.sort_array(F.collect_list(F.struct("doc_id", "rec"))),
