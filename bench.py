@@ -844,6 +844,18 @@ def main() -> None:
                 "n_shuffle_superlinear": len(superlinear),
                 "machine_factor": calibration["machine_factor"],
                 "slowest": slowest,
+                # Per-query detail pointer (r14 VERDICT item 2): the
+                # driver keeps only ~2 KB of stdout tail, which
+                # truncates the 294-entry "queries" map above, leaving
+                # the round-over-round comparator with n_common: 0.
+                # The committed artifact carries every per-query time,
+                # rep spread, shuffle bytes and calibration — readers
+                # that can open files should prefer it. Additions-only:
+                # every pre-existing key is unchanged.
+                "detail": "BENCH_DETAIL.json",
+                "detail_sf": (
+                    f"BENCH_DETAIL_sf{sf}.json" if sf is not None else None
+                ),
             }
         )
     )

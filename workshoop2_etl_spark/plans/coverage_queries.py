@@ -26,7 +26,11 @@ from workshoop2_etl_spark.operators.cleaning import (
 )
 from workshoop2_etl_spark.operators.star import build_dim, resolve_fk, upsert_dim
 from workshoop2_etl_spark.plans.reference_queries import _register, _t
-from workshoop2_etl_spark.sources.readers import from_records, read_csv
+from workshoop2_etl_spark.sources.readers import (
+    ensure_parallelism,
+    from_records,
+    read_csv,
+)
 from workshoop2_etl_spark.sources.writers import write_csv
 
 
@@ -2161,8 +2165,6 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of CPU over 4 tasks at sf0.1); the guard gives it the cluster's
     # parallelism and is a no-op at real registry sizes (r14 opt,
     # guide §1.2 per-task work / readers.ensure_parallelism).
-    from workshoop2_etl_spark.sources.readers import ensure_parallelism
-
     reg = ensure_parallelism(reg)
     out = resolve_entities(
         reg, "id", "name",

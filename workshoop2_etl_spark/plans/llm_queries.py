@@ -15,6 +15,9 @@ double-precision cosine path are fully oracle-checked.
 
 from __future__ import annotations
 
+import os
+import stat as _stat
+
 import pandas as pd  # module scope: pandas-UDF kernels resolve here
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,7 +48,10 @@ from workshoop2_etl_spark.operators.textstats import (
     word_frequencies,
 )
 from workshoop2_etl_spark.plans.reference_queries import _register, _t
-from workshoop2_etl_spark.sources.readers import ensure_parallelism
+from workshoop2_etl_spark.sources.readers import (
+    ensure_parallelism,
+    spread_groups,
+)
 
 
 def _tp(spark, sf_dir, name):
@@ -64,13 +70,18 @@ def _tp(spark, sf_dir, name):
 
     The file size from one ``os.stat`` feeds the byte-math partition
     estimate (readers.ensure_parallelism ``input_bytes``), replacing
-    the ~79 ms/call ``df.rdd`` physical-planning probe (r14 opt)."""
-    import os
-
+    the ~79 ms/call ``df.rdd`` physical-planning probe (r14 opt).
+    Regular FILES only (r14 ADVICE): a parquet DIRECTORY's inode size
+    (~4 KB) would always estimate 1 split and force a repartition on
+    already-parallel scans — non-regular paths fall back to the live
+    ``df.rdd`` probe via ``input_bytes=None``."""
+    nbytes = None
     try:
-        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        if _stat.S_ISREG(st.st_mode):
+            nbytes = st.st_size
     except OSError:
-        nbytes = None
+        pass
     return ensure_parallelism(_t(spark, sf_dir, name), input_bytes=nbytes)
 
 
@@ -3572,8 +3583,6 @@ def _warc_file_blobs(
         "file_no", (F.col("doc_id") / per_file).cast("long")
     )
     if spread:
-        from workshoop2_etl_spark.sources.readers import spread_groups
-
         recs = spread_groups(recs, "file_no")
     return (
         recs
@@ -5748,8 +5757,6 @@ def wikidump_ingest_documents(
             }
         )
 
-    from workshoop2_etl_spark.sources.readers import spread_groups
-
     # spread_groups before each per-group Python kernel: AQE would
     # coalesce these ~1 MB shuffles to ONE task and serialize 1250
     # tiny pandas groups through a single worker (r14 opt, measured
@@ -5883,8 +5890,6 @@ def wikidump_index_fetch_documents(
                 "member": [bz2_member(xml)],
             }
         )
-
-    from workshoop2_etl_spark.sources.readers import spread_groups
 
     streams = (
         spread_groups(pages, "stream_no")
@@ -7068,8 +7073,6 @@ def crawl_prep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     recs = pages.mapInPandas(to_records, rec_schema)
-    from workshoop2_etl_spark.sources.readers import spread_groups
-
     # heavy parse+decode+extract chain downstream of the fold: keep
     # the kernels off a single AQE-coalesced task (see
     # _warc_file_blobs spread note; r14 opt).

@@ -40,6 +40,17 @@ TESTDATA_TABLES = (
 #: ~760 table reads per run paid it each time. At 100 TB this is the
 #: role a table format's manifest plays (guide §6); for bare paths
 #: the session-lifetime memo is the equivalent.
+#:
+#: Known limits (r14 ADVICE, accepted for this engine's single
+#: session factory): the key does NOT fold in session confs that can
+#: steer parquet schema inference (e.g.
+#: ``spark.sql.parquet.inferTimestampNTZ.enabled``) — a schema
+#: inferred under one conf set replays verbatim on a session where
+#: inference would differ; and the memo grows with distinct files
+#: touched over the process lifetime (entries are a StructType each —
+#: KBs; the bench touches a few dozen files). Processes that flip
+#: inference confs mid-life or stream unbounded distinct paths should
+#: clear or key-extend the memo.
 _SCHEMA_MEMO: dict[tuple[str, int, int], tuple[list[str], object]] = {}
 
 
@@ -160,6 +171,13 @@ def ensure_parallelism(
     decision agrees with the live check everywhere except a narrow
     band around one-partition-per-core inputs, where both choices
     are equally reasonable.
+
+    ``input_bytes`` must be the size of ONE regular file (r14
+    ADVICE): the estimate replicates the single-file form of Spark's
+    split math — openCost charged once, no FilePartition bin-packing
+    — so summed bytes for a multi-file input would drift from the
+    live plan. Multi-file callers pass ``input_bytes=None`` (live
+    ``df.rdd`` probe).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
