@@ -542,13 +542,31 @@ def train_language_classifier(
     # label) and features are computed for the survivors only —
     # same rows, same features, same fixed hash order (explicit
     # re-sort before collect), bit-identical fit.
+    #
+    # __t carries only the LOWERED PREFIX the capped feature slice
+    # can see (r15 opt, r14 VERDICT item 4): slice(grams, 1, cap)
+    # reads windows 1..cap, i.e. chars 1..cap+n−1 of lower(text), so
+    # the TakeOrdered heap holds ≤ cap+n−1 chars per row instead of
+    # whole documents. Lowering BEFORE the substr keeps window
+    # boundaries exact (Unicode case mapping can change lengths:
+    # İ → "i"+combining dot; truncating the raw text first could
+    # shift every later window). hashed_char_ngram_buckets re-lowers,
+    # a no-op on already-lowercased text (Java Locale.ROOT lowercase
+    # is idempotent), and its length-< n empty-bag guard is
+    # unaffected (cap+n−1 ≥ n, so truncation never crosses the
+    # boundary). Same windows, same buckets, bit-identical fit.
+    text_expr = (
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
     rows = (
         df.select(
             F.md5(
                 F.concat(F.lit(salt), F.col(id_col).cast("string"))
             ).alias("__o"),
-            (
-                F.col(text_col) if isinstance(text_col, str) else text_col
+            F.substring(
+                F.lower(text_expr),
+                1,
+                max_feats_per_doc + ngram_n - 1,
             ).alias("__t"),
             F.col(label_col).alias("__y"),
         )
