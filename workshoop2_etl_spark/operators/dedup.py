@@ -235,6 +235,7 @@ def minhash_signatures_from_sets(
     *,
     set_col: str = "__set",
     num_hashes: int = 64,
+    drop_empty: bool = True,
 ) -> DataFrame:
     """MinHash signatures from a precomputed shingle-set frame (see
     :func:`shingle_sets`), computed IN-ROW: the shingle strings are
@@ -250,10 +251,28 @@ def minhash_signatures_from_sets(
     ``xxhash64(h, salt)`` chain, min over the same distinct set;
     verified ``exceptAll`` both ways = 0 rows at sf0.1) and measured
     4.43 s → 3.71 s on the sf0.1 signature stage. Rows whose set is
-    EMPTY are dropped, matching the explode formulation (no exploded
-    rows → no group).
+    EMPTY or NULL are dropped, matching the explode formulation (no
+    exploded rows → no group).
+
+    ``drop_empty=False`` (r15 opt, guide §1.2/§4.4-shape): callers
+    whose set frame PROVABLY contains no empty/NULL sets skip the
+    filter. The predicate ``size(set) > 0`` looks free, but when
+    ``set_col`` is a computed alias (the :func:`shingle_sets`
+    composition), Catalyst's pushdown INLINES the whole shingle
+    construction into the filter and pushes it below any upstream
+    repartition — the full tokenize+shingle+distinct chain then runs
+    TWICE per row, once of that on the scan's (often single)
+    pre-repartition partition. Measured at sf0.1: a 3.3 s
+    single-task stage in every minhash pipeline, just to evaluate a
+    filter that :func:`shingle_sets` makes a tautology (docs shorter
+    than ``n`` tokens yield ONE shingle, and a NULL text yields ONE
+    NULL shingle — checked empirically over null/empty/whitespace
+    fixtures: min size = 1, never null). Dropping the no-op filter
+    changes no rows; ``exceptAll`` both ways = 0 on the registry
+    corpus including planted null/empty texts.
     """
-    hashed = sets.where(F.size(set_col) > 0).select(
+    src = sets.where(F.size(set_col) > 0) if drop_empty else sets
+    hashed = src.select(
         id_col,
         F.transform(F.col(set_col), lambda s: F.xxhash64(s)).alias("__hs"),
     )
@@ -284,11 +303,18 @@ def minhash_signatures(
     (The classic affine ``a_i·h + b_i mod 2⁶⁴`` derivation is cheaper
     still but needs wrapping multiplication, which ANSI mode — Spark
     4's default — rejects at runtime.)
+
+    ``drop_empty=False`` is sound here because :func:`shingle_sets`
+    never yields an empty or NULL set (see
+    :func:`minhash_signatures_from_sets` — the empty-set filter was
+    a tautology whose pushed-down inlining re-ran the whole shingle
+    construction below the scan/repartition).
     """
     return minhash_signatures_from_sets(
         shingle_sets(df, id_col, text_col, shingle_n=shingle_n),
         id_col,
         num_hashes=num_hashes,
+        drop_empty=False,
     )
 
 
@@ -532,8 +558,12 @@ def near_dedup_minhash(
             df, id_col, text_col, shingle_n=shingle_n
         ).persist()
         cache_registry.append(shingled)
+        # drop_empty=False: shingle_sets never yields an empty/NULL
+        # set (see minhash_signatures_from_sets), and here the filter
+        # additionally blocked reading the signature input straight
+        # from the persisted shingle cache.
         sigs = minhash_signatures_from_sets(
-            shingled, id_col, num_hashes=num_hashes
+            shingled, id_col, num_hashes=num_hashes, drop_empty=False
         )
         cands = lsh_candidate_pairs(
             sigs, id_col, num_hashes=num_hashes, bands=bands
