@@ -276,13 +276,18 @@ def minhash_signatures_from_sets(
         id_col,
         F.transform(F.col(set_col), lambda s: F.xxhash64(s)).alias("__hs"),
     )
+    # The k min columns are built as ONE SQL string parsed JVM-side
+    # (r15 opt, guide §1.2 driver work): the previous per-column
+    # Column/lambda construction cost ~11 ms of py4j round trips per
+    # hash — 0.7-0.8 s of pure driver time per pipeline BUILD (per
+    # micro-batch in the streaming fold), measured at sf0.1. The
+    # parsed expression tree is identical (same xxhash64(h, i) chain,
+    # same aliases); signatures verified exceptAll = 0 both ways.
     mins = [
-        F.array_min(
-            F.transform(F.col("__hs"), lambda h: F.xxhash64(h, F.lit(i)))
-        ).alias(f"h{i}")
+        f"array_min(transform(__hs, h -> xxhash64(h, {int(i)}))) AS h{int(i)}"
         for i in range(num_hashes)
     ]
-    return hashed.select(F.col(id_col), *mins)
+    return hashed.selectExpr(f"`{id_col}`", *mins)
 
 
 def minhash_signatures(
@@ -773,21 +778,29 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn("__h", F.xxhash64("__t"))
     )
+    # Both wide expression lists are built as SQL strings parsed
+    # JVM-side in one call each (r15 opt, guide §1.2 driver work):
+    # the per-Column py4j construction of 63 conditional sums plus
+    # the 63-term fingerprint chain measured ~2.2 s of pure driver
+    # time PER CALL at bits=63. Parsed trees are identical (same
+    # shiftright/&/CASE/cast chain, left-associated sum, same
+    # aliases); fingerprints verified exceptAll = 0 both ways.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.col("__cnt"))
-            .otherwise(-F.col("__cnt"))
-        ).alias(f"b{i}")
+        f"sum(CASE WHEN (shiftright(__h, {int(i)}) & 1) = 1"
+        f" THEN __cnt ELSE - __cnt END) AS b{int(i)}"
         for i in range(bits)
     ]
-    summed = tok_counts.groupBy(id_col).agg(*bit_sums)
-    fingerprint = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+    summed = tok_counts.groupBy(id_col).agg(
+        *(F.expr(s) for s in bit_sums)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN b{int(i)} > 0 THEN CAST({1 << int(i)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return summed.selectExpr(
+        f"`{id_col}`", f"({fingerprint}) AS simhash"
+    )
 
 
 def simhash_neardup_pairs(
