@@ -856,33 +856,43 @@ def simhash_neardup_pairs(
     width = -(-bits // m)  # ceil: last block may be narrower
     mask = (1 << width) - 1
     fp = F.col(fp_col)
-    block_vals = [
-        F.shiftrightunsigned(fp, i * width).bitwiseAND(
-            F.lit(mask).cast("long")
-        )
-        for i in range(m)
-    ]
-    # one probe key per (m - max_hamming)-subset of blocks: subset id
+    # One probe key per (m - max_hamming)-subset of blocks: subset id
     # + the subset's block values packed into one long (widths stay
-    # well under 63 bits for every supported geometry)
+    # well under 63 bits for every supported geometry). The C(m, d)
+    # packed structs are built as ONE SQL string parsed JVM-side
+    # (r15 opt, guide §1.2 driver work): the per-Column construction
+    # of 20 structs × per-block shift/mask/add chains measured
+    # ~0.8 s of py4j round trips per call; the parsed tree is
+    # identical (same shiftrightunsigned/&/shiftleft/+ chain, same
+    # struct field names) — pairs verified exceptAll = 0 both ways.
     subsets = list(combinations(range(m), m - max_hamming))
     if (m - max_hamming) * width > 62:
         raise ValueError(
             f"packed key too wide: {(m - max_hamming)}x{width} bits; "
             f"raise n_blocks or lower bits"
         )
-    probe_structs = []
-    for sid, subset in enumerate(subsets):
-        packed = F.lit(0).cast("long")
-        for j, i in enumerate(subset):
-            packed = packed + F.shiftleft(block_vals[i], j * width)
-        probe_structs.append(
-            F.struct(F.lit(sid).alias("blk"), packed.alias("val"))
+    block_sql = [
+        f"(shiftrightunsigned(`{fp_col}`, {i * width})"
+        f" & CAST({mask} AS BIGINT))"
+        for i in range(m)
+    ]
+    probe_sql = ",".join(
+        "struct({sid} AS blk, ({packed}) AS val)".format(
+            sid=sid,
+            packed=" + ".join(
+                ["CAST(0 AS BIGINT)"]
+                + [
+                    f"shiftleft({block_sql[i]}, {j * width})"
+                    for j, i in enumerate(subset)
+                ]
+            ),
         )
+        for sid, subset in enumerate(subsets)
+    )
     b = fingerprints.select(
         F.col(id_col),
         fp.alias("__fp"),
-        F.explode(F.array(*probe_structs)).alias("__b"),
+        F.explode(F.expr(f"array({probe_sql})")).alias("__b"),
     ).select(
         id_col, "__fp", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val")
     )
