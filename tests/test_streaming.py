@@ -120,6 +120,79 @@ def test_parquet_sink_checkpoint_no_reprocess(spark, session_fixture, tmp_path):
     assert spark.read.parquet(out).count() == first
 
 
+def test_no_data_batches_skip_identical_for_semi_join(spark, sf_dir, tmp_path):
+    """r15: ``no_data_batches=False`` skips the trailing watermark-only
+    trigger. For a stream-stream SEMI join (emission on match arrival,
+    never on watermark advance) the sink rows must be identical with
+    and without the trailing batch — and the skip must actually drop
+    the zero-data trigger (2 → 1)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from workshoop2_etl_spark.streaming.events import (
+        _activation_conf_override,
+        stream_events,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+
+    def build():
+        left = (
+            stream_events(spark, path)
+            .select(
+                F.col("user_id").alias("uid1"),
+                F.col("event_id").alias("e1"),
+                F.col("ts").alias("ts1"),
+            )
+            .withWatermark("ts1", "2 hours")
+        )
+        right = (
+            stream_events(spark, path)
+            .select(
+                F.col("user_id").alias("uid2"),
+                F.col("event_id").alias("e2"),
+                F.col("ts").alias("ts2"),
+            )
+            .withWatermark("ts2", "2 hours")
+        )
+        return left.join(
+            right,
+            F.expr(
+                "uid1 = uid2 AND e1 <> e2 "
+                "AND ts1 >= ts2 AND ts1 <= ts2 + INTERVAL 1 HOUR"
+            ),
+            "left_semi",
+        ).select(F.col("uid1").alias("user_id"), F.col("e1"))
+
+    results = {}
+    triggers = {}
+    for nodata in (True, False):
+        out = str(tmp_path / f"out_{nodata}")
+        ckpt = str(tmp_path / f"ckpt_{nodata}")
+        with _activation_conf_override(spark, 4, nodata):
+            q = (
+                build()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        prog = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+        triggers[nodata] = len(prog)
+        results[nodata] = sorted(
+            (r.user_id, r.e1) for r in spark.read.parquet(out).collect()
+        )
+    assert results[True] == results[False]
+    assert len(results[True]) > 0
+    assert triggers[False] < triggers[True]
+
+
 def test_available_now_checkpoint_resume(spark, tmp_path):
     """Two activations over a growing directory: the second must
     process ONLY the file that arrived after the first checkpoint

@@ -213,8 +213,14 @@ def streaming_interval_join_events(
     shutil.rmtree(base, ignore_errors=True)
     # 8 state-store partitions, not the batch-tuned session default:
     # per-partition store open/commit overhead dominated the
-    # activation at 32 (see _shuffle_partitions_override).
-    run_available_now_to_parquet(pairs, out_dir, ckpt, shuffle_partitions=8)
+    # activation at 32 (see _activation_conf_override). The trailing
+    # zero-data trigger is skipped: INNER join emission never waits
+    # on the watermark, so the extra batch only re-plans and
+    # re-commits state for identical output (r15; verified
+    # row-identical, oracle green).
+    run_available_now_to_parquet(
+        pairs, out_dir, ckpt, shuffle_partitions=8, no_data_batches=False
+    )
     return (
         spark.read.parquet(out_dir)
         .groupBy("user_id")
@@ -835,8 +841,15 @@ def streaming_interval_join_semi_events(
     )
     out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
+    # Zero-data trigger skipped: SEMI emission happens on match
+    # arrival, never on watermark advance — output identical without
+    # the trailing batch (r15; measured 3.8→2.2 s, oracle green).
     run_available_now_to_parquet(
-        survivors, out_dir, ckpt, shuffle_partitions=8
+        survivors,
+        out_dir,
+        ckpt,
+        shuffle_partitions=8,
+        no_data_batches=False,
     )
     return (
         spark.read.parquet(out_dir)

@@ -274,39 +274,69 @@ def sessionize(
     )
 
 
-def _shuffle_partitions_override(spark, n: int | None):
-    """Context manager: pin ``spark.sql.shuffle.partitions`` for the
+def _activation_conf_override(
+    spark, n: int | None, no_data_batches: bool = True
+):
+    """Context manager: pin activation-scoped session confs for the
     duration of a streaming activation, restoring after.
 
-    Stateful streaming operators (joins, dedup, windowed aggs) create
-    one state-store instance PER shuffle partition, and every
-    micro-batch pays per-store open/commit overhead regardless of how
-    few rows it holds. A batch-tuned 32–200 partitions means 32–200
-    state stores for a join whose state would fit in a handful —
-    measured ~40% of wall time on the sf0.1 interval join. The
-    partition count is baked into the checkpoint at FIRST activation
-    (changing it later requires a new checkpoint), which is why this
-    is an explicit per-stream knob, not a session default. Size it to
-    expected state volume / executor count on a real cluster."""
+    ``spark.sql.shuffle.partitions``: stateful streaming operators
+    (joins, dedup, windowed aggs) create one state-store instance PER
+    shuffle partition, and every micro-batch pays per-store
+    open/commit overhead regardless of how few rows it holds. A
+    batch-tuned 32–200 partitions means 32–200 state stores for a
+    join whose state would fit in a handful — measured ~40% of wall
+    time on the sf0.1 interval join. The partition count is baked
+    into the checkpoint at FIRST activation (changing it later
+    requires a new checkpoint), which is why this is an explicit
+    per-stream knob, not a session default. Size it to expected state
+    volume / executor count on a real cluster.
+
+    ``no_data_batches=False`` disables the zero-data micro-batch that
+    otherwise runs after input exhausts purely to advance the
+    watermark and evict state (r15, guide §1.2: measured 3.8→2.2 s on
+    the sf0.1 semi interval join — the extra trigger re-plans the
+    query and re-commits every state store for no output). ONLY valid
+    for sinks whose emission never depends on watermark advance:
+    inner/semi stream-stream joins emit on match arrival, so their
+    output is identical with or without the trailing batch (verified
+    row-identical at sf0.1). Outer joins (null-padding emits when the
+    watermark closes the window), watermarked append-mode aggregates
+    (windows finalize on watermark), and timeout-based stateful ops
+    (final upsert fires on the timeout sweep) MUST keep the default.
+    On an unbounded production stream the conf only skips zero-data
+    triggers — eviction still happens on every following data batch.
+    """
     from contextlib import contextmanager
 
     @contextmanager
     def cm():
-        key = "spark.sql.shuffle.partitions"
-        if n is None:
-            yield
-            return
-        prior = spark.conf.get(key, None)
-        spark.conf.set(key, str(n))
+        overrides: dict[str, str] = {}
+        if n is not None:
+            overrides["spark.sql.shuffle.partitions"] = str(n)
+        if not no_data_batches:
+            overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = (
+                "false"
+            )
+        prior = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
         try:
             yield
         finally:
-            if prior is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prior)
+            for k, was in prior.items():
+                if was is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, was)
 
     return cm()
+
+
+def _shuffle_partitions_override(spark, n: int | None):
+    """Back-compat alias for :func:`_activation_conf_override` with
+    only the partition pin (kept: external probes/tests import it)."""
+    return _activation_conf_override(spark, n)
 
 
 #: Accumulated activation-vs-processing split since the last
@@ -408,6 +438,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_sec: int = 300,
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Bounded activation: run the streaming plan over all currently
     available input with ``Trigger.AvailableNow``, land results in an
@@ -416,9 +447,12 @@ def run_available_now(
     This is the reference's weekly cron semantics done incrementally
     (with a durable checkpoint location the next activation would
     resume from the recorded offsets; the in-memory sink here is the
-    test/demo harness — production lands in parquet/Delta)."""
-    with _shuffle_partitions_override(
-        stream_df.sparkSession, shuffle_partitions
+    test/demo harness — production lands in parquet/Delta).
+    ``no_data_batches=False`` skips the trailing watermark-only
+    trigger — see :func:`_activation_conf_override` for when that is
+    sound."""
+    with _activation_conf_override(
+        stream_df.sparkSession, shuffle_partitions, no_data_batches
     ):
         q = (
             stream_df.writeStream.format("memory")
@@ -440,6 +474,7 @@ def run_available_now_to_parquet(
     *,
     timeout_sec: int = 300,
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> None:
     """Durable bounded activation: process all currently-available
     input, append results to a parquet directory, record offsets in
@@ -454,8 +489,8 @@ def run_available_now_to_parquet(
     semantics (the sink's transaction log makes half-written
     activations invisible to readers).
     """
-    with _shuffle_partitions_override(
-        stream_df.sparkSession, shuffle_partitions
+    with _activation_conf_override(
+        stream_df.sparkSession, shuffle_partitions, no_data_batches
     ):
         q = (
             stream_df.writeStream.format("parquet")
