@@ -4158,8 +4158,20 @@ def crawl_upsert_timetravel_documents(
         )
 
     blobs2 = _warc_file_blobs(wave2, "html", _messy_record)
-    blobs1.coalesce(1).write.parquet(f"{src}/w1")
-    blobs2.coalesce(1).write.parquet(f"{src}/w2")
+    # The two wave fixtures are independent jobs — overlap them
+    # (guide §2.6) so wave 2's tasks back-fill the executor slots
+    # wave 1's tail leaves idle (r15: 3.2 → 1.8 s for the pair).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: blobs1.coalesce(1).write.parquet(f"{src}/w1")
+        )
+        f2 = pool.submit(
+            lambda: blobs2.coalesce(1).write.parquet(f"{src}/w2")
+        )
+        f1.result()
+        f2.result()
     # flatten into one source dir with PINNED mtimes so the file
     # stream delivers wave 1 strictly before wave 2
     for i, d in enumerate(("w1", "w2")):
@@ -4171,7 +4183,13 @@ def crawl_upsert_timetravel_documents(
         shutil.rmtree(f"{src}/{d}")
 
     def _extract(batch_df: DataFrame) -> DataFrame:
-        parsed = parse_warc_blobs(batch_df, "content", id_cols=[])
+        # Each micro-batch is ONE coalesced parquet file → one scan
+        # partition, serializing the whole WARC parse + HTML extract
+        # chain onto a single task (§2.5, the same shape
+        # spread_groups fixes on the batch ingest entries).
+        parsed = parse_warc_blobs(
+            ensure_parallelism(batch_df), "content", id_cols=[]
+        )
         ok = parsed.where(F.col("http_status") == 200)
         ext = html_to_text(
             ok.select(
