@@ -517,15 +517,28 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    # Symmetrize in-row (explode of both orientations) rather than a
+    # union of two projections: the union re-executes the caller's
+    # edge derivation once per branch (r15, guide §2.4 — only the
+    # base scan gets a ReusedExchange; an aggregate-built edge list
+    # like copurchase_pairs pays its pair count twice). Same row
+    # multiset, and `distinct` collapses it identically.
     sym = (
         edges.select(
-            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("__u"),
+                        F.col(dst_col).alias("__v"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("__u"),
+                        F.col(src_col).alias("__v"),
+                    ),
+                )
+            ).alias("__e")
         )
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")
-            )
-        )
+        .select("__e.__u", "__e.__v")
         .filter(F.col("__u") != F.col("__v"))
         .distinct()
         .persist()
