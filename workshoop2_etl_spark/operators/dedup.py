@@ -335,32 +335,46 @@ def lsh_candidate_pairs(
 
     The signature is cut into ``bands`` bands of ``num_hashes/bands``
     rows; two docs are candidates iff at least one band hashes equal.
-    Implemented as explode-to-(band, band_hash) + self-equi-join —
-    the join key is the bucket, so the cost is Σ bucket² not n².
-    ``max_bucket_size`` drops degenerate buckets (boilerplate that
-    would go quadratic); dropped buckets mean those docs were already
-    near-identical to *many* others and should be routed to exact
-    dedup instead.
+    Implemented as ONE bucket aggregate + in-row pair emission (r15,
+    guide §2.4 — the same trick as ``basket.copurchase_pairs``): each
+    (band, band_hash) bucket collects its member ids, and the sorted
+    array emits its C(n, 2) oriented pairs with a higher-order
+    transform. The previous self-equi-join form evaluated the banded
+    subtree twice (no ReusedExchange across join sides) and paid a
+    window sort for the bucket cap — 7 Exchanges vs 3, and the cost
+    stays Σ bucket², never n². ``max_bucket_size`` becomes a free
+    ``size()`` filter on the bucket array: degenerate buckets
+    (boilerplate that would go quadratic) drop whole; docs there were
+    already near-identical to *many* others and should be routed to
+    exact dedup instead.
 
-    Output: ``{id_col}_a < {id_col}_b`` distinct candidate pairs.
+    Output: ``{id_col}_a < {id_col}_b`` distinct candidate pairs —
+    row-identical to the self-join form (a doc appears once per band,
+    so bucket member ids are distinct; checked ``exceptAll`` both
+    ways at sf0.1).
     """
     banded = lsh_banded(
         signatures, id_col, num_hashes=num_hashes, bands=bands
     )
+    buckets = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
     if max_bucket_size is not None:
-        banded = _cap_buckets(banded, max_bucket_size)
-    a = banded.select(F.col(id_col).alias("__ida"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("__idb"), "band", "bh")
-    pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("__ida") < F.col("__idb"))
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    pair_structs = F.expr(
+        "flatten(transform(__ids, (x, i) ->"
+        " transform(slice(__ids, i + 2, greatest(size(__ids) - i - 1, 0)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        buckets.filter(F.size("__ids") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
         .select(
-            F.col("__ida").alias(f"{id_col}_a"),
-            F.col("__idb").alias(f"{id_col}_b"),
+            F.col("__p.a").alias(f"{id_col}_a"),
+            F.col("__p.b").alias(f"{id_col}_b"),
         )
         .distinct()
     )
-    return pairs
 
 
 def lsh_banded(
