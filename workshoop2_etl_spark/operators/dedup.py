@@ -1358,11 +1358,20 @@ def winnow_candidates(
     grams, with the shared count as evidence weight.
 
     ``max_postings`` drops grams selected by more than that many
-    documents before the self-join — the stop-gram guard (the
-    analog of LSH's ``max_bucket_size``): a boilerplate gram in 10⁶
-    documents would otherwise go quadratic. Dropped grams are
-    common, so the pairs they would have contributed are
-    overwhelmingly already connected by rarer shared grams.
+    documents — the stop-gram guard (the analog of LSH's
+    ``max_bucket_size``): a boilerplate gram in 10⁶ documents would
+    otherwise go quadratic. Dropped grams are common, so the pairs
+    they would have contributed are overwhelmingly already connected
+    by rarer shared grams.
+
+    Shape (r15, guide §2.4 — the ``lsh_candidate_pairs`` rewrite):
+    ONE aggregate per gram collects the posting list; the cap is a
+    ``size()`` filter on it, and the sorted list emits its C(n, 2)
+    oriented pairs in-row. The previous postings-count + self-join
+    form evaluated the winnowing-fingerprint subtree THREE times
+    (count, join side a, join side b — no ReusedExchange across
+    differently-projected branches) and shuffled the postings twice.
+    Pairs proven row-identical (``exceptAll`` = 0 both ways).
 
     Shuffle: postings are ``(gram_hash, id)`` pairs — 32 hex chars +
     an id, never text; the pair aggregation groups on (id_a, id_b).
@@ -1370,19 +1379,23 @@ def winnow_candidates(
     fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
         id_col, "gram_hash"
     ).distinct()
-    postings_ok = (
+    postings = (
         fp.groupBy("gram_hash")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_postings)
-        .select("gram_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .filter(
+            (F.size("__ids") <= max_postings) & (F.size("__ids") >= 2)
+        )
     )
-    fp = fp.join(postings_ok, "gram_hash")
-    a = fp.select(F.col(id_col).alias("id_a"), "gram_hash")
-    b = fp.select(F.col(id_col).alias("id_b"), "gram_hash")
+    pair_structs = F.expr(
+        "flatten(transform(__ids, (x, i) ->"
+        " transform(slice(__ids, i + 2, greatest(size(__ids) - i - 1, 0)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(b, "gram_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        postings.select(F.explode(pair_structs).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
