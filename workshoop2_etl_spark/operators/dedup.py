@@ -910,22 +910,37 @@ def simhash_neardup_pairs(
     ).select(
         id_col, "__fp", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val")
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("blk", "val")
-        b = (
-            b.withColumn("__n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-    left = b.select(
-        F.col(id_col).alias("__ida"), F.col("__fp").alias("__fa"), "blk", "val"
+    # One aggregate per (blk, val) bucket + in-row pair emission
+    # (r15, guide §2.4 — the lsh_candidate_pairs rewrite): the
+    # self-equi-join form evaluated the fingerprint+probe subtree
+    # once per join side and paid a window sort for the cap. A doc
+    # appears once per blk, so bucket members have distinct ids;
+    # array_sort on (id, fp) structs orders by id and the i<j
+    # emission IS the old ``__ida < __idb`` filter. Pairs proven
+    # row-identical (exceptAll = 0 both ways).
+    buckets = b.groupBy("blk", "val").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("__fp").alias("f"))
+            )
+        ).alias("__m")
     )
-    right = b.select(
-        F.col(id_col).alias("__idb"), F.col("__fp").alias("__fb"), "blk", "val"
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__m") <= max_bucket_size)
+    pair_structs = F.expr(
+        "flatten(transform(__m, (x, i) ->"
+        " transform(slice(__m, i + 2, greatest(size(__m) - i - 1, 0)),"
+        " y -> struct(x AS a, y AS b))))"
     )
     return (
-        left.join(right, ["blk", "val"])
-        .filter(F.col("__ida") < F.col("__idb"))
+        buckets.filter(F.size("__m") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
+        .select(
+            F.col("__p.a.i").alias("__ida"),
+            F.col("__p.a.f").alias("__fa"),
+            F.col("__p.b.i").alias("__idb"),
+            F.col("__p.b.f").alias("__fb"),
+        )
         .dropDuplicates(["__ida", "__idb"])
         .withColumn(
             "hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
@@ -989,21 +1004,26 @@ def ngram_jaccard_neardup(
             bottomk_char_sketch(text_col, char_ngram=char_ngram, k=sketch_k)
         ).alias("__h"),
     )
+    # One aggregate per sketch-hash bucket + in-row pair emission
+    # (r15, guide §2.4 — the lsh_candidate_pairs rewrite; the sketch
+    # is per-doc distinct, so bucket member ids are distinct and the
+    # sorted i<j emission reproduces ``__ida < __idb`` exactly).
+    buckets = sketched.groupBy("__h").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
     if max_bucket_size is not None:
-        w = Window.partitionBy("__h")
-        sketched = (
-            sketched.withColumn("__n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-    left = sketched.select(F.col(id_col).alias("__ida"), "__h")
-    right = sketched.select(F.col(id_col).alias("__idb"), "__h")
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    pair_structs = F.expr(
+        "flatten(transform(__ids, (x, i) ->"
+        " transform(slice(__ids, i + 2, greatest(size(__ids) - i - 1, 0)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        left.join(right, "__h")
-        .filter(F.col("__ida") < F.col("__idb"))
+        buckets.filter(F.size("__ids") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
         .select(
-            F.col("__ida").alias(f"{id_col}_a"),
-            F.col("__idb").alias(f"{id_col}_b"),
+            F.col("__p.a").alias(f"{id_col}_a"),
+            F.col("__p.b").alias(f"{id_col}_b"),
         )
         .distinct()
     )
