@@ -496,16 +496,29 @@ def embedding_neardup(
         df, id_col, vec_col=vec_col, dim=dim, num_tables=num_tables,
         num_planes=num_planes, seed=seed,
     )
-    left = b.select(
-        F.col(id_col).alias("__ida"), "__table", "__bucket"
-    )
-    right = b.select(
-        F.col(id_col).alias("__idb"), "__table", "__bucket"
-    )
+    # One aggregate per (table, bucket) + in-row C(n,2) emission
+    # (r15, guide §2.4 — the lsh_candidate_pairs rewrite): the
+    # self-equi-join evaluated the bucket-assignment subtree (the
+    # hyperplane matmul) once per join side. A vector hashes to one
+    # bucket per table, so member ids are distinct and sorted i<j
+    # emission reproduces ``__ida < __idb``. Pairs exceptAll = 0.
     pairs = (
-        left.join(right, ["__table", "__bucket"])
-        .filter(F.col("__ida") < F.col("__idb"))
-        .select("__ida", "__idb")
+        b.groupBy("__table", "__bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) ->"
+                    " transform(slice(__ids, i + 2,"
+                    " greatest(size(__ids) - i - 1, 0)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("__p")
+        )
+        .select(
+            F.col("__p.a").alias("__ida"), F.col("__p.b").alias("__idb")
+        )
         .dropDuplicates(["__ida", "__idb"])
     )
     va = df.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"))
