@@ -130,17 +130,27 @@ def association_rules(
         F.count(F.lit(1)).alias("__n_item")
     )
     total = b.agg(F.countDistinct("__b").alias("__n"))
+    # Both directions emitted IN-ROW (explode of the two orientation
+    # structs) rather than a union of two projections: the union form
+    # re-executed the pair-count aggregate once per branch (r15,
+    # guide §2.4 — same rewrite as the graph symmetrization; row
+    # multiset identical).
     both = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        F.col("n_baskets").alias("n_pair"),
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("antecedent"),
-            F.col("item_a").alias("consequent"),
-            F.col("n_baskets").alias("n_pair"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_baskets").alias("n_pair"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_baskets").alias("n_pair"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.antecedent", "__r.consequent", "__r.n_pair")
     out = (
         both.join(
             F.broadcast(marg.withColumnRenamed("__n_item", "__n_ante")),
