@@ -333,12 +333,6 @@ def _activation_conf_override(
     return cm()
 
 
-def _shuffle_partitions_override(spark, n: int | None):
-    """Back-compat alias for :func:`_activation_conf_override` with
-    only the partition pin (kept: external probes/tests import it)."""
-    return _activation_conf_override(spark, n)
-
-
 #: Accumulated activation-vs-processing split since the last
 #: :func:`pop_stream_timings` call. The streaming bench family
 #: produces the wildest wall-time spreads (r9: 16.6→4.4 s on
